@@ -1,0 +1,196 @@
+"""Vectorized, deterministic 64-bit hashing: token/shingle hashes, MinHash,
+SimHash, LSH band hashes.
+
+Plays the role of the reference's fixed-dimension signature model (1536-d CNN
+feature per frame, ``ndd/extract_features.py:26-37``): a fixed-width signature
+per content unit, computed by a vectorized function whose expensive setup (the
+permutation parameter matrix, the token-hash cache) is built once per actor.
+
+All hashes are row-local and seeded — signatures are invariant to batch/block
+boundaries (a Ray Data requirement the reference never faced).  NumPy uint64
+arithmetic wraps mod 2**64 by design.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set)."""
+    z = x.astype(np.uint64, copy=True)
+    z += U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
+    return z ^ (z >> U64(31))
+
+
+def hash_token(token: str) -> int:
+    """Stable 64-bit hash of one token (blake2b-8; never Python's salted hash)."""
+    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+class TokenHasher:
+    """Caching token -> uint64 hasher.
+
+    The cache amortizes blake2b across a batch/actor lifetime (vocabulary is
+    Zipfian); build ONE instance per actor in ``__init__`` (analogue of the
+    reference loading model weights once per process,
+    ``ndd/extract_features.py:35-38,65``).
+    """
+
+    def __init__(self, max_cache: int = 1_000_000) -> None:
+        self._cache: dict[str, int] = {}
+        self._max_cache = max_cache
+
+    def hash_tokens(self, tokens: list[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            h = cache.get(t)
+            if h is None:
+                h = hash_token(t)
+                if len(cache) < self._max_cache:
+                    cache[t] = h
+            out[i] = h
+        return out
+
+
+def _poly_powers(w: int) -> np.ndarray:
+    p = np.empty(w, dtype=np.uint64)
+    acc = 1
+    for i in range(w - 1, -1, -1):
+        p[i] = acc & 0xFFFFFFFFFFFFFFFF
+        acc = (acc * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF  # wraps mod 2**64
+    return p
+
+
+_POWERS_CACHE: dict[int, np.ndarray] = {}
+
+
+def shingle_hashes(token_hashes: np.ndarray, w: int, unique: bool = True) -> np.ndarray:
+    """uint64 hash per w-token shingle via a sliding polynomial + splitmix64.
+
+    Shorter-than-w docs get one shingle over all tokens; empty docs get none
+    (mirrors `shingle_tokens` in functions/text.py — the two must agree).
+    When ``unique`` the result is the sorted unique shingle-hash SET (the unit
+    of Jaccard similarity).
+    """
+    n = len(token_hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    eff_w = min(w, n)
+    powers = _POWERS_CACHE.get(eff_w)
+    if powers is None:
+        powers = _poly_powers(eff_w)
+        _POWERS_CACHE[eff_w] = powers
+    windows = np.lib.stride_tricks.sliding_window_view(token_hashes, eff_w)
+    raw = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    hashed = splitmix64(raw)
+    if unique:
+        return np.unique(hashed)
+    return hashed
+
+
+def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) parameter vectors for h_p(s) = a_p * s + b_p (mod 2**64).
+
+    ``a`` is forced odd so multiplication is a bijection on Z/2**64.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * U64(2) + U64(1)
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_batch(
+    shingle_sets: list[np.ndarray],
+    a: np.ndarray,
+    b: np.ndarray,
+    chunk_rows: int = 65536,
+) -> np.ndarray:
+    """MinHash signatures for a batch of shingle-hash sets -> (n_docs, num_perm).
+
+    Vectorized with ``np.minimum.reduceat`` over the concatenated shingle
+    arrays, chunked so the (rows x num_perm) intermediate stays ~64 MiB.
+    Degenerate docs (empty shingle set) get the all-UMAX sentinel signature and
+    must be routed to exact-fingerprint dedup, not LSH (SURVEY §2 M13 / §4
+    skew).
+    """
+    k = len(a)
+    n_docs = len(shingle_sets)
+    out = np.full((n_docs, k), UMAX, dtype=np.uint64)
+    lengths = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=n_docs)
+    nonempty = np.flatnonzero(lengths > 0)
+    if len(nonempty) == 0:
+        return out
+
+    # Chunk docs so concatenated rows per chunk <= chunk_rows (but always >= 1 doc).
+    start = 0
+    while start < len(nonempty):
+        end = start
+        rows = 0
+        while end < len(nonempty) and (rows == 0 or rows + lengths[nonempty[end]] <= chunk_rows):
+            rows += lengths[nonempty[end]]
+            end += 1
+        idx = nonempty[start:end]
+        concat = np.concatenate([shingle_sets[i] for i in idx])
+        # (rows, k) = a * s + b, wrapping
+        hv = concat[:, None] * a[None, :] + b[None, :]
+        offsets = np.zeros(len(idx), dtype=np.int64)
+        np.cumsum(lengths[idx][:-1], out=offsets[1:])
+        out[idx, :] = np.minimum.reduceat(hv, offsets, axis=0)
+        start = end
+    return out
+
+
+def simhash_batch(shingle_sets: list[np.ndarray]) -> np.ndarray:
+    """64-bit SimHash per doc: majority vote over the bits of the shingle
+    hashes.  Degenerate docs get 0."""
+    n_docs = len(shingle_sets)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    lengths = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=n_docs)
+    nonempty = np.flatnonzero(lengths > 0)
+    if len(nonempty) == 0:
+        return out
+    concat = np.concatenate([shingle_sets[i] for i in nonempty])
+    # (rows, 64) bit matrix; bit j = (h >> j) & 1
+    bits = ((concat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(
+        np.int64
+    )
+    offsets = np.zeros(len(nonempty), dtype=np.int64)
+    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+    counts = np.add.reduceat(bits, offsets, axis=0)  # (docs, 64)
+    majority = (counts * 2 > lengths[nonempty][:, None]).astype(np.uint64)
+    out[nonempty] = (majority << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return out
+
+
+def band_hashes(minhash: np.ndarray, bands: int, rows_per_band: int, seed: int) -> np.ndarray:
+    """(n_docs, bands) uint64 band hash: polynomial over each band's rows mixed
+    with a per-band seed, splitmix64-finalized.  Used as the LSH bucket key."""
+    n_docs, k = minhash.shape
+    assert k == bands * rows_per_band
+    by_band = minhash.reshape(n_docs, bands, rows_per_band)
+    powers = _poly_powers(rows_per_band)
+    raw = (by_band * powers[None, None, :]).sum(axis=2, dtype=np.uint64)
+    band_seeds = splitmix64(np.arange(bands, dtype=np.uint64) + U64(seed) * _FNV_PRIME)
+    return splitmix64(raw + band_seeds[None, :])
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of XOR between two uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    # SWAR popcount
+    x = x - ((x >> U64(1)) & U64(0x5555555555555555))
+    x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+    x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+    return ((x * U64(0x0101010101010101)) >> U64(56)).astype(np.int64)
