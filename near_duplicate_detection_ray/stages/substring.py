@@ -1,0 +1,203 @@
+"""Substring-duplicate pass: finds long exact-substring containment dups that
+plain Jaccard misses (a short conversation embedded verbatim in a long one has
+LOW Jaccard but HIGH containment).
+
+Scalable formulation (north_rule's "suffix-array substring pass" re-expressed
+for Ray Data): instead of a monolithic suffix array, ANCHOR shingles — the
+deterministic subset of shingle hashes with ``hash % anchor_mod == 0``
+(winnowing-style sampling) — are exploded and grouped, so two documents sharing
+any long run of text collide on the anchors inside that run.  Candidates are
+confirmed in two steps: shingle-set containment >= containment_tau (cheap,
+vectorized), then an exact normalized-substring check after joining the two
+doc_texts (only for the few survivors).
+
+The interval analogue in the reference is the frame->shot range join
+(``ndd/server_ndd.py:217-220``, SURVEY §2 J1): match offsets -> containing
+spans; here anchors -> containing documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import NDDConfig
+from .lsh import PAIRS_SCHEMA, _pairs_for_group
+from .verify import attach_signatures
+
+ANCHORS_SCHEMA = pa.schema([("anchor", pa.uint64()), ("conv_id", pa.string())])
+
+SUBSTRING_PAIRS_SCHEMA = pa.schema(
+    [
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("jaccard", pa.float64()),
+        ("hamming", pa.int32()),
+        ("containment", pa.float64()),
+        ("method", pa.string()),
+    ]
+)
+
+
+class AnchorExploder:
+    def __init__(self, cfg: NDDConfig | None = None) -> None:
+        self.cfg = cfg or NDDConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.invert(batch["is_degenerate"]))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"anchor": pa.array([], pa.uint64()),
+                 "conv_id": pa.array([], pa.string())},
+                schema=ANCHORS_SCHEMA,
+            )
+        blobs = batch["shingles"].to_pylist()
+        mod = np.uint64(self.cfg.anchor_mod)
+        anchors: list[np.ndarray] = []
+        counts = np.zeros(n, dtype=np.int64)
+        for i, blob in enumerate(blobs):
+            vals = np.frombuffer(blob, dtype=np.uint64)
+            sel = vals[vals % mod == 0]
+            anchors.append(sel)
+            counts[i] = len(sel)
+        idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        flat = np.concatenate(anchors) if anchors else np.empty(0, dtype=np.uint64)
+        return pa.table(
+            {
+                "anchor": pa.array(flat, pa.uint64()),
+                "conv_id": batch["conv_id"].take(pa.array(idx)),
+            },
+            schema=ANCHORS_SCHEMA,
+        )
+
+
+class ContainmentVerifier:
+    """Shingle-containment filter over joined candidate batches (columns as in
+    verify.attach_signatures output)."""
+
+    def __init__(self, cfg: NDDConfig | None = None) -> None:
+        self.cfg = cfg or NDDConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import hamming_distance
+        from ..functions.similarity import containment_sorted, jaccard_sorted
+
+        cfg = self.cfg
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_pylist([], schema=SUBSTRING_PAIRS_SCHEMA)
+        blobs_a = batch["shingles_a"].to_pylist()
+        blobs_b = batch["shingles_b"].to_pylist()
+        sim_a = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sim_b = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ham = hamming_distance(sim_a, sim_b).astype(np.int32)
+        jac = np.empty(n)
+        cont = np.empty(n)
+        for i in range(n):
+            a = np.frombuffer(blobs_a[i], dtype=np.uint64)
+            b = np.frombuffer(blobs_b[i], dtype=np.uint64)
+            jac[i] = jaccard_sorted(a, b)
+            cont[i] = containment_sorted(a, b)
+        # only pairs that are NOT already jaccard-dups but have high containment
+        keep = (cont >= cfg.containment_tau) & (jac < cfg.tau)
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "jaccard": pa.array(jac, pa.float64()),
+                "hamming": pa.array(ham, pa.int32()),
+                "containment": pa.array(cont, pa.float64()),
+                "method": pa.array(["substring"] * n, pa.string()),
+            },
+            schema=SUBSTRING_PAIRS_SCHEMA,
+        ).filter(pa.array(keep))
+
+
+def substring_pairs(
+    signatures,
+    conversations,
+    cfg: NDDConfig | None = None,
+    concurrency=None,
+    num_partitions: int = 8,
+):
+    """signatures + conversations -> confirmed substring dup pairs.
+
+    Execution shape: ONE streaming graph for anchors -> bucket pair-gen ->
+    distinct -> signature joins -> containment filter (same 2-join/2-groupby
+    shape as the verify stage), then the few survivors are confirmed against
+    the actual doc_texts via a BROADCAST semi-join (``ray.put`` the id->text
+    map, filter conversations streaming) instead of two more hash joins —
+    chaining 4 joins in one graph over-subscribes aggregator actors on small
+    clusters, and the survivor set is tiny by construction.
+    """
+    import ray
+
+    cfg = cfg or NDDConfig()
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, cpus // 2))
+    anchors = signatures.select_columns(
+        ["conv_id", "shingles", "is_degenerate"]
+    ).map_batches(AnchorExploder(cfg), batch_format="pyarrow")
+    pairs = anchors.groupby("anchor").map_groups(
+        lambda g: _pairs_for_group(g, cfg.bucket_cap), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Max
+
+    distinct = pairs.groupby(["a", "b"]).aggregate(Max("capped", alias_name="capped"))
+    # empty-aggregate guard (schema loss breaks the join; see verify.py)
+    distinct = distinct.materialize()
+    if distinct.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.Table.from_pylist([], schema=SUBSTRING_PAIRS_SCHEMA))
+    joined = attach_signatures(distinct, signatures, num_partitions=num_partitions)
+    contained = joined.map_batches(
+        ContainmentVerifier,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+        num_cpus=1,
+    ).materialize()
+
+    # --- exact-text confirm on the survivors (broadcast, no shuffle) ---
+    need: set[str] = set()
+    for b in contained.select_columns(["a", "b"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        need.update(b["a"].to_pylist())
+        need.update(b["b"].to_pylist())
+    if not need:
+        return contained
+    need_ref = ray.put(need)
+
+    def collect_texts(t: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = pa.array([c in wanted for c in t["conv_id"].to_pylist()])
+        return t.filter(mask).select(["conv_id", "doc_text"])
+
+    texts_tbl = pa.concat_tables(
+        list(
+            conversations.map_batches(collect_texts, batch_format="pyarrow").iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        )
+    )
+    text_map = dict(
+        zip(texts_tbl["conv_id"].to_pylist(), texts_tbl["doc_text"].to_pylist())
+    )
+    text_ref = ray.put(text_map)
+
+    def exact_confirm(batch: pa.Table) -> pa.Table:
+        tm = ray.get(text_ref)
+        keep = []
+        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            ta, tb = tm.get(x, ""), tm.get(y, "")
+            small, large = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+            keep.append(bool(small) and small in large)
+        return batch.filter(pa.array(keep))
+
+    return contained.map_batches(exact_confirm, batch_format="pyarrow")

@@ -1,0 +1,131 @@
+"""Verify stage: candidate pairs -> confirmed duplicate pairs.
+
+Stateful actor-pool confirmation (north_star requirement): exact Jaccard over
+the stored shingle-hash sets plus a SimHash Hamming check, the thresholded
+analogue of the reference's ranked distance output
+(``ndd/server_ndd.py:108-117``; SURVEY §2 D2 — the reference ranks, we
+threshold at tau).
+
+Pair -> signature attachment is two hash joins on conv_id (``Dataset.join``,
+hash-partitioned) — the explicit-key replacement of the reference's forbidden
+positional zip (``ndd/server_ndd.py:199-215``, SURVEY §2 J2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import NDDConfig
+from ..functions.hashing import hamming_distance
+from ..functions.similarity import containment_sorted, jaccard_sorted
+
+DUP_PAIRS_SCHEMA = pa.schema(
+    [
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("jaccard", pa.float64()),
+        ("hamming", pa.int32()),
+        ("containment", pa.float64()),
+        ("method", pa.string()),
+    ]
+)
+
+
+class Verifier:
+    """Actor-pool callable over joined pair batches with columns
+    a, b, shingles_a, shingles_b, simhash_a, simhash_b."""
+
+    def __init__(self, cfg: NDDConfig | None = None) -> None:
+        self.cfg = cfg or NDDConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_pylist([], schema=DUP_PAIRS_SCHEMA)
+        # shingle sets travel as packed uint64 binary blobs (join-safe)
+        blobs_a = batch["shingles_a"].to_pylist()
+        blobs_b = batch["shingles_b"].to_pylist()
+        sim_a = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sim_b = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hamming = hamming_distance(sim_a, sim_b).astype(np.int32)
+        jac = np.empty(n, dtype=np.float64)
+        cont = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            a = np.frombuffer(blobs_a[i], dtype=np.uint64)
+            b = np.frombuffer(blobs_b[i], dtype=np.uint64)
+            jac[i] = jaccard_sorted(a, b)
+            cont[i] = containment_sorted(a, b)
+        dup = jac >= cfg.tau
+        method = np.where(dup, "minhash", "")
+        out = pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "jaccard": pa.array(jac, pa.float64()),
+                "hamming": pa.array(hamming, pa.int32()),
+                "containment": pa.array(cont, pa.float64()),
+                "method": pa.array(method.tolist(), pa.string()),
+            },
+            schema=DUP_PAIRS_SCHEMA,
+        )
+        return out.filter(pa.array(dup))
+
+
+def attach_signatures(pairs, signatures, num_partitions: int = 16):
+    """Join (a, b) pairs to both endpoints' shingle sets + simhash via two
+    hash-partitioned joins."""
+    side = signatures.select_columns(["conv_id", "shingles", "simhash"])
+    j = pairs.join(
+        side,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+        right_on=("conv_id",),
+        right_suffix="_a",
+    )
+    # first join adds shingles/simhash (right cols); rename before second join
+    j = j.rename_columns(
+        {"shingles": "shingles_a", "simhash": "simhash_a"}
+    )
+    j = j.join(
+        side,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+        right_on=("conv_id",),
+        right_suffix="_b",
+    )
+    return j.rename_columns({"shingles": "shingles_b", "simhash": "simhash_b"})
+
+
+def verify_pairs(pairs, signatures, cfg: NDDConfig | None = None, concurrency=None,
+                 num_partitions: int = 8):
+    """candidate pairs + signatures -> dup_pairs Dataset (jaccard >= tau).
+
+    Autoscaling (1, N) actor pool — min=1 so the stage can always make
+    progress next to the join's aggregator actors on small clusters.
+    """
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, cpus // 2))
+    # Guard: an EMPTY aggregate output loses its schema, which breaks the
+    # downstream hash join ("No match for FieldRef.Name(a)").  The candidate
+    # set is bounded (post-distinct) so materializing it here is safe.
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.Table.from_pylist([], schema=DUP_PAIRS_SCHEMA))
+    joined = attach_signatures(pairs, signatures, num_partitions=num_partitions)
+    return joined.map_batches(
+        Verifier,
+        fn_constructor_kwargs={"cfg": cfg or NDDConfig()},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

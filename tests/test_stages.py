@@ -1,0 +1,98 @@
+"""Stage-level tests: block/batch-boundary invariance and individual stage
+semantics (SURVEY §5.5 property: signature invariance under repartitioning)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from near_duplicate_detection_ray.config import NDDConfig
+from near_duplicate_detection_ray.sources.transcripts import synth_corpus
+
+CFG = NDDConfig()
+
+
+@pytest.fixture(scope="module")
+def transcripts_ds(ray_session):
+    import ray.data as rd
+
+    transcripts, _ = synth_corpus(seed=42)
+    return rd.from_arrow(transcripts)
+
+
+def test_assemble_invariant_to_repartition(transcripts_ds):
+    from near_duplicate_detection_ray.stages.assemble import assemble_conversations
+
+    a = assemble_conversations(transcripts_ds).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    b = (
+        assemble_conversations(transcripts_ds.repartition(7))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a["n_turns"] > 0).all()
+
+
+def test_assemble_shuffled_rows_same_result(transcripts_ds, ray_session):
+    """Turn order within blocks must not matter (sort-within-group)."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.stages.assemble import assemble_conversations
+
+    transcripts, _ = synth_corpus(seed=42)
+    perm = np.random.default_rng(0).permutation(transcripts.num_rows)
+    shuffled = rd.from_arrow(transcripts.take(pa.array(perm)))
+    a = assemble_conversations(transcripts_ds).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    b = assemble_conversations(shuffled).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_signer_invariant_to_batch_size(transcripts_ds):
+    from near_duplicate_detection_ray.stages.assemble import assemble_conversations
+    from near_duplicate_detection_ray.stages.signatures import Signer
+
+    convs = assemble_conversations(transcripts_ds).to_arrow_refs()
+    import ray
+
+    table = pa.concat_tables([ray.get(r) for r in convs]).sort_by("conv_id")
+    signer = Signer(CFG)
+    whole = signer(table)
+    parts = pa.concat_tables(
+        [signer(table.slice(i, 13)) for i in range(0, table.num_rows, 13)]
+    )
+    assert whole.equals(parts)
+
+
+def test_exact_rep_map(transcripts_ds):
+    from near_duplicate_detection_ray.stages.assemble import assemble_conversations
+    from near_duplicate_detection_ray.stages.exact import exact_rep_map, representatives
+
+    convs = assemble_conversations(transcripts_ds)
+    rep_map = exact_rep_map(convs)
+    pdf = rep_map.to_pandas()
+    assert set(pdf["conv_id"]) == set(convs.to_pandas()["conv_id"])
+    # exact copy x00000 maps to u00000
+    m = dict(zip(pdf["conv_id"], pdf["rep_id"]))
+    assert m["x00000"] == "u00000"
+    assert m["u00000"] == "u00000"
+    reps = representatives(convs, rep_map)
+    rep_ids = set(reps.to_pandas()["conv_id"])
+    assert "u00000" in rep_ids and "x00000" not in rep_ids
+
+
+def test_lsh_candidates_contain_true_dups(transcripts_ds):
+    from near_duplicate_detection_ray.stages.assemble import assemble_conversations
+    from near_duplicate_detection_ray.stages.lsh import candidate_pairs, explode_bands
+    from near_duplicate_detection_ray.stages.signatures import sign_conversations
+
+    convs = assemble_conversations(transcripts_ds)
+    sigs = sign_conversations(convs, CFG)
+    bands = explode_bands(sigs, CFG)
+    cand = candidate_pairs(bands, CFG).to_pandas()
+    pairs = set(zip(cand["a"], cand["b"]))
+    assert ("u00000", "x00000") in pairs  # exact dups collide in every band
+    # near-edit candidates present
+    assert any(a.startswith("n") or b.startswith("n") for a, b in pairs)
+    # all pairs ordered a < b and unique
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) == len(cand)
