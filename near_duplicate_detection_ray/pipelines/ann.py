@@ -1,0 +1,169 @@
+"""Approximate/exact nearest-neighbor search over the ``embeddings`` table
+(vec_id, embedding: list<float>[64], label).
+
+Scale design: the QUERY matrix is the small side — broadcast once via
+``ray.put`` — and the corpus streams through ``map_batches``, each task
+computing a per-block top-k (numpy matmul) and emitting only k rows per query
+per block; a tiny final reduce merges the partials.  The corpus is never
+materialized (the reference, by contrast, holds the whole feature matrix in
+memory — ``ndd/server_ndd.py:244-265``).
+
+``ann_lsh_topk`` is the scale path: random-hyperplane sign buckets shrink the
+scanned candidate set; it trades recall for a bounded scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.similarity import cosine_topk_block
+
+
+def _read_emb(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"].combine_chunks()
+    values = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return values.reshape(n, -1)
+
+
+def cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Exact cosine top-k: for the first ``n_queries`` vec_ids, the k nearest
+    OTHER vectors by cosine similarity.  Returns (query_id, rank, neighbor_id),
+    rank 1-based by (similarity desc, neighbor_id asc).
+
+    Scores are intentionally omitted from the output: ranks are stable under
+    last-ULP float differences between engines, raw scores are not.
+    """
+    import ray
+
+    queries_tbl = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries_tbl["vec_id"].to_numpy()
+    q_mat = np.stack(queries_tbl["embedding"].to_numpy()).astype(np.float64)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids, qm = ray.get(q_ref)
+        corpus = _emb_matrix(batch)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        scores, idx = cosine_topk_block(qm, corpus, k + 1)  # +1 to survive self-hit
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ids)):
+            for j in range(idx.shape[1]):
+                out_q.append(int(ids[qi]))
+                out_n.append(int(vec_ids[idx[qi, j]]))
+                out_s.append(float(scores[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    # final merge: top-k per query, excluding self, deterministic ties
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    out = topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)
+
+
+def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8,
+                 seed: int = 42):
+    """LSH-bucketed ANN (scale path): random-hyperplane sign signature ->
+    scan only vectors sharing the query's bucket (plus Hamming-1 buckets for
+    recall).  Same output schema as ``cosine_topk``; approximate by design, so
+    no SQL oracle (rows-only check + recall unit test vs exact)."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    first = _read_emb(sf_dir, ["embedding"]).limit(1).to_pandas()
+    dim = len(first["embedding"].iloc[0])
+    planes = rng.standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    queries_tbl = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries_tbl["vec_id"].to_numpy()
+    q_mat = np.stack(queries_tbl["embedding"].to_numpy()).astype(np.float64)
+    q_sig = (q_mat @ planes > 0).astype(np.uint32)
+    q_codes = (q_sig * (1 << np.arange(n_planes, dtype=np.uint32))[None, :]).sum(axis=1)
+    # probe set per query: own bucket + all Hamming-1 buckets
+    probe: dict[int, set[int]] = {}
+    for qi, code in enumerate(q_codes):
+        s = {int(code)}
+        for b in range(n_planes):
+            s.add(int(code) ^ (1 << b))
+        probe[int(q_ids[qi])] = s
+    q_ref = ray.put((q_ids, q_mat, probe))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids, qm, probe_sets = ray.get(q_ref)
+        pl = ray.get(planes_ref)
+        corpus = _emb_matrix(batch)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sig = (corpus @ pl > 0).astype(np.uint32)
+        codes = (sig * (1 << np.arange(pl.shape[1], dtype=np.uint32))[None, :]).sum(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ids)):
+            mask = np.fromiter(
+                (int(c) in probe_sets[int(ids[qi])] for c in codes), bool, len(codes)
+            )
+            if not mask.any():
+                continue
+            sub = corpus[mask]
+            sub_ids = vec_ids[mask]
+            scores, idx = cosine_topk_block(qm[qi : qi + 1], sub, k + 1)
+            for j in range(idx.shape[1]):
+                out_q.append(int(ids[qi]))
+                out_n.append(int(sub_ids[idx[0, j]]))
+                out_s.append(float(scores[0, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    out = topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -1,0 +1,179 @@
+"""Dedup operator family over the ``documents`` table (single-text rows):
+exact md5 dedup, MinHash+LSH near-dup pairs (the flagship machinery with a
+SQL-checkable brute-force oracle), and SimHash Hamming pairs.
+
+Doc ids are carried as ZERO-PADDED strings inside the engine (lexicographic
+order == numeric order, so engine pair ordering a<b matches the SQL oracle's
+numeric ordering) and converted back to int64 at the edge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import NDDConfig
+from ..functions.hashing import hamming_distance
+from ..functions.text import normalize_text
+from ..stages.lsh import candidate_pairs, explode_bands
+from ..stages.signatures import sign_conversations
+from ..stages.verify import verify_pairs
+
+DOCS_DEDUP_CFG = NDDConfig()  # shared shingle/signature config for doc queries
+
+
+def _read_docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def docs_as_conversations(sf_dir: str):
+    """Adapt documents to the conversations schema consumed by the signature
+    stage: conv_id (zero-padded doc_id), normalized doc_text, fingerprint."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = [f"{d:012d}" for d in batch["doc_id"].to_pylist()]
+        norm = [normalize_text(t) for t in batch["text"].to_pylist()]
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+        return pa.table(
+            {
+                "conv_id": pa.array(ids, pa.string()),
+                "doc_text": pa.array(norm, pa.string()),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def exact_dedup_docs(sf_dir: str):
+    """One row per distinct content: fingerprint (md5 of RAW text, matching
+    SQL ``md5(text)``), representative doc_id (min), member count.
+
+    Pattern: vectorized hash column -> groupby(hash) aggregate (D1/M17)."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"fingerprint": pa.array(fps, pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(Min("doc_id", alias_name="rep_id"), Count(alias_name="n_members"))
+    )
+
+
+def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
+    """All document pairs with exact token-5-shingle Jaccard >= tau, found via
+    the engine's MinHash/LSH/verify stages.
+
+    With bands=32 x rows=4 the LSH miss probability at j >= tau=0.8 is
+    < 5e-8, so the output equals the brute-force all-pairs SQL oracle
+    (shingle equi-join + group counts) with overwhelming probability —
+    this query IS the SQL-checkable correctness gate for the flagship
+    machinery.  Returns a:int64, b:int64 (a < b), jaccard rounded to 6.
+    """
+    cfg = cfg or DOCS_DEDUP_CFG
+    convs = docs_as_conversations(sf_dir)
+    sigs = sign_conversations(convs, cfg).materialize()
+    cand = candidate_pairs(explode_bands(sigs, cfg), cfg)
+    dup = verify_pairs(cand, sigs, cfg)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch["a"], pa.int64())
+        b = pc.cast(batch["b"], pa.int64())
+        jac = pa.array(
+            np.round(batch["jaccard"].to_numpy(zero_copy_only=False), 6), pa.float64()
+        )
+        return pa.table({"a": a, "b": b, "jaccard": jac})
+
+    return dup.map_batches(finish, batch_format="pyarrow")
+
+
+def simhash_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None, radius: int | None = None):
+    """Document pairs whose 64-bit SimHashes are within ``radius`` Hamming
+    bits, searched via banded SimHash chunks (4 x 16-bit bands: any pair
+    within radius<=3 shares at least one exact band — pigeonhole) and
+    verified exactly.  No SQL oracle (bit-level ops impractical in ANSI SQL);
+    correctness pinned by unit tests against brute force."""
+    cfg = cfg or DOCS_DEDUP_CFG
+    radius = cfg.hamming_radius if radius is None else radius
+    convs = docs_as_conversations(sf_dir)
+    sigs = sign_conversations(convs, cfg).materialize()
+
+    n_chunks = 4  # 16-bit chunks; pigeonhole covers radius <= n_chunks - 1
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.invert(batch["is_degenerate"]))
+        sim = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(sim)
+        chunks = []
+        for c in range(n_chunks):
+            chunks.append((sim >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+        chunk_vals = np.stack(chunks, axis=1).reshape(-1)  # (n*4,)
+        chunk_ids = np.tile(np.arange(n_chunks, dtype=np.int32), n)
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        return pa.table(
+            {
+                "chunk_id": pa.array(chunk_ids, pa.int32()),
+                "chunk_val": pa.array(chunk_vals.astype(np.uint64), pa.uint64()),
+                "conv_id": batch["conv_id"].take(pa.array(idx)),
+                "simhash": batch["simhash"].take(pa.array(idx)),
+            }
+        )
+
+    def pairs_fn(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            set(zip(group["conv_id"].to_pylist(), group["simhash"].to_pylist()))
+        )
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                h = int(
+                    hamming_distance(
+                        np.array([rows[i][1]], dtype=np.uint64),
+                        np.array([rows[j][1]], dtype=np.uint64),
+                    )[0]
+                )
+                if h <= radius:
+                    out_a.append(rows[i][0])
+                    out_b.append(rows[j][0])
+                    out_h.append(h)
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "hamming": pa.array(out_h, pa.int32()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        sigs.select_columns(["conv_id", "simhash", "is_degenerate"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk_id", "chunk_val"])
+        .map_groups(pairs_fn, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.cast(batch["a"], pa.int64()),
+                "b": pc.cast(batch["b"], pa.int64()),
+                "hamming": batch["hamming"],
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,263 @@
+"""Relational operator-parity queries over the TPC-H-ish testdata tables.
+
+Each query exercises one operator family from SURVEY §2 in Ray-Data-idiomatic
+form, with an exact DuckDB SQL oracle (see ``__ray_entry__.oracle_sql``):
+
+- grouped aggregation (A1) / two-level aggregation (A2)
+- global sort + limit (O1) and grouped-dedup top-k (O2/D1)
+- broadcast small-side join (J3) and keyed interval join (J1)
+- distinct (A6), filters/projections (M12/M5), time-bucket grouping (§2.9)
+
+Float aggregates are rounded identically on both sides (summation order
+differs between engines at the last ULP).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregation over lineitem (columns pruned at
+    the read; computed columns vectorized with pyarrow.compute)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def compute(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(compute, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch[name]
+            if pa.types.is_floating(col.type):
+                cols[name] = pa.array(
+                    np.round(col.to_numpy(zero_copy_only=False), 4), pa.float64()
+                )
+            else:
+                cols[name] = col
+        return pa.table(cols)
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Global sort + limit (O1): k highest-value orders."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def order_priority_counts(sf_dir: str):
+    """Filter (vectorized predicate) + grouped count."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    filtered = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ),
+        batch_format="pyarrow",
+    )
+    return filtered.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+def nation_revenue(sf_dir: str, num_partitions: int = 8):
+    """Revenue per nation: orders JOIN customer (hash join on the large keys)
+    with the tiny nation table BROADCAST via ray.put (J3 — no shuffle for the
+    small side)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        names = [nmap[k] for k in batch["c_nationkey"].to_pylist()]
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()), "o_totalprice": batch["o_totalprice"]}
+        )
+
+    agg = joined.map_batches(label, batch_format="pyarrow").groupby("n_name").aggregate(
+        Sum("o_totalprice", alias_name="revenue")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue": pa.array(
+                    np.round(t["revenue"].to_numpy(zero_copy_only=False), 4), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def shipped_within_90d(sf_dir: str, num_partitions: int = 8):
+    """Keyed interval join (J1 analogue): lineitems shipped within
+    [o_orderdate, o_orderdate + 90 days), counted per order status."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = items.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        mask = (sd >= od) & (sd < od + np.timedelta64(90, "D"))
+        return batch.filter(pa.array(mask)).select(["o_orderstatus"])
+
+    return (
+        joined.map_batches(in_window, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_items"))
+    )
+
+
+def grouped_topk_events(sf_dir: str, k: int = 5):
+    """Grouped-dedup top-k (O2/D1 semantics, without the reference's
+    off-by-one): best event per user (value desc, event_id asc), then global
+    top-k across users."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def best_per_user(group: pa.Table) -> pa.Table:
+        order = sorted(
+            range(group.num_rows),
+            key=lambda i: (-group["value"][i].as_py(), group["event_id"][i].as_py()),
+        )
+        return group.take(pa.array(order[:1]))
+
+    best = ds.groupby("user_id").map_groups(best_per_user, batch_format="pyarrow")
+    return best.sort(["value", "event_id"], descending=[True, False]).limit(k)
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct values (A6) via groupby-count, emitted with their counts."""
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Time-bucket grouping (the engine's tumbling-window analogue, SURVEY
+    §2.9): events per (hour, event_type) with summed value."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table(
+            {"hour": hour, "event_type": batch["event_type"], "value": batch["value"]}
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"),
+            "sum_value",
+            pa.array(np.round(t["sum_value"].to_numpy(zero_copy_only=False), 4), pa.float64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def supplier_balance_by_nation(sf_dir: str):
+    """Two-level aggregation (A2): per-nation supplier account-balance stats
+    over a small dimension chain (supplier JOIN nation broadcast)."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nmap[k] for k in batch["s_nationkey"].to_pylist()], pa.string()
+                ),
+                "s_acctbal": batch["s_acctbal"],
+            }
+        )
+
+    agg = ds.map_batches(label, batch_format="pyarrow").groupby("n_name").aggregate(
+        Sum("s_acctbal", alias_name="total_bal"),
+        Min("s_acctbal", alias_name="min_bal"),
+        Max("s_acctbal", alias_name="max_bal"),
+        Count(alias_name="n_suppliers"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "total_bal": pa.array(
+                    np.round(t["total_bal"].to_numpy(zero_copy_only=False), 4),
+                    pa.float64(),
+                ),
+                "min_bal": t["min_bal"],
+                "max_bal": t["max_bal"],
+                "n_suppliers": t["n_suppliers"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
