@@ -31,6 +31,7 @@ from ..stages.lsh import candidate_pairs, explode_bands
 from ..stages.signatures import sign_conversations
 from ..stages.substring import substring_pairs
 from ..stages.verify import verify_pairs
+from ..state.partitioning import materialize_clean
 
 
 def exact_edges(rep_map):
@@ -60,10 +61,10 @@ def near_dup_pipeline(
     see stages/checkpoint.py); everything else streams.
     """
     cfg = cfg or NDDConfig()
-    conversations = assemble_conversations(transcripts).materialize()
-    rep_map = exact_rep_map(conversations).materialize()
+    conversations = materialize_clean(assemble_conversations(transcripts))
+    rep_map = materialize_clean(exact_rep_map(conversations))
     reps = representatives(conversations, rep_map, num_partitions=num_partitions)
-    signatures = sign_conversations(reps, cfg, concurrency=concurrency).materialize()
+    signatures = materialize_clean(sign_conversations(reps, cfg, concurrency=concurrency))
     bands = explode_bands(signatures, cfg)
     cand = candidate_pairs(bands, cfg)
     dup_pairs = verify_pairs(

@@ -82,9 +82,11 @@ def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
     this query IS the SQL-checkable correctness gate for the flagship
     machinery.  Returns a:int64, b:int64 (a < b), jaccard rounded to 6.
     """
+    from ..state.partitioning import materialize_clean
+
     cfg = cfg or DOCS_DEDUP_CFG
     convs = docs_as_conversations(sf_dir)
-    sigs = sign_conversations(convs, cfg).materialize()
+    sigs = materialize_clean(sign_conversations(convs, cfg))
     cand = candidate_pairs(explode_bands(sigs, cfg), cfg)
     dup = verify_pairs(cand, sigs, cfg)
 
@@ -131,40 +133,68 @@ def simhash_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None, radius: int | 
             }
         )
 
-    def pairs_fn(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(zip(group["conv_id"].to_pylist(), group["simhash"].to_pylist()))
+    def pairs_in_block(batch: pa.Table) -> pa.Table:
+        """Vectorized over one hash partition: group by (chunk_id, chunk_val)
+        via one argsort; Python loop touches only colliding chunks."""
+        empty = pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+             "hamming": pa.array([], pa.int32())}
         )
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        cid = batch["chunk_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cval = batch["chunk_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (cid << np.uint64(16)) | cval
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        sim = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        ends = np.append(starts[1:], n)
         out_a, out_b, out_h = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                h = int(
-                    hamming_distance(
-                        np.array([rows[i][1]], dtype=np.uint64),
-                        np.array([rows[j][1]], dtype=np.uint64),
-                    )[0]
-                )
-                if h <= radius:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-                    out_h.append(h)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idxs = order[s:e]
+            members, first = np.unique(conv[idxs], return_index=True)
+            if len(members) < 2:
+                continue
+            sims = sim[idxs][first]
+            ai, bi = np.triu_indices(len(members), k=1)
+            h = hamming_distance(sims[ai], sims[bi])
+            keep = h <= radius
+            out_a.append(members[ai[keep]])
+            out_b.append(members[bi[keep]])
+            out_h.append(h[keep].astype(np.int32))
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "a": pa.array(out_a, pa.string()),
-                "b": pa.array(out_b, pa.string()),
-                "hamming": pa.array(out_h, pa.int32()),
+                "a": pa.array(np.concatenate(out_a).tolist(), pa.string()),
+                "b": pa.array(np.concatenate(out_b).tolist(), pa.string()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int32()),
             }
         )
 
-    from ray.data.aggregate import Min
+    from ..state.partitioning import key_partitioned
 
-    pairs = (
-        sigs.select_columns(["conv_id", "simhash", "is_degenerate"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk_val"])
-        .map_groups(pairs_fn, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    raw_pairs = key_partitioned(
+        sigs.select_columns(["conv_id", "simhash", "is_degenerate"]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        ["chunk_id", "chunk_val"],
+    ).map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None)
+
+    def distinct_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.group_by(["a", "b"]).aggregate([("hamming", "min")]).rename_columns(
+            ["a", "b", "hamming"]
+        )
+
+    pairs = key_partitioned(raw_pairs, ["a", "b"]).map_batches(
+        distinct_block, batch_format="pyarrow", batch_size=None
     )
 
     def finish(batch: pa.Table) -> pa.Table:

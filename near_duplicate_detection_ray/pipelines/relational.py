@@ -167,16 +167,19 @@ def grouped_topk_events(sf_dir: str, k: int = 5):
     """Grouped-dedup top-k (O2/D1 semantics, without the reference's
     off-by-one): best event per user (value desc, event_id asc), then global
     top-k across users."""
+    from ..state.partitioning import key_partitioned
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
 
-    def best_per_user(group: pa.Table) -> pa.Table:
-        order = sorted(
-            range(group.num_rows),
-            key=lambda i: (-group["value"][i].as_py(), group["event_id"][i].as_py()),
-        )
-        return group.take(pa.array(order[:1]))
+    def best_per_user_block(df):
+        # users are co-located by the keyed repartition; vectorized dedup
+        df = df.sort_values(["value", "event_id"], ascending=[False, True],
+                            kind="mergesort")
+        return df.drop_duplicates("user_id", keep="first")
 
-    best = ds.groupby("user_id").map_groups(best_per_user, batch_format="pyarrow")
+    best = key_partitioned(ds, ["user_id"]).map_batches(
+        best_per_user_block, batch_format="pandas", batch_size=None
+    )
     return best.sort(["value", "event_id"], descending=[True, False]).limit(k)
 
 

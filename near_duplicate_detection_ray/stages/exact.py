@@ -1,41 +1,53 @@
 """Exact-duplicate pre-dedup: fingerprint -> representative mapping.
 
-Hash-partition by content fingerprint + per-group first (SURVEY §2 D1): every
-conversation maps to the lexicographically-smallest conv_id sharing its md5
-fingerprint.  Only representatives flow into the (expensive) signature/LSH
-stages — at 100 TB this collapses exact-copy mass (including ALL degenerate
-empty docs, which share md5("")) before any wide work, the same role the
-reference's version-gate plays for recompute skipping
+Hash-partition by content fingerprint + block-local vectorized min (SURVEY §2
+D1): every conversation maps to the lexicographically-smallest conv_id sharing
+its md5 fingerprint.  Only representatives flow into the (expensive)
+signature/LSH stages — at 100 TB this collapses exact-copy mass (including ALL
+degenerate empty docs, which share md5("")) before any wide work, the same
+role the reference's version-gate plays for recompute skipping
 (``ndd/extract_features.py:88``).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-REP_MAP_SCHEMA = pa.schema(
-    [("conv_id", pa.string()), ("rep_id", pa.string())]
-)
+from ..state.partitioning import key_partitioned
+
+REP_MAP_SCHEMA = pa.schema([("conv_id", pa.string()), ("rep_id", pa.string())])
 
 
-def _rep_group(group: pa.Table) -> pa.Table:
-    cids = group["conv_id"]
-    rep = pc.min(cids).as_py()
+def _rep_block(df: pd.DataFrame) -> pa.Table:
+    """Block-local rep assignment (fingerprints are co-located by the keyed
+    repartition): rep_id = min conv_id per fingerprint, via a vectorized
+    groupby-transform.  Returns an explicitly-schema'd Arrow table (empty
+    pandas frames would degrade string columns to Arrow null type)."""
+    if df.empty:
+        return pa.Table.from_pylist([], schema=REP_MAP_SCHEMA)
+    rep = df.groupby("fingerprint")["conv_id"].transform("min")
     return pa.table(
-        {"conv_id": cids, "rep_id": pa.array([rep] * len(cids), pa.string())},
+        {
+            "conv_id": pa.array(df["conv_id"].to_numpy(), pa.string()),
+            "rep_id": pa.array(rep.to_numpy(), pa.string()),
+        },
         schema=REP_MAP_SCHEMA,
     )
 
 
-def exact_rep_map(conversations):
-    """conversations -> (conv_id, rep_id) via groupby(fingerprint)."""
-    return conversations.select_columns(["conv_id", "fingerprint"]).groupby(
-        "fingerprint"
-    ).map_groups(_rep_group, batch_format="pyarrow")
+def exact_rep_map(conversations, num_partitions: int | None = None):
+    """conversations -> (conv_id, rep_id): one keyed shuffle on fingerprint."""
+    parts = key_partitioned(
+        conversations.select_columns(["conv_id", "fingerprint"]),
+        ["fingerprint"],
+        num_partitions,
+    )
+    return parts.map_batches(_rep_block, batch_format="pandas", batch_size=None)
 
 
-def representatives(conversations, rep_map, num_partitions: int = 16):
+def representatives(conversations, rep_map, num_partitions: int = 8):
     """Filter conversations to fingerprint representatives (conv_id == rep_id)
     via a hash join on conv_id."""
     reps_only = rep_map.map_batches(

@@ -1,18 +1,23 @@
-"""LSH stage: band explode -> groupby(band) shuffle -> candidate pairs.
+"""LSH stage: band explode -> keyed hash-partition shuffle -> candidate pairs.
 
 This replaces the reference's brute-force O(N * 1536) distance scan over an
 in-memory matrix (``ndd/server_ndd.py:108-117``) with the scalable LSH band
 table: the ONE wide shuffle of the pipeline (north_star: "LSH band hashing with
 a groupby-aggregate shuffle into candidate buckets").
 
+Execution shape (see state/partitioning.py): the band table is hash-partitioned
+by ``bucket`` (each bucket lands wholly in one block), then pair generation is
+VECTORIZED block-locally — numpy group-boundary detection; Python touches only
+buckets with >= 2 members, never the singleton majority.  Distinct-ness of the
+resulting pairs is another keyed repartition + block-local Arrow ``group_by``.
+
 Skew handling (SURVEY §4): buckets larger than ``cfg.bucket_cap`` would emit
 O(n^2) pairs (boilerplate/degenerate content collides massively).  Oversized
 buckets switch to SPANNING-EDGE emission — a star + chain over the sorted
-members (2(n-1) edges) — which preserves connectivity for clustering while
-bounding pair volume; the ``capped`` flag is carried so metrics can report how
-often it fired.  Degenerate docs never enter banding (their all-sentinel
-MinHash would collide trivially); they are deduped by exact fingerprint
-upstream (SURVEY §2 M13).
+members (2(n-1) edges) — preserving connectivity for clustering while bounding
+pair volume; the ``capped`` flag is carried for metrics.  Degenerate docs never
+enter banding (their sentinel MinHash would collide trivially); they are
+deduped by exact fingerprint upstream (SURVEY §2 M13).
 """
 
 from __future__ import annotations
@@ -23,14 +28,9 @@ import pyarrow.compute as pc
 
 from ..config import NDDConfig
 from ..functions.hashing import band_hashes
+from ..state.partitioning import key_partitioned
 
-BANDS_SCHEMA = pa.schema(
-    [
-        ("band_id", pa.int32()),
-        ("band_hash", pa.uint64()),
-        ("conv_id", pa.string()),
-    ]
-)
+BANDS_SCHEMA = pa.schema([("bucket", pa.uint64()), ("conv_id", pa.string())])
 
 PAIRS_SCHEMA = pa.schema(
     [("a", pa.string()), ("b", pa.string()), ("capped", pa.bool_())]
@@ -38,8 +38,9 @@ PAIRS_SCHEMA = pa.schema(
 
 
 class BandExploder:
-    """Stateless-math map_batches fn: signatures -> (band_id, band_hash, conv_id)
-    rows, ``bands`` rows per non-degenerate signature."""
+    """map_batches fn: signatures -> (bucket, conv_id) rows, one per band.
+    ``bucket`` is the per-band-seeded hash, so band identity is already mixed
+    into the key (cross-band collisions only add verifier-filtered candidates)."""
 
     def __init__(self, cfg: NDDConfig | None = None) -> None:
         self.cfg = cfg or NDDConfig()
@@ -50,8 +51,7 @@ class BandExploder:
         n = batch.num_rows
         if n == 0:
             return pa.table(
-                {"band_id": pa.array([], pa.int32()),
-                 "band_hash": pa.array([], pa.uint64()),
+                {"bucket": pa.array([], pa.uint64()),
                  "conv_id": pa.array([], pa.string())},
                 schema=BANDS_SCHEMA,
             )
@@ -59,15 +59,11 @@ class BandExploder:
             batch["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         ).reshape(n, cfg.num_perm)
         bh = band_hashes(mh, cfg.bands, cfg.rows_per_band, cfg.seed)  # (n, bands)
-        conv_ids = batch["conv_id"]
-        band_ids = np.tile(np.arange(cfg.bands, dtype=np.int32), n)
-        # row-major flatten of (n, bands) pairs each conv_id with its band hashes
         idx = np.repeat(np.arange(n, dtype=np.int64), cfg.bands)
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
-                "conv_id": conv_ids.take(pa.array(idx)),
+                "bucket": pa.array(bh.reshape(-1), pa.uint64()),
+                "conv_id": batch["conv_id"].take(pa.array(idx)),
             },
             schema=BANDS_SCHEMA,
         )
@@ -79,49 +75,74 @@ def explode_bands(signatures, cfg: NDDConfig | None = None):
     )
 
 
-def _pairs_for_group(group: pa.Table, cap: int) -> pa.Table:
-    cids = sorted(set(group["conv_id"].to_pylist()))
-    n = len(cids)
-    if n < 2:
-        return pa.table(
-            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
-             "capped": pa.array([], pa.bool_())},
-            schema=PAIRS_SCHEMA,
-        )
-    if n <= cap:
-        a_idx, b_idx = np.triu_indices(n, k=1)
-        a = [cids[i] for i in a_idx]
-        b = [cids[j] for j in b_idx]
-        capped = False
-    else:
-        # spanning edges: star from first member + chain through sorted order
-        a = [cids[0]] * (n - 1) + cids[1:-1]
-        b = cids[1:] + cids[2:]
-        capped = True
+def _pairs_in_block(batch: pa.Table, cap: int) -> pa.Table:
+    """Vectorized pair generation over one hash-partition block: group rows by
+    bucket via one argsort, emit pairs only for buckets with >= 2 members."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
+    bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+    conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+    order = np.argsort(bucket, kind="stable")
+    bs = bucket[order]
+    starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+    ends = np.append(starts[1:], n)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_capped: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        members = np.unique(conv[order[s:e]])  # sorted, dedup within bucket
+        m = len(members)
+        if m < 2:
+            continue
+        if m <= cap:
+            ai, bi = np.triu_indices(m, k=1)
+            out_a.append(members[ai])
+            out_b.append(members[bi])
+            out_capped.append(np.zeros(len(ai), dtype=bool))
+        else:
+            # spanning edges: star from first + chain through sorted order
+            a = np.concatenate([np.repeat(members[:1], m - 1), members[1:-1]])
+            b = np.concatenate([members[1:], members[2:]])
+            out_a.append(a)
+            out_b.append(b)
+            out_capped.append(np.ones(len(a), dtype=bool))
+    if not out_a:
+        return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
     return pa.table(
         {
-            "a": pa.array(a, pa.string()),
-            "b": pa.array(b, pa.string()),
-            "capped": pa.array([capped] * len(a)),
+            "a": pa.array(np.concatenate(out_a).tolist(), pa.string()),
+            "b": pa.array(np.concatenate(out_b).tolist(), pa.string()),
+            "capped": pa.array(np.concatenate(out_capped)),
         },
         schema=PAIRS_SCHEMA,
     )
 
 
-def candidate_pairs(bands, cfg: NDDConfig | None = None):
+def _distinct_pairs_block(batch: pa.Table) -> pa.Table:
+    """Block-local distinct on (a, b) via Arrow's native group_by (pairs are
+    co-located by the keyed repartition).  capped = any occurrence capped."""
+    if batch.num_rows == 0:
+        return batch
+    agg = batch.group_by(["a", "b"]).aggregate([("capped", "max")])
+    return agg.rename_columns(["a", "b", "capped"]).cast(PAIRS_SCHEMA)
+
+
+def candidate_pairs(bands, cfg: NDDConfig | None = None, num_partitions: int | None = None):
     """bands Dataset -> distinct candidate (a, b) pairs, a < b.
 
-    Two shuffles: groupby (band_id, band_hash) for bucket pair-gen, then
-    groupby (a, b) for distinct-ness (the same pair typically collides in many
-    bands — A6/D1 semantics in SURVEY §2.5/§2.7).
-    """
+    Two keyed-repartition shuffles: by ``bucket`` for pair-gen, by ``(a, b)``
+    for distinct-ness (the same pair typically collides in many bands —
+    SURVEY §2.5 A6 / §2.7 D1)."""
     cfg = cfg or NDDConfig()
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _pairs_for_group(g, cfg.bucket_cap), batch_format="pyarrow"
+    parts = key_partitioned(bands, ["bucket"], num_partitions)
+    pairs = parts.map_batches(
+        lambda t: _pairs_in_block(t, cfg.bucket_cap),
+        batch_format="pyarrow",
+        batch_size=None,
     )
-    # distinct on (a, b): keep one row per pair (capped = OR over occurrences,
-    # via max since bool max == any)
-    from ray.data.aggregate import Max
-
-    distinct = pairs.groupby(["a", "b"]).aggregate(Max("capped", alias_name="capped"))
-    return distinct
+    return key_partitioned(pairs, ["a", "b"], num_partitions).map_batches(
+        _distinct_pairs_block, batch_format="pyarrow", batch_size=None
+    )

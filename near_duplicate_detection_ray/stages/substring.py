@@ -23,10 +23,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import NDDConfig
-from .lsh import PAIRS_SCHEMA, _pairs_for_group
+from ..state.partitioning import key_partitioned
+from .lsh import PAIRS_SCHEMA, _distinct_pairs_block, _pairs_in_block
 from .verify import attach_signatures
 
-ANCHORS_SCHEMA = pa.schema([("anchor", pa.uint64()), ("conv_id", pa.string())])
+# anchors reuse the lsh bucket-pair machinery: column named "bucket"
+ANCHORS_SCHEMA = pa.schema([("bucket", pa.uint64()), ("conv_id", pa.string())])
 
 SUBSTRING_PAIRS_SCHEMA = pa.schema(
     [
@@ -49,7 +51,7 @@ class AnchorExploder:
         n = batch.num_rows
         if n == 0:
             return pa.table(
-                {"anchor": pa.array([], pa.uint64()),
+                {"bucket": pa.array([], pa.uint64()),
                  "conv_id": pa.array([], pa.string())},
                 schema=ANCHORS_SCHEMA,
             )
@@ -66,7 +68,7 @@ class AnchorExploder:
         flat = np.concatenate(anchors) if anchors else np.empty(0, dtype=np.uint64)
         return pa.table(
             {
-                "anchor": pa.array(flat, pa.uint64()),
+                "bucket": pa.array(flat, pa.uint64()),
                 "conv_id": batch["conv_id"].take(pa.array(idx)),
             },
             schema=ANCHORS_SCHEMA,
@@ -141,14 +143,18 @@ def substring_pairs(
     anchors = signatures.select_columns(
         ["conv_id", "shingles", "is_degenerate"]
     ).map_batches(AnchorExploder(cfg), batch_format="pyarrow")
-    pairs = anchors.groupby("anchor").map_groups(
-        lambda g: _pairs_for_group(g, cfg.bucket_cap), batch_format="pyarrow"
+    pairs = key_partitioned(anchors, ["bucket"], num_partitions).map_batches(
+        lambda t: _pairs_in_block(t, cfg.bucket_cap),
+        batch_format="pyarrow",
+        batch_size=None,
     )
-    from ray.data.aggregate import Max
+    distinct = key_partitioned(pairs, ["a", "b"], num_partitions).map_batches(
+        _distinct_pairs_block, batch_format="pyarrow", batch_size=None
+    )
+    # empty/zero-column-block guard (would break the downstream join schema)
+    from ..state.partitioning import materialize_clean
 
-    distinct = pairs.groupby(["a", "b"]).aggregate(Max("capped", alias_name="capped"))
-    # empty-aggregate guard (schema loss breaks the join; see verify.py)
-    distinct = distinct.materialize()
+    distinct = materialize_clean(distinct)
     if distinct.count() == 0:
         import ray.data as rd
 

@@ -112,10 +112,12 @@ def verify_pairs(pairs, signatures, cfg: NDDConfig | None = None, concurrency=No
 
         cpus = int(ray.cluster_resources().get("CPU", 4))
         concurrency = (1, max(2, cpus // 2))
-    # Guard: an EMPTY aggregate output loses its schema, which breaks the
-    # downstream hash join ("No match for FieldRef.Name(a)").  The candidate
-    # set is bounded (post-distinct) so materializing it here is safe.
-    pairs = pairs.materialize()
+    # Guard: empty/zero-column blocks break the downstream hash join ("No
+    # match for FieldRef.Name(a)").  The candidate set is bounded
+    # (post-distinct) so materializing it here is safe.
+    from ..state.partitioning import materialize_clean
+
+    pairs = materialize_clean(pairs)
     if pairs.count() == 0:
         import ray.data as rd
 
