@@ -1,17 +1,26 @@
 """The flagship near-duplicate pipeline (north_star):
 
     transcripts
-      -> assemble (groupby conv_id shuffle)                 [stages/assemble]
-      -> exact-fingerprint pre-dedup (groupby fingerprint)  [stages/exact]
-      -> MinHash/SimHash signatures (actor pool)            [stages/signatures]
-      -> LSH band explode -> groupby(band) -> cand pairs    [stages/lsh]
-      -> exact-Jaccard / Hamming verify (actor pool, joins) [stages/verify]
-      -> anchor-shingle substring pass (optional)           [stages/substring]
-      -> union-find clustering                              [stages/cluster]
+      -> assemble (keyed shuffle on conv_id)                 [stages/assemble]
+      -> rep-annotate (keyed shuffle on fingerprint)         [stages/exact]
+      -> MinHash/SimHash signatures over REPRESENTATIVES
+         (autoscaling actor pool)                            [stages/signatures]
+      -> band buckets UNION anchor buckets                   [stages/lsh, substring]
+      -> keyed bucket shuffle -> vectorized pair-gen ->
+         distinct                                            [stages/lsh]
+      -> ONE unified verify (hash joins + actor pool):
+         exact Jaccard dups AND substring candidates         [stages/verify]
+      -> broadcast exact-text confirm for substring cands    [stages/substring]
+      -> union-find clustering                               [stages/cluster]
+
+Fusing the substring anchor pass into the LSH bucket chain (same (bucket,
+conv_id) schema, disjoint hashed key spaces) halves the shuffle/execution
+count versus running two separate candidate pipelines — at 100 TB that is one
+exchange over the bucket table instead of two, and locally it removes ~4
+fixed-overhead executions.
 
 Only fingerprint REPRESENTATIVES flow through signatures/LSH/verify — exact
-copies (including all degenerate docs) are collapsed first, which is both the
-skew guard and the dominant cost saving at scale (SURVEY §4).
+copies (including all degenerate docs) are collapsed first (SURVEY §4).
 
 End-to-end semantics are pinned by the NumPy oracle
 (``near_duplicate_detection_ray.oracle``): dup-pair recall >= 0.99 at identical
@@ -26,10 +35,10 @@ import pyarrow.compute as pc
 from ..config import NDDConfig
 from ..stages.assemble import assemble_conversations
 from ..stages.cluster import cluster_driver_unionfind
-from ..stages.exact import exact_rep_map, representatives
+from ..stages.exact import annotate_reps
 from ..stages.lsh import candidate_pairs, explode_bands
 from ..stages.signatures import sign_conversations
-from ..stages.substring import substring_pairs
+from ..stages.substring import anchor_buckets, confirm_substring
 from ..stages.verify import verify_pairs
 from ..state.partitioning import materialize_clean
 
@@ -48,36 +57,52 @@ def near_dup_pipeline(
     cfg: NDDConfig | None = None,
     include_substring: bool = True,
     concurrency=None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Run the full pipeline; returns a dict of Datasets:
 
-    ``conversations`` (all convs), ``rep_map``, ``signatures`` (reps only),
-    ``dup_pairs`` (rep domain, jaccard >= tau), ``substring_pairs`` (optional),
-    ``clusters`` (every conv_id -> cluster_id).
+    ``conversations`` (all convs, + rep_id), ``rep_map``, ``signatures``
+    (reps only), ``dup_pairs`` (rep domain, jaccard >= tau),
+    ``substring_pairs`` (optional), ``clusters`` (every conv -> cluster_id).
 
-    ``conversations``/``signatures`` are materialized because multiple
-    downstream stages consume them (checkpointed runs write Parquet instead —
-    see stages/checkpoint.py); everything else streams.
+    ``conversations``/``signatures``/``verified`` are materialized because
+    multiple downstream stages consume them (checkpointed runs write Parquet
+    instead — see stages/checkpoint.py); everything else streams.
     """
     cfg = cfg or NDDConfig()
-    conversations = materialize_clean(assemble_conversations(transcripts))
-    rep_map = materialize_clean(exact_rep_map(conversations))
-    reps = representatives(conversations, rep_map, num_partitions=num_partitions)
-    signatures = materialize_clean(sign_conversations(reps, cfg, concurrency=concurrency))
-    bands = explode_bands(signatures, cfg)
-    cand = candidate_pairs(bands, cfg)
-    dup_pairs = verify_pairs(
-        cand, signatures, cfg, concurrency=concurrency, num_partitions=num_partitions
-    ).materialize()
+    conversations = materialize_clean(
+        annotate_reps(assemble_conversations(transcripts, num_partitions),
+                      num_partitions=num_partitions)
+    )
+    rep_map = conversations.select_columns(["conv_id", "rep_id"])
+    reps = conversations.map_batches(
+        lambda t: t.filter(pc.equal(t["conv_id"], t["rep_id"])),
+        batch_format="pyarrow",
+    )
+    signatures = materialize_clean(
+        sign_conversations(reps, cfg, concurrency=concurrency)
+    )
+
+    buckets = explode_bands(signatures, cfg)
+    if include_substring:
+        buckets = buckets.union(anchor_buckets(signatures, cfg))
+    cand = candidate_pairs(buckets, cfg, num_partitions)
+    verified = materialize_clean(
+        verify_pairs(cand, signatures, cfg, concurrency=concurrency,
+                     num_partitions=num_partitions or 8)
+    )
+    dup_pairs = verified.map_batches(
+        lambda t: t.filter(pc.equal(t["method"], "minhash")), batch_format="pyarrow"
+    )
 
     edge_sets = [exact_edges(rep_map), dup_pairs]
     sub_pairs = None
     if include_substring:
-        sub_pairs = substring_pairs(
-            signatures, conversations, cfg,
-            concurrency=concurrency, num_partitions=num_partitions,
-        ).materialize()
+        sub_cand = verified.map_batches(
+            lambda t: t.filter(pc.equal(t["method"], "substring")),
+            batch_format="pyarrow",
+        )
+        sub_pairs = confirm_substring(sub_cand, conversations)
         edge_sets.append(sub_pairs)
 
     clusters = cluster_driver_unionfind(conversations, edge_sets)

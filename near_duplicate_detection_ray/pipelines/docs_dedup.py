@@ -53,10 +53,12 @@ def exact_dedup_docs(sf_dir: str):
     """One row per distinct content: fingerprint (md5 of RAW text, matching
     SQL ``md5(text)``), representative doc_id (min), member count.
 
-    Pattern: vectorized hash column -> groupby(hash) aggregate (D1/M17)."""
+    Pattern: vectorized hash column -> keyed hash-partition -> block-local
+    Arrow group_by (D1/M17; fingerprints are high-cardinality so map-side
+    combining would not reduce — see functions/groupagg.py)."""
     import hashlib
 
-    from ray.data.aggregate import Count, Min
+    from ..functions.groupagg import highcard_groupagg
 
     def fp(batch: pa.Table) -> pa.Table:
         fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
@@ -64,11 +66,11 @@ def exact_dedup_docs(sf_dir: str):
             {"fingerprint": pa.array(fps, pa.string()), "doc_id": batch["doc_id"]}
         )
 
-    return (
-        _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(fp, batch_format="pyarrow")
-        .groupby("fingerprint")
-        .aggregate(Min("doc_id", alias_name="rep_id"), Count(alias_name="n_members"))
+    return highcard_groupagg(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow"),
+        ["fingerprint"],
+        [("doc_id", "min"), ([], "count_all")],
+        {"doc_id_min": "rep_id", "count_all": "n_members"},
     )
 
 

@@ -3,7 +3,8 @@
 Each query exercises one operator family from SURVEY §2 in Ray-Data-idiomatic
 form, with an exact DuckDB SQL oracle (see ``__ray_entry__.oracle_sql``):
 
-- grouped aggregation (A1) / two-level aggregation (A2)
+- grouped aggregation (A1) via the map-side-combine pattern
+  (``functions/groupagg.lowcard_groupagg``) / two-level aggregation (A2)
 - global sort + limit (O1) and grouped-dedup top-k (O2/D1)
 - broadcast small-side join (J3) and keyed interval join (J1)
 - distinct (A6), filters/projections (M12/M5), time-bucket grouping (§2.9)
@@ -18,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.groupagg import lowcard_groupagg
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -25,11 +28,26 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def pricing_summary(sf_dir: str):
-    """TPC-H Q1-shaped grouped aggregation over lineitem (columns pruned at
-    the read; computed columns vectorized with pyarrow.compute)."""
-    from ray.data.aggregate import Count, Mean, Sum
+def _round_floats(ds, cols: list[str], digits: int = 4):
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {}
+        for name in batch.column_names:
+            col = batch[name]
+            if name in cols:
+                out[name] = pa.array(
+                    np.round(col.to_numpy(zero_copy_only=False), digits), pa.float64()
+                )
+            else:
+                out[name] = col
+        return pa.table(out)
 
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregation over lineitem: columns pruned at
+    the read, computed column vectorized, partial Arrow group_by per block,
+    tiny final combine (averages derived as sum/count)."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -42,32 +60,51 @@ def pricing_summary(sf_dir: str):
         )
         return batch.append_column("disc_price", disc_price)
 
-    out = (
-        ds.map_batches(compute, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
-        )
+    agg = lowcard_groupagg(
+        ds.map_batches(compute, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum"),
+            ("l_extendedprice", "sum"),
+            ("disc_price", "sum"),
+            ("l_discount", "sum"),
+            ([], "count_all"),
+        ],
+        {
+            "l_quantity_sum": "sum_qty",
+            "l_extendedprice_sum": "sum_base_price",
+            "disc_price_sum": "sum_disc_price",
+            "l_discount_sum": "sum_disc",
+            "count_all": "count_order",
+        },
     )
 
-    def rounded(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for name in batch.column_names:
-            col = batch[name]
-            if pa.types.is_floating(col.type):
-                cols[name] = pa.array(
-                    np.round(col.to_numpy(zero_copy_only=False), 4), pa.float64()
-                )
-            else:
-                cols[name] = col
-        return pa.table(cols)
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(
+                    np.round(batch["sum_qty"].to_numpy(zero_copy_only=False), 4)
+                ),
+                "sum_base_price": pa.array(
+                    np.round(batch["sum_base_price"].to_numpy(zero_copy_only=False), 4)
+                ),
+                "sum_disc_price": pa.array(
+                    np.round(batch["sum_disc_price"].to_numpy(zero_copy_only=False), 4)
+                ),
+                "avg_qty": pa.array(
+                    np.round(batch["sum_qty"].to_numpy(zero_copy_only=False) / n, 4)
+                ),
+                "avg_disc": pa.array(
+                    np.round(batch["sum_disc"].to_numpy(zero_copy_only=False) / n, 4)
+                ),
+                "count_order": batch["count_order"],
+            }
+        )
 
-    return out.map_batches(rounded, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def top_orders(sf_dir: str, k: int = 10):
@@ -77,9 +114,7 @@ def top_orders(sf_dir: str, k: int = 10):
 
 
 def order_priority_counts(sf_dir: str):
-    """Filter (vectorized predicate) + grouped count."""
-    from ray.data.aggregate import Count
-
+    """Filter (vectorized predicate) + combiner grouped count."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
     lo = pa.scalar(np.datetime64("1996-01-01", "us"))
     hi = pa.scalar(np.datetime64("1997-01-01", "us"))
@@ -89,15 +124,16 @@ def order_priority_counts(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return filtered.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+    return lowcard_groupagg(
+        filtered, ["o_orderpriority"], [([], "count_all")], {"count_all": "n_orders"}
+    )
 
 
 def nation_revenue(sf_dir: str, num_partitions: int = 8):
     """Revenue per nation: orders JOIN customer (hash join on the large keys)
     with the tiny nation table BROADCAST via ray.put (J3 — no shuffle for the
-    small side)."""
+    small side); final rollup via map-side combine."""
     import ray
-    from ray.data.aggregate import Sum
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
@@ -119,27 +155,18 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8):
             {"n_name": pa.array(names, pa.string()), "o_totalprice": batch["o_totalprice"]}
         )
 
-    agg = joined.map_batches(label, batch_format="pyarrow").groupby("n_name").aggregate(
-        Sum("o_totalprice", alias_name="revenue")
+    agg = lowcard_groupagg(
+        joined.map_batches(label, batch_format="pyarrow"),
+        ["n_name"],
+        [("o_totalprice", "sum")],
+        {"o_totalprice_sum": "revenue"},
     )
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                "n_name": t["n_name"],
-                "revenue": pa.array(
-                    np.round(t["revenue"].to_numpy(zero_copy_only=False), 4), pa.float64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return _round_floats(agg, ["revenue"], 4)
 
 
 def shipped_within_90d(sf_dir: str, num_partitions: int = 8):
     """Keyed interval join (J1 analogue): lineitems shipped within
     [o_orderdate, o_orderdate + 90 days), counted per order status."""
-    from ray.data.aggregate import Count
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     joined = items.join(
@@ -156,10 +183,11 @@ def shipped_within_90d(sf_dir: str, num_partitions: int = 8):
         mask = (sd >= od) & (sd < od + np.timedelta64(90, "D"))
         return batch.filter(pa.array(mask)).select(["o_orderstatus"])
 
-    return (
-        joined.map_batches(in_window, batch_format="pyarrow")
-        .groupby("o_orderstatus")
-        .aggregate(Count(alias_name="n_items"))
+    return lowcard_groupagg(
+        joined.map_batches(in_window, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        [([], "count_all")],
+        {"count_all": "n_items"},
     )
 
 
@@ -184,21 +212,19 @@ def grouped_topk_events(sf_dir: str, k: int = 5):
 
 
 def distinct_event_types(sf_dir: str):
-    """Distinct values (A6) via groupby-count, emitted with their counts."""
-    from ray.data.aggregate import Count
-
-    return (
-        _read(sf_dir, "events", ["event_type"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"))
+    """Distinct values (A6) with counts, via map-side combine."""
+    return lowcard_groupagg(
+        _read(sf_dir, "events", ["event_type"]),
+        ["event_type"],
+        [([], "count_all")],
+        {"count_all": "n"},
     )
 
 
 def events_hourly(sf_dir: str):
     """Time-bucket grouping (the engine's tumbling-window analogue, SURVEY
-    §2.9): events per (hour, event_type) with summed value."""
-    from ray.data.aggregate import Count, Sum
-
+    §2.9): events per (hour, event_type) with summed value; hour buckets are
+    low-cardinality so the combiner pattern applies."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
@@ -207,26 +233,19 @@ def events_hourly(sf_dir: str):
             {"hour": hour, "event_type": batch["event_type"], "value": batch["value"]}
         )
 
-    agg = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    agg = lowcard_groupagg(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["hour", "event_type"],
+        [([], "count_all"), ("value", "sum")],
+        {"count_all": "n_events", "value_sum": "sum_value"},
     )
-    return agg.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("sum_value"),
-            "sum_value",
-            pa.array(np.round(t["sum_value"].to_numpy(zero_copy_only=False), 4), pa.float64()),
-        ),
-        batch_format="pyarrow",
-    )
+    return _round_floats(agg, ["sum_value"], 4)
 
 
 def supplier_balance_by_nation(sf_dir: str):
     """Two-level aggregation (A2): per-nation supplier account-balance stats
     over a small dimension chain (supplier JOIN nation broadcast)."""
     import ray
-    from ray.data.aggregate import Count, Max, Min, Sum
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
@@ -243,24 +262,20 @@ def supplier_balance_by_nation(sf_dir: str):
             }
         )
 
-    agg = ds.map_batches(label, batch_format="pyarrow").groupby("n_name").aggregate(
-        Sum("s_acctbal", alias_name="total_bal"),
-        Min("s_acctbal", alias_name="min_bal"),
-        Max("s_acctbal", alias_name="max_bal"),
-        Count(alias_name="n_suppliers"),
+    agg = lowcard_groupagg(
+        ds.map_batches(label, batch_format="pyarrow"),
+        ["n_name"],
+        [
+            ("s_acctbal", "sum"),
+            ("s_acctbal", "min"),
+            ("s_acctbal", "max"),
+            ([], "count_all"),
+        ],
+        {
+            "s_acctbal_sum": "total_bal",
+            "s_acctbal_min": "min_bal",
+            "s_acctbal_max": "max_bal",
+            "count_all": "n_suppliers",
+        },
     )
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                "n_name": t["n_name"],
-                "total_bal": pa.array(
-                    np.round(t["total_bal"].to_numpy(zero_copy_only=False), 4),
-                    pa.float64(),
-                ),
-                "min_bal": t["min_bal"],
-                "max_bal": t["max_bal"],
-                "n_suppliers": t["n_suppliers"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return _round_floats(agg, ["total_bal"], 4)

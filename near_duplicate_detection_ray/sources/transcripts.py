@@ -243,3 +243,77 @@ def transcripts_from_documents(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(docs_to_transcript_batch, batch_format="pyarrow")
+
+
+def make_bench_expander(reps: int):
+    """Row-local doc -> transcripts expansion at bench scale: each doc yields
+    ``reps`` perturbed conversation variants.  Every 4TH token is made
+    rep-specific: with shingle width 5 every window contains a perturbed
+    token, so cross-rep shingle sets are DISJOINT (Jaccard ~0) and reps
+    neither band-collide nor share anchors — without this, a 0.33 cross-rep
+    Jaccard still band-collides ~32% of pairs at 32x4 and floods verify with
+    doomed candidates (measured).  Each variant keeps its own planted
+    exact/near dups per ``docs_to_transcript_batch`` semantics.
+    Deterministic, row-local, streams at any scale."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+
+        def emit(conv_id: str, tokens: list[str], doc_id: int) -> None:
+            n = max(1, (len(tokens) + TURN_TOKENS - 1) // TURN_TOKENS)
+            for i in range(n):
+                chunk = tokens[i * TURN_TOKENS : (i + 1) * TURN_TOKENS]
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(i)
+                out["role"].append(_ROLES[i % 2])
+                out["text"].append(" ".join(chunk))
+                out["tool"].append(_TOOLS[(doc_id + i) % len(_TOOLS)] if i % 2 == 1 else "")
+                out["ts"].append(_EPOCH + datetime.timedelta(seconds=doc_id, milliseconds=i))
+
+        for doc_id, text in zip(doc_ids, texts):
+            base = text.split()
+            for rep in range(reps):
+                tokens = list(base)
+                for pos in range(3, len(tokens), 4):
+                    tokens[pos] = f"r{rep}p{pos}"
+                cid = f"doc{doc_id:09d}r{rep}"
+                emit(cid, tokens, doc_id)
+                if doc_id % 10 == 7:
+                    emit(cid + "e", tokens, doc_id)          # exact dup
+                if doc_id % 10 == 3:
+                    edited = list(tokens)
+                    for pos in range(28, len(edited), 29):
+                        edited[pos] = f"tok{doc_id}"
+                    emit(cid + "m", edited, doc_id)          # near dup
+
+        return pa.table(
+            {
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+                "role": pa.array(out["role"], pa.string()),
+                "text": pa.array(out["text"], pa.string()),
+                "tool": pa.array(out["tool"], pa.string()),
+                "ts": pa.array(out["ts"], pa.timestamp("us")),
+            },
+            schema=TRANSCRIPTS_SCHEMA,
+        )
+
+    return expand
+
+
+def bench_transcripts(sf_dir: str, reps: int = 6):
+    """Streaming bench-scale transcripts Dataset derived from documents.
+
+    The single-file parquet source yields one block; repartition the (tiny)
+    doc table first so the row-local expansion parallelizes across the
+    cluster instead of running in one task."""
+    import ray.data as rd
+
+    from ..state.partitioning import default_partitions
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.repartition(default_partitions()).map_batches(
+        make_bench_expander(reps), batch_format="pyarrow"
+    )

@@ -60,3 +60,45 @@ def representatives(conversations, rep_map, num_partitions: int = 8):
         num_partitions=num_partitions,
         on=("conv_id",),
     )
+
+
+def annotate_reps(conversations, num_partitions: int | None = None):
+    """conversations -> conversations + ``rep_id`` column, via ONE keyed
+    shuffle on fingerprint (no join).  Downstream:
+
+    - ``rep_map``            = select(conv_id, rep_id)
+    - ``representatives``    = filter(conv_id == rep_id)
+
+    both as cheap narrow ops over this single dataset — replaces the previous
+    exact_rep_map + hash-join flow (one fewer shuffle, one fewer join)."""
+    import pandas as pd
+
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("doc_text", pa.string()),
+            ("n_turns", pa.int32()),
+            ("n_tokens", pa.int32()),
+            ("fingerprint", pa.string()),
+            ("rep_id", pa.string()),
+        ]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=schema)
+        rep = df.groupby("fingerprint")["conv_id"].transform("min")
+        return pa.table(
+            {
+                "conv_id": pa.array(df["conv_id"].to_numpy(), pa.string()),
+                "doc_text": pa.array(df["doc_text"].to_numpy(), pa.string()),
+                "n_turns": pa.array(df["n_turns"].to_numpy().astype("int32"), pa.int32()),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy().astype("int32"), pa.int32()),
+                "fingerprint": pa.array(df["fingerprint"].to_numpy(), pa.string()),
+                "rep_id": pa.array(rep.to_numpy(), pa.string()),
+            },
+            schema=schema,
+        )
+
+    parts = key_partitioned(conversations, ["fingerprint"], num_partitions)
+    return parts.map_batches(block, batch_format="pandas", batch_size=None)

@@ -117,6 +117,63 @@ class ContainmentVerifier:
         ).filter(pa.array(keep))
 
 
+def anchor_buckets(signatures, cfg: NDDConfig | None = None):
+    """(bucket, conv_id) rows from anchor shingles — same schema as the LSH
+    band table, so the fused pipeline can UNION the two and run ONE
+    repartition/pair-gen/distinct/verify chain for both dup kinds."""
+    return signatures.select_columns(
+        ["conv_id", "shingles", "is_degenerate"]
+    ).map_batches(AnchorExploder(cfg), batch_format="pyarrow")
+
+
+def confirm_substring(candidates, conversations):
+    """Exact-text confirm for substring CANDIDATE pairs (method='substring'
+    rows from the unified verifier): broadcast the needed id->text map
+    (ray.put; the candidate set is tiny by construction) and keep only pairs
+    where the shorter normalized text occurs verbatim in the longer."""
+    import ray
+
+    need: set[str] = set()
+    for b in candidates.select_columns(["a", "b"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        need.update(b["a"].to_pylist())
+        need.update(b["b"].to_pylist())
+    if not need:
+        return candidates
+    need_ref = ray.put(need)
+
+    def collect_texts(t: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = pa.array([c in wanted for c in t["conv_id"].to_pylist()])
+        return t.filter(mask).select(["conv_id", "doc_text"])
+
+    texts_tbl = pa.concat_tables(
+        [
+            b
+            for b in conversations.map_batches(
+                collect_texts, batch_format="pyarrow"
+            ).iter_batches(batch_size=65536, batch_format="pyarrow")
+            if b.num_columns
+        ]
+    )
+    text_map = dict(
+        zip(texts_tbl["conv_id"].to_pylist(), texts_tbl["doc_text"].to_pylist())
+    )
+    text_ref = ray.put(text_map)
+
+    def exact_confirm(batch: pa.Table) -> pa.Table:
+        tm = ray.get(text_ref)
+        keep = []
+        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            ta, tb = tm.get(x, ""), tm.get(y, "")
+            small, large = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+            keep.append(bool(small) and small in large)
+        return batch.filter(pa.array(keep))
+
+    return candidates.map_batches(exact_confirm, batch_format="pyarrow")
+
+
 def substring_pairs(
     signatures,
     conversations,
@@ -139,7 +196,7 @@ def substring_pairs(
     cfg = cfg or NDDConfig()
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, cpus // 2))
+        concurrency = (max(1, cpus // 4), max(2, cpus // 2))
     anchors = signatures.select_columns(
         ["conv_id", "shingles", "is_degenerate"]
     ).map_batches(AnchorExploder(cfg), batch_format="pyarrow")

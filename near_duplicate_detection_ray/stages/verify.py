@@ -57,8 +57,14 @@ class Verifier:
             b = np.frombuffer(blobs_b[i], dtype=np.uint64)
             jac[i] = jaccard_sorted(a, b)
             cont[i] = containment_sorted(a, b)
+        # unified confirmation: jaccard-dups (method=minhash) AND
+        # substring CANDIDATES (high containment, below-tau jaccard) in one
+        # pass — the fused pipeline unions band- and anchor-buckets so a
+        # single verify stage serves both (the substring candidates still
+        # need the exact-text confirm downstream)
         dup = jac >= cfg.tau
-        method = np.where(dup, "minhash", "")
+        subc = (~dup) & (cont >= cfg.containment_tau)
+        method = np.where(dup, "minhash", np.where(subc, "substring", ""))
         out = pa.table(
             {
                 "a": batch["a"],
@@ -70,7 +76,7 @@ class Verifier:
             },
             schema=DUP_PAIRS_SCHEMA,
         )
-        return out.filter(pa.array(dup))
+        return out.filter(pa.array(dup | subc))
 
 
 def attach_signatures(pairs, signatures, num_partitions: int = 16):
@@ -111,7 +117,7 @@ def verify_pairs(pairs, signatures, cfg: NDDConfig | None = None, concurrency=No
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, cpus // 2))
+        concurrency = (max(1, cpus // 4), max(2, cpus // 2))
     # Guard: empty/zero-column blocks break the downstream hash join ("No
     # match for FieldRef.Name(a)").  The candidate set is bounded
     # (post-distinct) so materializing it here is safe.

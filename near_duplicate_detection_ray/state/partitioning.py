@@ -17,15 +17,27 @@ from __future__ import annotations
 
 
 def enable_hash_shuffle() -> None:
+    import ray
     import ray.data as rd
     from ray.data.context import ShuffleStrategy
 
     ctx = rd.DataContext.get_current()
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Each hash-shuffle operator spawns one ACTOR (a fresh worker process) per
+    # aggregator, up to this cap, PER EXECUTION — with the default of 64 the
+    # process-spawn cost dominates small/medium runs (measured: 38 s for a
+    # 2-shuffle graph over a few MB).  Cap aggregators well below the
+    # partition count; each aggregator then serves multiple partitions.
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
 
 
-def default_partitions(scale: int = 2, floor: int = 4) -> int:
+def default_partitions(scale: int = 1, floor: int = 4) -> int:
+    """Default = one partition per CPU.  On a real multi-node cluster size
+    partitions by data volume (target ~128 MiB-1 GiB per partition) via the
+    explicit ``num_partitions`` arguments instead; locally, more partitions
+    than CPUs only adds per-partition finalize overhead."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
