@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from near_duplicate_detection_ray.pipelines import (
         ann,
         docs_dedup,
+        multimodal,
         relational,
         text_analysis,
     )
@@ -85,12 +86,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "events_hourly": relational.events_hourly,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
+        "user_sessions": relational.user_sessions,
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "quality_docs": text_analysis.quality_scores,
         "length_class_docs": text_analysis.length_class,
         "validate_docs": text_analysis.validate_docs,
         "lang_id_docs": text_analysis.lang_id_docs,            # rows-only
+        "doc_fingerprints": text_analysis.doc_fingerprints,    # rows-only (winnowing)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -98,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
+        # --- multimodal binary-column plumbing (stubbed decode; rows-only) ---
+        "media_feature_summary": multimodal.media_feature_summary,
         # --- flagship transcript pipeline (engine-synthesized input; rows-only,
         #     pinned by the NumPy oracle in pytest) ---
         "ndd_clusters": _ndd_clusters,
@@ -163,6 +168,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_event_types": """
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

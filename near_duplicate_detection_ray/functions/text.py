@@ -134,3 +134,27 @@ def lang_id(text: str) -> str:
     if best == 0:
         return "unknown"
     return min(lang for lang, s in scores.items() if s == best)
+
+
+def winnow_fingerprints(hashes, window: int) -> list[int]:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    slide a window of ``window`` consecutive k-gram hashes, keep each window's
+    minimum (rightmost on ties) — guarantees shared fingerprints for any
+    sufficiently long shared substring.  Input: iterable of ints."""
+    hs = list(hashes)
+    n = len(hs)
+    if n == 0:
+        return []
+    if n <= window:
+        return [min(hs)]
+    out: list[int] = []
+    last = -1
+    for i in range(n - window + 1):
+        w = hs[i : i + window]
+        m = min(w)
+        # rightmost minimal position in this window
+        j = i + max(idx for idx, v in enumerate(w) if v == m)
+        if j != last:
+            out.append(m)
+            last = j
+    return out

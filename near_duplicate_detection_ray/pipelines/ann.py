@@ -91,18 +91,29 @@ def cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
 
 
 def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8,
-                 seed: int = 42):
-    """LSH-bucketed ANN (scale path): random-hyperplane sign signature ->
-    scan only vectors sharing the query's bucket (plus Hamming-1 buckets for
-    recall).  Same output schema as ``cosine_topk``; approximate by design, so
-    no SQL oracle (rows-only check + recall unit test vs exact)."""
+                 n_tables: int = 6, seed: int = 42):
+    """LSH-bucketed ANN (scale path): MULTI-TABLE random-hyperplane LSH —
+    ``n_tables`` independent sign signatures of ``n_planes`` bits; a corpus
+    vector is scanned iff its code matches the query's code within Hamming 1
+    in ANY table.  Multi-table + multiprobe is what makes hyperplane LSH
+    usable when neighbors are not dramatically closer than random (single
+    8-bit table measured ~0.14 recall on the synthetic embeddings; 6x8-bit
+    tables with H<=1 probing ~0.2 of the corpus scanned at far higher
+    recall).  Same output schema as ``cosine_topk``; approximate by design,
+    so no SQL oracle (rows-only check + recall unit test vs exact)."""
     import ray
 
     rng = np.random.default_rng(seed)
     first = _read_emb(sf_dir, ["embedding"]).limit(1).to_pandas()
     dim = len(first["embedding"].iloc[0])
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((n_tables, dim, n_planes))
     planes_ref = ray.put(planes)
+
+    def codes_for(mat: np.ndarray, pl: np.ndarray) -> np.ndarray:
+        """(n, n_tables) uint32 codes."""
+        bits = np.einsum("nd,tdb->tnb", mat, pl) > 0
+        weights = (1 << np.arange(pl.shape[2], dtype=np.uint32))[None, None, :]
+        return (bits.astype(np.uint32) * weights).sum(axis=2).T  # (n, tables)
 
     queries_tbl = (
         _read_emb(sf_dir, ["vec_id", "embedding"])
@@ -112,15 +123,23 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8
     )
     q_ids = queries_tbl["vec_id"].to_numpy()
     q_mat = np.stack(queries_tbl["embedding"].to_numpy()).astype(np.float64)
-    q_sig = (q_mat @ planes > 0).astype(np.uint32)
-    q_codes = (q_sig * (1 << np.arange(n_planes, dtype=np.uint32))[None, :]).sum(axis=1)
-    # probe set per query: own bucket + all Hamming-1 buckets
-    probe: dict[int, set[int]] = {}
-    for qi, code in enumerate(q_codes):
-        s = {int(code)}
-        for b in range(n_planes):
-            s.add(int(code) ^ (1 << b))
-        probe[int(q_ids[qi])] = s
+    q_codes = codes_for(q_mat, planes)  # (q, tables)
+    # per query, per table: own code + Hamming<=2 multiprobe (theory: with
+    # near-random neighbors at cos~0.3, H<=1 over 6 tables recalls ~0.49 while
+    # H<=2 recalls ~0.90; on clustered real embeddings H<=2 stays a bounded
+    # ~15%-per-table scan)
+    probe: dict[int, list[set[int]]] = {}
+    for qi in range(len(q_ids)):
+        tables = []
+        for t in range(n_tables):
+            code = int(q_codes[qi, t])
+            s = {code}
+            for b in range(n_planes):
+                s.add(code ^ (1 << b))
+                for b2 in range(b + 1, n_planes):
+                    s.add(code ^ (1 << b) ^ (1 << b2))
+            tables.append(s)
+        probe[int(q_ids[qi])] = tables
     q_ref = ray.put((q_ids, q_mat, probe))
 
     def block_topk(batch: pa.Table) -> pa.Table:
@@ -128,13 +147,15 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8
         pl = ray.get(planes_ref)
         corpus = _emb_matrix(batch)
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sig = (corpus @ pl > 0).astype(np.uint32)
-        codes = (sig * (1 << np.arange(pl.shape[1], dtype=np.uint32))[None, :]).sum(axis=1)
+        codes = codes_for(corpus, pl)  # (n, tables)
         out_q, out_n, out_s = [], [], []
         for qi in range(len(ids)):
-            mask = np.fromiter(
-                (int(c) in probe_sets[int(ids[qi])] for c in codes), bool, len(codes)
-            )
+            tables = probe_sets[int(ids[qi])]
+            mask = np.zeros(len(vec_ids), dtype=bool)
+            for t, probes in enumerate(tables):
+                mask |= np.fromiter(
+                    (int(c) in probes for c in codes[:, t]), bool, len(vec_ids)
+                )
             if not mask.any():
                 continue
             sub = corpus[mask]

@@ -1,0 +1,167 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed metadata,
+decoded / feature-extracted by actor-pool stages.
+
+This mirrors the reference's image pipeline shape (decode -> resize -> CNN
+feature, ``ndd/extract_images.py`` + ``ndd/extract_features.py``) for
+image/audio/video payloads at 100 TB: payloads stay binary in Arrow end to end
+(never Python-object columns), batches are kept SMALL because rows are wide,
+and the expensive decoder/model lives in an actor's ``__init__``.
+
+The actual codecs (PIL/cv2/ffmpeg) are NOT in this container, so the decode
+kernel is STUBBED: ``mode="strict"`` raises NotImplementedError exactly where
+a real decoder would plug in; ``mode="fake"`` (default for tests/benches)
+produces a DETERMINISTIC pseudo-decode from the payload bytes so the Ray-side
+plumbing — schema, batching, actor signature, output layout — is real and
+tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import splitmix64
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),        # opaque encoded bytes (jpeg/wav/mp4/...)
+        ("media_type", pa.string()),     # "image" | "audio" | "video"
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("feature", pa.list_(pa.float32())),  # FEATURE_DIM floats
+        ("checksum", pa.uint64()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def media_from_documents(sf_dir: str):
+    """Deterministic binary ``media`` table derived from documents (the
+    container has no real media files): payload = the utf-8 text bytes,
+    media_type cycles by doc_id.  Streams via map_batches."""
+    import ray.data as rd
+
+    types = ["image", "audio", "video"]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = [t.encode("utf-8") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array([types[i % 3] for i in ids], pa.string()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: decode payload -> fixed-dim feature vector.
+
+    ``__init__`` is where a real implementation loads the decoder + model once
+    per actor (reference: ``load_model()`` once per process,
+    ``ndd/extract_features.py:35-38,65``).  ``mode="strict"`` raises at the
+    decode boundary; ``mode="fake"`` derives a deterministic float32 vector
+    from the payload bytes.
+    """
+
+    def __init__(self, mode: str = "fake") -> None:
+        if mode not in ("fake", "strict"):
+            raise ValueError(f"mode must be 'fake' or 'strict', got {mode!r}")
+        self.mode = mode
+        # real impl: self.model = load_decoder_and_model()  # once per actor
+
+    def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if self.mode == "strict":
+            raise NotImplementedError(
+                f"real {media_type} decoding requires PIL/cv2/ffmpeg, which are "
+                "not available in this container; run with mode='fake' for the "
+                "deterministic stub"
+            )
+        # deterministic pseudo-decode: blake2b(payload) -> seed -> FEATURE_DIM
+        seed = np.frombuffer(
+            hashlib.blake2b(payload, digest_size=8).digest(), dtype=np.uint64
+        )
+        states = splitmix64(seed[0] + np.arange(FEATURE_DIM, dtype=np.uint64))
+        return (states.astype(np.float64) / 2**64).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        feats = np.stack(
+            [self._decode(p, t) for p, t in zip(payloads, types)]
+        ) if payloads else np.empty((0, FEATURE_DIM), dtype=np.float32)
+        checks = splitmix64(
+            np.frombuffer(
+                b"".join(
+                    hashlib.blake2b(p, digest_size=8).digest() for p in payloads
+                ) or b"", dtype=np.uint64,
+            )
+        ) if payloads else np.empty(0, dtype=np.uint64)
+        feat_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1), pa.float32()), FEATURE_DIM
+        ).cast(pa.list_(pa.float32()))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "feature": feat_arr,
+                "checksum": pa.array(checks, pa.uint64()),
+            },
+            schema=FEATURES_SCHEMA,
+        )
+
+
+def media_features(sf_dir: str, mode: str = "fake", concurrency=None,
+                   batch_size: int = 256):
+    """media -> features via the actor pool.  ``batch_size`` is deliberately
+    small: binary payload rows are wide, and batch x concurrency must fit in
+    worker heaps (at real scale tune with payload size, e.g. 16-64 rows for
+    multi-MB videos)."""
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (max(1, cpus // 4), max(2, cpus // 2))
+    return media_from_documents(sf_dir).map_batches(
+        MediaFeaturizer,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def media_feature_summary(sf_dir: str):
+    """Rows-only driver query: per media_type counts + feature checksum XOR
+    (stable across runs; exercises the full binary-column actor-pool path)."""
+    import ray.data as rd
+
+    feats = media_features(sf_dir)
+    rows: dict[str, dict] = {}
+    for batch in feats.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        types = batch["media_type"].to_pylist()
+        checks = batch["checksum"].to_numpy(zero_copy_only=False)
+        for t, c in zip(types, checks):
+            r = rows.setdefault(t, {"media_type": t, "n_media": 0, "checksum_xor": 0})
+            r["n_media"] += 1
+            r["checksum_xor"] ^= int(c)
+    out = sorted(rows.values(), key=lambda r: r["media_type"])
+    return rd.from_items(out)

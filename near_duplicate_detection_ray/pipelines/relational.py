@@ -279,3 +279,41 @@ def supplier_balance_by_nation(sf_dir: str):
         },
     )
     return _round_floats(agg, ["total_bal"], 4)
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization (the engine's streaming/window analogue, SURVEY §2.9):
+    per user, a new session starts when the gap to the previous event exceeds
+    ``gap_minutes``.  One keyed shuffle on user_id + vectorized block-local
+    pandas (sorted by ts, event_id); equivalent SQL uses lag() over a window.
+    Returns user_id, n_sessions, n_events."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [("user_id", pa.int64()), ("n_sessions", pa.int64()), ("n_events", pa.int64())]
+        )
+        if df.empty:
+            return pa.Table.from_pylist([], schema=schema)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev_ts = df.groupby("user_id")["ts"].shift(1)
+        new_session = prev_ts.isna() | ((df["ts"] - prev_ts) > gap)
+        g = df.assign(new_session=new_session.astype("int64")).groupby("user_id")
+        out = g.agg(n_sessions=("new_session", "sum"), n_events=("ts", "size")).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "n_sessions": pa.array(out["n_sessions"].to_numpy(), pa.int64()),
+                "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )

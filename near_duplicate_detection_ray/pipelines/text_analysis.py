@@ -130,3 +130,50 @@ def validate_docs(sf_dir: str):
             }
         ]
     )
+
+
+def doc_fingerprints(sf_dir: str, window: int = 4):
+    """Winnowing fingerprints per document (rolling-hash doc fingerprinting;
+    SURVEY §2 M17 family): doc_id, n_fingerprints, min_fingerprint.  Rows-only
+    (winnowing is not reasonably SQL-expressible); pinned by unit tests."""
+    from ..config import DEFAULT_CONFIG
+    from ..functions.hashing import TokenHasher, shingle_hashes
+    from ..functions.text import normalize_text, tokenize, winnow_fingerprints
+
+    class Fingerprinter:
+        def __init__(self) -> None:
+            self.hasher = TokenHasher()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            n_fps, min_fps = [], []
+            for text in batch["text"].to_pylist():
+                toks = tokenize(normalize_text(text))
+                hs = shingle_hashes(
+                    self.hasher.hash_tokens(toks), DEFAULT_CONFIG.shingle_w,
+                    unique=False,
+                )
+                fps = winnow_fingerprints(hs.tolist(), window)
+                n_fps.append(len(fps))
+                min_fps.append(min(fps) if fps else 0)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_fingerprints": pa.array(n_fps, pa.int64()),
+                    "min_fingerprint": pa.array(
+                        np.array(min_fps, dtype=np.uint64), pa.uint64()
+                    ),
+                }
+            )
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Fingerprinter,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(max(1, cpus // 4), max(2, cpus // 2)),
+        num_cpus=1,
+    )

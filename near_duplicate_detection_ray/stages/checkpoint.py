@@ -1,0 +1,230 @@
+"""Per-stage Parquet checkpoints with chained lineage manifests.
+
+Mirrors the reference's ``.done`` version-file semantics
+(``ndd/extract_features.py:74-102``, ``ndd/extract_images.py:164-188``):
+
+- a stage's LINEAGE HASH chains its own config with every upstream stage's
+  hash (the reference concatenates upstream ``.done`` parameter lines);
+- equality of the stored hash gates recompute (``extract_features.py:88``);
+- output is written first, the manifest LAST, so a crash mid-write leaves a
+  stage that will simply recompute (the reference wipes the dir and writes
+  ``.done`` last, ``extract_images.py:183-188,237-239``);
+- the manifest carries per-partition lineage + metrics: one entry per output
+  parquet file with its row count (north_rule: "per-partition lineage +
+  metrics").
+
+Resume = rerun the same pipeline: stages whose manifest hash matches are
+loaded from Parquet instead of recomputed; a changed config (or changed
+upstream) hash forces recompute of that stage and everything after it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+
+from ..config import NDDConfig
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+class StageCheckpointer:
+    """Runs named stages with skip-if-unchanged Parquet checkpoints.
+
+    ``root`` is the checkpoint directory (one subdir per stage).
+    ``input_token`` identifies the pipeline input (e.g. its path) and is
+    folded into every stage hash, so pointing the same checkpoint root at
+    different data forces recompute.
+    """
+
+    def __init__(self, root: str, cfg: NDDConfig | None = None, input_token: str = "") -> None:
+        self.root = root
+        self.cfg = cfg or NDDConfig()
+        self.input_token = input_token
+        self.stage_hashes: dict[str, str] = {}
+        self.stages_skipped: list[str] = []
+        self.stages_computed: list[str] = []
+        os.makedirs(root, exist_ok=True)
+
+    def _lineage_hash(self, name: str, upstream: list[str]) -> str:
+        payload = json.dumps(
+            {
+                "stage": name,
+                "config": self.cfg.config_hash(),
+                "input": self.input_token,
+                "upstream": [self.stage_hashes[u] for u in upstream],
+            },
+            sort_keys=True,
+        )
+        return hashlib.md5(payload.encode()).hexdigest()
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.root, name, MANIFEST_NAME)
+
+    def _data_dir(self, name: str) -> str:
+        return os.path.join(self.root, name, "data")
+
+    def run_stage(self, name: str, upstream: list[str], build: Callable[[], "object"]):
+        """Return the stage's Dataset, loading from checkpoint when the stored
+        lineage hash matches, else computing via ``build()`` and persisting."""
+        import ray.data as rd
+
+        stage_hash = self._lineage_hash(name, upstream)
+        self.stage_hashes[name] = stage_hash
+        mpath = self._manifest_path(name)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+            if manifest.get("stage_hash") == stage_hash:
+                self.stages_skipped.append(name)
+                return rd.read_parquet(self._data_dir(name))
+
+        t0 = time.time()
+        ds = build()
+        stage_dir = os.path.join(self.root, name)
+        data_dir = self._data_dir(name)
+        tmp_dir = data_dir + ".tmp"
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        os.makedirs(stage_dir, exist_ok=True)
+        ds.write_parquet(tmp_dir)
+        os.rename(tmp_dir, data_dir)
+
+        # per-partition lineage + metrics
+        import pyarrow.parquet as pq
+
+        partitions = []
+        total_rows = 0
+        for fname in sorted(os.listdir(data_dir)):
+            fpath = os.path.join(data_dir, fname)
+            try:
+                nrows = pq.read_metadata(fpath).num_rows
+            except Exception:
+                continue
+            partitions.append({"file": fname, "rows": nrows})
+            total_rows += nrows
+        manifest = {
+            "stage": name,
+            "stage_hash": stage_hash,
+            "config_hash": self.cfg.config_hash(),
+            "input_token": self.input_token,
+            "upstream": {u: self.stage_hashes[u] for u in upstream},
+            "row_count": total_rows,
+            "partitions": partitions,
+            "metrics": {"wall_seconds": round(time.time() - t0, 3)},
+        }
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(mpath + ".tmp", mpath)  # manifest LAST => crash-safe skip gate
+        self.stages_computed.append(name)
+        return rd.read_parquet(data_dir)
+
+    def read_manifest(self, name: str) -> dict | None:
+        mpath = self._manifest_path(name)
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            return json.load(f)
+
+
+def checkpointed_near_dup_pipeline(
+    transcripts,
+    root: str,
+    cfg: NDDConfig | None = None,
+    input_token: str = "",
+    include_substring: bool = True,
+):
+    """The flagship pipeline with per-stage checkpoints: stages
+    ``conversations`` -> ``signatures`` -> ``verified_pairs`` ->
+    ``substring_pairs`` -> ``clusters``, each a Parquet dir + manifest under
+    ``root``.  Rerunning with unchanged config/input loads every stage from
+    disk; deleting a later stage's manifest (or changing the config) recomputes
+    from that point on.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.assemble import assemble_conversations
+    from ..stages.cluster import cluster_driver_unionfind
+    from ..stages.exact import annotate_reps
+    from ..stages.lsh import candidate_pairs, explode_bands
+    from ..stages.signatures import sign_conversations
+    from ..stages.substring import anchor_buckets, confirm_substring
+    from ..stages.verify import verify_pairs
+    from ..state.partitioning import materialize_clean
+    from ..pipelines.dedup import exact_edges
+
+    cfg = cfg or NDDConfig()
+    ckpt = StageCheckpointer(root, cfg, input_token)
+
+    conversations = ckpt.run_stage(
+        "conversations",
+        [],
+        lambda: materialize_clean(annotate_reps(assemble_conversations(transcripts))),
+    )
+    signatures = ckpt.run_stage(
+        "signatures",
+        ["conversations"],
+        lambda: materialize_clean(
+            sign_conversations(
+                conversations.map_batches(
+                    lambda t: t.filter(pc.equal(t["conv_id"], t["rep_id"])).drop_columns(
+                        ["rep_id"]
+                    ),
+                    batch_format="pyarrow",
+                ),
+                cfg,
+            )
+        ),
+    )
+
+    def build_verified():
+        buckets = explode_bands(signatures, cfg)
+        if include_substring:
+            buckets = buckets.union(anchor_buckets(signatures, cfg))
+        return materialize_clean(verify_pairs(candidate_pairs(buckets, cfg), signatures, cfg))
+
+    verified = ckpt.run_stage("verified_pairs", ["signatures"], build_verified)
+
+    sub_pairs = None
+    if include_substring:
+        sub_pairs = ckpt.run_stage(
+            "substring_pairs",
+            ["verified_pairs", "conversations"],
+            lambda: materialize_clean(
+                confirm_substring(
+                    verified.map_batches(
+                        lambda t: t.filter(pc.equal(t["method"], "substring")),
+                        batch_format="pyarrow",
+                    ),
+                    conversations,
+                )
+            ),
+        )
+
+    def build_clusters():
+        dup = verified.map_batches(
+            lambda t: t.filter(pc.equal(t["method"], "minhash")), batch_format="pyarrow"
+        )
+        edges = [exact_edges(conversations.select_columns(["conv_id", "rep_id"])), dup]
+        if sub_pairs is not None:
+            edges.append(sub_pairs)
+        return cluster_driver_unionfind(conversations, edges)
+
+    clusters = ckpt.run_stage(
+        "clusters",
+        ["verified_pairs", "conversations"]
+        + (["substring_pairs"] if include_substring else []),
+        build_clusters,
+    )
+
+    return {
+        "conversations": conversations,
+        "signatures": signatures,
+        "verified_pairs": verified,
+        "substring_pairs": sub_pairs,
+        "clusters": clusters,
+        "checkpointer": ckpt,
+    }

@@ -70,77 +70,125 @@ def cluster_driver_unionfind(conversations, edge_datasets):
 
 
 def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):
-    """Distributed min-label propagation (scale path, no driver state):
+    """Distributed connected components via alternating LARGE-STAR /
+    SMALL-STAR rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the scale path when dup-edge volume exceeds driver
+    memory.
 
-    labels(v) = min over rounds of (own label, labels of neighbors).  Each
-    round is one groupby-aggregate over the (node -> candidate label) edge
-    expansion; terminates when no label changes.
+    Every round is ONE keyed hash-partition of the edge list + a vectorized
+    block-local transform (state/partitioning.py) — no joins, no label table,
+    no driver state; converges in O(log^2 n) rounds to edges (node -> root).
+    Final labeling is also join-free: union the (conv_id) node rows with the
+    (node, root) edges and resolve per key after one keyed repartition.
     """
+    import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Min
+
+    from ..state.partitioning import key_partitioned
+
+    EDGE_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string())])
 
     edges = None
     for ds in edge_datasets:
-        part = ds.select_columns(["a", "b"])
+        part = ds.select_columns(["a", "b"]).map_batches(
+            lambda t: pa.table({"u": t["a"], "v": t["b"]}, schema=EDGE_SCHEMA),
+            batch_format="pyarrow",
+        )
         edges = part if edges is None else edges.union(part)
     nodes = conversations.select_columns(["conv_id"])
     if edges is None:
         return nodes.map_batches(
-            lambda t: t.append_column("cluster_id", t["conv_id"]),
+            lambda t: pa.table(
+                {"conv_id": t["conv_id"], "cluster_id": t["conv_id"]},
+                schema=CLUSTERS_SCHEMA,
+            ),
             batch_format="pyarrow",
         )
 
-    # label table: conv_id -> label (init: itself)
-    labels = nodes.map_batches(
-        lambda t: pa.table(
-            {"conv_id": t["conv_id"], "label": t["conv_id"]}
-        ),
+    def star_block(df: pd.DataFrame, large: bool) -> pa.Table:
+        """Block-local star operation; u-groups are co-located by the keyed
+        repartition.  large-star: attach strictly-greater neighbors to the
+        neighborhood min; small-star: attach smaller-or-equal neighbors."""
+        if df.empty:
+            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+        m = df.groupby("u")["v"].transform("min")
+        m = m.where(m < df["u"], df["u"])  # min(N(u) + {u})
+        if large:
+            # (v, m) for strictly-greater neighbors; smaller neighbors are
+            # handled from their own side (input is bidirectional)
+            mask = df["v"] > df["u"]
+            out = pd.DataFrame({"u": df.loc[mask, "v"], "v": m[mask]})
+        else:
+            # (v, m) for all (directed, v <= u) neighbors PLUS (u, m) itself —
+            # omitting the center edge loses the component (Kiveris small-star)
+            mask = df["v"] <= df["u"]
+            out = pd.concat(
+                [
+                    pd.DataFrame({"u": df.loc[mask, "v"], "v": m[mask]}),
+                    pd.DataFrame({"u": df["u"], "v": m}).drop_duplicates(),
+                ]
+            )
+        out = out[out["u"] != out["v"]].drop_duplicates()
+        return pa.table(
+            {"u": pa.array(out["u"].to_numpy(), pa.string()),
+             "v": pa.array(out["v"].to_numpy(), pa.string())},
+            schema=EDGE_SCHEMA,
+        )
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.concat_arrays([t["u"].combine_chunks(), t["v"].combine_chunks()]),
+                "v": pa.concat_arrays([t["v"].combine_chunks(), t["u"].combine_chunks()]),
+            },
+            schema=EDGE_SCHEMA,
+        )
+
+    def checksum(ds) -> tuple[int, int]:
+        total, count = 0, 0
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            if b.num_rows == 0 or b.num_columns == 0:
+                continue
+            count += b.num_rows
+            total ^= hash(tuple(sorted(zip(b["u"].to_pylist(), b["v"].to_pylist()))))
+        return total, count
+
+    cur = edges.materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        # large-star over both edge directions
+        ls = key_partitioned(
+            cur.map_batches(both_directions, batch_format="pyarrow"), ["u"]
+        ).map_batches(lambda df: star_block(df, True), batch_format="pandas",
+                      batch_size=None)
+        # small-star over the large-star output (directed: u >= v afterwards)
+        ss = key_partitioned(ls, ["u"]).map_batches(
+            lambda df: star_block(df, False), batch_format="pandas", batch_size=None
+        ).materialize()
+        s = checksum(ss)
+        cur = ss
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    # join-free labeling: nodes + final (node -> root) edges into one keyed space
+    tagged_nodes = nodes.map_batches(
+        lambda t: pa.table({"u": t["conv_id"], "v": t["conv_id"]}, schema=EDGE_SCHEMA),
         batch_format="pyarrow",
     )
-    edges = edges.materialize()  # reused every round; edge set is the small side
 
-    for _ in range(max_rounds):
-        # candidate labels flowing across edges in both directions
-        def expand(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "conv_id": pa.concat_arrays(
-                        [t["a"].combine_chunks(), t["b"].combine_chunks()]
-                    ),
-                    "other": pa.concat_arrays(
-                        [t["b"].combine_chunks(), t["a"].combine_chunks()]
-                    ),
-                }
-            )
+    def resolve_block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=CLUSTERS_SCHEMA)
+        label = df.groupby("u")["v"].min()
+        return pa.table(
+            {
+                "conv_id": pa.array(label.index.to_numpy(), pa.string()),
+                "cluster_id": pa.array(label.to_numpy(), pa.string()),
+            },
+            schema=CLUSTERS_SCHEMA,
+        )
 
-        flow = edges.map_batches(expand, batch_format="pyarrow").join(
-            labels.rename_columns({"conv_id": "other", "label": "other_label"}),
-            join_type="inner",
-            num_partitions=16,
-            on=("other",),
-        ).select_columns(["conv_id", "other_label"]).rename_columns(
-            {"other_label": "cand"}
-        )
-        own = labels.rename_columns({"label": "cand"})
-        new_labels = (
-            flow.union(own)
-            .groupby("conv_id")
-            .aggregate(Min("cand", alias_name="label"))
-            .materialize()
-        )
-        # convergence check: total label "order" stabilizes
-        changed = new_labels.join(
-            labels.rename_columns({"label": "old_label"}),
-            join_type="inner",
-            num_partitions=16,
-            on=("conv_id",),
-        ).map_batches(
-            lambda t: t.filter(
-                pa.compute.not_equal(t["label"], t["old_label"])
-            ).select(["conv_id"]),
-            batch_format="pyarrow",
-        )
-        labels = new_labels
-        if changed.count() == 0:
-            break
-    return labels.rename_columns({"label": "cluster_id"})
+    return key_partitioned(cur.union(tagged_nodes), ["u"]).map_batches(
+        resolve_block, batch_format="pandas", batch_size=None
+    )
