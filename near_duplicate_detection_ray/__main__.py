@@ -1,0 +1,134 @@
+"""CLI / ``ray job submit`` entry point.
+
+Reference CLI contract parity (SURVEY §2.10: positional roots, ``--force_run``,
+stage-specific knobs — ``ndd/shotdetect.py:124``, ``ndd/extract_images.py:247``):
+
+    # full pipeline with checkpoints (resumable; rerun skips finished stages)
+    python -m near_duplicate_detection_ray run \
+        --input /path/to/transcripts_parquet --checkpoints /tmp/ndd_ckpt \
+        --output /tmp/ndd_out [--tau 0.8] [--shingle-w 5] [--num-perm 128] \
+        [--bands 32] [--rows-per-band 4] [--no-substring] [--force]
+
+    # one-off query against a signatures checkpoint
+    python -m near_duplicate_detection_ray query \
+        --signatures /tmp/ndd_ckpt/signatures/data --text "..." [--k 30]
+
+Owns its Ray session (guarded init) — the driver contract functions in
+``__ray_entry__`` never call ray.init; this CLI does, as the standalone
+entry point for ``ray job submit``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    import ray
+    import ray.data as rd
+
+    from .config import NDDConfig
+    from .stages.checkpoint import checkpointed_near_dup_pipeline
+
+    _init_ray()
+    cfg = NDDConfig(
+        shingle_w=args.shingle_w,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        rows_per_band=args.rows_per_band,
+        tau=args.tau,
+    )
+    if args.force:
+        shutil.rmtree(args.checkpoints, ignore_errors=True)  # --force_run parity
+    transcripts = rd.read_parquet(args.input)
+    result = checkpointed_near_dup_pipeline(
+        transcripts,
+        args.checkpoints,
+        cfg,
+        input_token=args.input,
+        include_substring=not args.no_substring,
+    )
+    if args.output:
+        result["clusters"].write_parquet(args.output)
+    import pyarrow.compute as pc
+
+    ckpt = result["checkpointer"]
+    n_dup = result["verified_pairs"].map_batches(
+        lambda t: t.filter(pc.equal(t["method"], "minhash")), batch_format="pyarrow"
+    ).count()
+    print(
+        json.dumps(
+            {
+                "clusters": result["clusters"].count(),
+                "dup_pairs": n_dup,
+                "stages_computed": ckpt.stages_computed,
+                "stages_skipped": ckpt.stages_skipped,
+                "config_hash": cfg.config_hash(),
+                "output": args.output,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    import ray
+    import ray.data as rd
+
+    from .config import NDDConfig
+    from .pipelines.query import NearDupIndex
+
+    _init_ray()
+    sigs = rd.read_parquet(args.signatures)
+    rep_map = rd.read_parquet(args.rep_map) if args.rep_map else None
+    index = NearDupIndex(sigs, NDDConfig(), rep_map=rep_map)
+    print(json.dumps(index.query_text(args.text, k=args.k)))
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="near_duplicate_detection_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run the checkpointed near-dup pipeline")
+    pr.add_argument("--input", required=True, help="transcripts parquet path/dir")
+    pr.add_argument("--checkpoints", required=True, help="checkpoint root dir")
+    pr.add_argument("--output", default=None, help="clusters parquet output dir")
+    pr.add_argument("--tau", type=float, default=0.8)
+    pr.add_argument("--shingle-w", type=int, default=5)
+    pr.add_argument("--num-perm", type=int, default=128)
+    pr.add_argument("--bands", type=int, default=32)
+    pr.add_argument("--rows-per-band", type=int, default=4)
+    pr.add_argument("--no-substring", action="store_true")
+    pr.add_argument("--force", action="store_true",
+                    help="wipe checkpoints first (reference --force_run parity)")
+    pr.set_defaults(fn=cmd_run)
+
+    pq = sub.add_parser("query", help="query a signatures checkpoint")
+    pq.add_argument("--signatures", required=True)
+    pq.add_argument("--rep-map", default=None)
+    pq.add_argument("--text", required=True)
+    pq.add_argument("--k", type=int, default=30)
+    pq.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
