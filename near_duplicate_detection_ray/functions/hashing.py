@@ -150,27 +150,40 @@ def minhash_batch(
     return out
 
 
-def simhash_batch(shingle_sets: list[np.ndarray]) -> np.ndarray:
+def simhash_batch(shingle_sets: list[np.ndarray], chunk_rows: int = 131072) -> np.ndarray:
     """64-bit SimHash per doc: majority vote over the bits of the shingle
-    hashes.  Degenerate docs get 0."""
+    hashes.  Degenerate docs get 0.
+
+    Bits are unpacked as uint8 and docs are processed in chunks so the
+    (rows x 64) intermediate stays ~8 MiB (an int64 bit matrix over a large
+    batch was the signer's dominant cost: 700+ MiB of allocation)."""
     n_docs = len(shingle_sets)
     out = np.zeros(n_docs, dtype=np.uint64)
     lengths = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=n_docs)
     nonempty = np.flatnonzero(lengths > 0)
     if len(nonempty) == 0:
         return out
-    concat = np.concatenate([shingle_sets[i] for i in nonempty])
-    # (rows, 64) bit matrix; bit j = (h >> j) & 1
-    bits = ((concat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(
-        np.int64
-    )
-    offsets = np.zeros(len(nonempty), dtype=np.int64)
-    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
-    counts = np.add.reduceat(bits, offsets, axis=0)  # (docs, 64)
-    majority = (counts * 2 > lengths[nonempty][:, None]).astype(np.uint64)
-    out[nonempty] = (majority << np.arange(64, dtype=np.uint64)[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
+    bit_idx = np.arange(64, dtype=np.uint64)
+    weights = (U64(1) << bit_idx).astype(np.uint64)
+
+    start = 0
+    while start < len(nonempty):
+        end = start
+        rows = 0
+        while end < len(nonempty) and (rows == 0 or rows + lengths[nonempty[end]] <= chunk_rows):
+            rows += lengths[nonempty[end]]
+            end += 1
+        idx = nonempty[start:end]
+        concat = np.concatenate([shingle_sets[i] for i in idx])
+        bits = ((concat[:, None] >> bit_idx[None, :]) & U64(1)).astype(np.uint8)
+        offsets = np.zeros(len(idx), dtype=np.int64)
+        np.cumsum(lengths[idx][:-1], out=offsets[1:])
+        counts = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)  # (docs, 64)
+        majority = counts * 2 > lengths[idx][:, None]
+        out[idx] = (majority.astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        start = end
     return out
 
 

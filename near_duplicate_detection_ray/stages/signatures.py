@@ -16,12 +16,12 @@ import pyarrow as pa
 from ..config import NDDConfig
 from ..functions.hashing import (
     TokenHasher,
+    hash_token,
     minhash_batch,
     minhash_params,
     shingle_hashes,
     simhash_batch,
 )
-from ..functions.text import tokenize
 
 SIGNATURES_SCHEMA = pa.schema(
     [
@@ -52,22 +52,51 @@ class Signer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        texts = batch["doc_text"].to_pylist()
+        n_rows = batch.num_rows
+        # Vectorized tokenize: doc_text is already normalized (single spaces,
+        # no leading/trailing), so Arrow's whitespace split yields exactly the
+        # tokens `functions.text.tokenize` would (asserted vs the oracle in
+        # tests).  Tokens are hashed ONCE per unique value per batch (Zipfian
+        # vocab => large win over the old per-token loop: ~400us -> ~40us/doc).
+        import pyarrow.compute as pc
+
+        col = batch["doc_text"].combine_chunks() if n_rows else pa.array([], pa.string())
+        toks_list = pc.utf8_split_whitespace(col)
+        offsets = toks_list.offsets.to_numpy(zero_copy_only=False)
+        flat = toks_list.flatten()
+        uniq = pc.unique(flat)
+        cache = self.hasher._cache
+        uniq_hashes = np.empty(len(uniq), dtype=np.uint64)
+        for i, tok in enumerate(uniq.to_pylist()):
+            h = cache.get(tok)
+            if h is None:
+                h = hash_token(tok)
+                if len(cache) < self.hasher._max_cache:
+                    cache[tok] = h
+            uniq_hashes[i] = h
+        idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
+        flat_hashes = uniq_hashes[idx] if len(idx) else np.empty(0, dtype=np.uint64)
+
+        # normalized "" may split to a single empty token; mask those as empty
+        is_blank = (
+            pc.equal(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False)
+            if n_rows
+            else np.zeros(0, dtype=bool)
+        )
         shingle_sets: list[np.ndarray] = []
-        degenerate = np.zeros(len(texts), dtype=bool)
-        for i, text in enumerate(texts):
-            toks = tokenize(text)  # doc_text is already normalized by assemble
-            if len(toks) < cfg.min_tokens:
+        degenerate = np.zeros(n_rows, dtype=bool)
+        for i in range(n_rows):
+            th = flat_hashes[offsets[i] : offsets[i + 1]]
+            n_tok = 0 if is_blank[i] else len(th)
+            if n_tok < cfg.min_tokens:
                 degenerate[i] = True
                 shingle_sets.append(np.empty(0, dtype=np.uint64))
             else:
-                shingle_sets.append(
-                    shingle_hashes(self.hasher.hash_tokens(toks), cfg.shingle_w)
-                )
+                shingle_sets.append(shingle_hashes(th, cfg.shingle_w))
         mh = minhash_batch(shingle_sets, self.a, self.b)  # (n, k)
         sh = simhash_batch(shingle_sets)
 
-        n = len(texts)
+        n = n_rows
         mh_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(mh.reshape(-1), pa.uint64()), cfg.num_perm
         ).cast(pa.list_(pa.uint64()))

@@ -163,13 +163,32 @@ def confirm_substring(candidates, conversations):
     text_ref = ray.put(text_map)
 
     def exact_confirm(batch: pa.Table) -> pa.Table:
+        """Exact substring check plus suffix-array evidence: for confirmed
+        pairs, ``lcs_tokens`` is the longest common token run computed via a
+        generalized suffix array over the two token-hash sequences
+        (functions/suffix.py) — the per-pair form of the north-star
+        "suffix-array substring pass"."""
+        from ..functions.hashing import TokenHasher
+        from ..functions.suffix import longest_common_substring
+        from ..functions.text import tokenize
+
         tm = ray.get(text_ref)
-        keep = []
+        hasher = TokenHasher()
+        keep, lcs = [], []
         for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
             ta, tb = tm.get(x, ""), tm.get(y, "")
             small, large = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
-            keep.append(bool(small) and small in large)
-        return batch.filter(pa.array(keep))
+            ok = bool(small) and small in large
+            keep.append(ok)
+            if ok:
+                lcs.append(
+                    longest_common_substring(
+                        hasher.hash_tokens(tokenize(small)),
+                        hasher.hash_tokens(tokenize(large)),
+                    )
+                )
+        out = batch.filter(pa.array(keep))
+        return out.append_column("lcs_tokens", pa.array(lcs, pa.int64()))
 
     return candidates.map_batches(exact_confirm, batch_format="pyarrow")
 

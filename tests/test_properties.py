@@ -1,0 +1,106 @@
+"""Property tests (SURVEY §5.5): hypothesis-driven invariants for the
+signature math, suffix arrays, and oracle monotonicity."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from near_duplicate_detection_ray.config import NDDConfig
+from near_duplicate_detection_ray.functions.hashing import (
+    TokenHasher,
+    minhash_batch,
+    minhash_params,
+    shingle_hashes,
+    simhash_batch,
+)
+from near_duplicate_detection_ray.functions.suffix import (
+    is_substring,
+    lcp_array,
+    longest_common_substring,
+    suffix_array,
+)
+from near_duplicate_detection_ray.functions.text import normalize_text
+from near_duplicate_detection_ray.oracle import oracle_dup_pairs
+from near_duplicate_detection_ray.sources.transcripts import corpus_docs, synth_corpus
+
+tokens_st = st.lists(st.sampled_from("abc de fg hij kl mno p".split()), max_size=60)
+
+
+@given(tokens_st)
+@settings(max_examples=50, deadline=None)
+def test_signature_invariant_to_context(tokens):
+    """A doc's signature depends only on its own tokens, never on what else
+    shares the batch (row-local requirement for block invariance)."""
+    hasher = TokenHasher()
+    sh = shingle_hashes(hasher.hash_tokens(tokens), 5)
+    a, b = minhash_params(32, seed=9)
+    alone = minhash_batch([sh], a, b)
+    other = np.unique(np.arange(10, dtype=np.uint64) * np.uint64(2654435761))
+    together = minhash_batch([other, sh, other], a, b)
+    assert np.array_equal(alone[0], together[1])
+    assert simhash_batch([sh])[0] == simhash_batch([other, sh])[1]
+
+
+@given(tokens_st)
+@settings(max_examples=50, deadline=None)
+def test_simhash_chunking_invariant(tokens):
+    hasher = TokenHasher()
+    sh = shingle_hashes(hasher.hash_tokens(tokens), 5)
+    sets = [sh, sh[: len(sh) // 2], sh]
+    assert np.array_equal(simhash_batch(sets), simhash_batch(sets, chunk_rows=3))
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_normalize_idempotent(text):
+    once = normalize_text(text)
+    assert normalize_text(once) == once
+    assert "  " not in once and once == once.strip()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5), max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_suffix_array_is_sorted_permutation(seq):
+    arr = np.array(seq, dtype=np.int64)
+    sa = suffix_array(arr)
+    assert sorted(sa.tolist()) == list(range(len(arr)))
+    suffixes = [tuple(arr[i:].tolist()) for i in sa]
+    assert suffixes == sorted(suffixes)
+    lcp = lcp_array(arr, sa)
+    for i in range(1, len(arr)):
+        k = int(lcp[i])
+        assert tuple(arr[sa[i - 1] : sa[i - 1] + k].tolist()) == tuple(
+            arr[sa[i] : sa[i] + k].tolist()
+        )
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=20),
+    st.lists(st.integers(min_value=0, max_value=4), max_size=10),
+    st.lists(st.integers(min_value=0, max_value=4), max_size=10),
+)
+@settings(max_examples=100, deadline=None)
+def test_substring_detected(inner, pre, post):
+    a = np.array(inner, dtype=np.int64)
+    b = np.array(pre + inner + post, dtype=np.int64)
+    assert is_substring(a, b)
+    assert longest_common_substring(a, b) >= len(a)
+
+
+def test_lcs_known_values():
+    assert longest_common_substring(np.array([1, 2, 3]), np.array([9, 2, 3, 7])) == 2
+    assert longest_common_substring(np.array([1]), np.array([2])) == 0
+    assert longest_common_substring(np.empty(0, dtype=np.int64), np.array([1])) == 0
+    assert is_substring(np.empty(0, dtype=np.int64), np.array([1]))
+    assert not is_substring(np.array([1, 2]), np.array([2, 1]))
+
+
+def test_oracle_recall_monotone_in_tau():
+    """Raising tau can only shrink the dup-pair set (recall monotonicity)."""
+    t, _ = synth_corpus(seed=42)
+    docs = corpus_docs(t)
+    p6 = oracle_dup_pairs(docs, NDDConfig(tau=0.6))
+    p8 = oracle_dup_pairs(docs, NDDConfig(tau=0.8))
+    p9 = oracle_dup_pairs(docs, NDDConfig(tau=0.95))
+    assert p9 <= p8 <= p6
