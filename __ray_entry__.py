@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_docs": text_analysis.validate_docs,
         "lang_id_docs": text_analysis.lang_id_docs,            # rows-only
         "doc_fingerprints": text_analysis.doc_fingerprints,    # rows-only (winnowing)
+        "english_long_docs": text_analysis.english_long_docs,  # SQL-checked (pushdown)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
+        "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
         # --- multimodal binary-column plumbing (stubbed decode; rows-only) ---
         "media_feature_summary": multimodal.media_feature_summary,
         # --- flagship transcript pipeline (engine-synthesized input; rows-only,
@@ -278,6 +280,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])
+                  ) >= 0.4
+        """,
+        "english_long_docs": """
+            SELECT doc_id, lang, n_chars, source
+            FROM documents
+            WHERE lang = 'en' AND n_chars > 300
         """,
         "ann_cosine_topk": """
             WITH sims AS (

@@ -188,3 +188,44 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine
+    similarity >= threshold.
+
+    Execution shape: the corpus matrix is the BROADCAST side (ray.put once),
+    each corpus block computes its block-vs-all similarities with one matmul
+    and emits only pairs above threshold where a < b (so each pair is emitted
+    exactly once, no distinct needed).  At true scale swap the broadcast for
+    the multi-table LSH bucketing in ``ann_lsh_topk`` — this exact variant is
+    the SQL-checkable baseline (DuckDB ``list_cosine_similarity`` cross join).
+    """
+    import ray
+
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
+    all_ids = emb["vec_id"].to_numpy()
+    all_mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    all_mat /= np.maximum(np.linalg.norm(all_mat, axis=1, keepdims=True), 1e-12)
+    corpus_ref = ray.put((all_ids, all_mat))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        ids, mat = ray.get(corpus_ref)
+        block = _emb_matrix(batch)
+        block /= np.maximum(np.linalg.norm(block, axis=1, keepdims=True), 1e-12)
+        block_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = block @ mat.T  # (block, corpus)
+        bi, ci = np.nonzero(sims >= threshold)
+        a = block_ids[bi]
+        b = ids[ci]
+        keep = a < b  # each unordered pair once
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    return _read_emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=2048
+    )

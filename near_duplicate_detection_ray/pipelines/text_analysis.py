@@ -177,3 +177,19 @@ def doc_fingerprints(sf_dir: str, window: int = 4):
         concurrency=(max(1, cpus // 4), max(2, cpus // 2)),
         num_cpus=1,
     )
+
+
+def english_long_docs(sf_dir: str, min_chars: int = 300):
+    """Filtered projection with PREDICATE PUSHDOWN at the read: only row
+    groups satisfying lang='en' AND n_chars > min_chars leave storage
+    (``read_parquet(filter=...)`` takes a pyarrow dataset expression —
+    SURVEY §2 S1/M12; prune-at-the-read discipline)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    expr = (pads.field("lang") == "en") & (pads.field("n_chars") > min_chars)
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars", "source"],
+        filter=expr,
+    )
