@@ -6,10 +6,11 @@ Two implementations:
   the corpus — only confirmed dup pairs plus exact-rep links) to the driver,
   run union-find, broadcast the resulting component map via ``ray.put`` and
   label all conversations in a single ``map_batches`` — no extra shuffle.
-- ``propagate_labels``: scale path for adversarial edge volumes — iterative
-  min-label propagation expressed as groupby-aggregate rounds (edge-count
-  bounded; converges in O(component diameter) rounds; cf. BTS ICDE'24 in
-  PAPERS.md for the balanced-tree refinement).
+- ``propagate_labels``: scale path for adversarial edge volumes — alternating
+  large-star/small-star rounds (Kiveris et al., SoCC'14) over the edge list
+  alone, each round one keyed hash-partition + vectorized block transform
+  (no joins, no driver state; cf. BTS ICDE'24 in PAPERS.md for the
+  balanced-tree refinement).
 
 Cluster ids are the lexicographic min conv_id of the component — stable and
 deterministic (no reference analogue; required by north_rule, the reference
@@ -82,7 +83,6 @@ def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):
     (node, root) edges and resolve per key after one keyed repartition.
     """
     import pandas as pd
-    import ray.data as rd
 
     from ..state.partitioning import key_partitioned
 

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from ..config import NDDConfig
 from ..state.partitioning import key_partitioned
-from .lsh import PAIRS_SCHEMA, _distinct_pairs_block, _pairs_in_block
+from .lsh import _distinct_pairs_block, _pairs_in_block
 from .verify import attach_signatures
 
 # anchors reuse the lsh bucket-pair machinery: column named "bucket"
