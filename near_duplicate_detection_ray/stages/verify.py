@@ -79,10 +79,39 @@ class Verifier:
         return out.filter(pa.array(dup | subc))
 
 
-def attach_signatures(pairs, signatures, num_partitions: int = 16):
+def attach_signatures(pairs, signatures, num_partitions: int = 16,
+                      semi_filter_max_ids: int = 5_000_000):
     """Join (a, b) pairs to both endpoints' shingle sets + simhash via two
-    hash-partitioned joins."""
+    hash-partitioned joins.
+
+    SEMI-JOIN REDUCTION first: candidate pairs touch only a fraction of the
+    corpus, but a plain join would shuffle every signature row (wide shingle
+    blobs) twice.  The distinct endpoint ids are broadcast (``ray.put``) and
+    signatures are filtered before the join — the guide's semi-join pattern.
+    Above ``semi_filter_max_ids`` endpoints the set itself gets heavy, so fall
+    back to the plain join (a Bloom filter is the next step at that scale).
+    """
+    import ray
+
     side = signatures.select_columns(["conv_id", "shingles", "simhash"])
+    need: set = set()
+    for b in pairs.select_columns(["a", "b"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        need.update(b["a"].to_pylist())
+        need.update(b["b"].to_pylist())
+        if len(need) > semi_filter_max_ids:
+            need = None
+            break
+    if need:
+        need_ref = ray.put(need)
+
+        def keep_needed(t: pa.Table) -> pa.Table:
+            wanted = ray.get(need_ref)
+            mask = pa.array([c in wanted for c in t["conv_id"].to_pylist()])
+            return t.filter(mask)
+
+        side = side.map_batches(keep_needed, batch_format="pyarrow")
     j = pairs.join(
         side,
         join_type="inner",

@@ -30,7 +30,7 @@ def enable_hash_shuffle() -> None:
     # 2-shuffle graph over a few MB).  Cap aggregators well below the
     # partition count; each aggregator then serves multiple partitions.
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+    ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
 
 
 def default_partitions(scale: int = 1, floor: int = 4) -> int:
