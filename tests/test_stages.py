@@ -96,3 +96,29 @@ def test_lsh_candidates_contain_true_dups(transcripts_ds):
     # all pairs ordered a < b and unique
     assert all(a < b for a, b in pairs)
     assert len(pairs) == len(cand)
+
+
+def test_hot_bucket_capping_preserves_connectivity(ray_session):
+    """Skew guard (SURVEY §4): with bucket_cap smaller than the boilerplate
+    family, pair-gen must emit capped spanning edges instead of O(n^2) pairs,
+    and clustering must still connect the family (via verified edges)."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.config import NDDConfig
+    from near_duplicate_detection_ray.pipelines.dedup import near_dup_pipeline
+    from near_duplicate_detection_ray.sources.transcripts import synth_corpus
+
+    cfg = NDDConfig(bucket_cap=10)  # boilerplate family is 30 convs
+    transcripts, _ = synth_corpus(seed=42)
+    res = near_dup_pipeline(rd.from_arrow(transcripts), cfg, include_substring=False)
+    dup = res["dup_pairs"].to_pandas()
+    boiler_pairs = dup[dup["a"].str.startswith("b") & dup["b"].str.startswith("b")]
+    full = 30 * 29 // 2
+    assert 0 < len(boiler_pairs) < full, (
+        f"expected capped pair count in (0, {full}), got {len(boiler_pairs)}"
+    )
+    clusters = dict(
+        zip(res["clusters"].to_pandas()["conv_id"], res["clusters"].to_pandas()["cluster_id"])
+    )
+    blabels = {clusters[c] for c in clusters if c.startswith("b")}
+    assert len(blabels) == 1, "capped spanning edges must keep the family connected"
