@@ -43,8 +43,10 @@ class NearDupIndex:
         self.a, self.b = minhash_params(self.cfg.num_perm, self.cfg.seed)
         self.hasher = TokenHasher()
         self.buckets: dict[int, list[str]] = {}
+        self.anchors: dict[int, list[str]] = {}  # anchor shingle -> convs (containment probe)
         self.shingles: dict[str, bytes] = {}
         self.rep_of: dict[str, str] = {}
+        mod = np.uint64(self.cfg.anchor_mod)
         for batch in signatures.select_columns(
             ["conv_id", "minhash", "shingles", "is_degenerate"]
         ).iter_batches(batch_size=8192, batch_format="pyarrow"):
@@ -64,6 +66,9 @@ class NearDupIndex:
                     continue
                 for h in bh[i]:
                     self.buckets.setdefault(int(h), []).append(ids[i])
+                vals = np.frombuffer(blobs[i], dtype=np.uint64)
+                for a in vals[vals % mod == 0]:
+                    self.anchors.setdefault(int(a), []).append(ids[i])
         if rep_map is not None:
             for batch in rep_map.iter_batches(batch_size=65536, batch_format="pyarrow"):
                 self.rep_of.update(
@@ -71,12 +76,19 @@ class NearDupIndex:
                 )
 
     def query_text(self, text: str, k: int = 30) -> list[dict]:
-        """Ranked near-dup candidates for a raw conversation text.
+        """Ranked near-dup candidates for a raw conversation text — including
+        PARTIAL text (a snippet of an indexed conversation): candidates come
+        from both the LSH band buckets (whole-text Jaccard matches) and the
+        anchor buckets (containment matches, so a truncated probe still finds
+        the conversations that contain it).
 
-        Returns up to ``k`` dicts (conv_id, jaccard, rank), exact Jaccard
-        descending, ties by conv_id ascending, at most one hit per exact-dup
-        family (grouped dedup D1: FIRST = best hit wins, like the reference's
-        shot_hits set — but including the final element)."""
+        Returns up to ``k`` dicts (conv_id, jaccard, containment, rank),
+        ranked by max(jaccard, containment) descending, ties by conv_id
+        ascending, at most one hit per exact-dup family (grouped dedup D1:
+        FIRST = best hit wins, like the reference's shot_hits set — but
+        including the final element, see SURVEY §2.6 O2)."""
+        from ..functions.similarity import containment_sorted
+
         norm = normalize_text(text)
         toks = tokenize(norm)
         if len(toks) < self.cfg.min_tokens:
@@ -87,19 +99,31 @@ class NearDupIndex:
         cands: set[str] = set()
         for h in bh:
             cands.update(self.buckets.get(int(h), ()))
+        mod = np.uint64(self.cfg.anchor_mod)
+        for a in sh[sh % mod == 0]:
+            cands.update(self.anchors.get(int(a), ()))
         scored = []
         for cid in cands:
             other = np.frombuffer(self.shingles[cid], dtype=np.uint64)
-            scored.append((cid, jaccard_sorted(sh, other)))
-        scored.sort(key=lambda t: (-t[1], t[0]))
+            jac = jaccard_sorted(sh, other)
+            cont = containment_sorted(sh, other)
+            scored.append((cid, jac, cont))
+        scored.sort(key=lambda t: (-max(t[1], t[2]), t[0]))
         out = []
         seen_groups: set[str] = set()
-        for cid, jac in scored:
+        for cid, jac, cont in scored:
             group = self.rep_of.get(cid, cid)
             if group in seen_groups:
                 continue  # grouped dedup: first (best) hit per family wins
             seen_groups.add(group)
-            out.append({"conv_id": cid, "jaccard": float(jac), "rank": len(out) + 1})
+            out.append(
+                {
+                    "conv_id": cid,
+                    "jaccard": float(jac),
+                    "containment": float(cont),
+                    "rank": len(out) + 1,
+                }
+            )
             if len(out) >= k:
                 break
         return out

@@ -208,3 +208,16 @@ def test_propagate_labels_matches_unionfind(ray_session):
     )
     assert list(lp.columns) == ["conv_id", "cluster_id"]
     assert uf.equals(lp[["conv_id", "cluster_id"]])
+
+
+def test_query_partial_text_containment(index):
+    """A truncated snippet of an indexed conversation must still find it via
+    the anchor-bucket containment probe."""
+    transcripts, idx = index
+    docs = corpus_docs(transcripts)
+    full = docs["u00000"]
+    snippet = " ".join(full.split()[: len(full.split()) // 2])  # first half
+    hits = idx.query_text(snippet, k=5)
+    assert hits, "partial probe found nothing"
+    assert hits[0]["conv_id"] == "u00000"
+    assert hits[0]["containment"] > 0.9
