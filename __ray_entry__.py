@@ -180,7 +180,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "events_hourly": """

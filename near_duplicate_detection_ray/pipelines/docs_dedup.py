@@ -90,7 +90,12 @@ def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
     convs = docs_as_conversations(sf_dir)
     sigs = materialize_clean(sign_conversations(convs, cfg))
     cand = candidate_pairs(explode_bands(sigs, cfg), cfg)
-    dup = verify_pairs(cand, sigs, cfg)
+    # The unified verifier also emits method='substring' rows (containment >=
+    # containment_tau but jaccard < tau); this query's contract is exactly
+    # "jaccard >= tau", so keep only the minhash-confirmed pairs.
+    dup = verify_pairs(cand, sigs, cfg).map_batches(
+        lambda t: t.filter(pc.equal(t["method"], "minhash")), batch_format="pyarrow"
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         a = pc.cast(batch["a"], pa.int64())

@@ -91,6 +91,23 @@ class StageCheckpointer:
         shutil.rmtree(stage_dir, ignore_errors=True)
         os.makedirs(stage_dir, exist_ok=True)
         ds.write_parquet(tmp_dir)
+        if not os.path.isdir(tmp_dir):
+            # An empty dataset writes ZERO files (tmp_dir is never created) —
+            # e.g. a corpus with no duplicates.  Persist one empty parquet
+            # file carrying the stage schema so the rename, the manifest and
+            # any later read_parquet (resume) all work.
+            import pyarrow.parquet as _pq
+
+            os.makedirs(tmp_dir, exist_ok=True)
+            schema = ds.schema()
+            arrow_schema = getattr(schema, "base_schema", None)
+            if arrow_schema is None:  # ray Schema API moved; rebuild from names/types
+                import pyarrow as _pa
+
+                arrow_schema = _pa.schema(list(zip(schema.names, schema.types)))
+            _pq.write_table(
+                arrow_schema.empty_table(), os.path.join(tmp_dir, "empty_0.parquet")
+            )
         os.rename(tmp_dir, data_dir)
 
         # per-partition lineage + metrics

@@ -124,6 +124,15 @@ def attach_signatures(pairs, signatures, num_partitions: int = 16,
     j = j.rename_columns(
         {"shingles": "shingles_a", "simhash": "simhash_a"}
     )
+    # Empty-block scrub between the two joins: when distinct pairs are fewer
+    # than num_partitions, join #1 emits zero-column blocks for its empty
+    # partitions, which crash join #2 inside Acero ("No match or multiple
+    # matches for key field FieldRef.Name(b)") — the Ray 2.49 failure
+    # state/partitioning.materialize_clean documents.  The joined-1 table is
+    # bounded by the candidate-pair volume, so the barrier is cheap.
+    from ..state.partitioning import materialize_clean
+
+    j = materialize_clean(j)
     j = j.join(
         side,
         join_type="inner",

@@ -1,0 +1,103 @@
+"""Round-2 regression tests for the ADVICE findings:
+
+1. ``near_dup_pairs_docs`` must not leak method='substring' rows (containment
+   pairs below tau) into its jaccard>=tau contract.
+2. ``attach_signatures`` must survive sparse corpora where distinct candidate
+   pairs < num_partitions (zero-column empty blocks between chained joins).
+3. ``StageCheckpointer.run_stage`` must handle an EMPTY stage dataset (a corpus
+   with no duplicates): write a schema-carrying empty parquet, resume cleanly.
+"""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DOCS_DIR = "/tmp/ndd_sparse_docs"
+
+
+@pytest.fixture(scope="module")
+def sparse_docs_dir(ray_session):
+    """10 docs: one containment pair (1 is a 60-token prefix of 0, jaccard
+    ~0.58 < tau), one exact pair (2 == 3, jaccard 1.0), rest unique."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:04d}" for i in range(500)]
+
+    def txt(n):
+        return " ".join(vocab[i] for i in rng.integers(0, len(vocab), size=n))
+
+    base = txt(100)
+    prefix = " ".join(base.split()[:60])
+    exact = txt(80)
+    texts = [base, prefix, exact, exact] + [txt(90) for _ in range(6)]
+    shutil.rmtree(DOCS_DIR, ignore_errors=True)
+    import os
+
+    os.makedirs(DOCS_DIR)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        f"{DOCS_DIR}/documents.parquet",
+    )
+    return DOCS_DIR
+
+
+def test_near_dup_pairs_excludes_containment_pairs(sparse_docs_dir):
+    """The (0, 1) containment pair has jaccard < tau and must NOT appear; the
+    exact (2, 3) pair must.  Also exercises the sparse-corpus join path
+    (2 candidate pairs << num_partitions)."""
+    from near_duplicate_detection_ray.pipelines.docs_dedup import near_dup_pairs_docs
+
+    df = near_dup_pairs_docs(sparse_docs_dir).to_pandas()
+    pairs = set(zip(df["a"], df["b"]))
+    assert (0, 1) not in pairs, "substring-method row leaked into jaccard>=tau output"
+    assert (2, 3) in pairs
+    assert (df["jaccard"] >= 0.8).all()
+
+
+def test_substring_pairs_sparse_corpus(sparse_docs_dir):
+    """The full flagship path on a tiny corpus with one containment pair:
+    attach_signatures' chained joins must not crash on empty partitions, and
+    the substring pass must confirm (0, 1)."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.config import NDDConfig
+    from near_duplicate_detection_ray.pipelines.docs_dedup import docs_as_conversations
+    from near_duplicate_detection_ray.stages.signatures import sign_conversations
+    from near_duplicate_detection_ray.stages.substring import substring_pairs
+    from near_duplicate_detection_ray.state.partitioning import materialize_clean
+
+    convs = materialize_clean(docs_as_conversations(sparse_docs_dir))
+    sigs = materialize_clean(sign_conversations(convs, NDDConfig()))
+    got = substring_pairs(sigs, convs, NDDConfig()).to_pandas()
+    assert set(zip(got["a"], got["b"])) == {("000000000000", "000000000001")}
+
+
+def test_checkpoint_empty_stage(ray_session, tmp_path):
+    """An empty stage dataset must checkpoint (empty parquet with schema) and
+    resume from disk with the same schema."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.stages.checkpoint import StageCheckpointer
+
+    schema = pa.schema([("a", pa.string()), ("b", pa.string()), ("j", pa.float64())])
+    root = str(tmp_path / "ckpt")
+
+    ckpt = StageCheckpointer(root, input_token="empty-test")
+    out = ckpt.run_stage(
+        "pairs", [], lambda: rd.from_arrow(pa.Table.from_pylist([], schema=schema))
+    )
+    assert out.count() == 0
+    assert ckpt.stages_computed == ["pairs"]
+
+    ckpt2 = StageCheckpointer(root, input_token="empty-test")
+    reloaded = ckpt2.run_stage("pairs", [], lambda: pytest.fail("must not recompute"))
+    assert ckpt2.stages_skipped == ["pairs"]
+    assert reloaded.count() == 0
+    assert set(reloaded.schema().names) == {"a", "b", "j"}
