@@ -31,6 +31,59 @@ def containment_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / min(len(a), len(b))
 
 
+def batch_set_stats(
+    blobs_a: list[bytes], blobs_b: list[bytes]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-pair set statistics over PACKED uint64 blobs, fully vectorized.
+
+    Each blob is a sorted-unique uint64 set packed as little-endian bytes (the
+    join-safe shingle representation).  Returns ``(inter, na, nb)`` int64
+    arrays for all pairs at once: one ``np.lexsort`` over the concatenated
+    ``(pair_idx, value)`` rows replaces the former per-pair Python
+    ``np.intersect1d`` loop — a value common to both sides of a pair appears
+    exactly twice adjacently after the sort (each side is unique), so the
+    intersection size is a bincount of adjacent duplicates.
+    """
+    n = len(blobs_a)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), z.copy()
+    na = np.fromiter((len(x) >> 3 for x in blobs_a), np.int64, n)
+    nb = np.fromiter((len(x) >> 3 for x in blobs_b), np.int64, n)
+    total = int(na.sum() + nb.sum())
+    if total == 0:
+        return np.zeros(n, np.int64), na, nb
+    parts = [np.frombuffer(x, np.uint64) for x in blobs_a]
+    parts += [np.frombuffer(x, np.uint64) for x in blobs_b]
+    val = np.concatenate(parts)
+    idx = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), na),
+                          np.repeat(np.arange(n, dtype=np.int64), nb)])
+    order = np.lexsort((val, idx))
+    iv = idx[order]
+    vv = val[order]
+    dup = (iv[1:] == iv[:-1]) & (vv[1:] == vv[:-1])
+    inter = np.bincount(iv[1:][dup], minlength=n).astype(np.int64)
+    return inter, na, nb
+
+
+def batch_jaccard_containment(
+    blobs_a: list[bytes], blobs_b: list[bytes]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exact Jaccard + containment for packed-set pairs, with the
+    same empty-set conventions as ``jaccard_sorted``/``containment_sorted``
+    (both empty -> jaccard 1.0; any empty -> containment 0.0)."""
+    inter, na, nb = batch_set_stats(blobs_a, blobs_b)
+    union = na + nb - inter
+    jac = np.where(
+        union > 0,
+        inter / np.maximum(union, 1),
+        np.where((na == 0) & (nb == 0), 1.0, 0.0),
+    )
+    mn = np.minimum(na, nb)
+    cont = np.where(mn > 0, inter / np.maximum(mn, 1), 0.0)
+    return jac, cont
+
+
 def cosine_topk_block(
     queries: np.ndarray, corpus: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -84,7 +84,7 @@ class ContainmentVerifier:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.hashing import hamming_distance
-        from ..functions.similarity import containment_sorted, jaccard_sorted
+        from ..functions.similarity import batch_jaccard_containment
 
         cfg = self.cfg
         n = batch.num_rows
@@ -95,13 +95,7 @@ class ContainmentVerifier:
         sim_a = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         sim_b = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ham = hamming_distance(sim_a, sim_b).astype(np.int32)
-        jac = np.empty(n)
-        cont = np.empty(n)
-        for i in range(n):
-            a = np.frombuffer(blobs_a[i], dtype=np.uint64)
-            b = np.frombuffer(blobs_b[i], dtype=np.uint64)
-            jac[i] = jaccard_sorted(a, b)
-            cont[i] = containment_sorted(a, b)
+        jac, cont = batch_jaccard_containment(blobs_a, blobs_b)
         # only pairs that are NOT already jaccard-dups but have high containment
         keep = (cont >= cfg.containment_tau) & (jac < cfg.tau)
         return pa.table(
@@ -126,6 +120,38 @@ def anchor_buckets(signatures, cfg: NDDConfig | None = None):
     ).map_batches(AnchorExploder(cfg), batch_format="pyarrow")
 
 
+def _candidate_text_map_ref(candidates, conversations):
+    """id -> normalized doc_text map for the candidate endpoints, as an
+    object-store ref (None when there are no candidates).
+
+    The endpoint-id set is computed OFF-DRIVER (``distinct_values_ref``) and
+    applied with a vectorized ``pc.is_in`` semi-filter; only the surviving
+    (conv_id, doc_text) rows — bounded by the confirmed-candidate count, tiny
+    by construction — are pulled to the driver to build the broadcast map.
+    """
+    import ray
+
+    from ..state.partitioning import distinct_values_ref, semi_filter
+
+    ids_ref, n_ids = distinct_values_ref(candidates, ["a", "b"])
+    if n_ids == 0:
+        return None
+    texts = semi_filter(
+        conversations.select_columns(["conv_id", "doc_text"]), "conv_id", ids_ref
+    )
+    texts_tbl = pa.concat_tables(
+        [
+            b
+            for b in texts.iter_batches(batch_size=65536, batch_format="pyarrow")
+            if b.num_columns
+        ]
+    )
+    text_map = dict(
+        zip(texts_tbl["conv_id"].to_pylist(), texts_tbl["doc_text"].to_pylist())
+    )
+    return ray.put(text_map)
+
+
 def confirm_substring(candidates, conversations):
     """Exact-text confirm for substring CANDIDATE pairs (method='substring'
     rows from the unified verifier): broadcast the needed id->text map
@@ -133,34 +159,9 @@ def confirm_substring(candidates, conversations):
     where the shorter normalized text occurs verbatim in the longer."""
     import ray
 
-    need: set[str] = set()
-    for b in candidates.select_columns(["a", "b"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        need.update(b["a"].to_pylist())
-        need.update(b["b"].to_pylist())
-    if not need:
+    text_ref = _candidate_text_map_ref(candidates, conversations)
+    if text_ref is None:
         return candidates
-    need_ref = ray.put(need)
-
-    def collect_texts(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = pa.array([c in wanted for c in t["conv_id"].to_pylist()])
-        return t.filter(mask).select(["conv_id", "doc_text"])
-
-    texts_tbl = pa.concat_tables(
-        [
-            b
-            for b in conversations.map_batches(
-                collect_texts, batch_format="pyarrow"
-            ).iter_batches(batch_size=65536, batch_format="pyarrow")
-            if b.num_columns
-        ]
-    )
-    text_map = dict(
-        zip(texts_tbl["conv_id"].to_pylist(), texts_tbl["doc_text"].to_pylist())
-    )
-    text_ref = ray.put(text_map)
 
     def exact_confirm(batch: pa.Table) -> pa.Table:
         """Exact substring check plus suffix-array evidence: for confirmed
@@ -246,32 +247,9 @@ def substring_pairs(
     ).materialize()
 
     # --- exact-text confirm on the survivors (broadcast, no shuffle) ---
-    need: set[str] = set()
-    for b in contained.select_columns(["a", "b"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        need.update(b["a"].to_pylist())
-        need.update(b["b"].to_pylist())
-    if not need:
+    text_ref = _candidate_text_map_ref(contained, conversations)
+    if text_ref is None:
         return contained
-    need_ref = ray.put(need)
-
-    def collect_texts(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = pa.array([c in wanted for c in t["conv_id"].to_pylist()])
-        return t.filter(mask).select(["conv_id", "doc_text"])
-
-    texts_tbl = pa.concat_tables(
-        list(
-            conversations.map_batches(collect_texts, batch_format="pyarrow").iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            )
-        )
-    )
-    text_map = dict(
-        zip(texts_tbl["conv_id"].to_pylist(), texts_tbl["doc_text"].to_pylist())
-    )
-    text_ref = ray.put(text_map)
 
     def exact_confirm(batch: pa.Table) -> pa.Table:
         tm = ray.get(text_ref)

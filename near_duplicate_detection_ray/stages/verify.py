@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from ..config import NDDConfig
 from ..functions.hashing import hamming_distance
-from ..functions.similarity import containment_sorted, jaccard_sorted
+from ..functions.similarity import batch_jaccard_containment
 
 DUP_PAIRS_SCHEMA = pa.schema(
     [
@@ -44,19 +44,15 @@ class Verifier:
         n = batch.num_rows
         if n == 0:
             return pa.Table.from_pylist([], schema=DUP_PAIRS_SCHEMA)
-        # shingle sets travel as packed uint64 binary blobs (join-safe)
+        # shingle sets travel as packed uint64 binary blobs (join-safe);
+        # jaccard/containment for the whole batch come from ONE lexsort
+        # (functions/similarity.batch_jaccard_containment), not a per-pair loop
         blobs_a = batch["shingles_a"].to_pylist()
         blobs_b = batch["shingles_b"].to_pylist()
         sim_a = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         sim_b = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         hamming = hamming_distance(sim_a, sim_b).astype(np.int32)
-        jac = np.empty(n, dtype=np.float64)
-        cont = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            a = np.frombuffer(blobs_a[i], dtype=np.uint64)
-            b = np.frombuffer(blobs_b[i], dtype=np.uint64)
-            jac[i] = jaccard_sorted(a, b)
-            cont[i] = containment_sorted(a, b)
+        jac, cont = batch_jaccard_containment(blobs_a, blobs_b)
         # unified confirmation: jaccard-dups (method=minhash) AND
         # substring CANDIDATES (high containment, below-tau jaccard) in one
         # pass — the fused pipeline unions band- and anchor-buckets so a
@@ -86,32 +82,21 @@ def attach_signatures(pairs, signatures, num_partitions: int = 16,
 
     SEMI-JOIN REDUCTION first: candidate pairs touch only a fraction of the
     corpus, but a plain join would shuffle every signature row (wide shingle
-    blobs) twice.  The distinct endpoint ids are broadcast (``ray.put``) and
-    signatures are filtered before the join — the guide's semi-join pattern.
-    Above ``semi_filter_max_ids`` endpoints the set itself gets heavy, so fall
-    back to the plain join (a Bloom filter is the next step at that scale).
+    blobs) twice.  The distinct endpoint ids are computed OFF-DRIVER (per-block
+    unique -> remote tree merge, ``state/partitioning.distinct_values_ref``) and
+    applied as a vectorized ``pc.is_in`` mask — the driver never iterates the
+    pairs and no per-row Python runs.  Above ``semi_filter_max_ids`` endpoints
+    the value_set itself gets heavy, so fall back to the plain join (a Bloom
+    filter is the next step at that scale).
     """
-    import ray
+    from ..state.partitioning import distinct_values_ref, semi_filter
 
     side = signatures.select_columns(["conv_id", "shingles", "simhash"])
-    need: set = set()
-    for b in pairs.select_columns(["a", "b"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        need.update(b["a"].to_pylist())
-        need.update(b["b"].to_pylist())
-        if len(need) > semi_filter_max_ids:
-            need = None
-            break
-    if need:
-        need_ref = ray.put(need)
-
-        def keep_needed(t: pa.Table) -> pa.Table:
-            wanted = ray.get(need_ref)
-            mask = pa.array([c in wanted for c in t["conv_id"].to_pylist()])
-            return t.filter(mask)
-
-        side = side.map_batches(keep_needed, batch_format="pyarrow")
+    ids_ref, _n_ids = distinct_values_ref(
+        pairs, ["a", "b"], max_values=semi_filter_max_ids
+    )
+    if ids_ref is not None:
+        side = semi_filter(side, "conv_id", ids_ref)
     j = pairs.join(
         side,
         join_type="inner",

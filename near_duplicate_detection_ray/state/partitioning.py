@@ -52,6 +52,70 @@ def key_partitioned(ds, keys: list[str], num_partitions: int | None = None):
     return ds.repartition(num_partitions or default_partitions(), keys=keys)
 
 
+def distinct_values_ref(ds, cols: list[str], max_values: int | None = None):
+    """Distinct values across the given columns of ``ds``, computed OFF-DRIVER.
+
+    The scalable semi-join building block: per-block ``pc.unique`` inside map
+    tasks, then a tree of remote merge tasks (fan-in 64) — the driver never
+    iterates values, it only learns the final count and holds an ObjectRef to
+    the deduped Arrow array (zero-copy shared from the object store by every
+    task that applies the ``pc.is_in`` mask).
+
+    Returns ``(ids_ref, count)``; ``ids_ref`` is None when ``max_values`` is
+    given and exceeded (callers fall back to a plain shuffle join — a Bloom
+    filter is the next step at that scale).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def block_unique(t: pa.Table) -> pa.Table:
+        arrs = [t[c].combine_chunks() for c in cols]
+        return pa.table({"v": pc.unique(pa.concat_arrays(arrs))})
+
+    refs = ds.select_columns(cols).map_batches(
+        block_unique, batch_format="pyarrow"
+    ).to_arrow_refs()
+
+    @ray.remote
+    def merge(*tables):
+        arrs = [
+            t["v"].combine_chunks() for t in tables if t.num_rows and t.num_columns
+        ]
+        if not arrs:
+            return pa.table({"v": pa.array([], pa.string())})
+        return pa.table({"v": pc.unique(pa.concat_arrays(arrs))})
+
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 64]) for i in range(0, len(refs), 64)]
+
+    @ray.remote(num_returns=2)
+    def finalize(t):
+        vals = t["v"].combine_chunks() if t.num_rows and t.num_columns else pa.array([], pa.string())
+        if not isinstance(vals, pa.Array):
+            vals = pa.array([], pa.string())
+        return vals, len(vals)
+
+    ids_ref, n_ref = finalize.remote(refs[0])
+    n = int(ray.get(n_ref))
+    if max_values is not None and n > max_values:
+        return None, n
+    return ids_ref, n
+
+
+def semi_filter(ds, col: str, ids_ref):
+    """Keep only rows whose ``col`` value is in the broadcast id array —
+    ``pc.is_in`` with an object-store value_set; no per-row Python."""
+    import pyarrow.compute as pc
+    import ray
+
+    def keep(t):
+        ids = ray.get(ids_ref)
+        return t.filter(pc.is_in(t[col], value_set=ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def materialize_clean(ds):
     """``materialize()`` that also drops 0-row blocks.
 

@@ -79,6 +79,64 @@ def test_substring_pairs_sparse_corpus(sparse_docs_dir):
     assert set(zip(got["a"], got["b"])) == {("000000000000", "000000000001")}
 
 
+def test_batch_jaccard_containment_matches_scalar():
+    """The vectorized lexsort kernel must agree with the scalar per-pair
+    functions on random packed sets, including empty-set edge cases."""
+    from near_duplicate_detection_ray.functions.similarity import (
+        batch_jaccard_containment,
+        containment_sorted,
+        jaccard_sorted,
+    )
+
+    rng = np.random.default_rng(11)
+    sets = []
+    for _ in range(40):
+        k = int(rng.integers(0, 30))
+        sets.append(np.unique(rng.integers(0, 50, size=k).astype(np.uint64)))
+    sets.append(np.empty(0, dtype=np.uint64))  # force empty-vs-empty and empty-vs-nonempty
+    sets.append(np.empty(0, dtype=np.uint64))
+    pairs = [(i, j) for i in range(len(sets)) for j in range(i, len(sets))]
+    blobs_a = [sets[i].tobytes() for i, _ in pairs]
+    blobs_b = [sets[j].tobytes() for _, j in pairs]
+    jac, cont = batch_jaccard_containment(blobs_a, blobs_b)
+    for k, (i, j) in enumerate(pairs):
+        assert jac[k] == pytest.approx(jaccard_sorted(sets[i], sets[j]))
+        assert cont[k] == pytest.approx(containment_sorted(sets[i], sets[j]))
+
+
+def test_distinct_values_ref_off_driver(ray_session):
+    """distinct_values_ref must return the exact distinct union of the columns
+    and honor the max_values fallback."""
+    import ray
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.state.partitioning import (
+        distinct_values_ref,
+        semi_filter,
+    )
+
+    tbl = pa.table(
+        {
+            "a": pa.array([f"x{i % 7}" for i in range(100)], pa.string()),
+            "b": pa.array([f"y{i % 5}" for i in range(100)], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(6)
+    ids_ref, n = distinct_values_ref(ds, ["a", "b"])
+    assert n == 12
+    ids = ray.get(ids_ref)
+    assert set(ids.to_pylist()) == {f"x{i}" for i in range(7)} | {f"y{i}" for i in range(5)}
+
+    none_ref, n2 = distinct_values_ref(ds, ["a", "b"], max_values=5)
+    assert none_ref is None and n2 == 12
+
+    side = rd.from_arrow(
+        pa.table({"conv_id": pa.array(["x0", "x1", "z9"], pa.string())})
+    )
+    kept = semi_filter(side, "conv_id", ids_ref).to_pandas()
+    assert sorted(kept["conv_id"]) == ["x0", "x1"]
+
+
 def test_checkpoint_empty_stage(ray_session, tmp_path):
     """An empty stage dataset must checkpoint (empty parquet with schema) and
     resume from disk with the same schema."""
