@@ -136,7 +136,10 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8):
     import ray
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    # dense key -> name lookup: vectorized numpy fancy-index, no per-row dict
+    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nmap_ref = ray.put(lut)
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -149,10 +152,9 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8):
     )
 
     def label(batch: pa.Table) -> pa.Table:
-        nmap = ray.get(nmap_ref)
-        names = [nmap[k] for k in batch["c_nationkey"].to_pylist()]
+        names = ray.get(nmap_ref)[batch["c_nationkey"].to_numpy(zero_copy_only=False)]
         return pa.table(
-            {"n_name": pa.array(names, pa.string()), "o_totalprice": batch["o_totalprice"]}
+            {"n_name": pa.array(names.tolist(), pa.string()), "o_totalprice": batch["o_totalprice"]}
         )
 
     agg = lowcard_groupagg(
@@ -248,16 +250,16 @@ def supplier_balance_by_nation(sf_dir: str):
     import ray
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nmap_ref = ray.put(lut)
     ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
 
     def label(batch: pa.Table) -> pa.Table:
-        nmap = ray.get(nmap_ref)
+        names = ray.get(nmap_ref)[batch["s_nationkey"].to_numpy(zero_copy_only=False)]
         return pa.table(
             {
-                "n_name": pa.array(
-                    [nmap[k] for k in batch["s_nationkey"].to_pylist()], pa.string()
-                ),
+                "n_name": pa.array(names.tolist(), pa.string()),
                 "s_acctbal": batch["s_acctbal"],
             }
         )

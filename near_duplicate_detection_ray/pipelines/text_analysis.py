@@ -13,10 +13,20 @@ inline and asserted by the driver against ``oracle_sql()``.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.text import lang_id, quality_metrics, token_count
+from ..functions.text import LANG_STOPWORDS
+
+# ASCII punctuation / digit / letter classes — RE2 syntax, identical to the
+# Python regexes in functions/text.py (the scalar reference implementations,
+# pinned against these vectorized kernels by tests/test_round2_fixes.py).
+_PUNCT_PAT = r"[!-/:-@\[-`{-~]"
+_DIGIT_PAT = "[0-9]"
+_ALPHA_PAT = "[A-Za-z]"
+_TOKEN_PAT = r"\S+"
+_STRIP_CHARS = ".,!?;:\"'()"
 
 
 def _read_docs(sf_dir: str, columns=None):
@@ -25,17 +35,24 @@ def _read_docs(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _token_row_index(tokens: pa.ListArray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx per flattened token, tokens-per-row) for bincount aggregation."""
+    lens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.repeat(np.arange(n, dtype=np.int64), lens), lens
+
+
 def token_counts(sf_dir: str):
-    """doc_id, n_tokens (whitespace tokens; 0 for blank).
+    """doc_id, n_tokens (whitespace tokens; 0 for blank) — one vectorized
+    ``pc.count_substring_regex`` per batch, no Python per row.
 
     SQL parity: ``CASE WHEN trim(text)='' THEN 0 ELSE
     len(regexp_split_to_array(trim(text), '\\s+')) END``.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        counts = [token_count(t) for t in batch["text"].to_pylist()]
+        n = pc.count_substring_regex(batch["text"], pattern=_TOKEN_PAT)
         return pa.table(
-            {"doc_id": batch["doc_id"], "n_tokens": pa.array(counts, pa.int64())}
+            {"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
@@ -43,29 +60,95 @@ def token_counts(sf_dir: str):
 
 def quality_scores(sf_dir: str):
     """doc_id + ASCII-class quality ratios (exact int/int divisions — bitwise
-    reproducible in SQL)."""
+    reproducible in SQL).  Fully vectorized: character-class counts via
+    ``pc.count_substring_regex``, the stopword ratio via split -> flatten ->
+    ``pc.is_in`` -> ``np.bincount`` (no per-document Python loop)."""
+
+    stop_set = pa.array(sorted(LANG_STOPWORDS["en"]), pa.string())
 
     def fn(batch: pa.Table) -> pa.Table:
-        rows = [quality_metrics(t) for t in batch["text"].to_pylist()]
-        out = {"doc_id": batch["doc_id"]}
-        for k in ("punct_ratio", "digit_ratio", "alpha_ratio", "stopword_ratio"):
-            out[k] = pa.array([r[k] for r in rows], pa.float64())
-        out["n_chars"] = pa.array([int(r["n_chars"]) for r in rows], pa.int64())
-        out["n_tokens"] = pa.array([int(r["n_tokens"]) for r in rows], pa.int64())
-        return pa.table(out)
+        text = batch["text"]
+        n = batch.num_rows
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+        n_tokens = pc.cast(
+            pc.count_substring_regex(text, pattern=_TOKEN_PAT), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n_punct = pc.count_substring_regex(text, pattern=_PUNCT_PAT).to_numpy(zero_copy_only=False)
+        n_digit = pc.count_substring_regex(text, pattern=_DIGIT_PAT).to_numpy(zero_copy_only=False)
+        n_alpha = pc.count_substring_regex(text, pattern=_ALPHA_PAT).to_numpy(zero_copy_only=False)
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text), pattern=r"\s+"
+        )
+        row_idx, _ = _token_row_index(toks, n)
+        stripped = pc.utf8_trim(pc.utf8_lower(pc.list_flatten(toks)), characters=_STRIP_CHARS)
+        is_stop = pc.is_in(stripped, value_set=stop_set).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(row_idx, weights=is_stop, minlength=n)
+
+        denom_c = np.maximum(n_chars, 1).astype(np.float64)
+        denom_t = np.maximum(n_tokens, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "punct_ratio": pa.array(np.where(n_chars > 0, n_punct / denom_c, 0.0)),
+                "digit_ratio": pa.array(np.where(n_chars > 0, n_digit / denom_c, 0.0)),
+                "alpha_ratio": pa.array(np.where(n_chars > 0, n_alpha / denom_c, 0.0)),
+                "stopword_ratio": pa.array(np.where(n_tokens > 0, n_stop / denom_t, 0.0)),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+            }
+        )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+_LANGS = sorted(LANG_STOPWORDS)  # alphabetical == deterministic tie-break order
+
+
 def lang_id_docs(sf_dir: str):
-    """doc_id, lang_pred via the stopword-voting heuristic (no SQL oracle —
-    heuristic is not reasonably SQL-expressible; driver does a rows-only check,
-    unit tests pin the function)."""
+    """doc_id, lang_pred via stopword voting over {en, de, fr, es} —
+    vectorized: one regex cleanup + split per batch, one ``pc.is_in`` +
+    ``np.bincount`` per language, argmax with the alphabetical tie-break of
+    the scalar ``functions.text.lang_id`` (pinned by a parity test).
+    SQL parity: see ``oracle_sql()['lang_id_docs']``."""
+
+    stop_sets = {
+        lang: pa.array(sorted(sw), pa.string()) for lang, sw in LANG_STOPWORDS.items()
+    }
 
     def fn(batch: pa.Table) -> pa.Table:
-        preds = [lang_id(t) for t in batch["text"].to_pylist()]
+        n = batch.num_rows
+        cleaned = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch["text"]), pattern="[^a-z0-9']+", replacement=" "
+            )
+        )
+        toks = pc.split_pattern_regex(cleaned, pattern=r"\s+")
+        row_idx, _ = _token_row_index(toks, n)
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        word_count = np.bincount(row_idx, weights=nonempty, minlength=n)
+        votes = np.stack(
+            [
+                np.bincount(
+                    row_idx,
+                    weights=pc.is_in(flat, value_set=stop_sets[lang]).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    minlength=n,
+                )
+                for lang in _LANGS
+            ],
+            axis=1,
+        )  # (n, langs), tie-break = first (alphabetical) argmax
+        best = votes.max(axis=1)
+        pred = np.where(
+            (word_count == 0) | (best == 0),
+            "unknown",
+            np.asarray(_LANGS, dtype=object)[np.argmax(votes, axis=1)],
+        )
         return pa.table(
-            {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(pred.tolist(), pa.string())}
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

@@ -137,6 +137,65 @@ def test_distinct_values_ref_off_driver(ray_session):
     assert sorted(kept["conv_id"]) == ["x0", "x1"]
 
 
+TRICKY_TEXTS = [
+    "",
+    "   \t  ",
+    "The quick brown fox... and THE lazy dog!!",
+    "der die und das ist nicht mit",
+    "le la et les des en un une",
+    "el la y de que en un",
+    "123 456 !!! ??? ...",
+    "it's the (best) \"thing\", truly; on: a-list.",
+    "wordswithoutstops xyzzy plugh",
+    "the the the der der le le el el",  # exact vote ties -> alphabetical min
+    "a\nb\tc  d",
+    "ünïcödé tëxt mit der die und",
+]
+
+
+def test_vectorized_text_kernels_match_scalar(ray_session, tmp_path):
+    """token_counts / quality_scores / lang_id_docs (Arrow-kernel versions)
+    must agree with the scalar reference functions in functions/text.py."""
+    import os
+
+    from near_duplicate_detection_ray.functions.text import (
+        lang_id,
+        quality_metrics,
+        token_count,
+    )
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        lang_id_docs,
+        quality_scores,
+        token_counts,
+    )
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(TRICKY_TEXTS))), pa.int64()),
+                "text": pa.array(TRICKY_TEXTS, pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+
+    tc = token_counts(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert tc["n_tokens"].tolist() == [token_count(t) for t in TRICKY_TEXTS]
+
+    qs = quality_scores(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, text in enumerate(TRICKY_TEXTS):
+        ref = quality_metrics(text)
+        for k in ("punct_ratio", "digit_ratio", "alpha_ratio", "stopword_ratio"):
+            assert qs.loc[i, k] == pytest.approx(ref[k]), (k, text)
+        assert qs.loc[i, "n_chars"] == int(ref["n_chars"])
+        assert qs.loc[i, "n_tokens"] == int(ref["n_tokens"])
+
+    li = lang_id_docs(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert li["lang_pred"].tolist() == [lang_id(t) for t in TRICKY_TEXTS]
+
+
 def test_checkpoint_empty_stage(ray_session, tmp_path):
     """An empty stage dataset must checkpoint (empty parquet with schema) and
     resume from disk with the same schema."""
