@@ -48,13 +48,33 @@ def _ndd_clusters(sf_dir: str):
 
 
 def _ndd_dup_pairs(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
     from near_duplicate_detection_ray.pipelines.dedup import near_dup_pipeline
     from near_duplicate_detection_ray.sources.transcripts import (
         transcripts_from_documents,
     )
 
     res = near_dup_pipeline(transcripts_from_documents(sf_dir), include_substring=False)
-    return res["dup_pairs"].select_columns(["a", "b", "jaccard", "method"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        # round like the SQL oracle (engine jaccard is over hashed shingle
+        # sets, oracle over shingle strings — identical cardinalities, but
+        # float formatting must agree)
+        jac = np.round(t["jaccard"].to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "jaccard": pa.array(jac, pa.float64()),
+                "method": t["method"],
+            }
+        )
+
+    return res["dup_pairs"].select_columns(["a", "b", "jaccard", "method"]).map_batches(
+        finish, batch_format="pyarrow"
+    )
 
 
 def _assemble_transcripts(sf_dir: str):
@@ -92,25 +112,121 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": text_analysis.quality_scores,
         "length_class_docs": text_analysis.length_class,
         "validate_docs": text_analysis.validate_docs,
-        "lang_id_docs": text_analysis.lang_id_docs,            # rows-only
-        "doc_fingerprints": text_analysis.doc_fingerprints,    # rows-only (winnowing)
+        "lang_id_docs": text_analysis.lang_id_docs,            # SQL-checked
+        "doc_fingerprints": text_analysis.doc_fingerprints,    # SQL-checked (winnowing)
         "english_long_docs": text_analysis.english_long_docs,  # SQL-checked (pushdown)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
-        "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # rows-only
+        "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
-        # --- multimodal binary-column plumbing (stubbed decode; rows-only) ---
+        # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
         "media_feature_summary": multimodal.media_feature_summary,
-        # --- flagship transcript pipeline (engine-synthesized input; rows-only,
-        #     pinned by the NumPy oracle in pytest) ---
+        # --- flagship transcript pipeline (engine-synthesized input; SQL-checked
+        #     via the derived-corpus CTEs in oracle_sql, + NumPy oracle in pytest) ---
         "ndd_clusters": _ndd_clusters,
         "ndd_dup_pairs": _ndd_dup_pairs,
         "ndd_conversations": _assemble_transcripts,
     }
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks for the transcript-pipeline oracles: re-derive the
+# conversation corpus from documents exactly as
+# sources/transcripts.docs_to_transcript_batch + stages/assemble do (the
+# assemble normalization collapses turn separators to single spaces, so a
+# conversation's doc_text is just the lowercased token join).
+# ---------------------------------------------------------------------------
+
+_CONV_CTES = r"""
+base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+           trim(text) <> '' AS has_tokens
+    FROM documents
+), variants AS (
+    SELECT printf('doc%09d', doc_id) AS conv_id, doc_id, t, has_tokens, false AS is_m FROM base
+    UNION ALL
+    SELECT printf('doc%09d', doc_id) || 'e', doc_id, t, has_tokens, false FROM base WHERE doc_id % 10 = 7
+    UNION ALL
+    SELECT printf('doc%09d', doc_id) || 'm', doc_id, t, has_tokens, true FROM base WHERE doc_id % 10 = 3
+), exploded AS (
+    SELECT conv_id, doc_id, is_m, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
+    FROM variants WHERE has_tokens
+), rebuilt AS (
+    SELECT conv_id,
+           string_agg(CASE WHEN is_m AND (i % 29 = 0) THEN 'tok' || doc_id
+                           ELSE lower(tok) END, ' ' ORDER BY i) AS doc_text,
+           count(*) AS n_tok
+    FROM exploded GROUP BY conv_id
+), conv AS (
+    SELECT v.conv_id, coalesce(r.doc_text, '') AS doc_text, coalesce(r.n_tok, 0) AS n_tok
+    FROM variants v LEFT JOIN rebuilt r ON v.conv_id = r.conv_id
+)
+"""
+
+# Jaccard/containment pairs among fingerprint representatives of that corpus.
+_REP_PAIR_CTES = r"""
+, reps AS (
+    SELECT min(conv_id) AS conv_id, doc_text FROM conv GROUP BY doc_text
+), rtoks AS (
+    SELECT conv_id, regexp_split_to_array(doc_text, '\s+') AS t
+    FROM reps WHERE doc_text <> ''
+), rsh AS (
+    SELECT DISTINCT conv_id, s
+    FROM rtoks, UNNEST(
+        CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+        END
+    ) AS u(s)
+), rsizes AS (SELECT conv_id, count(*) AS n FROM rsh GROUP BY conv_id),
+rinter AS (
+    SELECT a.conv_id AS a, b.conv_id AS b, count(*) AS i
+    FROM rsh a JOIN rsh b ON a.s = b.s AND a.conv_id < b.conv_id
+    GROUP BY 1, 2
+), rjacc AS (
+    SELECT a, b, i * 1.0 / (sa.n + sb.n - i) AS jaccard,
+           i * 1.0 / least(sa.n, sb.n) AS containment
+    FROM rinter JOIN rsizes sa ON rinter.a = sa.conv_id
+                JOIN rsizes sb ON rinter.b = sb.conv_id
+)
+"""
+
+
+def _lang_id_sql() -> str:
+    """Stopword-voting language ID replayed in SQL from the same LANG_STOPWORDS
+    lists (alphabetical tie-break, 'unknown' on zero votes)."""
+    from near_duplicate_detection_ray.functions.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+
+    def inlist(lang: str) -> str:
+        return ", ".join(
+            "'" + w.replace("'", "''") + "'" for w in sorted(LANG_STOPWORDS[lang])
+        )
+
+    votes = ",\n           ".join(
+        f"count(*) FILTER (WHERE tok IN ({inlist(lang)})) AS s_{lang}" for lang in langs
+    )
+    tie_case = " ".join(f"WHEN s_{lang} = g THEN '{lang}'" for lang in langs[:-1])
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+            FROM documents
+        ), votes AS (
+            SELECT doc_id,
+           {votes}
+            FROM toks GROUP BY doc_id
+        ), scored AS (
+            SELECT *, greatest({', '.join('s_' + lang for lang in langs)}) AS g FROM votes
+        )
+        SELECT d.doc_id,
+               CASE WHEN s.doc_id IS NULL OR s.g = 0 THEN 'unknown'
+                    {tie_case} ELSE '{langs[-1]}' END AS lang_pred
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -295,6 +411,136 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, source
             FROM documents
             WHERE lang = 'en' AND n_chars > 300
+        """,
+        "lang_id_docs": _lang_id_sql(),
+        # SimHash basis is md5_low64(shingle string) == DuckDB
+        # md5_number_lower, so SQL recomputes the exact 64-bit signature via a
+        # per-bit majority vote, then joins pairs on bit_count(xor) <= radius.
+        # The engine's 4x16-bit banded search is EXACT for radius <= 3
+        # (pigeonhole), so both sides enumerate identical pairs.
+        "simhash_pairs_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), hs AS (SELECT doc_id, md5_number_lower(s) AS h FROM sh),
+            cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+            bits AS (
+                SELECT hs.doc_id, b.bit,
+                       sum(CAST((hs.h >> CAST(b.bit AS UBIGINT)) & 1 AS BIGINT)) AS ones
+                FROM hs, (SELECT unnest(range(0, 64)) AS bit) b
+                GROUP BY hs.doc_id, b.bit
+            ), sim AS (
+                SELECT bits.doc_id,
+                       CAST(sum(CASE WHEN 2 * bits.ones > cnt.n
+                                     THEN CAST(1 AS HUGEINT) << bits.bit
+                                     ELSE 0 END) AS UBIGINT) AS v
+                FROM bits JOIN cnt ON bits.doc_id = cnt.doc_id
+                GROUP BY bits.doc_id
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.v, b.v)) AS INTEGER) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.v, b.v)) <= 3
+        """,
+        # Winnowing replayed in SQL: positional shingles -> md5_number_lower ->
+        # per-window min with RIGHTMOST tie position -> distinct selected
+        # positions (Schleimer et al. SIGMOD'03, window 4, shingle width 5).
+        "doc_fingerprints": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ), shl AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                            ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                       END AS sl
+                FROM toks
+            ), sh0 AS (
+                SELECT doc_id, unnest(sl) AS s, unnest(range(1, len(sl) + 1)) AS pos FROM shl
+            ), sh AS (SELECT doc_id, pos, md5_number_lower(s) AS h FROM sh0),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            wins AS (
+                SELECT s.doc_id, w.pos AS win, min(s.h) AS m
+                FROM (SELECT sh.doc_id, sh.pos FROM sh JOIN cnt ON sh.doc_id = cnt.doc_id
+                      WHERE sh.pos <= cnt.n - 3 AND cnt.n > 4) w
+                JOIN sh s ON s.doc_id = w.doc_id AND s.pos BETWEEN w.pos AND w.pos + 3
+                GROUP BY s.doc_id, w.pos
+            ), sel AS (
+                SELECT w.doc_id, w.win, max(s.pos) AS j, any_value(w.m) AS m
+                FROM wins w JOIN sh s
+                  ON s.doc_id = w.doc_id AND s.pos BETWEEN w.win AND w.win + 3 AND s.h = w.m
+                GROUP BY w.doc_id, w.win
+            ), fps AS (SELECT DISTINCT doc_id, j, m FROM sel),
+            agg AS (
+                SELECT doc_id, count(*) AS n_fingerprints, min(m) AS min_fingerprint
+                FROM fps GROUP BY doc_id
+            ), small AS (
+                SELECT sh.doc_id, 1 AS n_fingerprints, min(sh.h) AS min_fingerprint
+                FROM sh JOIN cnt ON sh.doc_id = cnt.doc_id WHERE cnt.n <= 4
+                GROUP BY sh.doc_id
+            ), uni AS (SELECT * FROM agg UNION ALL SELECT * FROM small)
+            SELECT d.doc_id,
+                   CAST(coalesce(u.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+                   coalesce(u.min_fingerprint, CAST(0 AS UBIGINT)) AS min_fingerprint
+            FROM documents d LEFT JOIN uni u ON d.doc_id = u.doc_id
+        """,
+        "media_feature_summary": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+                   count(*) AS n_media,
+                   bit_xor(md5_number_lower(text)) AS checksum_xor
+            FROM documents GROUP BY 1
+        """,
+        "ndd_conversations": "WITH " + _CONV_CTES + """
+            SELECT conv_id, doc_text,
+                   CAST(greatest(1, CAST(ceil(n_tok / 30.0) AS BIGINT)) AS INTEGER) AS n_turns,
+                   CAST(n_tok AS INTEGER) AS n_tokens,
+                   md5(doc_text) AS fingerprint
+            FROM conv
+        """,
+        "ndd_dup_pairs": "WITH " + _CONV_CTES + _REP_PAIR_CTES + """
+            SELECT a, b, round(jaccard, 6) AS jaccard, 'minhash' AS method
+            FROM rjacc WHERE jaccard >= 0.8
+        """,
+        # Connected components via a recursive reachability CTE over
+        # exact-dup + jaccard-dup + confirmed-substring edges.  Substring
+        # candidacy is containment >= 0.9 AND jaccard < tau AND exact
+        # normalized-substring; the engine additionally requires an
+        # anchor-shingle collision, which holds w.h.p. (1 - (7/8)^k) for any
+        # non-trivial shared run.
+        "ndd_clusters": "WITH RECURSIVE " + _CONV_CTES + _REP_PAIR_CTES + """
+            , jpairs AS (SELECT a, b FROM rjacc WHERE jaccard >= 0.8),
+            cpairs AS (
+                SELECT j.a, j.b
+                FROM rjacc j JOIN reps ra ON j.a = ra.conv_id
+                             JOIN reps rb ON j.b = rb.conv_id
+                WHERE j.jaccard < 0.8 AND j.containment >= 0.9
+                  AND CASE WHEN length(ra.doc_text) <= length(rb.doc_text)
+                           THEN position(ra.doc_text IN rb.doc_text) > 0
+                           ELSE position(rb.doc_text IN ra.doc_text) > 0 END
+            ), xpairs AS (
+                SELECT r.conv_id AS a, c.conv_id AS b
+                FROM conv c JOIN reps r ON c.doc_text = r.doc_text
+                WHERE c.conv_id <> r.conv_id
+            ), edges AS (
+                SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs
+                UNION SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs
+                UNION SELECT a, b FROM xpairs UNION SELECT b, a FROM xpairs
+            ), reach(src, node) AS (
+                SELECT conv_id, conv_id FROM conv
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+            )
+            SELECT src AS conv_id, min(node) AS cluster_id FROM reach GROUP BY src
         """,
         "ann_cosine_topk": """
             WITH sims AS (

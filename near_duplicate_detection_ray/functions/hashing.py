@@ -31,6 +31,35 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> U64(31))
 
 
+def md5_low64(data: bytes | str) -> int:
+    """Low 64 bits of MD5 — bit-identical to DuckDB's ``md5_number_lower``
+    (verified: DuckDB's "lower" is bytes 8..16 of the digest, little-endian).
+    The SQL-checkable hash basis: operators whose DuckDB oracle must recompute
+    the hash (simhash pairs, winnowing fingerprints, media checksums) use this
+    instead of blake2b."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
+
+
+def md5_shingle_sets(texts: list[str], w: int) -> list[np.ndarray]:
+    """Per-doc sorted-unique uint64 sets of ``md5_low64`` over the w-token
+    shingle STRINGS of already-normalized text (functions/text.shingle_tokens
+    boundary rules).  The SQL-parity twin of the fast blake2b/polynomial
+    pipeline in ``shingle_hashes`` — same set semantics, reproducible with
+    ``md5_number_lower(shingle)`` in DuckDB."""
+    from .text import shingle_tokens, tokenize
+
+    sets: list[np.ndarray] = []
+    for t in texts:
+        sh = shingle_tokens(tokenize(t), w)
+        if not sh:
+            sets.append(np.empty(0, dtype=np.uint64))
+            continue
+        sets.append(np.unique(np.array([md5_low64(s) for s in sh], dtype=np.uint64)))
+    return sets
+
+
 def hash_token(token: str) -> int:
     """Stable 64-bit hash of one token (blake2b-8; never Python's salted hash)."""
     return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little")

@@ -108,16 +108,42 @@ def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
     return dup.map_batches(finish, batch_format="pyarrow")
 
 
+def md5_simhash_docs(sf_dir: str, cfg: NDDConfig | None = None):
+    """Per-doc 64-bit SimHash over ``md5_low64`` shingle-string hashes — the
+    SQL-checkable basis: DuckDB recomputes the identical value via
+    ``md5_number_lower(shingle)`` + per-bit majority vote (see
+    ``oracle_sql()['simhash_pairs_docs']``).  Same majority rule
+    (``functions/hashing.simhash_batch``) as the flagship blake2b-basis
+    signatures; only the 64-bit shingle fingerprint function differs."""
+    from ..functions.hashing import md5_shingle_sets, simhash_batch
+
+    cfg = cfg or DOCS_DEDUP_CFG
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sets = md5_shingle_sets(batch["doc_text"].to_pylist(), cfg.shingle_w)
+        sim = simhash_batch(sets)
+        degen = np.array([len(s) == 0 for s in sets], dtype=bool)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "simhash": pa.array(sim, pa.uint64()),
+                "is_degenerate": pa.array(degen),
+            }
+        )
+
+    return docs_as_conversations(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def simhash_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None, radius: int | None = None):
     """Document pairs whose 64-bit SimHashes are within ``radius`` Hamming
     bits, searched via banded SimHash chunks (4 x 16-bit bands: any pair
-    within radius<=3 shares at least one exact band — pigeonhole) and
-    verified exactly.  No SQL oracle (bit-level ops impractical in ANSI SQL);
-    correctness pinned by unit tests against brute force."""
+    within radius<=3 shares at least one exact band — pigeonhole, so the
+    banded search is EXACT) and verified exactly.  SimHash basis is
+    ``md5_low64`` over shingle strings so the DuckDB oracle can recompute it
+    (xor + bit_count pair join)."""
     cfg = cfg or DOCS_DEDUP_CFG
     radius = cfg.hamming_radius if radius is None else radius
-    convs = docs_as_conversations(sf_dir)
-    sigs = sign_conversations(convs, cfg).materialize()
+    sigs = md5_simhash_docs(sf_dir, cfg).materialize()
 
     n_chunks = 4  # 16-bit chunks; pigeonhole covers radius <= n_chunks - 1
 

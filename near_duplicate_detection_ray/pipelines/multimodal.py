@@ -104,15 +104,15 @@ class MediaFeaturizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         types = batch["media_type"].to_pylist()
+        from ..functions.hashing import md5_low64
+
         feats = np.stack(
             [self._decode(p, t) for p, t in zip(payloads, types)]
         ) if payloads else np.empty((0, FEATURE_DIM), dtype=np.float32)
-        checks = splitmix64(
-            np.frombuffer(
-                b"".join(
-                    hashlib.blake2b(p, digest_size=8).digest() for p in payloads
-                ) or b"", dtype=np.uint64,
-            )
+        # checksum basis is md5_low64 so the DuckDB oracle can recompute the
+        # per-type XOR rollup (bit_xor(md5_number_lower(...)))
+        checks = np.array(
+            [md5_low64(p) for p in payloads], dtype=np.uint64
         ) if payloads else np.empty(0, dtype=np.uint64)
         feat_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1), pa.float32()), FEATURE_DIM
@@ -150,18 +150,51 @@ def media_features(sf_dir: str, mode: str = "fake", concurrency=None,
 
 
 def media_feature_summary(sf_dir: str):
-    """Rows-only driver query: per media_type counts + feature checksum XOR
-    (stable across runs; exercises the full binary-column actor-pool path)."""
+    """Per-media_type counts + checksum XOR rollup, SQL-checked (DuckDB
+    ``bit_xor(md5_number_lower(text))`` per type).  Exercises the full
+    binary-column actor-pool path; per-block partial XOR/count partials (3-row
+    tables) stream to a tiny driver combine — no per-row driver loop."""
+    import pandas as pd
     import ray.data as rd
 
-    feats = media_features(sf_dir)
-    rows: dict[str, dict] = {}
-    for batch in feats.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        types = batch["media_type"].to_pylist()
-        checks = batch["checksum"].to_numpy(zero_copy_only=False)
-        for t, c in zip(types, checks):
-            r = rows.setdefault(t, {"media_type": t, "n_media": 0, "checksum_xor": 0})
-            r["n_media"] += 1
-            r["checksum_xor"] ^= int(c)
-    out = sorted(rows.values(), key=lambda r: r["media_type"])
-    return rd.from_items(out)
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "media_type": batch["media_type"].to_pylist(),
+                "checksum": batch["checksum"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("media_type")["checksum"]
+        agg = pd.DataFrame(
+            {
+                "n_media": g.size(),
+                "checksum_xor": g.agg(lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+            }
+        ).reset_index()
+        return pa.table(
+            {
+                "media_type": pa.array(agg["media_type"], pa.string()),
+                "n_media": pa.array(agg["n_media"].to_numpy(), pa.int64()),
+                "checksum_xor": pa.array(
+                    agg["checksum_xor"].to_numpy().astype(np.uint64), pa.uint64()
+                ),
+            }
+        )
+
+    parts = (
+        media_features(sf_dir)
+        .select_columns(["media_type", "checksum"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby("media_type")
+    out = pd.DataFrame(
+        {
+            "n_media": g["n_media"].sum(),
+            "checksum_xor": g["checksum_xor"].agg(
+                lambda s: np.bitwise_xor.reduce(s.to_numpy())
+            ),
+        }
+    ).reset_index()
+    out["checksum_xor"] = out["checksum_xor"].astype(np.uint64)
+    return rd.from_pandas(out.sort_values("media_type").reset_index(drop=True))

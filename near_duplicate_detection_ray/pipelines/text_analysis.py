@@ -216,28 +216,29 @@ def validate_docs(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str, window: int = 4):
-    """Winnowing fingerprints per document (rolling-hash doc fingerprinting;
-    SURVEY §2 M17 family): doc_id, n_fingerprints, min_fingerprint.  Rows-only
-    (winnowing is not reasonably SQL-expressible); pinned by unit tests."""
+    """Winnowing fingerprints per document (Schleimer et al. SIGMOD'03; SURVEY
+    §2 M17 family): doc_id, n_fingerprints, min_fingerprint.
+
+    Hash basis is ``md5_low64`` over the positional w-token shingle STRINGS of
+    the normalized text, so the DuckDB oracle can replay the winnowing
+    (``md5_number_lower`` + windowed min with rightmost-tie selection — see
+    ``oracle_sql()['doc_fingerprints']``)."""
     from ..config import DEFAULT_CONFIG
-    from ..functions.hashing import TokenHasher, shingle_hashes
-    from ..functions.text import normalize_text, tokenize, winnow_fingerprints
+    from ..functions.hashing import md5_low64
+    from ..functions.text import (
+        normalize_text,
+        shingle_tokens,
+        tokenize,
+        winnow_fingerprints,
+    )
 
     class Fingerprinter:
-        def __init__(self) -> None:
-            self.hasher = TokenHasher()
-
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import numpy as np
-
             n_fps, min_fps = [], []
             for text in batch["text"].to_pylist():
-                toks = tokenize(normalize_text(text))
-                hs = shingle_hashes(
-                    self.hasher.hash_tokens(toks), DEFAULT_CONFIG.shingle_w,
-                    unique=False,
-                )
-                fps = winnow_fingerprints(hs.tolist(), window)
+                sh = shingle_tokens(tokenize(normalize_text(text)), DEFAULT_CONFIG.shingle_w)
+                hs = [md5_low64(s) for s in sh]
+                fps = winnow_fingerprints(hs, window)
                 n_fps.append(len(fps))
                 min_fps.append(min(fps) if fps else 0)
             return pa.table(

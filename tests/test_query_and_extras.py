@@ -146,18 +146,19 @@ def test_winnow_fingerprints_properties():
 
 
 def test_simhash_pairs_match_bruteforce(ray_session):
+    """Banded-chunk search == brute force over the md5-basis simhashes
+    (pigeonhole exactness for radius <= 3)."""
     from near_duplicate_detection_ray.functions.hashing import hamming_distance
     from near_duplicate_detection_ray.pipelines.docs_dedup import (
         DOCS_DEDUP_CFG,
-        docs_as_conversations,
+        md5_simhash_docs,
         simhash_pairs_docs,
     )
-    from near_duplicate_detection_ray.stages.signatures import sign_conversations
 
     pairs = simhash_pairs_docs(SF).to_pandas()
     engine = set(zip(pairs["a"], pairs["b"]))
 
-    sigs = sign_conversations(docs_as_conversations(SF), DOCS_DEDUP_CFG).to_pandas()
+    sigs = md5_simhash_docs(SF, DOCS_DEDUP_CFG).to_pandas()
     sigs = sigs[~sigs["is_degenerate"]]
     ids = sigs["conv_id"].to_numpy()
     sims = sigs["simhash"].to_numpy().astype(np.uint64)
