@@ -196,6 +196,68 @@ def test_vectorized_text_kernels_match_scalar(ray_session, tmp_path):
     assert li["lang_pred"].tolist() == [lang_id(t) for t in TRICKY_TEXTS]
 
 
+@pytest.fixture(scope="module")
+def planted_emb_dir(ray_session, tmp_path_factory):
+    """300 embeddings: 250 background + 50 perturbed copies of the first 50
+    (cosine ~0.97 to their source) — the LSH recall corpus."""
+    import os
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((250, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:50] + 0.03 * rng.standard_normal((50, 64))  # noise norm ~0.24 -> cos ~0.97
+    mat = np.concatenate([base, dups]).astype(np.float32)
+    d = str(tmp_path_factory.mktemp("emb"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(len(mat))), pa.int64()),
+                "embedding": pa.array([row.tolist() for row in mat],
+                                      pa.list_(pa.float32())),
+                "label": pa.array([0] * len(mat), pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    return d
+
+
+def test_embedding_dup_pairs_block_exact_matches_bruteforce(planted_emb_dir):
+    """The block-pair exact path must equal the driver-side brute force."""
+    from near_duplicate_detection_ray.pipelines.ann import embedding_dup_pairs
+
+    t = pq.read_table(f"{planted_emb_dir}/embeddings.parquet")
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu = np.triu_indices(len(m), 1)
+    expected = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.9], iu[1][sims[iu] >= 0.9])
+    }
+    assert expected, "fixture must contain planted pairs"
+
+    got = embedding_dup_pairs(planted_emb_dir, threshold=0.9, num_blocks=5).to_pandas()
+    assert set(zip(got["a"], got["b"])) == expected
+
+
+def test_embedding_dup_pairs_lsh_recall(planted_emb_dir):
+    """LSH path recall >= 0.99 vs the exact path at threshold 0.9, with exact
+    precision (bucket members are verified with exact cosine)."""
+    from near_duplicate_detection_ray.pipelines.ann import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    exact = embedding_dup_pairs(planted_emb_dir, threshold=0.9, num_blocks=4).to_pandas()
+    lsh = embedding_dup_pairs_lsh(planted_emb_dir, threshold=0.9).to_pandas()
+    e = set(zip(exact["a"], exact["b"]))
+    l = set(zip(lsh["a"], lsh["b"]))
+    assert l <= e, "LSH emitted a pair below threshold (precision violation)"
+    recall = len(l & e) / len(e)
+    assert recall >= 0.99, f"LSH recall {recall:.3f} < 0.99"
+
+
 def test_checkpoint_empty_stage(ray_session, tmp_path):
     """An empty stage dataset must checkpoint (empty parquet with schema) and
     resume from disk with the same schema."""
