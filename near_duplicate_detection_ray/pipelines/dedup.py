@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 
 from ..config import NDDConfig
 from ..stages.assemble import assemble_conversations
-from ..stages.cluster import cluster_driver_unionfind
+from ..stages.cluster import cluster as cluster_components
 from ..stages.exact import annotate_reps
 from ..stages.lsh import candidate_pairs, explode_bands
 from ..stages.signatures import sign_conversations
@@ -58,6 +58,7 @@ def near_dup_pipeline(
     include_substring: bool = True,
     concurrency=None,
     num_partitions: int | None = None,
+    max_driver_edges: int | None = None,
 ):
     """Run the full pipeline; returns a dict of Datasets:
 
@@ -105,7 +106,7 @@ def near_dup_pipeline(
         sub_pairs = confirm_substring(sub_cand, conversations)
         edge_sets.append(sub_pairs)
 
-    clusters = cluster_driver_unionfind(conversations, edge_sets)
+    clusters = cluster_components(conversations, edge_sets, max_driver_edges)
 
     out = {
         "conversations": conversations,

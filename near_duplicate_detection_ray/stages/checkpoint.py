@@ -164,7 +164,7 @@ def checkpointed_near_dup_pipeline(
     import pyarrow.compute as pc
 
     from ..stages.assemble import assemble_conversations
-    from ..stages.cluster import cluster_driver_unionfind
+    from ..stages.cluster import cluster as cluster_components
     from ..stages.exact import annotate_reps
     from ..stages.lsh import candidate_pairs, explode_bands
     from ..stages.signatures import sign_conversations
@@ -228,7 +228,7 @@ def checkpointed_near_dup_pipeline(
         edges = [exact_edges(conversations.select_columns(["conv_id", "rep_id"])), dup]
         if sub_pairs is not None:
             edges.append(sub_pairs)
-        return cluster_driver_unionfind(conversations, edges)
+        return cluster_components(conversations, edges)
 
     clusters = ckpt.run_stage(
         "clusters",

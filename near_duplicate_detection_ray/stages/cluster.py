@@ -70,6 +70,31 @@ def cluster_driver_unionfind(conversations, edge_datasets):
     )
 
 
+DEFAULT_MAX_DRIVER_EDGES = 2_000_000
+
+
+def cluster(conversations, edge_datasets, max_driver_edges: int | None = None):
+    """Connected-components clustering with automatic scale dispatch:
+    edge sets are materialized in the object store and COUNTED (never pulled);
+    at or below ``max_driver_edges`` total the driver union-find runs (fast,
+    one pass), above it the distributed large-star/small-star path takes over
+    so the driver never holds an adversarial edge volume.  The two paths are
+    output-equivalent (asserted in tests/test_round2_fixes.py)."""
+    if max_driver_edges is None:
+        max_driver_edges = DEFAULT_MAX_DRIVER_EDGES
+    from ..state.partitioning import materialize_clean
+
+    mats = []
+    total = 0
+    for ds in edge_datasets:
+        m = materialize_clean(ds.select_columns(["a", "b"]))
+        mats.append(m)
+        total += m.count()
+    if total <= max_driver_edges:
+        return cluster_driver_unionfind(conversations, mats)
+    return propagate_labels(conversations, mats)
+
+
 def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):
     """Distributed connected components via alternating LARGE-STAR /
     SMALL-STAR rounds (Kiveris et al., "Connected Components in MapReduce and

@@ -258,6 +258,27 @@ def test_embedding_dup_pairs_lsh_recall(planted_emb_dir):
     assert recall >= 0.99, f"LSH recall {recall:.3f} < 0.99"
 
 
+def test_cluster_auto_switch_equivalence(ray_session):
+    """Forcing the distributed large-star/small-star path (max_driver_edges=0)
+    must yield exactly the same clusters as the driver union-find default."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.pipelines.dedup import near_dup_pipeline
+    from near_duplicate_detection_ray.sources.transcripts import synth_corpus
+
+    transcripts, _ = synth_corpus(seed=42)
+    ds = rd.from_arrow(transcripts)
+    default = (
+        near_dup_pipeline(ds, include_substring=True)["clusters"]
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    forced = (
+        near_dup_pipeline(ds, include_substring=True, max_driver_edges=0)["clusters"]
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert default.equals(forced)
+
+
 def test_checkpoint_empty_stage(ray_session, tmp_path):
     """An empty stage dataset must checkpoint (empty parquet with schema) and
     resume from disk with the same schema."""
