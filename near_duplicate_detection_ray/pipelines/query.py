@@ -46,7 +46,21 @@ class NearDupIndex:
         self.anchors: dict[int, list[str]] = {}  # anchor shingle -> convs (containment probe)
         self.shingles: dict[str, bytes] = {}
         self.rep_of: dict[str, str] = {}
+        self.ingest(signatures)
+        if rep_map is not None:
+            for batch in rep_map.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                self.rep_of.update(
+                    zip(batch["conv_id"].to_pylist(), batch["rep_id"].to_pylist())
+                )
+
+    def ingest(self, signatures) -> int:
+        """Insert (or refresh) signature rows — the incremental half of the
+        reference's ``update_index`` (``ndd/server_ndd.py:227-239``): only the
+        NEW/CHANGED rows are fed here (e.g. the changed buckets from
+        ``stages/incremental.IncrementalSignatureStore``), existing entries
+        stay untouched.  Returns the number of rows ingested."""
         mod = np.uint64(self.cfg.anchor_mod)
+        total = 0
         for batch in signatures.select_columns(
             ["conv_id", "minhash", "shingles", "is_degenerate"]
         ).iter_batches(batch_size=8192, batch_format="pyarrow"):
@@ -62,6 +76,7 @@ class NearDupIndex:
             bh = band_hashes(mh, self.cfg.bands, self.cfg.rows_per_band, self.cfg.seed)
             for i in range(n):
                 self.shingles[ids[i]] = blobs[i]
+                total += 1
                 if degen[i]:
                     continue
                 for h in bh[i]:
@@ -69,11 +84,19 @@ class NearDupIndex:
                 vals = np.frombuffer(blobs[i], dtype=np.uint64)
                 for a in vals[vals % mod == 0]:
                     self.anchors.setdefault(int(a), []).append(ids[i])
-        if rep_map is not None:
-            for batch in rep_map.iter_batches(batch_size=65536, batch_format="pyarrow"):
-                self.rep_of.update(
-                    zip(batch["conv_id"].to_pylist(), batch["rep_id"].to_pylist())
-                )
+        return total
+
+    def evict(self, conv_ids) -> int:
+        """Drop vanished conversations — the eviction half of ``update_index``
+        (``ndd/server_ndd.py:246-261``).  Inverted lists keep stale entries
+        (bounded by churn) and ``query_text`` filters on ``self.shingles``
+        membership, so eviction is O(removed), not O(index)."""
+        n = 0
+        for cid in conv_ids:
+            if self.shingles.pop(cid, None) is not None:
+                n += 1
+            self.rep_of.pop(cid, None)
+        return n
 
     def query_text(self, text: str, k: int = 30) -> list[dict]:
         """Ranked near-dup candidates for a raw conversation text — including
@@ -104,7 +127,10 @@ class NearDupIndex:
             cands.update(self.anchors.get(int(a), ()))
         scored = []
         for cid in cands:
-            other = np.frombuffer(self.shingles[cid], dtype=np.uint64)
+            blob = self.shingles.get(cid)
+            if blob is None:
+                continue  # evicted after indexing; stale inverted-list entry
+            other = np.frombuffer(blob, dtype=np.uint64)
             jac = jaccard_sorted(sh, other)
             cont = containment_sorted(sh, other)
             scored.append((cid, jac, cont))
@@ -146,6 +172,16 @@ class IndexActor:
 
     def query(self, text: str, k: int = 30) -> list[dict]:
         return self.index.query_text(text, k)
+
+    def ingest(self, signatures_path: str) -> int:
+        """Incremental refresh from a parquet path of NEW/CHANGED signature
+        rows (e.g. the changed buckets of an IncrementalSignatureStore)."""
+        import ray.data as rd
+
+        return self.index.ingest(rd.read_parquet(signatures_path))
+
+    def evict(self, conv_ids: list[str]) -> int:
+        return self.index.evict(conv_ids)
 
     def size(self) -> int:
         return len(self.index.shingles)

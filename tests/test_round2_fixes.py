@@ -279,6 +279,100 @@ def test_cluster_auto_switch_equivalence(ray_session):
     assert default.equals(forced)
 
 
+def test_incremental_signature_store(ray_session, tmp_path):
+    """T3/D4 parity: appending one conversation recomputes exactly one bucket;
+    removing a bucket's last conversation evicts its partition; reused buckets
+    do zero signing work; the store always equals a full recompute."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.functions.hashing import md5_low64
+    from near_duplicate_detection_ray.sources.transcripts import synth_corpus
+    from near_duplicate_detection_ray.stages.assemble import assemble_conversations
+    from near_duplicate_detection_ray.stages.incremental import IncrementalSignatureStore
+
+    N_BUCKETS = 64
+    transcripts, _ = synth_corpus(seed=42)
+    convs_tbl = (
+        assemble_conversations(rd.from_arrow(transcripts))
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    all_ids = convs_tbl["conv_id"].tolist()
+
+    def as_ds(df):
+        return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    store = IncrementalSignatureStore(str(tmp_path / "sigstore"), n_buckets=N_BUCKETS)
+
+    # initial build: every populated bucket computes
+    r1 = store.update(as_ds(convs_tbl))
+    assert r1["buckets_reused"] == [] and r1["rows_written"] == len(convs_tbl)
+    assert r1["signatures"].count() == len(convs_tbl)
+
+    # no-op rerun: everything reused, nothing written
+    r2 = store.update(as_ds(convs_tbl))
+    assert r2["buckets_changed"] == [] and r2["buckets_evicted"] == []
+    assert r2["rows_written"] == 0
+    assert sorted(r2["buckets_reused"]) == sorted(r1["buckets_changed"])
+
+    # append ONE conversation -> exactly its bucket recomputes
+    new_row = convs_tbl.iloc[[0]].copy()
+    new_row["conv_id"] = "zzz-new-conv"
+    appended = __import__("pandas").concat([convs_tbl, new_row], ignore_index=True)
+    r3 = store.update(as_ds(appended))
+    assert r3["buckets_changed"] == [md5_low64("zzz-new-conv") % N_BUCKETS]
+    assert r3["buckets_evicted"] == []
+    assert r3["signatures"].count() == len(appended)
+
+    # remove a conversation that is ALONE in its bucket -> eviction
+    buckets = {c: md5_low64(c) % N_BUCKETS for c in appended["conv_id"]}
+    from collections import Counter
+
+    counts = Counter(buckets.values())
+    lone = next(c for c in appended["conv_id"] if counts[buckets[c]] == 1)
+    removed = appended[appended["conv_id"] != lone].reset_index(drop=True)
+    r4 = store.update(as_ds(removed))
+    assert r4["buckets_evicted"] == [buckets[lone]]
+    assert r4["buckets_changed"] == []
+    sig_ids = set(r4["signatures"].to_pandas()["conv_id"])
+    assert sig_ids == set(removed["conv_id"])  # evicted conv is gone
+
+
+def test_index_incremental_ingest_and_evict(ray_session):
+    """NearDupIndex.ingest adds new conversations without a rebuild and
+    evict removes them from query results (update_index parity)."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.config import NDDConfig
+    from near_duplicate_detection_ray.pipelines.query import NearDupIndex
+    from near_duplicate_detection_ray.sources.transcripts import synth_corpus
+    from near_duplicate_detection_ray.stages.assemble import assemble_conversations
+    from near_duplicate_detection_ray.stages.signatures import sign_conversations
+
+    transcripts, _ = synth_corpus(seed=42)
+    convs = assemble_conversations(rd.from_arrow(transcripts)).to_pandas()
+    base = convs[convs["conv_id"] != "u00000"].reset_index(drop=True)
+    extra = convs[convs["conv_id"] == "u00000"].reset_index(drop=True)
+    probe_text = extra["doc_text"].iloc[0]
+
+    def sigs_of(df):
+        return sign_conversations(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)), NDDConfig()
+        )
+
+    idx = NearDupIndex(sigs_of(base), NDDConfig())
+    before = {h["conv_id"] for h in idx.query_text(probe_text)}
+
+    added = idx.ingest(sigs_of(extra))
+    assert added == 1
+    after = {h["conv_id"] for h in idx.query_text(probe_text)}
+    assert "u00000" in after and "u00000" not in before
+
+    assert idx.evict(["u00000"]) == 1
+    gone = {h["conv_id"] for h in idx.query_text(probe_text)}
+    assert "u00000" not in gone
+    assert idx.evict(["u00000"]) == 0  # idempotent
+
+
 def test_checkpoint_empty_stage(ray_session, tmp_path):
     """An empty stage dataset must checkpoint (empty parquet with schema) and
     resume from disk with the same schema."""
