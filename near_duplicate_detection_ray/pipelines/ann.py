@@ -22,9 +22,9 @@ from ..functions.similarity import cosine_topk_block
 
 
 def _read_emb(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..sources.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
 def _emb_matrix(batch: pa.Table) -> np.ndarray:

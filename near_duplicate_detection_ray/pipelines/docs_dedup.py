@@ -24,9 +24,9 @@ DOCS_DEDUP_CFG = NDDConfig()  # shared shingle/signature config for doc queries
 
 
 def _read_docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..sources.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def docs_as_conversations(sf_dir: str):

@@ -66,7 +66,9 @@ def media_from_documents(sf_dir: str):
             schema=MEDIA_SCHEMA,
         )
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+    from ..sources.io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
 

@@ -23,9 +23,9 @@ from ..functions.groupagg import lowcard_groupagg
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from ..sources.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round_floats(ds, cols: list[str], digits: int = 4):

@@ -30,9 +30,9 @@ _STRIP_CHARS = ".,!?;:\"'()"
 
 
 def _read_docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..sources.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _token_row_index(tokens: pa.ListArray, n: int) -> tuple[np.ndarray, np.ndarray]:

@@ -239,9 +239,9 @@ def docs_to_transcript_batch(batch: pa.Table) -> pa.Table:
 def transcripts_from_documents(sf_dir: str):
     """Streaming Dataset of transcripts derived from ``{sf_dir}/documents.parquet``
     (columns pruned at the read)."""
-    import ray.data as rd
+    from .io import read_parquet_clean
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(docs_to_transcript_batch, batch_format="pyarrow")
 
 
@@ -309,11 +309,10 @@ def bench_transcripts(sf_dir: str, reps: int = 6):
     The single-file parquet source yields one block; repartition the (tiny)
     doc table first so the row-local expansion parallelizes across the
     cluster instead of running in one task."""
-    import ray.data as rd
-
     from ..state.partitioning import default_partitions
+    from .io import read_parquet_clean
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.repartition(default_partitions()).map_batches(
         make_bench_expander(reps), batch_format="pyarrow"
     )
