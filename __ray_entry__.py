@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "user_sessions": relational.user_sessions,
+        "session_event_stats": relational.session_event_stats,  # interval join (J1)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "quality_docs": text_analysis.quality_scores,
@@ -300,6 +301,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "session_event_stats": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS t_start, max(ts) AS t_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

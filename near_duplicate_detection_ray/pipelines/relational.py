@@ -319,3 +319,66 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     return key_partitioned(ds, ["user_id"]).map_batches(
         block, batch_format="pandas", batch_size=None
     )
+
+
+def user_session_intervals(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session INTERVALS (user_id, session_id, t_start, t_end):
+    the interval-producing half of sessionization — one keyed shuffle on
+    user_id, vectorized block-local gap detection (same rule as
+    ``user_sessions``)."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_id", pa.int64()),
+            ("t_start", pa.timestamp("us")),
+            ("t_end", pa.timestamp("us")),
+        ]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=schema)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev_ts = df.groupby("user_id")["ts"].shift(1)
+        new_session = (prev_ts.isna() | ((df["ts"] - prev_ts) > gap)).astype("int64")
+        df = df.assign(session_id=new_session.groupby(df["user_id"]).cumsum())
+        g = df.groupby(["user_id", "session_id"])
+        out = g["ts"].agg(t_start="min", t_end="max").reset_index()
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    return key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+
+
+def session_event_stats(sf_dir: str, gap_minutes: int = 30):
+    """Events matched back into their session INTERVALS via the general keyed
+    interval join (``stages/rangejoin.interval_join`` — SURVEY §2 J1), then a
+    grouped rollup: (user_id, session_id, t_start, t_end, n_events).
+
+    Every event falls in exactly one session interval (sessions partition a
+    user's timeline with > gap between them), so the rollup reproduces the
+    session sizes — which is what the windowed-SQL oracle computes
+    independently via a running new-session sum."""
+    from ..functions.groupagg import highcard_groupagg
+    from ..stages.rangejoin import interval_join
+
+    points = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    intervals = user_session_intervals(sf_dir, gap_minutes)
+    joined = interval_join(
+        points, intervals, key=["user_id"], point_col="ts",
+        lo_col="t_start", hi_col="t_end", closed="both",
+    )
+    stats = highcard_groupagg(
+        joined.select_columns(["user_id", "session_id", "t_start", "t_end"]),
+        ["user_id", "session_id", "t_start", "t_end"],
+        [([], "count_all")],
+        {"count_all": "n_events"},
+    )
+    return stats

@@ -373,6 +373,44 @@ def test_index_incremental_ingest_and_evict(ray_session):
     assert idx.evict(["u00000"]) == 0  # idempotent
 
 
+def test_interval_join_matches_bruteforce(ray_session):
+    """interval_join over random overlapping intervals == pandas brute force,
+    for both closed='both' and closed='left'."""
+    import pandas as pd
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.stages.rangejoin import interval_join
+
+    rng = np.random.default_rng(5)
+    n_keys = 6
+    pts = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, 200),
+            "p": rng.integers(0, 100, 200),
+            "pid": np.arange(200),
+        }
+    )
+    lo = rng.integers(0, 90, 60)
+    ivs = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys + 2, 60),  # some keys have no points
+            "lo": lo,
+            "hi": lo + rng.integers(0, 40, 60),  # overlapping, variable length
+            "iid": np.arange(60),
+        }
+    )
+    for closed in ("both", "left"):
+        got = interval_join(
+            rd.from_pandas(pts), rd.from_pandas(ivs),
+            key=["k"], point_col="p", lo_col="lo", hi_col="hi", closed=closed,
+        ).to_pandas()
+        merged = pts.merge(ivs, on="k")
+        upper = merged["p"] <= merged["hi"] if closed == "both" else merged["p"] < merged["hi"]
+        expect = merged[(merged["p"] >= merged["lo"]) & upper]
+        assert set(zip(got["pid"], got["iid"])) == set(zip(expect["pid"], expect["iid"])), closed
+        assert len(got) == len(expect)
+
+
 def test_checkpoint_empty_stage(ray_session, tmp_path):
     """An empty stage dataset must checkpoint (empty parquet with schema) and
     resume from disk with the same schema."""
