@@ -38,6 +38,16 @@ class NDDConfig:
     bucket_cap: int = 2000        # max members of one LSH bucket before capping
     anchor_mod: int = 8           # substring pass: keep shingles with hash % anchor_mod == 0
     containment_tau: float = 0.9  # shingle containment threshold for substring dups
+    # M4 analogue (shot-edge frame exclusion, reference extract_images.py:39-41):
+    # drop the first/last N tokens before shingling; 0 = off (shingles over the
+    # full token sequence, the oracle-checked default)
+    edge_exclude_tokens: int = 0
+    # M7 analogue (letterbox trim, reference utils.py:21-33): strip shared
+    # boilerplate preambles before signing (see stages/boilerplate.py)
+    strip_boilerplate: bool = False
+    boilerplate_prefix_tokens: int = 16   # prefix-fingerprint width for grouping
+    boilerplate_min_count: int = 8        # group size at which a preamble is "hot"
+    boilerplate_residual_tokens: int = 5  # never strip a doc below this many tokens
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

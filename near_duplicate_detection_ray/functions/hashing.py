@@ -127,6 +127,17 @@ def shingle_hashes(token_hashes: np.ndarray, w: int, unique: bool = True) -> np.
     return hashed
 
 
+def apply_edge_exclusion(token_hashes: np.ndarray, exclude: int) -> np.ndarray:
+    """M4 analogue of the reference's shot-edge frame exclusion
+    (``ndd/extract_images.py:39-41``): drop the first/last ``exclude`` tokens
+    before shingling.  Falls back to the full sequence when the doc is too
+    short (< 2*exclude + 1 tokens) so short docs still participate.  Shared by
+    the engine Signer and the NumPy oracle — must stay bit-identical."""
+    if exclude <= 0 or len(token_hashes) <= 2 * exclude:
+        return token_hashes
+    return token_hashes[exclude:-exclude]
+
+
 def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Seeded (a, b) parameter vectors for h_p(s) = a_p * s + b_p (mod 2**64).
 

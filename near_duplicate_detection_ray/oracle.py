@@ -16,7 +16,14 @@ from dataclasses import dataclass
 import numpy as np
 
 from .config import NDDConfig
-from .functions.hashing import TokenHasher, minhash_batch, minhash_params, shingle_hashes, simhash_batch
+from .functions.hashing import (
+    TokenHasher,
+    apply_edge_exclusion,
+    minhash_batch,
+    minhash_params,
+    shingle_hashes,
+    simhash_batch,
+)
 from .functions.similarity import containment_sorted, jaccard_sorted
 from .functions.text import normalize_text, tokenize
 from .functions.unionfind import UnionFind
@@ -30,6 +37,34 @@ class OracleDoc:
     fingerprint: str      # md5 hex of normalized text
 
 
+def oracle_strip_boilerplate(docs: dict[str, str], cfg: NDDConfig) -> dict[str, str]:
+    """Driver-side mirror of ``stages/boilerplate.strip_boilerplate`` (M7):
+    group normalized docs by first-k-token prefix fingerprint; for groups of
+    >= boilerplate_min_count members remove the token-level longest common
+    prefix (computed from the lexicographic min/max), never dropping a doc
+    below boilerplate_residual_tokens tokens."""
+    from .stages.boilerplate import strip_tokens, token_lcp
+
+    k = cfg.boilerplate_prefix_tokens
+    normed = {cid: normalize_text(t) for cid, t in docs.items()}
+    groups: dict[str, list[str]] = {}
+    for cid, t in normed.items():
+        toks = t.split(" ") if t else []
+        groups.setdefault(" ".join(toks[:k]), []).append(cid)
+    out = dict(normed)
+    for _, members in groups.items():
+        texts = [normed[c] for c in members]
+        if len(members) < cfg.boilerplate_min_count or not texts[0]:
+            continue
+        lcp = token_lcp(min(texts).split(" "), max(texts).split(" "))
+        if lcp == 0:
+            continue
+        for c in members:
+            toks = normed[c].split(" ") if normed[c] else []
+            out[c] = " ".join(strip_tokens(toks, lcp, cfg.boilerplate_residual_tokens))
+    return out
+
+
 def oracle_docs(docs: dict[str, str], cfg: NDDConfig) -> list[OracleDoc]:
     """Normalize + shingle every document with the shared config."""
     hasher = TokenHasher()
@@ -40,7 +75,8 @@ def oracle_docs(docs: dict[str, str], cfg: NDDConfig) -> list[OracleDoc]:
         if len(toks) < cfg.min_tokens:
             sh = np.empty(0, dtype=np.uint64)
         else:
-            sh = shingle_hashes(hasher.hash_tokens(toks), cfg.shingle_w)
+            th = apply_edge_exclusion(hasher.hash_tokens(toks), cfg.edge_exclude_tokens)
+            sh = shingle_hashes(th, cfg.shingle_w)
         out.append(
             OracleDoc(
                 conv_id=conv_id,

@@ -71,9 +71,13 @@ def near_dup_pipeline(
     instead — see stages/checkpoint.py); everything else streams.
     """
     cfg = cfg or NDDConfig()
+    assembled = assemble_conversations(transcripts, num_partitions)
+    if cfg.strip_boilerplate:
+        from ..stages.boilerplate import strip_boilerplate
+
+        assembled = strip_boilerplate(assembled, cfg, num_partitions)
     conversations = materialize_clean(
-        annotate_reps(assemble_conversations(transcripts, num_partitions),
-                      num_partitions=num_partitions)
+        annotate_reps(assembled, num_partitions=num_partitions)
     )
     rep_map = conversations.select_columns(["conv_id", "rep_id"])
     reps = conversations.map_batches(

@@ -116,7 +116,10 @@ class NearDupIndex:
         toks = tokenize(norm)
         if len(toks) < self.cfg.min_tokens:
             return []
-        sh = shingle_hashes(self.hasher.hash_tokens(toks), self.cfg.shingle_w)
+        from ..functions.hashing import apply_edge_exclusion
+
+        th = apply_edge_exclusion(self.hasher.hash_tokens(toks), self.cfg.edge_exclude_tokens)
+        sh = shingle_hashes(th, self.cfg.shingle_w)
         mh = minhash_batch([sh], self.a, self.b)
         bh = band_hashes(mh, self.cfg.bands, self.cfg.rows_per_band, self.cfg.seed)[0]
         cands: set[str] = set()

@@ -16,6 +16,7 @@ import pyarrow as pa
 from ..config import NDDConfig
 from ..functions.hashing import (
     TokenHasher,
+    apply_edge_exclusion,
     hash_token,
     minhash_batch,
     minhash_params,
@@ -92,6 +93,7 @@ class Signer:
                 degenerate[i] = True
                 shingle_sets.append(np.empty(0, dtype=np.uint64))
             else:
+                th = apply_edge_exclusion(th, cfg.edge_exclude_tokens)
                 shingle_sets.append(shingle_hashes(th, cfg.shingle_w))
         mh = minhash_batch(shingle_sets, self.a, self.b)  # (n, k)
         sh = simhash_batch(shingle_sets)

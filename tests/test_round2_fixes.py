@@ -411,6 +411,68 @@ def test_interval_join_matches_bruteforce(ray_session):
         assert len(got) == len(expect)
 
 
+def test_edge_exclusion_oracle_matched(ray_session):
+    """M4 knob: shingle edge exclusion active in engine AND oracle -> cluster
+    assignments still agree; and the knob changes signatures (sanity)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.config import NDDConfig
+    from near_duplicate_detection_ray.functions.hashing import apply_edge_exclusion
+    from near_duplicate_detection_ray.oracle import oracle_clusters
+    from near_duplicate_detection_ray.pipelines.dedup import near_dup_pipeline
+    from near_duplicate_detection_ray.sources.transcripts import corpus_docs, synth_corpus
+
+    assert list(apply_edge_exclusion(np.arange(10, dtype=np.uint64), 3)) == list(range(3, 7))
+    assert list(apply_edge_exclusion(np.arange(6, dtype=np.uint64), 3)) == list(range(6))
+    assert list(apply_edge_exclusion(np.arange(10, dtype=np.uint64), 0)) == list(range(10))
+
+    cfg = NDDConfig(edge_exclude_tokens=3)
+    transcripts, _ = synth_corpus(seed=42)
+    res = near_dup_pipeline(rd.from_arrow(transcripts), cfg, include_substring=False)
+    clusters = res["clusters"].to_pandas().set_index("conv_id")["cluster_id"]
+    oc = pd.Series(oracle_clusters(corpus_docs(transcripts), cfg))
+    assert (clusters.reindex(oc.index) == oc).all()
+
+
+def test_boilerplate_strip_oracle_matched(ray_session):
+    """M7 knob: engine pipeline with strip_boilerplate=True reproduces the
+    oracle clusters computed over driver-side-stripped docs, and the shared
+    preamble is actually removed from the boilerplate family."""
+    import pandas as pd
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.config import NDDConfig
+    from near_duplicate_detection_ray.oracle import (
+        oracle_clusters,
+        oracle_strip_boilerplate,
+    )
+    from near_duplicate_detection_ray.pipelines.dedup import near_dup_pipeline
+    from near_duplicate_detection_ray.sources.transcripts import corpus_docs, synth_corpus
+
+    cfg = NDDConfig(strip_boilerplate=True)
+    transcripts, truth = synth_corpus(seed=42)
+    res = near_dup_pipeline(rd.from_arrow(transcripts), cfg, include_substring=False)
+
+    convs = res["conversations"].to_pandas().set_index("conv_id")
+    docs = corpus_docs(transcripts)
+    stripped = oracle_strip_boilerplate(docs, cfg)
+    boiler_ids = [
+        t for t, fam in zip(truth["conv_id"].to_pylist(), truth["family_id"].to_pylist())
+        if fam == "fam_boiler"
+    ]
+    assert len(boiler_ids) >= cfg.boilerplate_min_count
+    for cid in boiler_ids:
+        assert convs.loc[cid, "doc_text"] == stripped[cid]
+        assert len(stripped[cid]) < len(docs[cid])  # preamble actually removed
+
+    clusters = res["clusters"].to_pandas().set_index("conv_id")["cluster_id"]
+    oc = pd.Series(oracle_clusters(stripped, cfg))
+    assert (clusters.reindex(oc.index) == oc).all()
+    # stripped boilerplate convs no longer form one mega-family
+    assert clusters.loc[boiler_ids].nunique() == len(boiler_ids)
+
+
 def test_checkpoint_empty_stage(ray_session, tmp_path):
     """An empty stage dataset must checkpoint (empty parquet with schema) and
     resume from disk with the same schema."""
