@@ -89,10 +89,10 @@ def attach_signatures(pairs, signatures, num_partitions: int = 16,
     the value_set itself gets heavy, so fall back to the plain join (a Bloom
     filter is the next step at that scale).
     """
-    from ..state.partitioning import distinct_values_ref, semi_filter
+    from ..state.partitioning import endpoint_stats, semi_filter
 
     side = signatures.select_columns(["conv_id", "shingles", "simhash"])
-    ids_ref, _n_ids = distinct_values_ref(
+    ids_ref, _n_ids, key_counts = endpoint_stats(
         pairs, ["a", "b"], max_values=semi_filter_max_ids
     )
     if ids_ref is not None:
@@ -109,15 +109,22 @@ def attach_signatures(pairs, signatures, num_partitions: int = 16,
     j = j.rename_columns(
         {"shingles": "shingles_a", "simhash": "simhash_a"}
     )
-    # Empty-block scrub between the two joins: when distinct pairs are fewer
-    # than num_partitions, join #1 emits zero-column blocks for its empty
-    # partitions, which crash join #2 inside Acero ("No match or multiple
-    # matches for key field FieldRef.Name(b)") — the Ray 2.49 failure
-    # state/partitioning.materialize_clean documents.  The joined-1 table is
-    # bounded by the candidate-pair volume, so the barrier is cheap.
-    from ..state.partitioning import materialize_clean
+    # Empty-block scrub between the two joins: when distinct join keys are few
+    # relative to num_partitions, join #1 emits zero-column blocks for its
+    # empty partitions, which crash join #2 inside Acero ("No match or
+    # multiple matches for key field FieldRef.Name(b)") — the Ray 2.49 failure
+    # state/partitioning.materialize_clean documents.  The barrier costs one
+    # extra shuffle-bearing execution (aggregator-actor spawn), so it runs
+    # ONLY in the sparse regime where empties are plausible: with >= 64
+    # distinct values of BOTH join keys per partition, P[any empty partition]
+    # <= 2 * P * e^-64 ~ 0 (keys hash independently) and the barrier is
+    # skipped.  Per-column counts matter — a capped hot bucket can emit a
+    # star whose 'a' column has few distinct values even when endpoints are
+    # many.
+    if min(key_counts.values()) < 64 * num_partitions:
+        from ..state.partitioning import materialize_clean
 
-    j = materialize_clean(j)
+        j = materialize_clean(j)
     j = j.join(
         side,
         join_type="inner",

@@ -29,8 +29,13 @@ def enable_hash_shuffle() -> None:
     # process-spawn cost dominates small/medium runs (measured: 38 s for a
     # 2-shuffle graph over a few MB).  Cap aggregators well below the
     # partition count; each aggregator then serves multiple partitions.
+    import os
+
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+    override = os.environ.get("NDD_SHUFFLE_AGGS")
+    ctx.max_hash_shuffle_aggregators = (
+        int(override) if override else max(2, cpus // 2)
+    )
 
 
 def default_partitions(scale: int = 1, floor: int = 4) -> int:
@@ -101,6 +106,109 @@ def distinct_values_ref(ds, cols: list[str], max_values: int | None = None):
     if max_values is not None and n > max_values:
         return None, n
     return ids_ref, n
+
+
+def endpoint_stats(ds, cols: list[str], max_values: int | None = None):
+    """ONE off-driver pass over ``ds`` returning
+    ``(ids_ref, n_ids, per_col_counts)``: the deduped union of the columns'
+    values as an object-store ref (None if over ``max_values``), its size,
+    and each column's distinct count.  Fuses ``distinct_values_ref`` +
+    ``distinct_counts`` so the verify path pays one execution, not two."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def block_unique(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = pc.unique(t[c].combine_chunks())
+            vals.append(u)
+            names.append(pa.array([c] * len(u), pa.string()))
+        return pa.table({"c": pa.concat_arrays(names), "v": pa.concat_arrays(vals)})
+
+    refs = ds.select_columns(cols).map_batches(
+        block_unique, batch_format="pyarrow"
+    ).to_arrow_refs()
+
+    @ray.remote
+    def merge(*tables):
+        live = [t for t in tables if t.num_rows and t.num_columns]
+        if not live:
+            return pa.table({"c": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string())})
+        return pa.concat_tables(live).group_by(["c", "v"]).aggregate([])
+
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 64]) for i in range(0, len(refs), 64)]
+
+    @ray.remote(num_returns=2)
+    def finalize(t):
+        if not t.num_rows:
+            return pa.array([], pa.string()), {}
+        agg = t.group_by(["c"]).aggregate([([], "count_all")])
+        counts = dict(zip(agg["c"].to_pylist(), agg["count_all"].to_pylist()))
+        ids = pc.unique(t["v"].combine_chunks())
+        return ids, counts
+
+    ids_ref, meta_ref = finalize.remote(refs[0])
+    counts = {c: int(v) for c, v in ray.get(meta_ref).items()}
+    counts = {c: counts.get(c, 0) for c in cols}
+    n_ids = 0
+    # n_ids <= sum of per-col counts; exact size needs the array length —
+    # fetch it via a tiny remote len() so the driver never pulls the values
+    @ray.remote
+    def arr_len(a):
+        return len(a)
+
+    n_ids = int(ray.get(arr_len.remote(ids_ref)))
+    if max_values is not None and n_ids > max_values:
+        return None, n_ids, counts
+    return ids_ref, n_ids, counts
+
+
+def distinct_counts(ds, cols: list[str]) -> dict[str, int]:
+    """Per-column distinct-value counts, computed off-driver in one pass
+    (per-block unique tagged by column -> remote tree merge -> counts).  Used
+    to decide whether a join's hash partitions can be empty (the Acero
+    empty-block hazard) without shipping any values to the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def block_unique(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = pc.unique(t[c].combine_chunks())
+            vals.append(u)
+            names.append(pa.array([c] * len(u), pa.string()))
+        return pa.table(
+            {"c": pa.concat_arrays(names), "v": pa.concat_arrays(vals)}
+        )
+
+    refs = ds.select_columns(cols).map_batches(
+        block_unique, batch_format="pyarrow"
+    ).to_arrow_refs()
+
+    @ray.remote
+    def merge(*tables):
+        live = [t for t in tables if t.num_rows and t.num_columns]
+        if not live:
+            return pa.table({"c": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string())})
+        return pa.concat_tables(live).group_by(["c", "v"]).aggregate([])
+
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 64]) for i in range(0, len(refs), 64)]
+
+    @ray.remote
+    def counts(t):
+        if not t.num_rows:
+            return {}
+        agg = t.group_by(["c"]).aggregate([([], "count_all")])
+        return dict(zip(agg["c"].to_pylist(), agg["count_all"].to_pylist()))
+
+    out = ray.get(counts.remote(refs[0]))
+    return {c: int(out.get(c, 0)) for c in cols}
 
 
 def semi_filter(ds, col: str, ids_ref):
