@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
+        "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -419,6 +420,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        # Exact n-gram (w=3) Jaccard pairs at tau=0.7 — brute-force
+        # inverted-index join over distinct gram STRINGS; the engine finds the
+        # identical pair set via canonical-order prefix filtering over gram
+        # hashes (docs_dedup.ngram_jaccard_pairs docstring has the
+        # completeness argument).
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), g AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b

@@ -240,3 +240,158 @@ def simhash_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None, radius: int | 
         )
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_grams_docs(sf_dir: str, n: int = 3):
+    """Per-doc sorted-unique token-n-gram hash set, packed as a binary blob
+    (the join-safe set representation shared with the shingle signatures).
+
+    Tokenization is the engine-standard normalize + whitespace split, and the
+    gram hash is the same blake2b-token polynomial as ``shingle_hashes`` with
+    ``w = n`` — set sizes and intersections equal the SQL oracle's distinct
+    n-gram STRING sets (hash collisions are negligible; the same parity
+    argument as ``near_dup_pairs_docs``).  Docs shorter than ``n`` tokens
+    contribute ONE gram over all their tokens; blank docs are dropped — both
+    rules mirror the oracle's CASE/WHERE.
+    """
+    from ..functions.hashing import TokenHasher, shingle_hashes
+
+    class GramSigner:
+        def __init__(self) -> None:
+            self.hasher = TokenHasher()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.text import tokenize
+
+            ids, blobs, sizes = [], [], []
+            for cid, text in zip(
+                batch["conv_id"].to_pylist(), batch["doc_text"].to_pylist()
+            ):
+                toks = tokenize(text)
+                if not toks:
+                    continue
+                grams = shingle_hashes(self.hasher.hash_tokens(toks), n)
+                ids.append(cid)
+                blobs.append(grams.tobytes())
+                sizes.append(len(grams))
+            return pa.table(
+                {
+                    "conv_id": pa.array(ids, pa.string()),
+                    "shingles": pa.array(blobs, pa.binary()),
+                    "simhash": pa.array(np.zeros(len(ids), np.uint64), pa.uint64()),
+                    "n_grams": pa.array(sizes, pa.int32()),
+                }
+            )
+
+    return docs_as_conversations(sf_dir).map_batches(
+        GramSigner, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7):
+    """EXACT n-gram Jaccard set-similarity self-join: all doc pairs with
+    token-``n``-gram Jaccard >= ``tau`` — no MinHash approximation.
+
+    Scale path is canonical-order prefix filtering (All-Pairs / PPJoin,
+    public algorithms): with grams in a global total order (ascending hash),
+    a doc of m grams indexes only its first ``m - ceil(tau*m) + 1`` grams;
+    any pair with J >= tau MUST share an indexed prefix gram (pigeonhole via
+    the overlap bound o >= tau/(1+tau)(|A|+|B|)), so completeness is exact
+    while the inverted index holds only ~(1-tau) of the gram occurrences.
+    Candidates then get exact verification over the full packed sets
+    (``batch_jaccard_containment`` — one lexsort per batch, no per-pair loop).
+
+    Hash order is a random canonical order: a frequency-ascending order (the
+    PPJoin heuristic) would prune hot stopword grams from prefixes better and
+    is the documented upgrade at extreme scale (costs one extra
+    df-count shuffle + join).  All stages are keyed hash-partitions; nothing
+    materializes on the driver.  Returns a:int64, b:int64 (a < b), jaccard
+    rounded to 6 — SQL-checkable against a brute-force inverted-index oracle.
+    """
+    from ..functions.similarity import batch_jaccard_containment
+    from ..state.partitioning import key_partitioned, materialize_clean
+    from ..stages.lsh import _distinct_pairs_block, _pairs_in_block
+    from ..stages.verify import attach_signatures
+
+    # exact ceil(tau*m) in integer math (tau as parts-per-million) — float
+    # ceil(0.7*10) = ceil(7.000000000000001) = 8 would shorten prefixes and
+    # break the completeness guarantee at the threshold boundary
+    tau_ppm = round(tau * 1_000_000)
+
+    sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
+
+    def explode_prefix(batch: pa.Table) -> pa.Table:
+        """(conv_id, grams) -> one (bucket=gram, conv_id) row per PREFIX gram,
+        fully vectorized over the unpacked blob concatenation."""
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.uint64()), "conv_id": pa.array([], pa.string())}
+            )
+        blobs = batch["shingles"].to_pylist()
+        m = np.fromiter((len(b) >> 3 for b in blobs), np.int64, len(blobs))
+        alpha = -((-tau_ppm * m) // 1_000_000)        # ceil(tau*m), exact
+        plen = m - alpha + 1                           # prefix length, >= 1
+        vals = (
+            np.frombuffer(b"".join(blobs), np.uint64)
+            if m.sum()
+            else np.empty(0, np.uint64)
+        )
+        starts = np.concatenate(([0], np.cumsum(m)[:-1]))
+        pos = np.arange(m.sum(), dtype=np.int64) - np.repeat(starts, m)
+        keep = pos < np.repeat(plen, m)
+        row_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), m)[keep]
+        return pa.table(
+            {
+                "bucket": pa.array(vals[keep], pa.uint64()),
+                "conv_id": batch["conv_id"].take(pa.array(row_idx)),
+            }
+        )
+
+    index = sigs.map_batches(explode_prefix, batch_format="pyarrow")
+    # exact join: NO hot-bucket cap (cap would approximate); prefix filtering
+    # already bounds bucket sizes to the (1-tau)-sampled occurrence lists
+    raw = key_partitioned(index, ["bucket"]).map_batches(
+        lambda t: _pairs_in_block(t, 1 << 30), batch_format="pyarrow", batch_size=None
+    )
+    # materialize_clean scrubs the zero-column empty blocks a sparse corpus
+    # produces (candidates < partitions), which would crash the Acero hash
+    # join — the same guard verify_pairs applies to its candidate input
+    cand = materialize_clean(
+        key_partitioned(raw, ["a", "b"])
+        .map_batches(_distinct_pairs_block, batch_format="pyarrow", batch_size=None)
+        .select_columns(["a", "b"])
+    )
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        )
+
+    joined = attach_signatures(cand, sigs.select_columns(["conv_id", "shingles", "simhash"]))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        jac, _ = batch_jaccard_containment(
+            batch["shingles_a"].to_pylist(), batch["shingles_b"].to_pylist()
+        )
+        keep = jac >= tau
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "a": pc.cast(batch["a"].filter(pa.array(keep)), pa.int64()),
+                "b": pc.cast(batch["b"].filter(pa.array(keep)), pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
