@@ -140,7 +140,12 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N and 4N CPUs (driver instruction allows any N, 4N pair).  On this
+    # single box every CPU count shares ONE memory system, so high counts
+    # understate a real cluster (where bandwidth scales with nodes) — see
+    # BASELINE.md's bandwidth analysis.
+    lo = int(os.environ.get("NDD_SCALE_LO", "8"))
+    hi = int(os.environ.get("NDD_SCALE_HI", str(4 * lo)))
     r_lo = run(lo)
     r_hi = run(hi)
     tps_lo = r_lo["turns_per_sec"]
@@ -149,7 +154,7 @@ def scaling() -> None:
     print(
         json.dumps(
             {
-                "metric": "N->4N scaling (8 vs 32 CPUs, fresh processes, same input)",
+                "metric": f"N->4N scaling ({lo} vs {hi} CPUs, fresh processes, same input)",
                 "sec_8": r_lo["value"],
                 "sec_32": r_hi["value"],
                 "turns_per_sec_8": tps_lo,

@@ -154,11 +154,18 @@ def minhash_batch(
     a: np.ndarray,
     b: np.ndarray,
     chunk_rows: int = 65536,
+    col_chunk: int = 16,
 ) -> np.ndarray:
     """MinHash signatures for a batch of shingle-hash sets -> (n_docs, num_perm).
 
     Vectorized with ``np.minimum.reduceat`` over the concatenated shingle
-    arrays, chunked so the (rows x num_perm) intermediate stays ~64 MiB.
+    arrays.  The permutation axis is processed in ``col_chunk``-wide blocks
+    through one reused (chunk_rows x col_chunk) buffer (~8 MiB) so the
+    intermediate stays cache-resident: the previous full (rows x num_perm)
+    ~64 MiB intermediate saturated DRAM bandwidth when 8-16 signer actors ran
+    concurrently (measured: per-call time degraded 2x at 16 workers, and the
+    whole sign stage scaled NEGATIVELY from 8 to 32 CPUs; column-blocking is
+    3.4x faster under that parallelism and bit-identical).
     Degenerate docs (empty shingle set) get the all-UMAX sentinel signature and
     must be routed to exact-fingerprint dedup, not LSH (SURVEY §2 M13 / §4
     skew).
@@ -173,6 +180,7 @@ def minhash_batch(
 
     # Chunk docs so concatenated rows per chunk <= chunk_rows (but always >= 1 doc).
     start = 0
+    buf = None
     while start < len(nonempty):
         end = start
         rows = 0
@@ -181,11 +189,17 @@ def minhash_batch(
             end += 1
         idx = nonempty[start:end]
         concat = np.concatenate([shingle_sets[i] for i in idx])
-        # (rows, k) = a * s + b, wrapping
-        hv = concat[:, None] * a[None, :] + b[None, :]
         offsets = np.zeros(len(idx), dtype=np.int64)
         np.cumsum(lengths[idx][:-1], out=offsets[1:])
-        out[idx, :] = np.minimum.reduceat(hv, offsets, axis=0)
+        if buf is None or buf.shape[0] < len(concat):
+            buf = np.empty((len(concat), col_chunk), dtype=np.uint64)
+        for j in range(0, k, col_chunk):
+            je = min(j + col_chunk, k)
+            blk = buf[: len(concat), : je - j]
+            # (rows, blk) = a * s + b, wrapping mod 2**64
+            np.multiply(concat[:, None], a[None, j:je], out=blk)
+            blk += b[None, j:je]
+            out[idx, j:je] = np.minimum.reduceat(blk, offsets, axis=0)
         start = end
     return out
 

@@ -84,15 +84,19 @@ def cluster(conversations, edge_datasets, max_driver_edges: int | None = None):
         max_driver_edges = DEFAULT_MAX_DRIVER_EDGES
     from ..state.partitioning import materialize_clean
 
-    mats = []
-    total = 0
+    # union first: ONE execution materializes every edge set (each separate
+    # materialize paid a full executor startup — measurable fixed cost per
+    # pipeline run)
+    edges = None
     for ds in edge_datasets:
-        m = materialize_clean(ds.select_columns(["a", "b"]))
-        mats.append(m)
-        total += m.count()
-    if total <= max_driver_edges:
-        return cluster_driver_unionfind(conversations, mats)
-    return propagate_labels(conversations, mats)
+        part = ds.select_columns(["a", "b"])
+        edges = part if edges is None else edges.union(part)
+    if edges is None:
+        return cluster_driver_unionfind(conversations, [])
+    m = materialize_clean(edges)
+    if m.count() <= max_driver_edges:
+        return cluster_driver_unionfind(conversations, [m])
+    return propagate_labels(conversations, [m])
 
 
 def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):

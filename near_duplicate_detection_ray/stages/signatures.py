@@ -132,9 +132,12 @@ def sign_conversations(conversations, cfg: NDDConfig | None = None, concurrency=
 
         cpus = int(ray.cluster_resources().get("CPU", 4))
         # min = cpus//4 so the pool starts wide immediately (Ray's autoscaler
-        # ramps too slowly for short stages: measured 13s vs 8s on 324k docs),
-        # max = cpus//2 so shuffle/aggregator actors keep headroom
-        concurrency = (max(1, cpus // 4), max(2, cpus // 2))
+        # ramps too slowly for short stages: measured 13s vs 8s on 324k docs).
+        # max ~ all CPUs minus driver/store headroom: the sign execution runs
+        # BETWEEN materialize barriers (pure actor map, no shuffle aggregators
+        # to starve), so capping at cpus//2 left half the cluster idle for the
+        # pipeline's dominant compute stage
+        concurrency = (max(1, cpus // 4), max(2, cpus - 2))
     return conversations.map_batches(
         Signer,
         fn_constructor_kwargs={"cfg": cfg or NDDConfig()},
