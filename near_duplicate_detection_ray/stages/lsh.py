@@ -76,39 +76,47 @@ def explode_bands(signatures, cfg: NDDConfig | None = None):
 
 
 def _pairs_in_block(batch: pa.Table, cap: int) -> pa.Table:
-    """Vectorized pair generation over one hash-partition block: group rows by
-    bucket via one argsort, emit pairs only for buckets with >= 2 members."""
+    """Vectorized pair generation over one hash-partition block.
+
+    One (bucket, conv) lexsort dedups members and segments buckets; pairs are
+    then emitted per GROUP-SIZE CLASS — for every distinct bucket size m, all
+    buckets of that size produce their triu pairs in one (n_groups x P) index
+    operation.  Bucket sizes are tiny and Zipfian, so this replaces the former
+    per-bucket Python loop (one np.unique + triu per bucket — measured 3.1 s
+    per 375 k-row partition) with a handful of size-class iterations (0.27 s,
+    identical output).  Over-cap buckets keep the spanning-edge semantics
+    (star from first + chain; capped=True) and are rare enough to loop."""
     n = batch.num_rows
     if n == 0:
         return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
     bucket = batch["bucket"].to_numpy(zero_copy_only=False)
-    conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
-    order = np.argsort(bucket, kind="stable")
+    conv = np.asarray(batch["conv_id"].to_pylist())  # '<U' dtype: C-level compares
+    order = np.lexsort((conv, bucket))
     bs = bucket[order]
+    cs = conv[order]
+    keep = np.concatenate(([True], (bs[1:] != bs[:-1]) | (cs[1:] != cs[:-1])))
+    bs = bs[keep]
+    cs = cs[keep]
     starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
-    ends = np.append(starts[1:], n)
+    counts = np.diff(np.append(starts, len(bs)))
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     out_capped: list[np.ndarray] = []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        members = np.unique(conv[order[s:e]])  # sorted, dedup within bucket
-        m = len(members)
-        if m < 2:
-            continue
+    for m in np.unique(counts[counts >= 2]):
+        sel = starts[counts == m]
         if m <= cap:
             ai, bi = np.triu_indices(m, k=1)
-            out_a.append(members[ai])
-            out_b.append(members[bi])
-            out_capped.append(np.zeros(len(ai), dtype=bool))
+            out_a.append(cs[(sel[:, None] + ai[None, :]).ravel()])
+            out_b.append(cs[(sel[:, None] + bi[None, :]).ravel()])
+            out_capped.append(np.zeros(len(sel) * len(ai), dtype=bool))
         else:
-            # spanning edges: star from first + chain through sorted order
-            a = np.concatenate([np.repeat(members[:1], m - 1), members[1:-1]])
-            b = np.concatenate([members[1:], members[2:]])
-            out_a.append(a)
-            out_b.append(b)
-            out_capped.append(np.ones(len(a), dtype=bool))
+            for s in sel:
+                members = cs[s : s + m]
+                a = np.concatenate([np.repeat(members[:1], m - 1), members[1:-1]])
+                b = np.concatenate([members[1:], members[2:]])
+                out_a.append(a)
+                out_b.append(b)
+                out_capped.append(np.ones(len(a), dtype=bool))
     if not out_a:
         return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
     return pa.table(
