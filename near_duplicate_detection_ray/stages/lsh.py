@@ -90,39 +90,65 @@ def _pairs_in_block(batch: pa.Table, cap: int) -> pa.Table:
     if n == 0:
         return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
     bucket = batch["bucket"].to_numpy(zero_copy_only=False)
-    conv = np.asarray(batch["conv_id"].to_pylist())  # '<U' dtype: C-level compares
-    order = np.lexsort((conv, bucket))
+    # Dictionary-encode conv ids once: all sorting/dedup below runs on int64
+    # RANKS (rank order == string order via the sorted-vocab permutation);
+    # strings are touched again only to materialize the OUTPUT pairs — output
+    # volume is orders of magnitude below input row volume.
+    col = batch["conv_id"].combine_chunks()
+    enc = col.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    sort_idx = pc.array_sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(vocab), dtype=np.int64)
+    r = rank[codes]
+    order = np.lexsort((r, bucket))
     bs = bucket[order]
-    cs = conv[order]
-    keep = np.concatenate(([True], (bs[1:] != bs[:-1]) | (cs[1:] != cs[:-1])))
+    rs = r[order]
+    keep = np.concatenate(([True], (bs[1:] != bs[:-1]) | (rs[1:] != rs[:-1])))
     bs = bs[keep]
-    cs = cs[keep]
+    rs = rs[keep]
     starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
     counts = np.diff(np.append(starts, len(bs)))
+    g2 = np.flatnonzero(counts >= 2)
+    if len(g2) == 0:
+        return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
+    # segment groups by SIZE via one argsort (a per-size boolean mask over
+    # all groups re-scanned the group table once per distinct size)
+    c2 = counts[g2]
+    s2 = starts[g2]
+    o = np.argsort(c2, kind="stable")
+    c2 = c2[o]
+    s2 = s2[o]
+    seg = np.flatnonzero(np.concatenate(([True], c2[1:] != c2[:-1])))
+    seg_end = np.append(seg[1:], len(c2))
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     out_capped: list[np.ndarray] = []
-    for m in np.unique(counts[counts >= 2]):
-        sel = starts[counts == m]
+    for si, ei in zip(seg, seg_end):
+        m = int(c2[si])
+        sel = s2[si:ei]
         if m <= cap:
             ai, bi = np.triu_indices(m, k=1)
-            out_a.append(cs[(sel[:, None] + ai[None, :]).ravel()])
-            out_b.append(cs[(sel[:, None] + bi[None, :]).ravel()])
+            out_a.append(rs[(sel[:, None] + ai[None, :]).ravel()])
+            out_b.append(rs[(sel[:, None] + bi[None, :]).ravel()])
             out_capped.append(np.zeros(len(sel) * len(ai), dtype=bool))
         else:
+            # spanning edges: star from first + chain through sorted order
             for s in sel:
-                members = cs[s : s + m]
+                members = rs[s : s + m]
                 a = np.concatenate([np.repeat(members[:1], m - 1), members[1:-1]])
                 b = np.concatenate([members[1:], members[2:]])
                 out_a.append(a)
                 out_b.append(b)
                 out_capped.append(np.ones(len(a), dtype=bool))
-    if not out_a:
-        return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
+    sorted_vocab = vocab.take(pa.array(sort_idx))
+    ra = np.concatenate(out_a)
+    rb = np.concatenate(out_b)
     return pa.table(
         {
-            "a": pa.array(np.concatenate(out_a).tolist(), pa.string()),
-            "b": pa.array(np.concatenate(out_b).tolist(), pa.string()),
+            "a": sorted_vocab.take(pa.array(ra)).cast(pa.string()),
+            "b": sorted_vocab.take(pa.array(rb)).cast(pa.string()),
             "capped": pa.array(np.concatenate(out_capped)),
         },
         schema=PAIRS_SCHEMA,
