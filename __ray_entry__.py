@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
+        "ann_ivf_topk": ann.ann_ivf_topk,                      # rows-only (approximate; full-probe==exact pinned in pytest)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
         "media_feature_summary": multimodal.media_feature_summary,

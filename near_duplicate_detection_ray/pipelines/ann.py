@@ -382,3 +382,123 @@ def embedding_dup_pairs_lsh(
     return key_partitioned(raw, ["a", "b"], num_partitions).map_batches(
         distinct_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def _kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded spherical k-means (Lloyd) over L2-normalized rows — the IVF
+    coarse quantizer train step, deterministic and fully vectorized.  Empty
+    cells keep their previous centroid."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = mat / norms
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(x))
+    init = np.sort(rng.choice(len(x), size=n_centroids, replace=False))
+    c = x[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=n_centroids)
+        live = counts > 0
+        c[live] = sums[live] / counts[live, None]
+        cn = np.linalg.norm(c, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        c = c / cn
+    return c
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_centroids: int = 64,
+                 nprobe: int = 8, seed: int = 42, kmeans_iters: int = 8,
+                 train_sample: int = 4096):
+    """IVF-Flat ANN (the classic inverted-file index, public knowledge):
+
+    1. TRAIN: seeded spherical k-means over a bounded corpus sample (the
+       driver holds only ``train_sample`` vectors — at 100 TB you train the
+       quantizer on a sample exactly like this).
+    2. ASSIGN + SCAN: centroids broadcast once (``ray.put``); each corpus
+       block assigns its vectors to cells with one matmul and scans, per
+       query, ONLY the rows whose cell is among the query's ``nprobe``
+       nearest cells (one vectorized ``np.isin`` mask per query) — exact
+       cosine within the probed subset, per-block top-k partials, tiny final
+       merge.  Expected scan fraction ~ nprobe/n_centroids.
+
+    ``nprobe >= n_centroids`` probes every cell and is EXACTLY ``cosine_topk``
+    (asserted in tests — the deterministic correctness pin for the IVF
+    plumbing); bounded ``nprobe`` is the approximate scale path with a recall
+    test on planted clusters.  The persisted-index upgrade at extreme scale is
+    cell-partitioned Parquet (only probed cells are read at all); here the
+    corpus streams once per query batch, matching ``ann_lsh_topk``.
+    Same output schema as ``cosine_topk``: (query_id, rank, neighbor_id)."""
+    import ray
+
+    # deterministic train sample: vec_id-bounded, id-sorted — ``limit()`` over
+    # a streaming read takes whichever blocks arrive first and made the
+    # quantizer (hence the whole query result) vary across processes
+    train = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < train_sample)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    t_mat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    centroids = _kmeans_centroids(t_mat, n_centroids, kmeans_iters, seed)
+    n_cells = len(centroids)
+    nprobe_eff = min(nprobe, n_cells)
+
+    queries_tbl = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries_tbl["vec_id"].to_numpy()
+    q_mat = np.stack(queries_tbl["embedding"].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    # (q, nprobe) nearest cells per query by centroid dot product
+    q_cells = np.argsort(-((q_mat / qn) @ centroids.T), axis=1)[:, :nprobe_eff]
+    state_ref = ray.put((q_ids, q_mat, q_cells, centroids))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids, qm, qc, cents = ray.get(state_ref)
+        corpus = _emb_matrix(batch)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cn = np.linalg.norm(corpus, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        cells = np.argmax((corpus / cn) @ cents.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ids)):
+            mask = np.isin(cells, qc[qi])
+            if not mask.any():
+                continue
+            sub = corpus[mask]
+            sub_ids = vec_ids[mask]
+            scores, idx = cosine_topk_block(qm[qi : qi + 1], sub, k + 1)
+            for j in range(idx.shape[1]):
+                out_q.append(int(ids[qi]))
+                out_n.append(int(sub_ids[idx[0, j]]))
+                out_s.append(float(scores[0, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    out = topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)
