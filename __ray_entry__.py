@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "user_sessions": relational.user_sessions,
         "session_event_stats": relational.session_event_stats,  # interval join (J1)
+        "events_trailing_1h": relational.events_trailing_1h,   # sliding window (§2.9)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "quality_docs": text_analysis.quality_scores,
@@ -323,6 +324,19 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS t_start, max(ts) AS t_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        # Per-event trailing 1h window over (user_id, ts]; integer-cent sums
+        # so float addition order cannot flip the value hash.
+        "events_trailing_1h": """
+            SELECT e1.event_id AS event_id,
+                   count(*) AS n_trailing,
+                   sum(CAST(round(e2.value * 100) AS BIGINT)) AS sum_cents
+            FROM events e1
+            JOIN events e2
+              ON e1.user_id = e2.user_id
+             AND e2.ts > e1.ts - INTERVAL 1 HOUR
+             AND e2.ts <= e1.ts
+            GROUP BY e1.event_id
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

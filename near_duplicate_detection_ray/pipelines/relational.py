@@ -382,3 +382,58 @@ def session_event_stats(sf_dir: str, gap_minutes: int = 30):
         {"count_all": "n_events"},
     )
     return stats
+
+
+def events_trailing_1h(sf_dir: str, window_minutes: int = 60):
+    """Per-event TRAILING sliding-window aggregate (§2.9 widening): for every
+    event, the count and value-sum of the same user's events with
+    ``ts in (ts_i - window, ts_i]``.
+
+    One keyed hash-partition on user_id, then a fully vectorized block kernel:
+    events sorted by (user, ts, event_id) are mapped to a single monotone
+    int64 key (user-rank banding wider than the window, so window arithmetic
+    can never cross users), window boundaries come from two global
+    ``np.searchsorted`` calls, and window sums from one prefix-cumsum
+    difference — no per-user loop, no per-event loop, no self-join shuffle.
+
+    Values are summed as integer CENTS (``sum_cents``): float summation order
+    differs between engines, integer sums are exact on both sides — the SQL
+    oracle sums the same ``CAST(round(value*100) AS BIGINT)``.
+    """
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    window_us = np.int64(window_minutes) * 60 * 1_000_000
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("n_trailing", pa.int64()),
+         ("sum_cents", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rank = pd.factorize(df["user_id"], sort=False)[0].astype(np.int64)
+        tmin = ts.min()
+        span = (ts.max() - tmin) + window_us + 1
+        key = rank * span + (ts - tmin)
+        left = np.searchsorted(key, key - window_us, side="right")
+        right = np.searchsorted(key, key, side="right")
+        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "n_trailing": pa.array(right - left, pa.int64()),
+                "sum_cents": pa.array(csum[right] - csum[left], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    parts = key_partitioned(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]),
+        ["user_id"],
+    )
+    return parts.map_batches(block, batch_format="pandas", batch_size=None)
