@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_1h": relational.events_trailing_1h,   # sliding window (§2.9)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
+        "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
         "quality_docs": text_analysis.quality_scores,
         "length_class_docs": text_analysis.length_class,
         "validate_docs": text_analysis.validate_docs,
@@ -352,6 +353,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*)                 AS n_suppliers
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        # same RE2 pattern string as pipelines/text_analysis.BPE_PIECE_PAT —
+        # Arrow and DuckDB both run RE2, so counts agree exactly
+        "bpe_token_counts_docs": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'
+                   )) AS n_pieces
+            FROM documents
         """,
         "token_counts_docs": """
             SELECT doc_id,

@@ -77,6 +77,9 @@ def run_queries() -> dict[str, float]:
         "events_hourly",
         "ann_cosine_topk",
         "grouped_topk_events",
+        "ngram_jaccard_pairs",
+        "ann_ivf_topk",
+        "events_trailing_1h",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -277,3 +277,25 @@ def english_long_docs(sf_dir: str, min_chars: int = 300):
         columns=["doc_id", "lang", "n_chars", "source"],
         filter=expr,
     )
+
+
+# BPE-ish pretokenizer (GPT-2-style shape, RE2-safe: no lookaheads): English
+# contraction suffixes, letter runs, digit runs, non-space symbol runs.  The
+# SAME pattern string runs in Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all — both are RE2, so alternation semantics are identical
+# (verified on unicode inputs).
+BPE_PIECE_PAT = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(sf_dir: str):
+    """doc_id, n_pieces: subword-piece count under the BPE-ish pretokenizer —
+    the LLM-pipeline token-budget estimate (whitespace counts undercount
+    punctuation-heavy text).  One vectorized RE2 count per batch."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], pattern=BPE_PIECE_PAT)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_pieces": pc.cast(n, pa.int64())}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
