@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
+        "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -445,6 +446,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        # End-user dedup output: one kept representative (min doc_id) per
+        # duplicate component, components spanning exact raw-text copies AND
+        # shingle-jaccard near-dups — recursive reachability over both edge
+        # sets, mirroring the engine's connected-components stage.
+        "dedup_keep_docs": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), jp AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            ), xp AS (
+                SELECT d1.doc_id AS a, d2.doc_id AS b
+                FROM documents d1 JOIN documents d2
+                  ON d1.text = d2.text AND d1.doc_id < d2.doc_id
+            ), edges AS (
+                SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp
+                UNION SELECT a, b FROM xp UNION SELECT b, a FROM xp
+            ), reach(src, node) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+            ), comp AS (
+                SELECT src AS doc_id, min(node) AS rep FROM reach GROUP BY src
+            )
+            SELECT rep AS doc_id, count(*) AS n_members FROM comp GROUP BY rep
         """,
         # Exact n-gram (w=3) Jaccard pairs at tau=0.7 — brute-force
         # inverted-index join over distinct gram STRINGS; the engine finds the

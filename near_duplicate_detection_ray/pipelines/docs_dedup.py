@@ -395,3 +395,79 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7):
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def dedup_keep_docs(sf_dir: str, cfg: NDDConfig | None = None):
+    """The end-user dedup output a training-data pipeline actually consumes:
+    ONE surviving representative per duplicate component, where components
+    span BOTH exact raw-text copies and near-duplicates (token-5-shingle
+    Jaccard >= tau) — i.e. "which rows do I keep, and how many did each
+    absorb".
+
+    Engine path: the flagship MinHash/LSH/verify machinery for near-dup
+    edges, one keyed md5-partition for exact-raw edges, the auto-dispatching
+    connected-components stage (driver union-find below the edge threshold,
+    distributed label propagation above), then a keyed group-agg for
+    (min member, size) per component.  Returns doc_id:int64 (kept = min id
+    of its component), n_members:int64.  SQL oracle: recursive reachability
+    over the union of the brute-force shingle-join pairs and a raw-text
+    self-join."""
+    import hashlib
+
+    from ..functions.groupagg import highcard_groupagg
+    from ..state.partitioning import key_partitioned, materialize_clean
+    from ..stages.cluster import cluster as cluster_components
+
+    cfg = cfg or DOCS_DEDUP_CFG
+    convs = materialize_clean(docs_as_conversations(sf_dir))
+    sigs = materialize_clean(sign_conversations(convs, cfg))
+    dup = verify_pairs(candidate_pairs(explode_bands(sigs, cfg), cfg), sigs, cfg).map_batches(
+        lambda t: t.filter(pc.equal(t["method"], "minhash")), batch_format="pyarrow"
+    ).select_columns(["a", "b"])
+
+    # exact-raw-text edges: md5(raw) -> keyed partition -> (min, member) star
+    def raw_fp(batch: pa.Table) -> pa.Table:
+        ids = [f"{d:012d}" for d in batch["doc_id"].to_pylist()]
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"conv_id": pa.array(ids, pa.string()), "fp": pa.array(fps, pa.string())}
+        )
+
+    def star_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(["fp", "conv_id"], kind="mergesort")
+        rep = df.groupby("fp")["conv_id"].transform("min")
+        mask = df["conv_id"] != rep
+        if not mask.any():
+            return empty
+        return pa.table(
+            {"a": pa.array(rep[mask].to_numpy(), pa.string()),
+             "b": pa.array(df.loc[mask, "conv_id"].to_numpy(), pa.string())}
+        )
+
+    exact_edges = key_partitioned(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(raw_fp, batch_format="pyarrow"),
+        ["fp"],
+    ).map_batches(star_block, batch_format="pyarrow", batch_size=None)
+
+    clusters = cluster_components(convs, [dup, exact_edges])
+    agg = highcard_groupagg(
+        clusters,
+        ["cluster_id"],
+        [("conv_id", "min"), ([], "count_all")],
+        {"conv_id_min": "kept", "count_all": "n_members"},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["kept"], pa.int64()),
+                "n_members": pc.cast(batch["n_members"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -495,3 +495,22 @@ def test_checkpoint_empty_stage(ray_session, tmp_path):
     assert ckpt2.stages_skipped == ["pairs"]
     assert reloaded.count() == 0
     assert set(reloaded.schema().names) == {"a", "b", "j"}
+
+
+def test_dedup_keep_docs_semantics(sparse_docs_dir):
+    """Exact copies merge; a 60%-containment pair (jaccard < tau) does NOT —
+    dedup_keep components span exact + jaccard edges only."""
+    from near_duplicate_detection_ray.pipelines.docs_dedup import dedup_keep_docs
+
+    got = (
+        dedup_keep_docs(sparse_docs_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 10 docs, exactly one exact pair (2 == 3): 9 kept rows
+    assert len(got) == 9
+    kept = dict(zip(got["doc_id"], got["n_members"]))
+    assert kept[2] == 2          # rep of the exact pair
+    assert 3 not in kept         # absorbed
+    assert kept[0] == 1 and kept[1] == 1  # containment pair NOT merged
