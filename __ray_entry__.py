@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": text_analysis.lang_id_docs,            # SQL-checked
         "doc_fingerprints": text_analysis.doc_fingerprints,    # SQL-checked (winnowing)
         "english_long_docs": text_analysis.english_long_docs,  # SQL-checked (pushdown)
+        "sample_docs": text_analysis.sample_docs,              # SQL-checked (md5 hash split)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -539,6 +540,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, source
             FROM documents
             WHERE lang = 'en' AND n_chars > 300
+        """,
+        # Deterministic hash split: engine md5_low64(str(doc_id)) is
+        # bit-identical to DuckDB md5_number_lower (functions/hashing.py)
+        "sample_docs": """
+            SELECT doc_id, lang, n_chars, source
+            FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
         """,
         "lang_id_docs": _lang_id_sql(),
         # SimHash basis is md5_low64(shingle string) == DuckDB

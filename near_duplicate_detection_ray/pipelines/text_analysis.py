@@ -299,3 +299,24 @@ def bpe_token_counts(sf_dir: str):
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def sample_docs(sf_dir: str, pct: int = 10):
+    """Deterministic content-independent sampling — the reproducible
+    train/eval split primitive at corpus scale: keep docs where
+    ``md5_low64(str(doc_id)) % 100 < pct``.  Hash-based (not row-number
+    or RNG) so the SAME docs are kept regardless of partitioning, engine
+    parallelism, or corpus growth; SQL parity via DuckDB
+    ``md5_number_lower`` (bit-identical basis, verified in hashing.py)."""
+    from ..functions.hashing import md5_low64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (md5_low64(str(int(d))) % 100 < pct for d in ids), bool, len(ids)
+        )
+        return batch.filter(pa.array(keep))
+
+    return _read_docs(sf_dir, ["doc_id", "lang", "n_chars", "source"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
