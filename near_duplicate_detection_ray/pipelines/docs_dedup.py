@@ -254,31 +254,55 @@ def ngram_grams_docs(sf_dir: str, n: int = 3):
     contribute ONE gram over all their tokens; blank docs are dropped — both
     rules mirror the oracle's CASE/WHERE.
     """
-    from ..functions.hashing import TokenHasher, shingle_hashes
+    from ..functions.hashing import TokenHasher, hash_token, shingle_hashes
 
     class GramSigner:
+        """Signer-style vectorized tokenize: ONE Arrow whitespace split per
+        batch (doc_text is already normalized), tokens hashed once per unique
+        value through the per-actor cache — no per-doc Python tokenize."""
+
         def __init__(self) -> None:
             self.hasher = TokenHasher()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..functions.text import tokenize
-
-            ids, blobs, sizes = [], [], []
-            for cid, text in zip(
-                batch["conv_id"].to_pylist(), batch["doc_text"].to_pylist()
-            ):
-                toks = tokenize(text)
-                if not toks:
+            n_rows = batch.num_rows
+            col = batch["doc_text"].combine_chunks() if n_rows else pa.array([], pa.string())
+            toks_list = pc.utf8_split_whitespace(col)
+            offsets = toks_list.offsets.to_numpy(zero_copy_only=False)
+            flat = toks_list.flatten()
+            uniq = pc.unique(flat)
+            cache = self.hasher._cache
+            uniq_hashes = np.empty(len(uniq), dtype=np.uint64)
+            for i, tok in enumerate(uniq.to_pylist()):
+                h = cache.get(tok)
+                if h is None:
+                    h = hash_token(tok)
+                    if len(cache) < self.hasher._max_cache:
+                        cache[tok] = h
+                uniq_hashes[i] = h
+            idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
+            flat_hashes = uniq_hashes[idx] if len(idx) else np.empty(0, dtype=np.uint64)
+            is_blank = (
+                pc.equal(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False)
+                if n_rows
+                else np.zeros(0, dtype=bool)
+            )
+            keep_rows, blobs, sizes = [], [], []
+            for i in range(n_rows):
+                if is_blank[i]:
                     continue
-                grams = shingle_hashes(self.hasher.hash_tokens(toks), n)
-                ids.append(cid)
+                th = flat_hashes[offsets[i] : offsets[i + 1]]
+                if len(th) == 0:
+                    continue
+                grams = shingle_hashes(th, n)
+                keep_rows.append(i)
                 blobs.append(grams.tobytes())
                 sizes.append(len(grams))
             return pa.table(
                 {
-                    "conv_id": pa.array(ids, pa.string()),
+                    "conv_id": batch["conv_id"].take(pa.array(keep_rows, pa.int64())),
                     "shingles": pa.array(blobs, pa.binary()),
-                    "simhash": pa.array(np.zeros(len(ids), np.uint64), pa.uint64()),
+                    "simhash": pa.array(np.zeros(len(blobs), np.uint64), pa.uint64()),
                     "n_grams": pa.array(sizes, pa.int32()),
                 }
             )
