@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.user_sessions,
         "session_event_stats": relational.session_event_stats,  # interval join (J1)
         "events_trailing_1h": relational.events_trailing_1h,   # sliding window (§2.9)
+        "shipping_priority": relational.shipping_priority,     # TPC-H Q3 shape (3-way join)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -268,6 +269,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        # Revenue in integer 1e-4 units (price-cents x (100-discount-cents)) —
+        # identical casts in the engine, so sums are exact on both sides.
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   o_orderdate,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_c4
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_c4 DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
         """,
         "shipped_within_90d": """
             SELECT o_orderstatus, count(*) AS n_items

@@ -437,3 +437,89 @@ def events_trailing_1h(sf_dir: str, window_minutes: int = 60):
         ["user_id"],
     )
     return parts.map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1995-03-15", k: int = 10,
+                      num_partitions: int = 8):
+    """TPC-H Q3 shape: top-k unshipped-revenue orders for a market segment —
+    a 3-relation chain exercising broadcast semi-join + hash join + keyed
+    group-agg + global sort/limit in one pipeline.
+
+    The segment's customer keys are the SMALL side: collected off the pruned
+    customer read, broadcast once (``ray.put``), applied to orders with one
+    vectorized ``pc.is_in`` (at extreme scale this becomes a hash join; the
+    segment filter keeps it broadcast-sized here).  Revenue is summed in
+    integer 1e-4 units (price-cents x (100 - discount-cents)): float addition
+    order differs between engines, integer sums are exact — the SQL oracle
+    sums the identical casts.  Ties are broken (revenue desc, o_orderdate
+    asc, l_orderkey asc), so top-k is deterministic."""
+    import ray
+
+    cutoff_d = np.datetime64(cutoff)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.filter(lambda r: r["c_mktsegment"] == segment).select_columns(
+        ["c_custkey"]
+    )
+    key_arr = pa.concat_tables(
+        [b for b in keys.iter_batches(batch_size=65536, batch_format="pyarrow")
+         if b.num_columns]
+    )["c_custkey"].combine_chunks()
+    keys_ref = ray.put(key_arr)
+
+    def keep_segment(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        return t.filter(pc.is_in(t["o_custkey"], value_set=ks))
+
+    def before_cutoff(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(od < cutoff_d))
+
+    def after_cutoff(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(sd > cutoff_d))
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(before_cutoff, batch_format="pyarrow")
+        .map_batches(keep_segment, batch_format="pyarrow")
+    )
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(after_cutoff, batch_format="pyarrow")
+
+    joined = items.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "rev": pa.array(price_c * (100 - disc_c), pa.int64()),
+            }
+        )
+
+    from ..functions.groupagg import highcard_groupagg
+
+    agg = highcard_groupagg(
+        joined.map_batches(revenue, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderdate"],
+        [("rev", "sum")],
+        {"rev_sum": "revenue_c4"},
+    )
+    return agg.sort(
+        ["revenue_c4", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(k)
