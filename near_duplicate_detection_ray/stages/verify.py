@@ -86,17 +86,22 @@ def attach_signatures(pairs, signatures, num_partitions: int = 16,
     unique -> remote tree merge, ``state/partitioning.distinct_values_ref``) and
     applied as a vectorized ``pc.is_in`` mask — the driver never iterates the
     pairs and no per-row Python runs.  Above ``semi_filter_max_ids`` endpoints
-    the value_set itself gets heavy, so fall back to the plain join (a Bloom
-    filter is the next step at that scale).
+    the value_set itself gets heavy, so the reduction switches to a distributed
+    BLOOM FILTER (``state/bloom``): same off-driver build, fixed-size bit
+    array, vectorized probes; false positives are dropped by the inner join.
     """
+    from ..state.bloom import bloom_filter, build_bloom
     from ..state.partitioning import endpoint_stats, semi_filter
 
     side = signatures.select_columns(["conv_id", "shingles", "simhash"])
-    ids_ref, _n_ids, key_counts = endpoint_stats(
+    ids_ref, n_ids, key_counts = endpoint_stats(
         pairs, ["a", "b"], max_values=semi_filter_max_ids
     )
     if ids_ref is not None:
         side = semi_filter(side, "conv_id", ids_ref)
+    else:
+        words_ref, n_bits, k = build_bloom(pairs, ["a", "b"], n_ids)
+        side = bloom_filter(side, "conv_id", words_ref, n_bits, k)
     j = pairs.join(
         side,
         join_type="inner",

@@ -58,12 +58,24 @@ def _pair_metrics(engine_clusters, oracle_pairs):
 def test_cluster_recall_and_precision(pipeline_result):
     transcripts, truth, result, clusters = pipeline_result
     docs = corpus_docs(transcripts)
-    assert set(clusters) == set(docs), "every conversation must receive a cluster"
+    assert set(clusters) == set(docs), (
+        "every conversation must receive a cluster; "
+        f"missing={sorted(set(docs) - set(clusters))[:10]} "
+        f"extra={sorted(set(clusters) - set(docs))[:10]}"
+    )
 
     oracle_pairs = oracle_dup_pairs(docs, CFG)
     recalled = sum(1 for a, b in oracle_pairs if clusters[a] == clusters[b])
     recall = recalled / len(oracle_pairs)
-    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+    # On failure, dump the misses so a flake leaves an actionable trace
+    # (observed once under full-suite load, never reproduced in isolation).
+    missed = [(a, b) for a, b in oracle_pairs if clusters[a] != clusters[b]]
+    assert recall >= 0.99, (
+        f"dup-pair recall {recall:.4f} < 0.99; "
+        f"{len(missed)}/{len(oracle_pairs)} oracle pairs split across clusters: "
+        f"{missed[:20]} | dup_pairs rows={result['dup_pairs'].count()} "
+        f"clusters={len(set(clusters.values()))} convs={len(clusters)}"
+    )
 
     # precision vs oracle TRANSITIVE clusters (engine may legitimately link
     # a-c through b even if (a,c) alone is below tau)
@@ -81,7 +93,11 @@ def test_cluster_recall_and_precision(pipeline_result):
                 engine_pairs.append((members[i], members[j]))
     correct = sum(1 for a, b in engine_pairs if ocl[a] == ocl[b])
     precision = correct / len(engine_pairs) if engine_pairs else 1.0
-    assert precision >= 0.99, f"same-cluster precision {precision:.4f} < 0.99"
+    wrong = [(a, b) for a, b in engine_pairs if ocl[a] != ocl[b]]
+    assert precision >= 0.99, (
+        f"same-cluster precision {precision:.4f} < 0.99; "
+        f"{len(wrong)} over-merged pairs: {wrong[:20]}"
+    )
 
 
 def test_planted_families_clustered(pipeline_result):
