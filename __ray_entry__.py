@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text_analysis.doc_fingerprints,    # SQL-checked (winnowing)
         "english_long_docs": text_analysis.english_long_docs,  # SQL-checked (pushdown)
         "sample_docs": text_analysis.sample_docs,              # SQL-checked (md5 hash split)
+        "repetition_docs": text_analysis.repetition_docs,      # SQL-checked (Gopher-style)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -417,6 +418,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        # Gopher-style word-level repetition metrics; the engine computes the
+        # identical 1.0 - (d * 1.0 / n) IEEE expressions, so hashes match.
+        "repetition_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+              FROM documents
+            ), base AS (
+              SELECT doc_id, len(l) AS n_words,
+                     len(list_distinct(l)) AS n_distinct,
+                     list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS bg
+              FROM toks
+            ), bgtop AS (
+              SELECT doc_id, max(cnt) AS top_cnt FROM (
+                SELECT b.doc_id, u.bigram, count(*) AS cnt
+                FROM base b, unnest(b.bg) AS u(bigram)
+                GROUP BY b.doc_id, u.bigram
+              ) GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+              CASE WHEN n_words > 0
+                   THEN 1.0 - (n_distinct * 1.0 / n_words) ELSE 0.0 END AS dup_word_frac,
+              CASE WHEN len(bg) > 0
+                   THEN 1.0 - (len(list_distinct(bg)) * 1.0 / len(bg)) ELSE 0.0 END AS dup_bigram_frac,
+              CASE WHEN len(bg) > 0
+                   THEN coalesce(top_cnt, 0) * 1.0 / len(bg) ELSE 0.0 END AS top_bigram_frac
+            FROM base b LEFT JOIN bgtop USING (doc_id)
         """,
         "length_class_docs": """
             SELECT doc_id,

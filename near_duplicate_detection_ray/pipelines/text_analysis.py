@@ -301,6 +301,90 @@ def bpe_token_counts(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_docs(sf_dir: str):
+    """Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1, public)
+    adapted to word level (this corpus has no line structure):
+
+      - ``dup_word_frac``   = 1 - distinct_words / total_words
+      - ``dup_bigram_frac`` = 1 - distinct_bigrams / total_bigrams
+      - ``top_bigram_frac`` = occurrences of the most frequent word bigram
+                              / total_bigrams
+
+    All 0.0 for blank docs (and the bigram metrics for 1-word docs).  Fully
+    vectorized: one regex split per batch, ``pc.dictionary_encode`` to int
+    codes, then numpy lexsort run-length stats — no per-document Python.
+
+    SQL parity: identical ``1.0 - (d * 1.0 / n)`` IEEE expressions in DuckDB
+    over ``regexp_split_to_array`` lists (see ``oracle_sql()``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = batch["text"]
+        blank = pc.equal(pc.utf8_trim_whitespace(text), pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text), pattern=r"\s+"
+        )
+        row_idx, lens = _token_row_index(toks, n)
+        n_words = np.where(blank, 0, lens)
+        flat = pc.list_flatten(toks)
+        codes = (
+            pc.dictionary_encode(flat)
+            .combine_chunks()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        ) if len(flat) else np.empty(0, np.int64)
+        # keep only tokens of non-blank rows (blank text splits to [''])
+        keep = ~blank[row_idx]
+        row_idx, codes = row_idx[keep], codes[keep]
+
+        # distinct words per row: sort by (row, code), count group starts
+        order = np.lexsort((codes, row_idx))
+        r, c = row_idx[order], codes[order]
+        new = np.ones(len(r), dtype=np.float64)
+        if len(r) > 1:
+            new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        n_distinct = np.bincount(r, weights=new, minlength=n)
+
+        # bigrams: adjacent same-row token pairs, keyed by code pair
+        same = np.zeros(max(len(row_idx) - 1, 0), dtype=bool)
+        if len(row_idx) > 1:
+            same = row_idx[1:] == row_idx[:-1]
+        brow = row_idx[:-1][same] if len(row_idx) else np.empty(0, np.int64)
+        k = int(codes.max()) + 1 if len(codes) else 1
+        bkey = codes[:-1][same] * k + codes[1:][same] if len(codes) else np.empty(0, np.int64)
+        n_bigrams = np.bincount(brow, minlength=n).astype(np.float64)
+
+        order2 = np.lexsort((bkey, brow))
+        br, bk = brow[order2], bkey[order2]
+        bnew = np.ones(len(br), dtype=bool)
+        if len(br) > 1:
+            bnew[1:] = (br[1:] != br[:-1]) | (bk[1:] != bk[:-1])
+        n_distinct_bg = np.bincount(br, weights=bnew.astype(np.float64), minlength=n)
+        # top-bigram count per row: run lengths of equal (row, key) runs
+        top_cnt = np.zeros(n, dtype=np.float64)
+        if len(br):
+            starts = np.flatnonzero(bnew)
+            run_lens = np.diff(np.append(starts, len(br)))
+            np.maximum.at(top_cnt, br[starts], run_lens.astype(np.float64))
+
+        nw = n_words.astype(np.float64)
+        dup_word = np.where(n_words > 0, 1.0 - (n_distinct * 1.0 / np.maximum(nw, 1.0)), 0.0)
+        dup_bg = np.where(n_bigrams > 0, 1.0 - (n_distinct_bg * 1.0 / np.maximum(n_bigrams, 1.0)), 0.0)
+        top_bg = np.where(n_bigrams > 0, top_cnt * 1.0 / np.maximum(n_bigrams, 1.0), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dup_word_frac": pa.array(dup_word, pa.float64()),
+                "dup_bigram_frac": pa.array(dup_bg, pa.float64()),
+                "top_bigram_frac": pa.array(top_bg, pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
 def sample_docs(sf_dir: str, pct: int = 10):
     """Deterministic content-independent sampling — the reproducible
     train/eval split primitive at corpus scale: keep docs where
