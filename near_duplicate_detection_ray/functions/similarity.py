@@ -66,13 +66,58 @@ def batch_set_stats(
     return inter, na, nb
 
 
-def batch_jaccard_containment(
-    blobs_a: list[bytes], blobs_b: list[bytes]
-) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized exact Jaccard + containment for packed-set pairs, with the
-    same empty-set conventions as ``jaccard_sorted``/``containment_sorted``
-    (both empty -> jaccard 1.0; any empty -> containment 0.0)."""
-    inter, na, nb = batch_set_stats(blobs_a, blobs_b)
+def _binary_column_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (values, lengths) view of an Arrow binary column of packed
+    uint64 sets: values = every blob's uint64s concatenated in row order,
+    lengths = per-row set sizes.  Reads the offsets/data buffers directly —
+    no per-row ``bytes`` objects (the ``to_pylist`` path copies each blob).
+
+    Falls back to one defensive copy only when the first blob starts at a
+    non-8-aligned byte offset (cannot happen for arrays Arrow allocated
+    itself, since every blob length is a multiple of 8)."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.cast(pa.large_binary())
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    lens = (np.diff(offs) >> 3).astype(np.int64)
+    data = arr.buffers()[2]
+    if data is None:
+        return np.empty(0, np.uint64), lens
+    flat = np.frombuffer(data, np.uint8)[offs[0] : offs[-1]]
+    if offs[0] % 8 == 0:
+        vals = flat.view(np.uint64)
+    else:  # pragma: no cover - misaligned slice of a foreign buffer
+        vals = np.frombuffer(flat.tobytes(), np.uint64)
+    return vals, lens
+
+
+def batch_set_stats_arrow(col_a, col_b) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``batch_set_stats`` over Arrow binary columns directly (zero-copy:
+    buffer views instead of per-row Python ``bytes``)."""
+    va, na = _binary_column_view(col_a)
+    vb, nb = _binary_column_view(col_b)
+    n = len(na)
+    if n == 0 or (len(va) + len(vb)) == 0:
+        return np.zeros(n, np.int64), na, nb
+    val = np.concatenate([va, vb])
+    idx = np.concatenate(
+        [
+            np.repeat(np.arange(n, dtype=np.int64), na),
+            np.repeat(np.arange(n, dtype=np.int64), nb),
+        ]
+    )
+    order = np.lexsort((val, idx))
+    iv = idx[order]
+    vv = val[order]
+    dup = (iv[1:] == iv[:-1]) & (vv[1:] == vv[:-1])
+    inter = np.bincount(iv[1:][dup], minlength=n).astype(np.int64)
+    return inter, na, nb
+
+
+def _stats_to_jaccard_containment(inter, na, nb) -> tuple[np.ndarray, np.ndarray]:
     union = na + nb - inter
     jac = np.where(
         union > 0,
@@ -82,6 +127,21 @@ def batch_jaccard_containment(
     mn = np.minimum(na, nb)
     cont = np.where(mn > 0, inter / np.maximum(mn, 1), 0.0)
     return jac, cont
+
+
+def batch_jaccard_containment_arrow(col_a, col_b) -> tuple[np.ndarray, np.ndarray]:
+    """Jaccard + containment for all pairs straight from Arrow binary columns
+    (the Verifier hot path — no per-row blob materialization)."""
+    return _stats_to_jaccard_containment(*batch_set_stats_arrow(col_a, col_b))
+
+
+def batch_jaccard_containment(
+    blobs_a: list[bytes], blobs_b: list[bytes]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exact Jaccard + containment for packed-set pairs, with the
+    same empty-set conventions as ``jaccard_sorted``/``containment_sorted``
+    (both empty -> jaccard 1.0; any empty -> containment 0.0)."""
+    return _stats_to_jaccard_containment(*batch_set_stats(blobs_a, blobs_b))
 
 
 def cosine_topk_block(

@@ -337,7 +337,10 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7):
     SQL-checkable against a brute-force inverted-index oracle (any global
     total order yields the same final pairs; only candidate volume differs).
     """
-    from ..functions.similarity import batch_jaccard_containment
+    from ..functions.similarity import (
+        _binary_column_view,
+        batch_jaccard_containment_arrow,
+    )
     from ..state.partitioning import key_partitioned, materialize_clean
     from ..stages.lsh import _distinct_pairs_block, _pairs_in_block
     from ..stages.verify import attach_signatures
@@ -355,14 +358,8 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7):
             return pa.table(
                 {"gram": pa.array([], pa.uint64()), "conv_id": pa.array([], pa.string())}
             )
-        blobs = batch["shingles"].to_pylist()
-        m = np.fromiter((len(b) >> 3 for b in blobs), np.int64, len(blobs))
-        vals = (
-            np.frombuffer(b"".join(blobs), np.uint64)
-            if m.sum()
-            else np.empty(0, np.uint64)
-        )
-        row_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), m)
+        vals, m = _binary_column_view(batch["shingles"])
+        row_idx = np.repeat(np.arange(len(m), dtype=np.int64), m)
         return pa.table(
             {
                 "gram": pa.array(vals, pa.uint64()),
@@ -459,8 +456,8 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7):
         )
         if batch.num_rows == 0:
             return empty
-        jac, _ = batch_jaccard_containment(
-            batch["shingles_a"].to_pylist(), batch["shingles_b"].to_pylist()
+        jac, _ = batch_jaccard_containment_arrow(
+            batch["shingles_a"], batch["shingles_b"]
         )
         keep = jac >= tau
         if not keep.any():

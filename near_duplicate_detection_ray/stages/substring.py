@@ -55,17 +55,16 @@ class AnchorExploder:
                  "conv_id": pa.array([], pa.string())},
                 schema=ANCHORS_SCHEMA,
             )
-        blobs = batch["shingles"].to_pylist()
+        from ..functions.similarity import _binary_column_view
+
+        # zero-copy flatten of the packed shingle sets, one vectorized
+        # modulus over every value at once (no per-row loop)
+        vals, lens = _binary_column_view(batch["shingles"])
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
         mod = np.uint64(self.cfg.anchor_mod)
-        anchors: list[np.ndarray] = []
-        counts = np.zeros(n, dtype=np.int64)
-        for i, blob in enumerate(blobs):
-            vals = np.frombuffer(blob, dtype=np.uint64)
-            sel = vals[vals % mod == 0]
-            anchors.append(sel)
-            counts[i] = len(sel)
-        idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        flat = np.concatenate(anchors) if anchors else np.empty(0, dtype=np.uint64)
+        sel = vals % mod == np.uint64(0)
+        flat = vals[sel]
+        idx = row_idx[sel]
         return pa.table(
             {
                 "bucket": pa.array(flat, pa.uint64()),
@@ -84,18 +83,18 @@ class ContainmentVerifier:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.hashing import hamming_distance
-        from ..functions.similarity import batch_jaccard_containment
+        from ..functions.similarity import batch_jaccard_containment_arrow
 
         cfg = self.cfg
         n = batch.num_rows
         if n == 0:
             return pa.Table.from_pylist([], schema=SUBSTRING_PAIRS_SCHEMA)
-        blobs_a = batch["shingles_a"].to_pylist()
-        blobs_b = batch["shingles_b"].to_pylist()
         sim_a = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         sim_b = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ham = hamming_distance(sim_a, sim_b).astype(np.int32)
-        jac, cont = batch_jaccard_containment(blobs_a, blobs_b)
+        jac, cont = batch_jaccard_containment_arrow(
+            batch["shingles_a"], batch["shingles_b"]
+        )
         # only pairs that are NOT already jaccard-dups but have high containment
         keep = (cont >= cfg.containment_tau) & (jac < cfg.tau)
         return pa.table(

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from ..config import NDDConfig
 from ..functions.hashing import hamming_distance
-from ..functions.similarity import batch_jaccard_containment
+from ..functions.similarity import batch_jaccard_containment_arrow
 
 DUP_PAIRS_SCHEMA = pa.schema(
     [
@@ -45,14 +45,15 @@ class Verifier:
         if n == 0:
             return pa.Table.from_pylist([], schema=DUP_PAIRS_SCHEMA)
         # shingle sets travel as packed uint64 binary blobs (join-safe);
-        # jaccard/containment for the whole batch come from ONE lexsort
-        # (functions/similarity.batch_jaccard_containment), not a per-pair loop
-        blobs_a = batch["shingles_a"].to_pylist()
-        blobs_b = batch["shingles_b"].to_pylist()
+        # jaccard/containment for the whole batch come from ONE lexsort over
+        # a zero-copy view of the Arrow binary buffers — no per-row bytes
+        # objects and no per-pair loop (functions/similarity)
         sim_a = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         sim_b = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         hamming = hamming_distance(sim_a, sim_b).astype(np.int32)
-        jac, cont = batch_jaccard_containment(blobs_a, blobs_b)
+        jac, cont = batch_jaccard_containment_arrow(
+            batch["shingles_a"], batch["shingles_b"]
+        )
         # unified confirmation: jaccard-dups (method=minhash) AND
         # substring CANDIDATES (high containment, below-tau jaccard) in one
         # pass — the fused pipeline unions band- and anchor-buckets so a

@@ -514,3 +514,50 @@ def test_dedup_keep_docs_semantics(sparse_docs_dir):
     assert kept[2] == 2          # rep of the exact pair
     assert 3 not in kept         # absorbed
     assert kept[0] == 1 and kept[1] == 1  # containment pair NOT merged
+
+
+def test_batch_jaccard_arrow_zero_copy_matches_blob_path():
+    """The Arrow-buffer (zero-copy) kernel must agree with the blob-list
+    kernel on every pair, including sliced arrays (nonzero Arrow offset) and
+    multi-chunk columns."""
+    import pyarrow as pa
+
+    from near_duplicate_detection_ray.functions.similarity import (
+        _binary_column_view,
+        batch_jaccard_containment,
+        batch_jaccard_containment_arrow,
+    )
+
+    rng = np.random.default_rng(7)
+    sets = []
+    for _ in range(60):
+        k = int(rng.integers(0, 40))
+        sets.append(np.unique(rng.integers(0, 80, size=k).astype(np.uint64)))
+    sets[10] = np.empty(0, dtype=np.uint64)
+    sets[11] = np.empty(0, dtype=np.uint64)
+    pairs = [(i, (i * 7 + 3) % len(sets)) for i in range(len(sets))]
+    blobs_a = [sets[i].tobytes() for i, _ in pairs]
+    blobs_b = [sets[j].tobytes() for _, j in pairs]
+    ref_jac, ref_cont = batch_jaccard_containment(blobs_a, blobs_b)
+
+    col_a = pa.array(blobs_a, pa.large_binary())
+    col_b = pa.array(blobs_b, pa.binary())  # exercise the binary->large cast
+    jac, cont = batch_jaccard_containment_arrow(col_a, col_b)
+    np.testing.assert_array_equal(jac, ref_jac)
+    np.testing.assert_array_equal(cont, ref_cont)
+
+    # sliced (nonzero offset) + chunked columns
+    sl = slice(5, 41)
+    jac_s, cont_s = batch_jaccard_containment_arrow(
+        col_a.slice(5, 36),
+        pa.chunked_array([col_b.slice(5, 16), col_b.slice(21, 20)]),
+    )
+    np.testing.assert_array_equal(jac_s, ref_jac[sl])
+    np.testing.assert_array_equal(cont_s, ref_cont[sl])
+
+    # the view itself: lengths and concatenated values round-trip
+    vals, lens = _binary_column_view(col_a)
+    assert lens.tolist() == [len(b) // 8 for b in blobs_a]
+    np.testing.assert_array_equal(
+        vals, np.frombuffer(b"".join(blobs_a), np.uint64)
+    )
