@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "english_long_docs": text_analysis.english_long_docs,  # SQL-checked (pushdown)
         "sample_docs": text_analysis.sample_docs,              # SQL-checked (md5 hash split)
         "repetition_docs": text_analysis.repetition_docs,      # SQL-checked (Gopher-style)
+        "top_ngrams_corpus": text_analysis.top_ngrams_corpus,  # SQL-checked (combiner agg)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -447,6 +448,20 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN len(bg) > 0
                    THEN coalesce(top_cnt, 0) * 1.0 / len(bg) ELSE 0.0 END AS top_bigram_frac
             FROM base b LEFT JOIN bgtop USING (doc_id)
+        """,
+        "top_ngrams_corpus": r"""
+            WITH toks AS (
+              SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+              FROM documents
+            ), bg AS (
+              SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS gram
+              FROM toks
+            )
+            SELECT gram, count(*) AS n
+            FROM bg GROUP BY gram
+            ORDER BY n DESC, gram ASC
+            LIMIT 20
         """,
         "length_class_docs": """
             SELECT doc_id,

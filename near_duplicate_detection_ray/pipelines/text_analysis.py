@@ -385,6 +385,51 @@ def repetition_docs(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+def top_ngrams_corpus(sf_dir: str, k: int = 20):
+    """CORPUS-level top-k word bigrams: (gram, n) for the k most frequent
+    bigrams, ties broken by gram ascending.
+
+    The scale pattern is partial aggregation (combiner): each block first
+    collapses its bigrams to (gram, count) via ``pc.value_counts`` — the
+    shuffle then moves at most distinct-grams-per-block rows instead of one
+    row per bigram occurrence — before the small ``groupby('gram').sum``
+    and the final sort+limit.  At 100 TB the pre-aggregate bounds exchange
+    volume by vocabulary size, not corpus size (SURVEY §2 A2 two-level agg).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        text = batch["text"]
+        blank = pc.equal(pc.utf8_trim_whitespace(text), pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), pattern=r"\s+")
+        row_idx, _ = _token_row_index(toks, batch.num_rows)
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) < 2:
+            return empty
+        keep = ~blank[row_idx]
+        same = keep[1:] & keep[:-1] & (row_idx[1:] == row_idx[:-1])
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        ).filter(pa.array(same))
+        if len(grams) == 0:
+            return empty
+        vc = pc.value_counts(grams)
+        return pa.table(
+            {"gram": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    parts = _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    totals = parts.groupby("gram").sum("n")
+    totals = totals.rename_columns({"sum(n)": "n"})
+    return totals.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
 def sample_docs(sf_dir: str, pct: int = 10):
     """Deterministic content-independent sampling — the reproducible
     train/eval split primitive at corpus scale: keep docs where

@@ -85,3 +85,21 @@ def test_repetition_invariant_under_blocking(rep_docs_dir, tmp_path):
         .reset_index(drop=True)
     )
     assert one.equals(many)
+
+
+def test_top_ngrams_corpus_matches_counter(rep_docs_dir):
+    """Corpus top-k bigrams vs a Counter reference, deterministic tie-break
+    (n desc, gram asc)."""
+    from collections import Counter
+
+    from near_duplicate_detection_ray.pipelines.text_analysis import top_ngrams_corpus
+
+    c = Counter()
+    for text in TEXTS:
+        toks = text.split()
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    df = top_ngrams_corpus(rep_docs_dir, k=20).to_pandas()
+    got = list(zip(df["gram"], df["n"]))
+    assert got == want
