@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": text_analysis.sample_docs,              # SQL-checked (md5 hash split)
         "repetition_docs": text_analysis.repetition_docs,      # SQL-checked (Gopher-style)
         "top_ngrams_corpus": text_analysis.top_ngrams_corpus,  # SQL-checked (combiner agg)
+        "clean_docs": text_analysis.clean_docs,                # SQL-checked (rewrite map)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -448,6 +449,24 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN len(bg) > 0
                    THEN coalesce(top_cnt, 0) * 1.0 / len(bg) ELSE 0.0 END AS top_bigram_frac
             FROM base b LEFT JOIN bgtop USING (doc_id)
+        """,
+        "clean_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+              FROM documents
+            ), f AS (
+              SELECT doc_id, l,
+                     list_filter(l, t -> trim(lower(t), '.,!?;:"''()') NOT IN
+                         ('the','and','of','to','a','in','is','it','you','that',
+                          'was','for','on','are','with','as','his','they','at')) AS kept
+              FROM toks
+            )
+            SELECT doc_id,
+                   array_to_string(kept, ' ') AS clean_text,
+                   len(l) - len(kept) AS n_removed
+            FROM f
         """,
         "top_ngrams_corpus": r"""
             WITH toks AS (

@@ -430,6 +430,48 @@ def top_ngrams_corpus(sf_dir: str, k: int = 20):
     return totals.sort(["n", "gram"], descending=[True, False]).limit(k)
 
 
+def clean_docs(sf_dir: str):
+    """Rewrite map: doc_id, clean_text (English stopwords removed, tokens
+    re-joined with single spaces), n_removed.  The per-row REWRITE pattern
+    (vs the scoring maps above): filter the flattened token array with one
+    ``pc.is_in``, rebuild per-row lists from bincounted offsets, and re-join
+    with ``pc.binary_join`` — no per-document Python.
+
+    Stopword matching mirrors ``quality_scores``: lowercase + strip
+    ``.,!?;:"'()`` before the membership test, but the KEPT token keeps its
+    original form.  SQL parity via ``list_filter`` + ``array_to_string``."""
+
+    stop_set = pa.array(sorted(LANG_STOPWORDS["en"]), pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        row_idx, _ = _token_row_index(toks, n)
+        flat = pc.list_flatten(toks).combine_chunks()
+        stripped = pc.utf8_trim(pc.utf8_lower(flat), characters=_STRIP_CHARS)
+        is_stop = pc.is_in(stripped, value_set=stop_set).to_numpy(zero_copy_only=False)
+        kept = flat.filter(pa.array(~is_stop))
+        new_lens = np.bincount(row_idx[~is_stop], minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=offsets[1:])
+        clean = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, kept.cast(pa.large_string())),
+            pa.scalar(" ", pa.large_string()),
+        )
+        n_removed = np.bincount(row_idx[is_stop], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean,
+                "n_removed": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
 def sample_docs(sf_dir: str, pct: int = 10):
     """Deterministic content-independent sampling — the reproducible
     train/eval split primitive at corpus scale: keep docs where

@@ -103,3 +103,18 @@ def test_top_ngrams_corpus_matches_counter(rep_docs_dir):
     df = top_ngrams_corpus(rep_docs_dir, k=20).to_pandas()
     got = list(zip(df["gram"], df["n"]))
     assert got == want
+
+
+def test_clean_docs_matches_scalar(rep_docs_dir):
+    """Stopword-removal rewrite vs a scalar reference (strip+lower membership,
+    original token kept), including blank docs."""
+    from near_duplicate_detection_ray.functions.text import LANG_STOPWORDS
+    from near_duplicate_detection_ray.pipelines.text_analysis import clean_docs
+
+    stop = LANG_STOPWORDS["en"]
+    df = clean_docs(rep_docs_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, text in enumerate(TEXTS):
+        toks = text.split()
+        kept = [t for t in toks if t.lower().strip(".,!?;:\"'()") not in stop]
+        assert df.loc[i, "clean_text"] == " ".join(kept), (i, text)
+        assert df.loc[i, "n_removed"] == len(toks) - len(kept), (i, text)
