@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_event_stats": relational.session_event_stats,  # interval join (J1)
         "events_trailing_1h": relational.events_trailing_1h,   # sliding window (§2.9)
         "shipping_priority": relational.shipping_priority,     # TPC-H Q3 shape (3-way join)
+        "large_quantity_orders": relational.large_quantity_orders,  # TPC-H Q18 shape (HAVING + join-back)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -289,6 +290,20 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > DATE '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue_c4 DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "large_quantity_orders": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT c_name, o_custkey, l_orderkey, o_orderdate, o_totalprice, total_qty
+            FROM per_order
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE total_qty > 300
+            ORDER BY o_totalprice DESC, o_orderdate ASC, l_orderkey ASC
             LIMIT 10
         """,
         "shipped_within_90d": """

@@ -523,3 +523,60 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         ["revenue_c4", "o_orderdate", "l_orderkey"],
         descending=[True, False, False],
     ).limit(k)
+
+
+def large_quantity_orders(sf_dir: str, threshold: int = 300, k: int = 10,
+                          num_partitions: int = 8):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds ``threshold``,
+    with customer attribution — the HAVING-filter + join-back pattern (an
+    aggregate produces the key set that then drives two hash joins).
+
+    Quantities are integral doubles; each is cast to int64 before summing so
+    both engines sum exactly (no float addition-order sensitivity).  The
+    post-HAVING key set is tiny (~0.1% of orders at threshold 300), so the
+    join chain runs at small ``num_partitions``; a materialize_clean barrier
+    scrubs the sparse-join empty-block footgun between the two joins."""
+    from ..functions.groupagg import highcard_groupagg
+    from ..state.partitioning import materialize_clean
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty(t: pa.Table) -> pa.Table:
+        q = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"], "q": pa.array(q, pa.int64())})
+
+    per_order = highcard_groupagg(
+        items.map_batches(qty, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("q", "sum")],
+        {"q_sum": "total_qty"},
+    )
+    big = per_order.filter(lambda r: r["total_qty"] > threshold)
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    j = materialize_clean(
+        big.join(
+            orders,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = j.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    out = j2.select_columns(
+        ["c_name", "o_custkey", "l_orderkey", "o_orderdate", "o_totalprice", "total_qty"]
+    )
+    return out.sort(
+        ["o_totalprice", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(k)
