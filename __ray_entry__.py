@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_1h": relational.events_trailing_1h,   # sliding window (§2.9)
         "shipping_priority": relational.shipping_priority,     # TPC-H Q3 shape (3-way join)
         "large_quantity_orders": relational.large_quantity_orders,  # TPC-H Q18 shape (HAVING + join-back)
+        "customers_without_orders": relational.customers_without_orders,  # anti-join (D4 shape)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -291,6 +292,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue_c4 DESC, o_orderdate ASC, l_orderkey ASC
             LIMIT 10
+        """,
+        "customers_without_orders": """
+            SELECT n_name,
+                   round(sum(c_acctbal), 4) AS total_bal,
+                   count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey NOT IN (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01')
+            GROUP BY n_name
         """,
         "large_quantity_orders": """
             WITH per_order AS (

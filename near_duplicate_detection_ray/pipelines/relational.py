@@ -580,3 +580,56 @@ def large_quantity_orders(sf_dir: str, threshold: int = 300, k: int = 10,
         ["o_totalprice", "o_orderdate", "l_orderkey"],
         descending=[True, False, False],
     ).limit(k)
+
+
+def customers_without_orders(sf_dir: str, year: int = 1997):
+    """ANTI-join (TPC-H Q22 family; the batch form of SURVEY §2 D4
+    stale-entry eviction): customers with NO orders in ``year``, rolled up
+    per nation.
+
+    The year's order-customer key set is built OFF-DRIVER (per-block unique +
+    remote tree merge — ``state/partitioning.distinct_values_ref``) and the
+    anti-side applies one vectorized inverted ``pc.is_in`` per batch; the
+    tiny nation table is broadcast for labeling.  No shuffle touches the
+    customer table at all."""
+    import ray
+
+    from ..state.partitioning import distinct_values_ref
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    def in_year(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((od >= lo) & (od < hi)))
+
+    ids_ref, _n = distinct_values_ref(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            in_year, batch_format="pyarrow"
+        ),
+        ["o_custkey"],
+    )
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nmap_ref = ray.put(lut)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        keep = pc.invert(pc.is_in(batch["c_custkey"], value_set=ids))
+        t = batch.filter(keep)
+        names = ray.get(nmap_ref)[t["c_nationkey"].to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {"n_name": pa.array(names.tolist(), pa.string()), "c_acctbal": t["c_acctbal"]}
+        )
+
+    agg = lowcard_groupagg(
+        cust.map_batches(anti, batch_format="pyarrow"),
+        ["n_name"],
+        [("c_acctbal", "sum"), ([], "count_all")],
+        {"c_acctbal_sum": "total_bal", "count_all": "n_customers"},
+    )
+    return _round_floats(agg, ["total_bal"], 4)
