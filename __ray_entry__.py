@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.shipping_priority,     # TPC-H Q3 shape (3-way join)
         "large_quantity_orders": relational.large_quantity_orders,  # TPC-H Q18 shape (HAVING + join-back)
         "customers_without_orders": relational.customers_without_orders,  # anti-join (D4 shape)
+        "event_value_quantiles": relational.event_value_quantiles,  # order-statistic agg
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -292,6 +293,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue_c4 DESC, o_orderdate ASC, l_orderkey ASC
             LIMIT 10
+        """,
+        # quantile_disc is an order statistic (element-picking, no
+        # interpolation) — numpy's inverted_cdf returns the identical element
+        "event_value_quantiles": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   quantile_disc(value, 0.25) AS p25,
+                   quantile_disc(value, 0.50) AS p50,
+                   quantile_disc(value, 0.90) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type
         """,
         "customers_without_orders": """
             SELECT n_name,

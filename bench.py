@@ -128,8 +128,24 @@ def main() -> None:
     ray.shutdown()
 
 
+def _calibrate(secs: float = 2.0) -> float:
+    """Single-thread numpy burn, iters/s — a host-steal detector.  This box is
+    shared; CPU steal moves phase timings by up to ~40%.  Comparing the probe
+    before each phase against the documented quiet-host value (~540k iters/s)
+    tells whether a scaling number is trustworthy."""
+    import numpy as np
+
+    x = np.random.default_rng(0).random(4096)
+    t0, n = time.perf_counter(), 0
+    while time.perf_counter() - t0 < secs:
+        (x * 1.0001).sum()
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
 def scaling() -> None:
-    """Fresh-process runs at 8 and 32 CPUs; report throughputs + efficiency."""
+    """Fresh-process runs at 8 and 32 CPUs; report throughputs + efficiency,
+    plus a per-phase single-core calibration probe (host-steal evidence)."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -149,8 +165,11 @@ def scaling() -> None:
     # BASELINE.md's bandwidth analysis.
     lo = int(os.environ.get("NDD_SCALE_LO", "8"))
     hi = int(os.environ.get("NDD_SCALE_HI", str(4 * lo)))
+    cal_lo = _calibrate()
     r_lo = run(lo)
+    cal_hi = _calibrate()
     r_hi = run(hi)
+    cal_end = _calibrate()
     tps_lo = r_lo["turns_per_sec"]
     tps_hi = r_hi["turns_per_sec"]
     eff = (tps_hi / tps_lo) / (hi / lo)
@@ -165,6 +184,12 @@ def scaling() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "sf": SF_DIR,
                 "turns": r_hi["turns"],
+                # single-core probe before each phase (quiet host ~540k
+                # iters/s); a depressed probe marks that phase's timing as
+                # steal-contaminated — see BASELINE.md noise notes
+                "calib_iters_per_sec": [
+                    round(cal_lo), round(cal_hi), round(cal_end)
+                ],
             }
         )
     )

@@ -633,3 +633,67 @@ def customers_without_orders(sf_dir: str, year: int = 1997):
         {"c_acctbal_sum": "total_bal", "count_all": "n_customers"},
     )
     return _round_floats(agg, ["total_bal"], 4)
+
+
+def event_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
+    """Per-group DISCRETE quantiles of event value — the order-statistic
+    aggregate family (quantiles don't decompose into partials, so this is a
+    keyed repartition + block-local sorted-group scan, NOT a combiner agg).
+
+    Discrete (element-picking) quantiles are used deliberately: numpy's
+    ``method='inverted_cdf'`` and DuckDB's ``quantile_disc`` return the
+    identical corpus element (verified bit-exact across sizes/q), so the
+    oracle hash matches with no interpolation-ULP risk.  At scale each
+    event_type group must fit a block; for heavy-hitter groups the upgrade
+    path is a distributed t-digest sketch (approximate) or a two-pass
+    count-then-select."""
+    from ..functions.groupagg import lowcard_groupagg  # noqa: F401  (family ref)
+    from ..state.partitioning import key_partitioned
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def block(batch: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": [],
+            "n_events": [],
+            **{f"p{int(q * 100):02d}": [] for q in qs},
+        }
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    **{f"p{int(q * 100):02d}": pa.array([], pa.float64()) for q in qs},
+                }
+            )
+        enc = batch["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        ends = np.append(starts[1:], len(cs))
+        for s, e in zip(starts, ends):
+            cols["event_type"].append(enc.dictionary[cs[s]].as_py())
+            cols["n_events"].append(int(e - s))
+            seg = vs[s:e]  # already sorted
+            for q in qs:
+                cols[f"p{int(q * 100):02d}"].append(
+                    float(np.quantile(seg, q, method="inverted_cdf"))
+                )
+        return pa.table(
+            {
+                "event_type": pa.array(cols["event_type"], pa.string()),
+                "n_events": pa.array(cols["n_events"], pa.int64()),
+                **{
+                    f"p{int(q * 100):02d}": pa.array(
+                        cols[f"p{int(q * 100):02d}"], pa.float64()
+                    )
+                    for q in qs
+                },
+            }
+        )
+
+    return key_partitioned(ds, ["event_type"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
