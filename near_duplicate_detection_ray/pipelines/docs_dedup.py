@@ -312,7 +312,71 @@ def ngram_grams_docs(sf_dir: str, n: int = 3):
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7):
+def _gram_df_ref(sigs):
+    """Global gram document-frequencies, built OFF-DRIVER and broadcast.
+
+    Per block: one ``np.unique(return_counts=True)`` over the flattened
+    packed sets (grams are unique per doc, so counts are document counts).
+    Partials merge through a remote tree (fan-in 64, sort-based group-sum);
+    the finalize keeps only df >= 2 (every other gram defaults to 1 at
+    lookup).  Returns ``(ref, n_hot)`` where ``ref`` resolves to a
+    ``(sorted uint64 grams, int64 dfs)`` pair."""
+    import ray
+
+    from ..functions.similarity import _binary_column_view
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, _m = _binary_column_view(t["shingles"])
+        g, c = np.unique(vals, return_counts=True)
+        return pa.table(
+            {"gram": pa.array(g, pa.uint64()),
+             "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    refs = sigs.select_columns(["shingles"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_arrow_refs()
+
+    def _sum_tables(tables):
+        gs = np.concatenate(
+            [t["gram"].to_numpy(zero_copy_only=False) for t in tables]
+            or [np.empty(0, np.uint64)]
+        )
+        ns = np.concatenate(
+            [t["n"].to_numpy(zero_copy_only=False) for t in tables]
+            or [np.empty(0, np.int64)]
+        )
+        order = np.argsort(gs, kind="stable")
+        gs, ns = gs[order], ns[order]
+        starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        total = np.add.reduceat(ns, starts) if len(ns) else ns
+        return gs[starts] if len(gs) else gs, total
+
+    @ray.remote
+    def merge(*tables):
+        g, t = _sum_tables([x for x in tables if x.num_rows and x.num_columns])
+        return pa.table(
+            {"gram": pa.array(g, pa.uint64()), "n": pa.array(t, pa.int64())}
+        )
+
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 64]) for i in range(0, len(refs), 64)]
+
+    @ray.remote(num_returns=2)
+    def finalize(t):
+        if not (t.num_rows and t.num_columns):
+            return (np.empty(0, np.uint64), np.empty(0, np.int64)), 0
+        g = t["gram"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        hot = n >= 2
+        return (g[hot].copy(), n[hot].copy()), int(hot.sum())
+
+    ref, n_ref = finalize.remote(refs[0])
+    return ref, int(ray.get(n_ref))
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
+                        hot_gram_cap: int = 5_000_000):
     """EXACT n-gram Jaccard set-similarity self-join: all doc pairs with
     token-``n``-gram Jaccard >= ``tau`` — no MinHash approximation.
 
@@ -417,13 +481,64 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7):
             }
         )
 
-    occ = sigs.map_batches(explode_all, batch_format="pyarrow")
-    with_df = key_partitioned(occ, ["gram"]).map_batches(
-        attach_df, batch_format="pyarrow", batch_size=None
-    )
-    index = key_partitioned(with_df, ["conv_id"]).map_batches(
-        prefix_block, batch_format="pyarrow", batch_size=None
-    )
+    # --- document frequencies: broadcast map, not a shuffle -------------
+    # Grams are unique per doc, so per-block np.unique counts are partial
+    # dfs; a remote tree merge sums them OFF-DRIVER and keeps only df >= 2
+    # (df-1 grams default to 1 at lookup).  This replaces TWO keyed
+    # shuffles of the full occurrence table (count by gram, re-group by
+    # doc) with one tiny broadcast: the df>=2 vocabulary is bounded by
+    # REPEATED content, not corpus size (sf0.01: 6.8k grams of 26k).
+    # Fallback: if the hot vocabulary exceeds ``hot_gram_cap``, take the
+    # shuffle path (exact same ordering — global dfs either way).
+    df_ref, n_hot = _gram_df_ref(sigs)
+
+    if n_hot <= hot_gram_cap:
+        import ray
+
+        def prefix_direct(batch: pa.Table) -> pa.Table:
+            """Prefix entries straight from the signature blobs: vectorized
+            df lookup (searchsorted into the broadcast hot-gram array),
+            per-doc (df, gram) order, first m - ceil(tau*m) + 1 kept."""
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"bucket": pa.array([], pa.uint64()),
+                     "conv_id": pa.array([], pa.string())}
+                )
+            hot_grams, hot_df = ray.get(df_ref)
+            vals, m = _binary_column_view(batch["shingles"])
+            row_idx = np.repeat(np.arange(len(m), dtype=np.int64), m)
+            if len(hot_grams):
+                pos = np.clip(
+                    np.searchsorted(hot_grams, vals), 0, len(hot_grams) - 1
+                )
+                found = hot_grams[pos] == vals
+                df = np.where(found, hot_df[pos], 1)
+            else:
+                df = np.ones(len(vals), dtype=np.int64)
+            order = np.lexsort((vals, df, row_idx))
+            starts = np.zeros(len(m), dtype=np.int64)
+            np.cumsum(m[:-1], out=starts[1:])
+            alpha = -((-tau_ppm * m) // 1_000_000)
+            plen = m - alpha + 1
+            pos_in_row = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, m)
+            keep = pos_in_row < np.repeat(plen, m)
+            sel = order[keep]
+            return pa.table(
+                {
+                    "bucket": pa.array(vals[sel], pa.uint64()),
+                    "conv_id": batch["conv_id"].take(pa.array(row_idx[sel])),
+                }
+            )
+
+        index = sigs.map_batches(prefix_direct, batch_format="pyarrow")
+    else:  # forced via hot_gram_cap=0 in tests/test_ngram_jaccard.py
+        occ = sigs.map_batches(explode_all, batch_format="pyarrow")
+        with_df = key_partitioned(occ, ["gram"]).map_batches(
+            attach_df, batch_format="pyarrow", batch_size=None
+        )
+        index = key_partitioned(with_df, ["conv_id"]).map_batches(
+            prefix_block, batch_format="pyarrow", batch_size=None
+        )
     # exact join: NO hot-bucket cap (cap would approximate); prefix filtering
     # already bounds bucket sizes to the (1-tau)-sampled occurrence lists
     raw = key_partitioned(index, ["bucket"]).map_batches(

@@ -130,3 +130,18 @@ def test_ngram_jaccard_matches_duckdb_oracle(ngram_docs_dir):
     # the planted structure must actually be found
     pairs = set(zip(got["a"], got["b"]))
     assert (0, 2) in pairs and (3, 4) in pairs and (0, 1) in pairs
+
+
+def test_broadcast_and_shuffle_df_paths_equal(ngram_docs_dir):
+    """The broadcast df-map path (default) and the two-shuffle fallback
+    (forced via hot_gram_cap=0) must emit identical final pairs."""
+    from near_duplicate_detection_ray.pipelines.docs_dedup import ngram_jaccard_pairs
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        return df
+
+    fast = norm(ngram_jaccard_pairs(ngram_docs_dir))
+    slow = norm(ngram_jaccard_pairs(ngram_docs_dir, hot_gram_cap=0))
+    assert fast.equals(slow)
+    assert len(fast) > 0
