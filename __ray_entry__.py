@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
         "ann_ivf_topk": ann.ann_ivf_topk,                      # rows-only (approximate; full-probe==exact pinned in pytest)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
+        "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
         "media_feature_summary": multimodal.media_feature_summary,
         # --- flagship transcript pipeline (engine-synthesized input; SQL-checked
@@ -460,6 +461,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        # per-label mean embedding, long format; float32 inputs are exact in
+        # float64 so the rounded mean is summation-order-stable
+        "label_centroids": """
+            SELECT label, dim,
+                   round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+            FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim
         """,
         # Gopher-style word-level repetition metrics; the engine computes the
         # identical 1.0 - (d * 1.0 / n) IEEE expressions, so hashes match.

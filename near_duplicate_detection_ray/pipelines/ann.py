@@ -502,3 +502,62 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_centroids: int 
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def label_centroids(sf_dir: str):
+    """Per-label mean embedding (the VECTOR aggregate family): long-format
+    output (label, dim 1-based, centroid rounded to 6).
+
+    Combiner pattern over fixed-width vectors: each block emits per-label
+    partial (sum, count) rows per dimension — labels x 64 rows, independent
+    of block size — then one tiny grouped sum finishes.  At 100 TB the
+    exchange is bounded by labels x dims x blocks partials, never by rows.
+    float32 inputs are exact in float64, so partial-sum order cannot move
+    the rounded mean (verified against the DuckDB oracle's avg)."""
+    from ..functions.groupagg import lowcard_groupagg
+
+    ds = _read_emb(sf_dir, ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int32()), "dim": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.float64()), "n": pa.array([], pa.int64())}
+            )
+        mat = _emb_matrix(batch)  # (n, d) float64
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        d = mat.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, codes, mat)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, d)
+        dim = np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(lab, pa.int32()),
+                "dim": pa.array(dim, pa.int64()),
+                "s": pa.array(sums.reshape(-1), pa.float64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    agg = lowcard_groupagg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("s", "sum"), ("n", "sum")],
+        {"s_sum": "s", "n_sum": "n"},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": batch["label"],
+                "dim": batch["dim"],
+                "centroid": pa.array(np.round(s / n, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
