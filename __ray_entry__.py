@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_quantity_orders": relational.large_quantity_orders,  # TPC-H Q18 shape (HAVING + join-back)
         "customers_without_orders": relational.customers_without_orders,  # anti-join (D4 shape)
         "event_value_quantiles": relational.event_value_quantiles,  # order-statistic agg
+        "nation_yearly_rollup": relational.nation_yearly_rollup,  # ROLLUP multi-level agg
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -294,6 +295,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue_c4 DESC, o_orderdate ASC, l_orderkey ASC
             LIMIT 10
+        """,
+        # ROLLUP with ('ALL', -1) sentinels instead of NULLs (dtype-stable
+        # hashing); revenue in integer cents so every level re-sums exactly
+        "nation_yearly_rollup": """
+            SELECT coalesce(n_name, 'ALL') AS n_name,
+                   coalesce(yr, -1) AS yr,
+                   CAST(sum(cents) AS BIGINT) AS revenue_c,
+                   count(*) AS n_orders
+            FROM (
+                SELECT n_name,
+                       CAST(year(o_orderdate) AS BIGINT) AS yr,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+            )
+            GROUP BY ROLLUP(n_name, yr)
         """,
         # quantile_disc is an order statistic (element-picking, no
         # interpolation) — numpy's inverted_cdf returns the identical element

@@ -697,3 +697,78 @@ def event_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
     return key_partitioned(ds, ["event_type"]).map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def nation_yearly_rollup(sf_dir: str, num_partitions: int = 8):
+    """ROLLUP aggregate (nation, order-year) -> per-nation subtotal -> grand
+    total, as one base aggregation plus two derived re-aggregations of the
+    TINY base result unioned together — the multi-level-agg composition
+    (SURVEY §2 A2 generalized).  Subtotal rows use sentinels ('ALL', -1)
+    instead of SQL ROLLUP NULLs so hashing is dtype-stable.  Revenue is
+    summed in integer cents: re-aggregating rounded floats would drift at
+    the last ULP, integers re-aggregate exactly at every level."""
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nmap_ref = ray.put(lut)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        names = ray.get(nmap_ref)[batch["c_nationkey"].to_numpy(zero_copy_only=False)]
+        yr = pc.cast(pc.year(batch["o_orderdate"]), pa.int64())
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(names.tolist(), pa.string()),
+                "yr": yr,
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    base = lowcard_groupagg(
+        joined.map_batches(label, batch_format="pyarrow"),
+        ["n_name", "yr"],
+        [("cents", "sum"), ([], "count_all")],
+        {"cents_sum": "revenue_c", "count_all": "n_orders"},
+    )
+
+    # the base result is tiny (nations x years); derive the upper levels
+    # from it rather than re-scanning the fact table
+    base_tbl = pa.concat_tables(
+        b for b in base.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_columns
+    )
+    df = base_tbl.to_pandas()
+    sub = (
+        df.groupby("n_name", as_index=False)[["revenue_c", "n_orders"]]
+        .sum()
+        .assign(yr=-1)
+    )
+    tot = pa.table(
+        {
+            "n_name": pa.array(["ALL"], pa.string()),
+            "yr": pa.array([-1], pa.int64()),
+            "revenue_c": pa.array([int(df["revenue_c"].sum())], pa.int64()),
+            "n_orders": pa.array([int(df["n_orders"].sum())], pa.int64()),
+        }
+    )
+    cols = ["n_name", "yr", "revenue_c", "n_orders"]
+    sub_tbl = pa.Table.from_pandas(sub[cols], preserve_index=False).cast(tot.schema)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.concat_tables([base_tbl.select(cols).cast(tot.schema), sub_tbl, tot])
+    )
