@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
         "media_feature_summary": multimodal.media_feature_summary,
+        "media_chunks": multimodal.media_chunks,               # SQL-checked (M3 chunk plan)
         # --- flagship transcript pipeline (engine-synthesized input; SQL-checked
         #     via the derived-corpus CTEs in oracle_sql, + NumPy oracle in pytest) ---
         "ndd_clusters": _ndd_clusters,
@@ -295,6 +296,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue_c4 DESC, o_orderdate ASC, l_orderkey ASC
             LIMIT 10
+        """,
+        # chunk PLAN arithmetic over the derived media payloads (payload =
+        # utf-8 text bytes, so strlen = byte length); window 256, stride 192
+        "media_chunks": """
+            SELECT doc_id AS media_id,
+                   u AS chunk_idx,
+                   u * 192 AS offset,
+                   least(256, strlen(text) - u * 192) AS n_bytes
+            FROM documents CROSS JOIN
+                 unnest(range(0, CASE WHEN strlen(text) = 0 THEN 0
+                                      ELSE 1 + (strlen(text) - 1) // 192 END)) AS t(u)
         """,
         # ROLLUP with ('ALL', -1) sentinels instead of NULLs (dtype-stable
         # hashing); revenue in integer cents so every level re-sums exactly

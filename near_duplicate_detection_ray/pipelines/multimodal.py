@@ -21,6 +21,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import splitmix64
 
@@ -200,3 +201,51 @@ def media_feature_summary(sf_dir: str):
     ).reset_index()
     out["checksum_xor"] = out["checksum_xor"].astype(np.uint64)
     return rd.from_pandas(out.sort_values("media_type").reset_index(drop=True))
+
+
+def media_chunks(sf_dir: str, window: int = 256, stride: int = 192):
+    """Chunk-plan expansion over binary payloads — the frame-sampler analogue
+    (SURVEY §2 M3, ``ndd/extract_images.py:43``: fixed-stride sampling inside
+    a unit): one (media_id, chunk_idx, offset, n_bytes) row per
+    ``stride``-spaced window of each payload; the last window is truncated,
+    empty payloads emit nothing.
+
+    Expansion is fully vectorized: byte lengths via ``pc.binary_length``,
+    per-row chunk counts in closed form, rows materialized with one
+    ``np.repeat`` + per-row aranges — no per-payload Python.  The chunk PLAN
+    carries only arithmetic (offsets/lengths), so at 100 TB the expansion is
+    metadata-sized; actual chunk bytes stay in the payload column and are
+    sliced lazily by downstream decode stages."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "media_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "offset": pa.array([], pa.int64()),
+                "n_bytes": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        length = pc.binary_length(batch["payload"]).to_numpy(zero_copy_only=False)
+        n_chunks = np.where(length > 0, 1 + (np.maximum(length, 1) - 1) // stride, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        row_idx = np.repeat(np.arange(len(length), dtype=np.int64), n_chunks)
+        starts = np.zeros(len(length), dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=starts[1:])
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_chunks)
+        offset = chunk_idx * stride
+        n_bytes = np.minimum(window, length[row_idx] - offset)
+        return pa.table(
+            {
+                "media_id": batch["media_id"].take(pa.array(row_idx)),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "offset": pa.array(offset, pa.int64()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+            }
+        )
+
+    return media_from_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
