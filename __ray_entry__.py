@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": text_analysis.repetition_docs,      # SQL-checked (Gopher-style)
         "top_ngrams_corpus": text_analysis.top_ngrams_corpus,  # SQL-checked (combiner agg)
         "clean_docs": text_analysis.clean_docs,                # SQL-checked (rewrite map)
+        "vocab_stats": text_analysis.vocab_stats,              # SQL-checked (global distinct)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -530,6 +531,15 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN len(bg) > 0
                    THEN coalesce(top_cnt, 0) * 1.0 / len(bg) ELSE 0.0 END AS top_bigram_frac
             FROM base b LEFT JOIN bgtop USING (doc_id)
+        """,
+        "vocab_stats": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT count(*) AS n_words,
+                   count(DISTINCT w) AS n_distinct_words
+            FROM w
         """,
         "clean_docs": r"""
             WITH toks AS (

@@ -472,6 +472,35 @@ def clean_docs(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+def vocab_stats(sf_dir: str):
+    """Single-row corpus vocabulary stats: total word occurrences and GLOBAL
+    distinct word count.  Global distinct is the D-family primitive done
+    off-driver: per-block ``pc.unique`` partials merged through a remote
+    tree (``state/partitioning.distinct_values_ref``) — the driver learns
+    one integer, never the vocabulary.  Totals ride the same read as a
+    per-block count partial."""
+    import ray.data as rd
+
+    from ..state.partitioning import distinct_values_ref
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        return pa.table({"w": flat})
+
+    word_ds = docs.map_batches(words, batch_format="pyarrow")
+    _ref, n_distinct = distinct_values_ref(word_ds, ["w"])
+    n_total = word_ds.count()
+    return rd.from_items(
+        [{"n_words": int(n_total), "n_distinct_words": int(n_distinct)}]
+    )
+
+
 def sample_docs(sf_dir: str, pct: int = 10):
     """Deterministic content-independent sampling — the reproducible
     train/eval split primitive at corpus scale: keep docs where
