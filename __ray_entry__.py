@@ -77,6 +77,12 @@ def _ndd_dup_pairs(sf_dir: str):
     )
 
 
+def _curate_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import curate_docs
+
+    return curate_docs(sf_dir)
+
+
 def _assemble_transcripts(sf_dir: str):
     from near_duplicate_detection_ray.sources.transcripts import (
         transcripts_from_documents,
@@ -134,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
+        "curate_docs": _curate_docs,                            # SQL-checked (composed pipeline)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -211,6 +218,81 @@ rinter AS (
                 JOIN rsizes sb ON rinter.b = sb.conv_id
 )
 """
+
+
+# Recursive dedup-component CTEs (exact raw-text ∪ shingle-jaccard edges →
+# per-doc representative) shared by the dedup_keep_docs and curate_docs
+# oracles.  Kept as a WITH RECURSIVE prefix; append a final SELECT over comp.
+_DEDUP_COMP_CTES = """
+            WITH RECURSIVE dtoks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM dtoks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), jp AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            ), xp AS (
+                SELECT d1.doc_id AS a, d2.doc_id AS b
+                FROM documents d1 JOIN documents d2
+                  ON d1.text = d2.text AND d1.doc_id < d2.doc_id
+            ), edges AS (
+                SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp
+                UNION SELECT a, b FROM xp UNION SELECT b, a FROM xp
+            ), reach(src, node) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+            ), comp AS (
+                SELECT src AS doc_id, min(node) AS rep FROM reach GROUP BY src
+            )
+"""
+
+
+def _curate_sql() -> str:
+    """Composed curation oracle: dedup-representative ∧ language vote ∧
+    token budget ∧ repetition cap, assembled from the individually-verified
+    CTE blocks (dedup comp, lang vote) + inline token/repetition exprs."""
+    ntok = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    dupw = (
+        "CASE WHEN trim(text) = '' THEN 0.0 ELSE "
+        "1.0 - (len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1.0 "
+        "/ len(regexp_split_to_array(trim(text), '\\s+'))) END"
+    )
+    return f"""
+        SELECT d.doc_id,
+               lp.lang_pred,
+               {ntok} AS n_tokens,
+               {dupw} AS dup_word_frac
+        FROM documents d
+        JOIN ({_lang_id_sql()}) lp ON lp.doc_id = d.doc_id
+        JOIN ({_DEDUP_COMP_CTES} SELECT doc_id, rep FROM comp) cp
+          ON cp.doc_id = d.doc_id
+        WHERE cp.rep = d.doc_id
+          AND lp.lang_pred = 'en'
+          AND {ntok} >= 20
+          AND {dupw} <= 0.75
+    """
 
 
 def _lang_id_sql() -> str:
@@ -626,48 +708,11 @@ def oracle_sql() -> dict[str, str]:
         # duplicate component, components spanning exact raw-text copies AND
         # shingle-jaccard near-dups — recursive reachability over both edge
         # sets, mirroring the engine's connected-components stage.
-        "dedup_keep_docs": """
-            WITH RECURSIVE toks AS (
-                SELECT doc_id,
-                       regexp_split_to_array(
-                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
-                       ) AS t
-                FROM documents
-                WHERE trim(text) <> ''
-            ), sh AS (
-                SELECT DISTINCT doc_id, s
-                FROM toks, UNNEST(
-                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
-                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
-                    END
-                ) AS u(s)
-            ), sizes AS (
-                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-            ), inter AS (
-                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ), jp AS (
-                SELECT a, b FROM inter
-                JOIN sizes sa ON inter.a = sa.doc_id
-                JOIN sizes sb ON inter.b = sb.doc_id
-                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
-            ), xp AS (
-                SELECT d1.doc_id AS a, d2.doc_id AS b
-                FROM documents d1 JOIN documents d2
-                  ON d1.text = d2.text AND d1.doc_id < d2.doc_id
-            ), edges AS (
-                SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp
-                UNION SELECT a, b FROM xp UNION SELECT b, a FROM xp
-            ), reach(src, node) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
-            ), comp AS (
-                SELECT src AS doc_id, min(node) AS rep FROM reach GROUP BY src
-            )
-            SELECT rep AS doc_id, count(*) AS n_members FROM comp GROUP BY rep
-        """,
+        "dedup_keep_docs": _DEDUP_COMP_CTES
+        + " SELECT rep AS doc_id, count(*) AS n_members FROM comp GROUP BY rep",
+        # Composed curation pipeline: dedup-representative AND lang vote AND
+        # token budget AND repetition cap (each predicate separately oracled).
+        "curate_docs": _curate_sql(),
         # Exact n-gram (w=3) Jaccard pairs at tau=0.7 — brute-force
         # inverted-index join over distinct gram STRINGS; the engine finds the
         # identical pair set via canonical-order prefix filtering over gram

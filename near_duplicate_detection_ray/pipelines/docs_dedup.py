@@ -588,24 +588,13 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
-def dedup_keep_docs(sf_dir: str, cfg: NDDConfig | None = None):
-    """The end-user dedup output a training-data pipeline actually consumes:
-    ONE surviving representative per duplicate component, where components
-    span BOTH exact raw-text copies and near-duplicates (token-5-shingle
-    Jaccard >= tau) — i.e. "which rows do I keep, and how many did each
-    absorb".
-
-    Engine path: the flagship MinHash/LSH/verify machinery for near-dup
-    edges, one keyed md5-partition for exact-raw edges, the auto-dispatching
-    connected-components stage (driver union-find below the edge threshold,
-    distributed label propagation above), then a keyed group-agg for
-    (min member, size) per component.  Returns doc_id:int64 (kept = min id
-    of its component), n_members:int64.  SQL oracle: recursive reachability
-    over the union of the brute-force shingle-join pairs and a raw-text
-    self-join."""
+def _dedup_components(sf_dir: str, cfg: NDDConfig | None = None):
+    """Connected components over exact-raw-text ∪ near-dup (shingle Jaccard
+    >= tau) edges: the shared labeling behind ``dedup_keep_docs`` and
+    ``curate_docs``.  Returns a (conv_id, cluster_id) Dataset covering every
+    document."""
     import hashlib
 
-    from ..functions.groupagg import highcard_groupagg
     from ..state.partitioning import key_partitioned, materialize_clean
     from ..stages.cluster import cluster as cluster_components
 
@@ -645,7 +634,27 @@ def dedup_keep_docs(sf_dir: str, cfg: NDDConfig | None = None):
         ["fp"],
     ).map_batches(star_block, batch_format="pyarrow", batch_size=None)
 
-    clusters = cluster_components(convs, [dup, exact_edges])
+    return cluster_components(convs, [dup, exact_edges])
+
+
+def dedup_keep_docs(sf_dir: str, cfg: NDDConfig | None = None):
+    """The end-user dedup output a training-data pipeline actually consumes:
+    ONE surviving representative per duplicate component, where components
+    span BOTH exact raw-text copies and near-duplicates (token-5-shingle
+    Jaccard >= tau) — i.e. "which rows do I keep, and how many did each
+    absorb".
+
+    Engine path: the flagship MinHash/LSH/verify machinery for near-dup
+    edges, one keyed md5-partition for exact-raw edges, the auto-dispatching
+    connected-components stage (driver union-find below the edge threshold,
+    distributed label propagation above), then a keyed group-agg for
+    (min member, size) per component.  Returns doc_id:int64 (kept = min id
+    of its component), n_members:int64.  SQL oracle: recursive reachability
+    over the union of the brute-force shingle-join pairs and a raw-text
+    self-join."""
+    from ..functions.groupagg import highcard_groupagg
+
+    clusters = _dedup_components(sf_dir, cfg)
     agg = highcard_groupagg(
         clusters,
         ["cluster_id"],

@@ -103,50 +103,53 @@ def quality_scores(sf_dir: str):
 
 
 _LANGS = sorted(LANG_STOPWORDS)  # alphabetical == deterministic tie-break order
+_STOP_SETS = {
+    lang: pa.array(sorted(sw), pa.string()) for lang, sw in LANG_STOPWORDS.items()
+}
+
+
+def _lang_pred_arr(text_col, n: int) -> np.ndarray:
+    """Vectorized stopword-vote language prediction for one batch column:
+    one regex cleanup + split, one ``pc.is_in`` + ``np.bincount`` per
+    language, argmax with the alphabetical tie-break of the scalar
+    ``functions.text.lang_id`` (pinned by a parity test)."""
+    cleaned = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(text_col), pattern="[^a-z0-9']+", replacement=" "
+        )
+    )
+    toks = pc.split_pattern_regex(cleaned, pattern=r"\s+")
+    row_idx, _ = _token_row_index(toks, n)
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+    word_count = np.bincount(row_idx, weights=nonempty, minlength=n)
+    votes = np.stack(
+        [
+            np.bincount(
+                row_idx,
+                weights=pc.is_in(flat, value_set=_STOP_SETS[lang]).to_numpy(
+                    zero_copy_only=False
+                ),
+                minlength=n,
+            )
+            for lang in _LANGS
+        ],
+        axis=1,
+    )  # (n, langs), tie-break = first (alphabetical) argmax
+    best = votes.max(axis=1)
+    return np.where(
+        (word_count == 0) | (best == 0),
+        "unknown",
+        np.asarray(_LANGS, dtype=object)[np.argmax(votes, axis=1)],
+    )
 
 
 def lang_id_docs(sf_dir: str):
-    """doc_id, lang_pred via stopword voting over {en, de, fr, es} —
-    vectorized: one regex cleanup + split per batch, one ``pc.is_in`` +
-    ``np.bincount`` per language, argmax with the alphabetical tie-break of
-    the scalar ``functions.text.lang_id`` (pinned by a parity test).
+    """doc_id, lang_pred via stopword voting over {en, de, fr, es}.
     SQL parity: see ``oracle_sql()['lang_id_docs']``."""
 
-    stop_sets = {
-        lang: pa.array(sorted(sw), pa.string()) for lang, sw in LANG_STOPWORDS.items()
-    }
-
     def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        cleaned = pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(
-                pc.utf8_lower(batch["text"]), pattern="[^a-z0-9']+", replacement=" "
-            )
-        )
-        toks = pc.split_pattern_regex(cleaned, pattern=r"\s+")
-        row_idx, _ = _token_row_index(toks, n)
-        flat = pc.list_flatten(toks)
-        nonempty = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
-        word_count = np.bincount(row_idx, weights=nonempty, minlength=n)
-        votes = np.stack(
-            [
-                np.bincount(
-                    row_idx,
-                    weights=pc.is_in(flat, value_set=stop_sets[lang]).to_numpy(
-                        zero_copy_only=False
-                    ),
-                    minlength=n,
-                )
-                for lang in _LANGS
-            ],
-            axis=1,
-        )  # (n, langs), tie-break = first (alphabetical) argmax
-        best = votes.max(axis=1)
-        pred = np.where(
-            (word_count == 0) | (best == 0),
-            "unknown",
-            np.asarray(_LANGS, dtype=object)[np.argmax(votes, axis=1)],
-        )
+        pred = _lang_pred_arr(batch["text"], batch.num_rows)
         return pa.table(
             {"doc_id": batch["doc_id"], "lang_pred": pa.array(pred.tolist(), pa.string())}
         )
