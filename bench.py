@@ -80,6 +80,7 @@ def run_queries() -> dict[str, float]:
         "ngram_jaccard_pairs",
         "ann_ivf_topk",
         "events_trailing_1h",
+        "curate_docs",
     ]
     out: dict[str, float] = {}
     for name in picks:
