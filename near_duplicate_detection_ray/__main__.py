@@ -101,6 +101,37 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_update(args: argparse.Namespace) -> int:
+    """Incremental signature-store sync — the reference's ``update_index``
+    semantics (``ndd/server_ndd.py:227-261``): recompute only buckets whose
+    content digest changed, evict vanished buckets, reuse the rest."""
+    import ray
+    import ray.data as rd
+
+    from .config import NDDConfig
+    from .stages.assemble import assemble_conversations
+    from .stages.incremental import IncrementalSignatureStore
+
+    _init_ray()
+    transcripts = rd.read_parquet(args.input)
+    conversations = assemble_conversations(transcripts)
+    store = IncrementalSignatureStore(args.store, NDDConfig(), n_buckets=args.buckets)
+    res = store.update(conversations)
+    print(
+        json.dumps(
+            {
+                "buckets_changed": res["buckets_changed"],
+                "buckets_reused": res["buckets_reused"],
+                "buckets_evicted": res["buckets_evicted"],
+                "rows_written": res["rows_written"],
+                "signatures_rows": res["signatures"].count() if res["signatures"] else 0,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="near_duplicate_detection_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -125,6 +156,14 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--text", required=True)
     pq.add_argument("--k", type=int, default=30)
     pq.set_defaults(fn=cmd_query)
+
+    pu = sub.add_parser(
+        "update", help="incrementally sync the bucket-partitioned signature store"
+    )
+    pu.add_argument("--input", required=True, help="transcripts parquet path/dir")
+    pu.add_argument("--store", required=True, help="signature store root dir")
+    pu.add_argument("--buckets", type=int, default=64)
+    pu.set_defaults(fn=cmd_update)
 
     args = p.parse_args(argv)
     return args.fn(args)
