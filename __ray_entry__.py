@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,  # anti-join (D4 shape)
         "event_value_quantiles": relational.event_value_quantiles,  # order-statistic agg
         "nation_yearly_rollup": relational.nation_yearly_rollup,  # ROLLUP multi-level agg
+        "brand_revenue": relational.brand_revenue,            # medium-dim hash join
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -390,6 +391,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents CROSS JOIN
                  unnest(range(0, CASE WHEN strlen(text) = 0 THEN 0
                                       ELSE 1 + (strlen(text) - 1) // 192 END)) AS t(u)
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_c4,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         # ROLLUP with ('ALL', -1) sentinels instead of NULLs (dtype-stable
         # hashing); revenue in integer cents so every level re-sums exactly

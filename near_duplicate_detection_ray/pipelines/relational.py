@@ -772,3 +772,41 @@ def nation_yearly_rollup(sf_dir: str, num_partitions: int = 8):
     return rd.from_arrow(
         pa.concat_tables([base_tbl.select(cols).cast(tot.schema), sub_tbl, tot])
     )
+
+
+def brand_revenue(sf_dir: str, num_partitions: int = 8):
+    """Revenue per part brand: lineitem JOIN part — the MEDIUM-dimension
+    case where the dimension (part, ~SF x 200k rows) is too large to
+    broadcast, so it takes a real hash join, followed by the combiner
+    rollup onto the small brand key.  Revenue in integer 1e-4 units
+    (price-cents x (100 - discount-cents)) so both engines sum exactly."""
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = items.join(
+        parts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "rev": pa.array(price_c * (100 - disc_c), pa.int64()),
+            }
+        )
+
+    return lowcard_groupagg(
+        joined.map_batches(revenue, batch_format="pyarrow"),
+        ["p_brand"],
+        [("rev", "sum"), ([], "count_all")],
+        {"rev_sum": "revenue_c4", "count_all": "n_items"},
+    )
