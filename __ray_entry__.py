@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": relational.event_value_quantiles,  # order-statistic agg
         "nation_yearly_rollup": relational.nation_yearly_rollup,  # ROLLUP multi-level agg
         "brand_revenue": relational.brand_revenue,            # medium-dim hash join
+        "region_revenue": relational.region_revenue,          # snowflake broadcast collapse
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -391,6 +392,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents CROSS JOIN
                  unnest(range(0, CASE WHEN strlen(text) = 0 THEN 0
                                       ELSE 1 + (strlen(text) - 1) // 192 END)) AS t(u)
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_c,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "brand_revenue": """
             SELECT p_brand,

@@ -810,3 +810,51 @@ def brand_revenue(sf_dir: str, num_partitions: int = 8):
         [("rev", "sum"), ([], "count_all")],
         {"rev_sum": "revenue_c4", "count_all": "n_items"},
     )
+
+
+def region_revenue(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q5 family: revenue per region — a TWO-LEVEL broadcast snowflake
+    (nation -> region both tiny: one composed customer-key -> region-name
+    lookup shipped via ray.put) over the orders JOIN customer hash join.
+    Exercises the last otherwise-unused table (region) and the snowflake-
+    dimension-collapse pattern: pre-join the dimension chain driver-side,
+    broadcast the collapsed map once."""
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rname = dict(zip(region["r_regionkey"], region["r_name"]))
+    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    lut[nation["n_nationkey"].to_numpy()] = [
+        rname[k] for k in nation["n_regionkey"]
+    ]
+    rmap_ref = ray.put(lut)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        names = ray.get(rmap_ref)[batch["c_nationkey"].to_numpy(zero_copy_only=False)]
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "r_name": pa.array(names.tolist(), pa.string()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return lowcard_groupagg(
+        joined.map_batches(label, batch_format="pyarrow"),
+        ["r_name"],
+        [("cents", "sum"), ([], "count_all")],
+        {"cents_sum": "revenue_c", "count_all": "n_orders"},
+    )
