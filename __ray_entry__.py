@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_quantity_orders": relational.large_quantity_orders,  # TPC-H Q18 shape (HAVING + join-back)
         "customers_without_orders": relational.customers_without_orders,  # anti-join (D4 shape)
         "event_value_quantiles": relational.event_value_quantiles,  # order-statistic agg
+        "event_value_quantiles_sketch": relational.event_value_quantiles_sketch,  # rows-only (mergeable sketch; exactness at small N + error bound pytest-pinned)
         "nation_yearly_rollup": relational.nation_yearly_rollup,  # ROLLUP multi-level agg
         "brand_revenue": relational.brand_revenue,            # medium-dim hash join
         "region_revenue": relational.region_revenue,          # snowflake broadcast collapse

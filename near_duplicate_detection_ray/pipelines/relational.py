@@ -858,3 +858,84 @@ def region_revenue(sf_dir: str, num_partitions: int = 8):
         [("cents", "sum"), ([], "count_all")],
         {"cents_sum": "revenue_c", "count_all": "n_orders"},
     )
+
+
+def event_value_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
+                                 m: int = 1024):
+    """Approximate per-group quantiles via the mergeable compaction sketch
+    (``state/sketch``) — the scale path for groups too large to co-locate
+    that ``event_value_quantiles`` (exact) documents: per block each group
+    contributes one <= ``m``-entry sketch row (bounded regardless of block
+    size), sketches merge associatively under one small keyed shuffle.
+    Deterministic (no RNG), rank error ~ tree-depth/m (pytest-pinned under
+    1%); rows-only in the driver gate because approximate answers cannot
+    hash-match an exact SQL oracle."""
+    from ..state.partitioning import key_partitioned
+    from ..state.sketch import merge_sketches, sketch_from_values, sketch_quantile
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "sk_v": pa.array([], pa.large_binary()),
+             "sk_w": pa.array([], pa.large_binary()),
+             "n": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        enc = batch["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        out = {"event_type": [], "sk_v": [], "sk_w": [], "n": []}
+        for code in np.unique(codes):
+            sv, sw = sketch_from_values(v[codes == code], m)
+            out["event_type"].append(enc.dictionary[code].as_py())
+            out["sk_v"].append(sv.tobytes())
+            out["sk_w"].append(sw.tobytes())
+            out["n"].append(int((codes == code).sum()))
+        return pa.table(
+            {"event_type": pa.array(out["event_type"], pa.string()),
+             "sk_v": pa.array(out["sk_v"], pa.large_binary()),
+             "sk_w": pa.array(out["sk_w"], pa.large_binary()),
+             "n": pa.array(out["n"], pa.int64())}
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "n_events": pa.array([], pa.int64()),
+             **{f"p{int(q*100):02d}": pa.array([], pa.float64()) for q in qs}}
+        )
+        if batch.num_rows == 0:
+            return empty
+        import collections
+
+        groups: dict = collections.defaultdict(list)
+        counts: dict = collections.defaultdict(int)
+        for i in range(batch.num_rows):
+            et = batch["event_type"][i].as_py()
+            groups[et].append(
+                (np.frombuffer(batch["sk_v"][i].as_py(), np.float64),
+                 np.frombuffer(batch["sk_w"][i].as_py(), np.float64))
+            )
+            counts[et] += batch["n"][i].as_py()
+        cols = {"event_type": [], "n_events": [],
+                **{f"p{int(q*100):02d}": [] for q in qs}}
+        for et in sorted(groups):
+            sv, sw = merge_sketches(groups[et], m)
+            cols["event_type"].append(et)
+            cols["n_events"].append(counts[et])
+            for q in qs:
+                cols[f"p{int(q*100):02d}"].append(sketch_quantile(sv, sw, q))
+        return pa.table(
+            {"event_type": pa.array(cols["event_type"], pa.string()),
+             "n_events": pa.array(cols["n_events"], pa.int64()),
+             **{f"p{int(q*100):02d}": pa.array(cols[f"p{int(q*100):02d}"], pa.float64())
+                for q in qs}}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return key_partitioned(parts, ["event_type"]).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

@@ -1,0 +1,76 @@
+"""Mergeable compaction quantile sketch: determinism, merge associativity
+in rank error, and end-to-end per-group accuracy vs the exact operator."""
+
+import numpy as np
+import pytest
+
+from near_duplicate_detection_ray.state.sketch import (
+    merge_sketches,
+    sketch_from_values,
+    sketch_quantile,
+)
+
+QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def _rank_error(x: np.ndarray, q: float, est: float) -> float:
+    return abs((np.sort(x) <= est).mean() - q)
+
+
+def test_sketch_exact_when_small():
+    x = np.array([5.0, 1.0, 3.0, 2.0, 4.0])
+    v, w = sketch_from_values(x, m=1024)
+    assert v.tolist() == sorted(x)
+    for q in QS:
+        assert sketch_quantile(v, w, q) == np.quantile(x, q, method="inverted_cdf")
+
+
+def test_sketch_rank_error_bound():
+    rng = np.random.default_rng(42)
+    x = rng.lognormal(0, 2, size=200_000)  # heavy tail
+    v, w = sketch_from_values(x, m=1024)
+    for q in QS:
+        assert _rank_error(x, q, sketch_quantile(v, w, q)) < 0.01, q
+
+
+def test_merge_tree_rank_error_and_determinism():
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, size=300_000)
+    # split into 30 uneven blocks, sketch each, merge as a 2-level tree
+    cuts = np.sort(rng.integers(1, len(x) - 1, size=29))
+    blocks = np.split(x, cuts)
+    parts = [sketch_from_values(b, m=1024) for b in blocks]
+    l1 = [merge_sketches(parts[i : i + 8], m=1024) for i in range(0, len(parts), 8)]
+    v, w = merge_sketches(l1, m=1024)
+    assert abs(w.sum() - len(x)) < 1e-6  # weight conservation
+    for q in QS:
+        assert _rank_error(x, q, sketch_quantile(v, w, q)) < 0.02, q
+    # determinism: same inputs, same tree -> identical arrays
+    parts2 = [sketch_from_values(b, m=1024) for b in blocks]
+    l12 = [merge_sketches(parts2[i : i + 8], m=1024) for i in range(0, len(parts2), 8)]
+    v2, w2 = merge_sketches(l12, m=1024)
+    np.testing.assert_array_equal(v, v2)
+    np.testing.assert_array_equal(w, w2)
+
+
+def test_sketch_quantiles_close_to_exact_operator(ray_session):
+    from near_duplicate_detection_ray.pipelines.relational import (
+        event_value_quantiles,
+        event_value_quantiles_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = (
+        event_value_quantiles(sf).to_pandas().set_index("event_type").sort_index()
+    )
+    approx = (
+        event_value_quantiles_sketch(sf)
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert list(exact.index) == list(approx.index)
+    assert (exact["n_events"] == approx["n_events"]).all()
+    # values per group are ~2k at sf0.001 (< m) -> sketch should be exact
+    for col in ("p25", "p50", "p90", "p99"):
+        np.testing.assert_allclose(exact[col], approx[col], rtol=0, atol=1e-12)
