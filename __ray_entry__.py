@@ -123,6 +123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_yearly_rollup": relational.nation_yearly_rollup,  # ROLLUP multi-level agg
         "brand_revenue": relational.brand_revenue,            # medium-dim hash join
         "region_revenue": relational.region_revenue,          # snowflake broadcast collapse
+        "events_asof_join": relational.events_asof_join,      # as-of join (J1 general form)
+        "customer_running_spend": relational.customer_running_spend,  # cumulative window
+        "orders_priority_pivot": relational.orders_priority_pivot,  # pivot / conditional agg
+        "props_key_stats": relational.props_key_stats,        # JSON field extraction
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -404,6 +408,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        # AS-OF join: "most recent preceding view" on the deterministic total
+        # order (ts, event_id) — the windowed last_value(IGNORE NULLS) with a
+        # 1-PRECEDING frame end computes exactly the engine's position-based
+        # as-of match (ties at equal ts included iff event_id is smaller)
+        "events_asof_join": """
+            WITH w AS (
+                SELECT event_id, user_id, ts, event_type,
+                       last_value(CASE WHEN event_type = 'view' THEN event_id END
+                                  IGNORE NULLS) OVER uw AS view_id,
+                       last_value(CASE WHEN event_type = 'view' THEN ts END
+                                  IGNORE NULLS) OVER uw AS view_ts
+                FROM events
+                WHERE event_type IN ('view', 'click')
+                WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id, user_id, view_id,
+                   CAST(epoch_us(ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
+            FROM w WHERE event_type = 'click' AND view_id IS NOT NULL
+        """,
+        # cumulative window aggregate in integer cents (exact in any
+        # association order, unlike float running sums)
+        "customer_running_spend": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS spend_c
+            FROM orders
+        """,
+        "orders_priority_pivot": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+                   CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+                   CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        # both engines extract k with the same regex over the same bytes
+        "props_key_stats": r"""
+            WITH x AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(count(k) AS BIGINT) AS n_with_k,
+                   count(*) AS n_events,
+                   round(sum(k) / count(k), 4) AS avg_k
+            FROM x GROUP BY event_type
         """,
         "brand_revenue": """
             SELECT p_brand,

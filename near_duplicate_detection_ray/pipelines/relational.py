@@ -860,6 +860,178 @@ def region_revenue(sf_dir: str, num_partitions: int = 8):
     )
 
 
+def events_asof_join(sf_dir: str, point_type: str = "click",
+                     ref_type: str = "view"):
+    """AS-OF join (the general form of SURVEY §2 J1's nearest-previous
+    lookup, cf. reference ``server_ndd.py:217-220`` keeping the LAST shot
+    starting before a frame timestamp): for every ``point_type`` event, the
+    same user's most recent PRECEDING ``ref_type`` event.
+
+    "Preceding" is defined on the total order (ts, event_id) — deterministic
+    even under equal timestamps, and exactly what the windowed-SQL oracle
+    computes with ``last_value(... IGNORE NULLS) ... 1 PRECEDING``.
+
+    One keyed hash-partition on user_id, then a fully vectorized block
+    kernel: rows sorted by (user, ts, event_id) get dense positions; the
+    as-of match for each point is the reference row at the largest position
+    below it (one ``np.searchsorted``), valid only when it belongs to the
+    same user.  No per-user loop, no self-join shuffle — the same partition
+    discipline scales to any number of users."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("view_id", pa.int64()), ("gap_us", pa.int64())]
+    )
+    types = pa.array([point_type, ref_type])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=types))
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy()
+        is_ref = (df["event_type"] == ref_type).to_numpy()
+        pos = np.arange(len(df))
+        ref_pos = pos[is_ref]
+        pt_pos = pos[~is_ref]
+        if len(ref_pos) == 0 or len(pt_pos) == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        idx = np.searchsorted(ref_pos, pt_pos) - 1
+        cand = ref_pos[np.clip(idx, 0, None)]
+        valid = (idx >= 0) & (users[cand] == users[pt_pos])
+        p, c = pt_pos[valid], cand[valid]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[p], pa.int64()),
+                "user_id": pa.array(users[p], pa.int64()),
+                "view_id": pa.array(eid[c], pa.int64()),
+                "gap_us": pa.array(ts[p] - ts[c], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+    return key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+
+
+def customer_running_spend(sf_dir: str):
+    """Per-customer RUNNING total of order value — the cumulative-window
+    aggregate (SQL ``SUM() OVER (PARTITION BY ... ORDER BY ...)``), which
+    does not decompose into combiner partials: one keyed hash-partition on
+    o_custkey, then a block-local vectorized prefix-cumsum with per-group
+    rebasing (global cumsum minus each group's start offset — no per-group
+    loop).  Values accumulate as integer cents so both engines sum exactly
+    in any association order."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("o_orderdate", pa.timestamp("us")), ("spend_c", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        cust = df["o_custkey"].to_numpy()
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        cs = np.cumsum(cents)
+        starts = np.flatnonzero(np.concatenate(([True], cust[1:] != cust[:-1])))
+        grp_base = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
+        base = np.repeat(grp_base, np.diff(np.append(starts, len(cust))))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+                "o_custkey": pa.array(cust, pa.int64()),
+                "o_orderdate": pa.array(
+                    df["o_orderdate"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "spend_c": pa.array(cs - base, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    return key_partitioned(ds, ["o_custkey"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def orders_priority_pivot(sf_dir: str):
+    """PIVOT-style conditional aggregation: order counts per year x priority,
+    one column per (known, low-cardinality) priority.  The pivot becomes
+    five vectorized indicator columns summed by the map-side combiner — no
+    wide shuffle, no per-row Python; identical to SQL's
+    ``COUNT(CASE WHEN ...)`` family."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        cols = {"yr": yr}
+        for p in _PRIORITIES:
+            name = "p" + p.split("-")[0]
+            cols[name] = pc.cast(pc.equal(t["o_orderpriority"], p), pa.int64())
+        return pa.table(cols)
+
+    names = ["p" + p.split("-")[0] for p in _PRIORITIES]
+    return lowcard_groupagg(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        ["yr"],
+        [(n, "sum") for n in names] + [([], "count_all")],
+        {**{f"{n}_sum": n for n in names}, "count_all": "n_orders"},
+    )
+
+
+def props_key_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of the
+    JSON ``props`` string column with ONE vectorized RE2 kernel
+    (``pc.extract_regex`` — no per-row json.loads), then the combiner
+    grouped aggregate per event_type.  The SQL oracle extracts with the
+    identical regex, so both sides parse the same bytes."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    agg = lowcard_groupagg(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        [("k", "sum"), ("k", "count"), ([], "count_all")],
+        {"k_sum": "sum_k", "k_count": "n_with_k", "count_all": "n_events"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = np.round(
+            t["sum_k"].to_numpy(zero_copy_only=False)
+            / t["n_with_k"].to_numpy(zero_copy_only=False),
+            4,
+        )
+        return t.append_column("avg_k", pa.array(avg, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def event_value_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
                                  m: int = 1024):
     """Approximate per-group quantiles via the mergeable compaction sketch

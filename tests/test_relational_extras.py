@@ -1,0 +1,112 @@
+"""Round-2 additions: as-of join tie/boundary semantics, running-spend window,
+pivot and JSON-extraction aggregates vs the DuckDB oracle at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str, sf_dir: str = SF, tables=("events", "orders")) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def asof_tie_dir(ray_session, tmp_path_factory):
+    """Boundary cases: view at the SAME ts as a click (smaller event_id ->
+    counts; larger event_id -> does not), click with no prior view, and
+    interleaved users."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [  # (event_id, ts, user_id, type)
+        (0, base + 0 * s, 1, "view"),
+        (1, base + 5 * s, 1, "click"),   # matches view 0, gap 5s
+        (2, base + 9 * s, 1, "view"),
+        (3, base + 9 * s, 1, "click"),   # equal ts, view id 2 < 3 -> matches, gap 0
+        (4, base + 20 * s, 1, "view"),   # equal ts as click 5 but id 4 < 5
+        (5, base + 20 * s, 1, "click"),  # matches view 4, gap 0
+        (6, base + 30 * s, 2, "click"),  # user 2 has no view -> dropped
+        (7, base + 31 * s, 2, "view"),
+        (8, base + 40 * s, 3, "error"),  # other types ignored entirely
+        (9, base + 41 * s, 3, "click"),  # no view for user 3 -> dropped
+    ]
+    d = str(tmp_path_factory.mktemp("asof_events"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    return d
+
+
+def test_asof_join_tie_semantics(asof_tie_dir):
+    from near_duplicate_detection_ray.pipelines.relational import events_asof_join
+
+    got = (
+        events_asof_join(asof_tie_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .set_index("event_id")
+    )
+    assert list(got.index) == [1, 3, 5]
+    assert got.loc[1, "view_id"] == 0 and got.loc[1, "gap_us"] == 5_000_000
+    assert got.loc[3, "view_id"] == 2 and got.loc[3, "gap_us"] == 0
+    assert got.loc[5, "view_id"] == 4 and got.loc[5, "gap_us"] == 0
+
+
+def test_asof_join_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import events_asof_join
+
+    got = _sorted(events_asof_join(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["events_asof_join"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_running_spend_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import (
+        customer_running_spend,
+    )
+
+    got = _sorted(customer_running_spend(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["customer_running_spend"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pivot_and_props_match_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import (
+        orders_priority_pivot,
+        props_key_stats,
+    )
+
+    got = _sorted(orders_priority_pivot(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["orders_priority_pivot"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got = _sorted(props_key_stats(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["props_key_stats"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
