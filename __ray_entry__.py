@@ -77,6 +77,12 @@ def _ndd_dup_pairs(sf_dir: str):
     )
 
 
+def _decontaminate_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import decontaminate_docs
+
+    return decontaminate_docs(sf_dir)
+
+
 def _curate_docs(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import curate_docs
 
@@ -127,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_running_spend": relational.customer_running_spend,  # cumulative window
         "orders_priority_pivot": relational.orders_priority_pivot,  # pivot / conditional agg
         "props_key_stats": relational.props_key_stats,        # JSON field extraction
+        "small_order_revenue": relational.small_order_revenue,  # TPC-H Q17 shape (agg join-back)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -147,7 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
+        "edit_distance_pairs": docs_dedup.edit_distance_pairs,  # SQL-checked (blocked Levenshtein)
         "curate_docs": _curate_docs,                            # SQL-checked (composed pipeline)
+        "decontaminate_docs": _decontaminate_docs,              # SQL-checked (cross-corpus n-gram)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -462,6 +471,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(k) / count(k), 4) AS avg_k
             FROM x GROUP BY event_type
+        """,
+        # Q17 shape; the 20%-of-average threshold is compared in exact
+        # integer arithmetic on both sides (q integral: 5*q*cnt < sum_qty)
+        "small_order_revenue": """
+            WITH pk AS (
+                SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#23' AND p_size < 15
+            ),
+            li AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity) AS BIGINT) AS q,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+                FROM lineitem JOIN pk ON l_partkey = p_partkey
+            ),
+            st AS (
+                SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+                FROM li GROUP BY l_partkey
+            )
+            SELECT count(*) AS n_small,
+                   CAST(coalesce(sum(price_c), 0) AS BIGINT) AS revenue_c
+            FROM li JOIN st USING (l_partkey)
+            WHERE 5 * q * cnt < sq
         """,
         "brand_revenue": """
             SELECT p_brand,
@@ -827,6 +858,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        """,
+        # cross-corpus decontamination: eval split by the md5 hash rule,
+        # any shared word-8-gram (string-exact, both sides single-space
+        # split) disqualifies a training doc
+        "decontaminate_docs": """
+            WITH split AS (
+                SELECT doc_id, n_chars, string_split(text, ' ') AS ws,
+                       md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10 AS is_eval
+                FROM documents
+            ),
+            eval_grams AS (
+                SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS gram
+                FROM split, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+                WHERE is_eval
+            ),
+            contaminated AS (
+                SELECT DISTINCT s.doc_id
+                FROM split s, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+                WHERE NOT s.is_eval
+                  AND array_to_string(s.ws[i:i+7], ' ') IN (SELECT gram FROM eval_grams)
+            )
+            SELECT doc_id, n_chars FROM split
+            WHERE NOT is_eval
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        # prefix-blocked Levenshtein: DuckDB levenshtein is byte-based,
+        # substr is codepoint-based — the engine kernel mirrors both exactly
+        "edit_distance_pairs": """
+            WITH d AS (
+                SELECT doc_id,
+                       substr(text, 1, 40) AS pfx,
+                       substr(text, 1, 128) AS head
+                FROM documents
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+            FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.head, b.head) <= 16
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b

@@ -142,3 +142,97 @@ def curate_docs(
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fused, batch_format="pyarrow"
     )
+
+
+def decontaminate_docs(sf_dir: str, n: int = 8, pct: int = 10):
+    """Benchmark DECONTAMINATION — the cross-corpus exact-n-gram dedup every
+    large training-data pipeline runs before training (drop training docs
+    sharing any word ``n``-gram with a held-out eval set):
+
+    1. the eval split is the deterministic content-independent hash split
+       (``md5_low64(doc_id) % 100 < pct`` — same rule as ``sample_docs``);
+    2. the eval side's distinct n-gram STRING set is built OFF-DRIVER
+       (per-block grams -> remote tree dedup, ``distinct_values_ref``) and
+       broadcast once via the object store — it is bounded by eval-set size,
+       not corpus size (at extreme eval sizes the upgrade path is 64-bit
+       gram hashes + the Bloom semi-join in ``state/bloom``, trading SQL
+       exactness for memory);
+    3. ONE streamed pass over the training side computes each doc's grams
+       vectorized (single-space split + 8-way shifted object-array concat —
+       no per-doc Python) and drops docs with any gram hit via ``pc.is_in``
+       + a per-doc segmented any().
+
+    No shuffle touches the training corpus.  Emits surviving train docs
+    (doc_id, n_chars).  Gram construction (single-space split, <n-token
+    docs contribute nothing) mirrors the SQL oracle's
+    ``string_split``/``array_to_string`` exactly — string grams, not
+    hashes, so the match is collision-free."""
+    import ray
+
+    from ..functions.hashing import md5_low64
+    from ..state.partitioning import distinct_values_ref
+    from ..sources.io import read_parquet_clean
+
+    def _read(columns):
+        return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+    def _gram_strings(texts: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """All n-gram strings of each text (single-space split), plus the
+        per-row doc index of every gram.  Fully vectorized: one Arrow split,
+        shifted object-array concatenation, one validity mask."""
+        toks = pc.split_pattern(texts, pattern=" ")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        counts = np.diff(offsets)
+        L = len(flat)
+        if L == 0 or L < n:
+            return np.empty(0, object), np.empty(0, np.int64)
+        g = flat[: L - n + 1].copy()
+        for k in range(1, n):
+            g = g + " "
+            g = g + flat[k : L - n + 1 + k]
+        # window starting at j is valid iff it stays inside j's doc
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        doc_end = offsets[1:][doc_of]  # end offset of the doc containing j
+        pos = np.arange(L, dtype=np.int64)
+        valid = (pos + n - 1 < doc_end)[: L - n + 1]
+        return g[valid], doc_of[: L - n + 1][valid]
+
+    def _is_eval(ids: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (md5_low64(str(int(d))) % 100 < pct for d in ids), bool, len(ids)
+        )
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(_is_eval(ids)))
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        g, _ = _gram_strings(t["text"].combine_chunks())
+        return pa.table({"gram": pa.array(pc.unique(pa.array(g, pa.string())))})
+
+    grams_ds = _read(["doc_id", "text"]).map_batches(eval_grams, batch_format="pyarrow")
+    eval_ref, n_eval = distinct_values_ref(grams_ds, ["gram"])
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(~_is_eval(ids)))
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_chars": pa.array([], pa.int64())}
+            )
+        g, doc_of = _gram_strings(t["text"].combine_chunks())
+        contaminated = np.zeros(t.num_rows, bool)
+        if len(g):
+            hits = pc.is_in(
+                pa.array(g, pa.string()), value_set=ray.get(eval_ref)
+            ).to_numpy(zero_copy_only=False)
+            np.logical_or.at(contaminated, doc_of[hits], True)
+        out = t.filter(pa.array(~contaminated))
+        return pa.table(
+            {"doc_id": out["doc_id"], "n_chars": out["n_chars"]}
+        )
+
+    return _read(["doc_id", "text", "n_chars"]).map_batches(
+        keep_clean, batch_format="pyarrow"
+    )

@@ -671,3 +671,88 @@ def dedup_keep_docs(sf_dir: str, cfg: NDDConfig | None = None):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def edit_distance_pairs(sf_dir: str, block_chars: int = 40,
+                        head_chars: int = 128, max_dist: int = 16):
+    """Edit-distance (Levenshtein) near-dup pairs — the fuzzy-matching member
+    of the dedup family (complements token-set Jaccard/MinHash, which are
+    insensitive to word ORDER, with a character-level ORDERED distance).
+
+    Blocking + verify, both distributed:
+
+    1. blocking key = first ``block_chars`` codepoints of the raw text (a
+       cheap high-selectivity prefix block; edits inside the prefix are out
+       of scope by definition, exactly like the SQL oracle's self-join key);
+    2. ONE keyed hash-partition on the prefix — each block arrives whole;
+    3. block-local vectorized pair generation (group sizes are tiny for
+       non-degenerate corpora; a shared-boilerplate-prefix corpus should
+       route through ``strip_boilerplate`` first, same as the LSH path);
+    4. batched byte-level Levenshtein over the first ``head_chars``
+       codepoints (``functions/similarity.levenshtein_batch`` — one numpy
+       DP advanced across all pairs), keep ``dist <= max_dist``.
+
+    Emits (a, b, dist) with a < b numerically; byte-based distance matches
+    DuckDB ``levenshtein`` exactly (fuzz-verified incl. non-ASCII)."""
+    from ..functions.similarity import levenshtein_batch
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("dist", pa.int64())]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pfx": pc.utf8_slice_codeunits(t["text"], 0, block_chars),
+                "head": pc.utf8_slice_codeunits(t["text"], 0, head_chars),
+            }
+        )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return pa.Table.from_pylist([], schema=out_schema)
+        enc = t["pfx"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        ends = np.append(starts[1:], len(cs))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[order]
+        heads = t["head"].to_pylist()
+        ia, ib = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            # all pairs within the (tiny) prefix group, a<b by doc_id
+            gi = order[s:e]
+            gids = ids[s:e]
+            o = np.argsort(gids, kind="stable")
+            gi = gi[o]
+            r, c = np.triu_indices(n, k=1)
+            ia.append(gi[r])
+            ib.append(gi[c])
+        if not ia:
+            return pa.Table.from_pylist([], schema=out_schema)
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        dist = levenshtein_batch([heads[i] for i in ia], [heads[i] for i in ib])
+        keep = dist <= max_dist
+        all_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(all_ids[ia[keep]], pa.int64()),
+                "b": pa.array(all_ids[ib[keep]], pa.int64()),
+                "dist": pa.array(dist[keep], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return key_partitioned(ds, ["pfx"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )

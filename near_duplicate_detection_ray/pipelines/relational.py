@@ -1032,6 +1032,114 @@ def props_key_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def small_order_revenue(sf_dir: str, brand: str = "Brand#23",
+                        max_size: int = 15, num_partitions: int = 8):
+    """TPC-H Q17 shape — the correlated-subquery / aggregate-join-back
+    pattern: revenue of lineitems whose quantity is below 20% of their
+    part's average quantity, for one brand's small parts.
+
+    Plan: (1) the brand's part keys are collected OFF-DRIVER
+    (``distinct_values_ref``) and applied as a broadcast ``pc.is_in``
+    semi-filter to the pruned lineitem read; (2) a per-part (sum_qty, count)
+    aggregate over the filtered rows is broadcast back as a dense LUT
+    (bounded by the brand's part count — at extreme scale this becomes a
+    keyed join on l_partkey instead); (3) one more streamed pass filters
+    with EXACT integer arithmetic (quantities are integral, so
+    ``5*q*cnt < sum_qty`` is ``q < 0.2*avg`` with no float-boundary risk —
+    the SQL oracle compares the identical integers) and combines per-block
+    (count, revenue-cents) partials into one row."""
+    import ray
+
+    from ..state.partitioning import distinct_values_ref, materialize_clean, semi_filter
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    wanted = part.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["p_brand"], brand),
+                    pc.less(t["p_size"], pa.scalar(max_size)))
+        ),
+        batch_format="pyarrow",
+    )
+    keys_ref, n_keys = distinct_values_ref(wanted, ["p_partkey"])
+
+    items = materialize_clean(
+        semi_filter(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice"]),
+            "l_partkey",
+            keys_ref,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "q": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                    "price_c": pa.array(
+                        np.round(
+                            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    from ..functions.groupagg import highcard_groupagg
+
+    stats = highcard_groupagg(
+        items.select_columns(["l_partkey", "q"]),
+        ["l_partkey"],
+        [("q", "sum"), ([], "count_all")],
+        {"q_sum": "sq", "count_all": "cnt"},
+        num_partitions=num_partitions,
+    )
+    st = pa.concat_tables(
+        b for b in stats.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_columns
+    )
+    empty_out = pa.table(
+        {"n_small": pa.array([0], pa.int64()),
+         "revenue_c": pa.array([0], pa.int64())}
+    )
+    import ray.data as rd
+
+    if st.num_rows == 0:
+        return rd.from_arrow(empty_out)
+    pk = st["l_partkey"].to_numpy(zero_copy_only=False)
+    lut_sq = np.zeros(int(pk.max()) + 1, np.int64)
+    lut_cnt = np.zeros(int(pk.max()) + 1, np.int64)
+    lut_sq[pk] = st["sq"].to_numpy(zero_copy_only=False)
+    lut_cnt[pk] = st["cnt"].to_numpy(zero_copy_only=False)
+    luts_ref = ray.put((lut_sq, lut_cnt))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sq, cnt = ray.get(luts_ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        small = 5 * q * cnt[k] < sq[k]
+        price = t["price_c"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n_small": pa.array([int(small.sum())], pa.int64()),
+             "revenue_c": pa.array([int(price[small].sum())], pa.int64())}
+        )
+
+    parts = pa.concat_tables(
+        b for b in items.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        if b.num_rows and b.num_columns
+    )
+    if parts.num_rows == 0:
+        return rd.from_arrow(empty_out)
+    return rd.from_arrow(
+        pa.table(
+            {"n_small": pa.array([int(pc.sum(parts["n_small"]).as_py())], pa.int64()),
+             "revenue_c": pa.array([int(pc.sum(parts["revenue_c"]).as_py())], pa.int64())}
+        )
+    )
+
+
 def event_value_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
                                  m: int = 1024):
     """Approximate per-group quantiles via the mergeable compaction sketch

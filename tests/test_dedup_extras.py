@@ -1,0 +1,105 @@
+"""Planted-case tests for the round-2 dedup additions: prefix-blocked
+Levenshtein pairs and cross-corpus n-gram decontamination (the sf0.01 gate
+data happens to contain no contamination hits, so the drop path is proven
+here with a hand-built corpus)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from near_duplicate_detection_ray.functions.hashing import md5_low64
+
+
+def _ids_by_split(n_eval: int, n_train: int, pct: int = 10):
+    """Scan small ints for ids landing in the eval / train hash split."""
+    ev, tr, i = [], [], 0
+    while len(ev) < n_eval or len(tr) < n_train:
+        (ev if md5_low64(str(i)) % 100 < pct else tr).append(i)
+        i += 1
+    return ev[:n_eval], tr[:n_train]
+
+
+def _write_docs(d: str, rows: list[tuple[int, str]]):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+
+
+def test_decontaminate_drops_exactly_the_gram_sharers(ray_session, tmp_path_factory):
+    from near_duplicate_detection_ray.pipelines.curate import decontaminate_docs
+
+    (eval_id,), train_ids = _ids_by_split(1, 4)
+    secret = " ".join(f"s{i}" for i in range(8))  # the shared 8-gram
+    rows = [
+        (eval_id, "alpha beta " + secret + " gamma delta"),
+        # contaminated: contains the eval 8-gram verbatim
+        (train_ids[0], "intro words here " + secret + " trailing tail"),
+        # clean: shares 7 of the 8 words contiguously, not all 8
+        (train_ids[1], " ".join(f"s{i}" for i in range(7)) + " other words padding"),
+        # clean: unrelated
+        (train_ids[2], "completely different content with many words " * 2),
+        # clean but SHORT (< 8 tokens -> no grams at all)
+        (train_ids[3], "tiny doc only"),
+    ]
+    d = str(tmp_path_factory.mktemp("decon"))
+    _write_docs(d, rows)
+    got = sorted(decontaminate_docs(d).to_pandas()["doc_id"])
+    assert got == sorted(train_ids[1:])  # train_ids[0] dropped, eval excluded
+
+
+def test_edit_distance_pairs_planted(ray_session, tmp_path_factory):
+    from near_duplicate_detection_ray.pipelines.docs_dedup import edit_distance_pairs
+
+    pfx = "x" * 40  # shared blocking prefix
+    base = pfx + " the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (0, base),
+        (1, base.replace("quick", "quack")),        # dist 1-2, same block
+        (2, pfx + " entirely different continuation goes here"),  # same block, far
+        (3, "y" * 40 + base[40:]),                  # different prefix -> never paired
+    ]
+    d = str(tmp_path_factory.mktemp("editdist"))
+    _write_docs(d, rows)
+    df = edit_distance_pairs(d).to_pandas()
+    pairs = {(a, b): dist for a, b, dist in df.itertuples(index=False)}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 2
+    assert all(3 not in p for p in pairs)
+    # the far doc exceeds max_dist against both
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_edit_distance_matches_oracle_sf0001(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.docs_dedup import edit_distance_pairs
+
+    got = (
+        edit_distance_pairs("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["edit_distance_pairs"])
+        .df()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
