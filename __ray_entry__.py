@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_pivot": relational.orders_priority_pivot,  # pivot / conditional agg
         "props_key_stats": relational.props_key_stats,        # JSON field extraction
         "small_order_revenue": relational.small_order_revenue,  # TPC-H Q17 shape (agg join-back)
+        "distinct_stats_hll": relational.distinct_stats_hll,   # rows-only (HLL sketch; merge-determinism + <=3% error pytest-pinned)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)

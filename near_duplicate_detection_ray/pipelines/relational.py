@@ -1032,6 +1032,79 @@ def props_key_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+_HLL_COLS = [  # (table, column) specs for the approx-distinct survey
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("lineitem", "l_partkey"),
+    ("documents", "text"),
+]
+
+
+def distinct_stats_hll(sf_dir: str):
+    """Approximate COUNT(DISTINCT) per column via HyperLogLog
+    (``state/sketch.hll_registers`` — the mergeable scale path for the exact
+    off-driver distinct in ``state/partitioning.distinct_values_ref``, which
+    must hold the whole value universe; HLL holds 4 KiB per column
+    regardless of cardinality).
+
+    Per block each column contributes ONE register-array row; rows merge by
+    elementwise max — associative/commutative/idempotent, so any Ray merge
+    tree yields bit-identical registers and a deterministic estimate
+    (pinned by tests/test_hll.py along with error bounds: ~1.6% standard
+    error at p=12, <= 5% asserted at 3 sigma).  Rows-only
+    in the driver gate: an approximate answer cannot hash-match an exact
+    SQL oracle."""
+    import ray.data as rd
+
+    from ..functions.hashing import hash_token, splitmix64
+    from ..state.sketch import HLL_P, hll_estimate, hll_merge, hll_registers
+
+    def make_partial(colname: str):
+        def partial(t: pa.Table) -> pa.Table:
+            col = t[colname].combine_chunks()
+            if pa.types.is_integer(col.type):
+                h = splitmix64(
+                    col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                )
+            else:
+                uniq = pc.unique(col)
+                h = np.fromiter(
+                    (hash_token(s) for s in uniq.to_pylist()), np.uint64, len(uniq)
+                )
+            regs = hll_registers(h, HLL_P)
+            return pa.table(
+                {
+                    "column": pa.array([colname], pa.string()),
+                    "regs": pa.array([regs.tobytes()], pa.binary()),
+                }
+            )
+
+        return partial
+
+    rows = []
+    for table, colname in _HLL_COLS:
+        part_ds = _read(sf_dir, table, [colname]).map_batches(
+            make_partial(colname), batch_format="pyarrow"
+        )
+        partials = [
+            np.frombuffer(r, np.uint8)
+            for b in part_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+            for r in b["regs"].to_pylist()
+        ]
+        merged = hll_merge(partials)
+        rows.append((f"{table}.{colname}", int(round(hll_estimate(merged)))))
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "column": pa.array([r[0] for r in rows], pa.string()),
+                "approx_distinct": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
 def small_order_revenue(sf_dir: str, brand: str = "Brand#23",
                         max_size: int = 15, num_partitions: int = 8):
     """TPC-H Q17 shape — the correlated-subquery / aggregate-join-back
