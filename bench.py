@@ -81,6 +81,8 @@ def run_queries() -> dict[str, float]:
         "ann_ivf_topk",
         "events_trailing_1h",
         "curate_docs",
+        "decontaminate_docs",
+        "edit_distance_pairs",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -1,6 +1,6 @@
 """Driver-contract inventory guards: every queries() entry is callable, every
 oracle_sql() key has a matching query, and the documented rows-only set is
-exactly the two honestly-approximate ANN queries."""
+exactly the honestly-approximate ANN/sketch queries."""
 
 import sys
 
@@ -17,6 +17,7 @@ def test_inventory_consistency():
     assert rows_only == [
         "ann_ivf_topk",            # approximate ANN (recall pytest-pinned)
         "ann_lsh_topk",            # approximate ANN (recall pytest-pinned)
+        "distinct_stats_hll",      # HLL sketch (merge determinism + error pinned)
         "event_value_quantiles_sketch",  # mergeable sketch (error pytest-pinned)
     ], rows_only
     for name, fn in q.items():
