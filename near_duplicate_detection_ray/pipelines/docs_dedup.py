@@ -333,9 +333,11 @@ def _gram_df_ref(sigs):
              "n": pa.array(c.astype(np.int64), pa.int64())}
         )
 
+    # materialize first: to_arrow_refs() on a lazy dataset re-executes the
+    # upstream graph once more for its schema probe (state/partitioning.py)
     refs = sigs.select_columns(["shingles"]).map_batches(
         partial, batch_format="pyarrow"
-    ).to_arrow_refs()
+    ).materialize().to_arrow_refs()
 
     def _sum_tables(tables):
         gs = np.concatenate(

@@ -101,9 +101,11 @@ def build_bloom(ds, cols: list[str], n_ids: int, fp_rate: float = 0.01):
         # ship the partial as a single fixed-size binary cell
         return pa.table({"bloom": pa.array([words.tobytes()], pa.large_binary())})
 
+    # materialize first: to_arrow_refs() on a lazy dataset re-executes the
+    # upstream graph once more for its schema probe (state/partitioning.py)
     refs = ds.select_columns(cols).map_batches(
         block_bloom, batch_format="pyarrow"
-    ).to_arrow_refs()
+    ).materialize().to_arrow_refs()
 
     @ray.remote
     def merge(*tables):

@@ -78,9 +78,13 @@ def distinct_values_ref(ds, cols: list[str], max_values: int | None = None):
         arrs = [t[c].combine_chunks() for c in cols]
         return pa.table({"v": pc.unique(pa.concat_arrays(arrs))})
 
+    # materialize THEN take refs: to_arrow_refs() on a lazy dataset triggers a
+    # second full execution of the upstream graph for its schema probe (a
+    # limit-1 run that a shuffle upstream makes as expensive as the real one,
+    # observed in ds.stats); on a MaterializedDataset both are free
     refs = ds.select_columns(cols).map_batches(
         block_unique, batch_format="pyarrow"
-    ).to_arrow_refs()
+    ).materialize().to_arrow_refs()
 
     @ray.remote
     def merge(*tables):
@@ -128,7 +132,7 @@ def endpoint_stats(ds, cols: list[str], max_values: int | None = None):
 
     refs = ds.select_columns(cols).map_batches(
         block_unique, batch_format="pyarrow"
-    ).to_arrow_refs()
+    ).materialize().to_arrow_refs()  # see distinct_values_ref: avoid double exec
 
     @ray.remote
     def merge(*tables):
@@ -187,7 +191,7 @@ def distinct_counts(ds, cols: list[str]) -> dict[str, int]:
 
     refs = ds.select_columns(cols).map_batches(
         block_unique, batch_format="pyarrow"
-    ).to_arrow_refs()
+    ).materialize().to_arrow_refs()  # see distinct_values_ref: avoid double exec
 
     @ray.remote
     def merge(*tables):

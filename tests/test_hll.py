@@ -46,12 +46,8 @@ def test_query_matches_exact_within_3pct(ray_session):
         distinct_stats_hll,
     )
 
-    got = dict(
-        zip(
-            distinct_stats_hll(SF).to_pandas()["column"],
-            distinct_stats_hll(SF).to_pandas()["approx_distinct"],
-        )
-    )
+    df = distinct_stats_hll(SF).to_pandas()
+    got = dict(zip(df["column"], df["approx_distinct"]))
     con = duckdb.connect()
     for table, col in _HLL_COLS:
         exact = con.execute(

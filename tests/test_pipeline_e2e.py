@@ -22,12 +22,11 @@ def pipeline_result(ray_session):
     transcripts, truth = synth_corpus(seed=42)
     ds = rd.from_arrow(transcripts)
     result = near_dup_pipeline(ds, CFG, include_substring=True)
-    clusters = dict(
-        zip(
-            result["clusters"].to_pandas()["conv_id"],
-            result["clusters"].to_pandas()["cluster_id"],
-        )
-    )
+    # ONE to_pandas(): zipping columns from two separate executions of a lazy
+    # dataset scrambles the mapping (block order is not stable across
+    # executions — the one nondeterminism Ray Data exposes here)
+    cl = result["clusters"].to_pandas()
+    clusters = dict(zip(cl["conv_id"], cl["cluster_id"]))
     return transcripts, truth, result, clusters
 
 
