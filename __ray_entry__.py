@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_stats": relational.props_key_stats,        # JSON field extraction
         "small_order_revenue": relational.small_order_revenue,  # TPC-H Q17 shape (agg join-back)
         "distinct_stats_hll": relational.distinct_stats_hll,   # rows-only (HLL sketch; merge-determinism + <=3% error pytest-pinned)
+        "user_top_event": relational.user_top_event,           # mode / arg-max per group
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -458,6 +459,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        # per-group MODE with deterministic (n DESC, event_type) tie-break
+        "user_top_event": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT user_id, event_type, n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC, event_type) AS rk,
+                       sum(n) OVER (PARTITION BY user_id) AS n_events
+                FROM c
+            )
+            SELECT user_id, event_type AS top_event,
+                   CAST(n AS BIGINT) AS n_top,
+                   CAST(n_events AS BIGINT) AS n_events
+            FROM r WHERE rk = 1
         """,
         # both engines extract k with the same regex over the same bytes
         "props_key_stats": r"""

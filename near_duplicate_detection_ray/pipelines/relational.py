@@ -1032,6 +1032,56 @@ def props_key_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def user_top_event(sf_dir: str):
+    """MODE / arg-max aggregate per group: each user's most frequent event
+    type (ties broken alphabetically), with its count and the user's total.
+
+    The mode does not decompose into combiner partials over high-cardinality
+    groups, so the shape is the order-statistic one: ONE keyed hash-partition
+    on user_id, then a block-local vectorized kernel (pandas group count ->
+    sort by (user, count desc, type) -> first row per user) — no per-user
+    Python, no second shuffle.  The SQL oracle ranks with the identical
+    (n DESC, event_type) window order."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("top_event", pa.string()),
+         ("n_top", pa.int64()), ("n_events", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        c = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        totals = c.groupby("user_id", sort=False)["n"].transform("sum")
+        c = c.assign(n_events=totals).sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = c.drop_duplicates("user_id", keep="first")
+        return pa.table(
+            {
+                "user_id": pa.array(top["user_id"].to_numpy(), pa.int64()),
+                "top_event": pa.array(top["event_type"].tolist(), pa.string()),
+                "n_top": pa.array(top["n"].to_numpy(), pa.int64()),
+                "n_events": pa.array(top["n_events"].to_numpy(), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+
+
 _HLL_COLS = [  # (table, column) specs for the approx-distinct survey
     ("events", "user_id"),
     ("events", "event_type"),

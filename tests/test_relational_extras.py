@@ -96,6 +96,15 @@ def test_running_spend_matches_oracle_sf0001(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_user_top_event_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import user_top_event
+
+    got = _sorted(user_top_event(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["user_top_event"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_pivot_and_props_match_oracle_sf0001(ray_session):
     import __ray_entry__ as entrymod
     from near_duplicate_detection_ray.pipelines.relational import (
