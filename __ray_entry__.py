@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_order_revenue": relational.small_order_revenue,  # TPC-H Q17 shape (agg join-back)
         "distinct_stats_hll": relational.distinct_stats_hll,   # rows-only (HLL sketch; merge-determinism + <=3% error pytest-pinned)
         "user_top_event": relational.user_top_event,           # mode / arg-max per group
+        "customer_order_histogram": relational.customer_order_histogram,  # TPC-H Q13 shape (zero-fill histogram)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -459,6 +460,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        # Q13 shape: left join + zero-fill histogram of per-customer counts
+        "customer_order_histogram": """
+            WITH oc AS (
+                SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+            )
+            SELECT CAST(coalesce(oc.n, 0) AS BIGINT) AS n_orders,
+                   count(*) AS n_customers
+            FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+            GROUP BY 1
         """,
         # per-group MODE with deterministic (n DESC, event_type) tie-break
         "user_top_event": """

@@ -1082,6 +1082,55 @@ def user_top_event(sf_dir: str):
     )
 
 
+def customer_order_histogram(sf_dir: str, num_partitions: int | None = None):
+    """TPC-H Q13 shape — LEFT-join-with-zero-fill histogram: how many
+    customers placed exactly n orders, INCLUDING n = 0.
+
+    No actual left join runs: per-customer order counts come from one keyed
+    aggregate over orders alone; the counts-of-counts rollup is tiny
+    (combiner pattern); and the n=0 bucket is derived from two off-driver
+    scalars (total customers - customers with orders) — the zero-fill side
+    of a left join costs two counts instead of shuffling the whole customer
+    table."""
+    import ray.data as rd
+
+    from ..functions.groupagg import highcard_groupagg
+
+    per_cust = highcard_groupagg(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"],
+        [([], "count_all")],
+        {"count_all": "n_orders"},
+        num_partitions=num_partitions,
+    )
+    hist = lowcard_groupagg(
+        per_cust.select_columns(["n_orders"]),
+        ["n_orders"],
+        [([], "count_all")],
+        {"count_all": "n_customers"},
+    )
+    tbl = pa.concat_tables(
+        b for b in hist.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_columns
+    )
+    n_customers_total = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_with_orders = int(pc.sum(tbl["n_customers"]).as_py()) if tbl.num_rows else 0
+    n_zero = n_customers_total - n_with_orders
+    schema = pa.schema(
+        [("n_orders", pa.int64()), ("n_customers", pa.int64())]
+    )
+    parts = [tbl.cast(schema)] if tbl.num_rows else []
+    if n_zero > 0:  # the zero bucket exists only when some customer has no order
+        parts.append(
+            pa.table(
+                {"n_orders": pa.array([0], pa.int64()),
+                 "n_customers": pa.array([n_zero], pa.int64())},
+                schema=schema,
+            )
+        )
+    return rd.from_arrow(pa.concat_tables(parts) if parts else schema.empty_table())
+
+
 _HLL_COLS = [  # (table, column) specs for the approx-distinct survey
     ("events", "user_id"),
     ("events", "event_type"),

@@ -105,6 +105,58 @@ def test_user_top_event_matches_oracle_sf0001(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_order_histogram_zero_bucket(ray_session, tmp_path_factory):
+    """The n=0 bucket (customers with no orders) never occurs in the
+    testdata, so plant it: 4 customers, one of whom has no orders."""
+    from near_duplicate_detection_ray.pipelines.relational import (
+        customer_order_histogram,
+    )
+
+    d = str(tmp_path_factory.mktemp("q13"))
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        f"{d}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    got = _sorted(customer_order_histogram(d).to_pandas())
+    import __ray_entry__ as entrymod
+
+    want = _sorted(
+        _oracle(
+            entrymod.oracle_sql()["customer_order_histogram"],
+            sf_dir=d,
+            tables=("customer", "orders"),
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    as_map = dict(zip(got["n_orders"], got["n_customers"]))
+    assert as_map == {0: 2, 1: 1, 2: 1}
+
+
+def test_histogram_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import (
+        customer_order_histogram,
+    )
+
+    got = _sorted(customer_order_histogram(SF).to_pandas())
+    want = _sorted(
+        _oracle(
+            entrymod.oracle_sql()["customer_order_histogram"],
+            tables=("customer", "orders"),
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_pivot_and_props_match_oracle_sf0001(ray_session):
     import __ray_entry__ as entrymod
     from near_duplicate_detection_ray.pipelines.relational import (
