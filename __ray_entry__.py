@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_stats_hll": relational.distinct_stats_hll,   # rows-only (HLL sketch; merge-determinism + <=3% error pytest-pinned)
         "user_top_event": relational.user_top_event,           # mode / arg-max per group
         "customer_order_histogram": relational.customer_order_histogram,  # TPC-H Q13 shape (zero-fill histogram)
+        "brand_supplier_counts": relational.brand_supplier_counts,  # grouped COUNT(DISTINCT) (Q16 family)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -460,6 +461,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        # Q16 family: grouped COUNT(DISTINCT) over the part hash join
+        "brand_supplier_counts": """
+            SELECT p_brand,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         # Q13 shape: left join + zero-fill histogram of per-customer counts
         "customer_order_histogram": """

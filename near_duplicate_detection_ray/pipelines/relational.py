@@ -1131,6 +1131,65 @@ def customer_order_histogram(sf_dir: str, num_partitions: int | None = None):
     return rd.from_arrow(pa.concat_tables(parts) if parts else schema.empty_table())
 
 
+def brand_supplier_counts(sf_dir: str, num_partitions: int | None = None):
+    """GROUPED COUNT(DISTINCT) (TPC-H Q16 family): distinct suppliers and
+    distinct parts shipped per part brand.
+
+    Distinct-count does not combine, so the shape is dedup-then-count: one
+    keyed hash-partition on the (brand-carrying) join output deduped
+    block-locally per (brand, supplier) / (brand, part), then the tiny
+    counts-per-brand rollup via the map-side combiner.  The brand arrives
+    by hash join with part (the medium dimension, same as
+    ``brand_revenue``)."""
+    from ..functions.groupagg import highcard_groupagg
+
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = items.join(
+        parts,
+        join_type="inner",
+        num_partitions=num_partitions or 8,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    # dedup (brand, suppkey) and (brand, partkey) in ONE keyed pass each;
+    # group_by with no aggregates = distinct rows within the co-located block
+    supp = highcard_groupagg(
+        joined.select_columns(["p_brand", "l_suppkey"]),
+        ["p_brand", "l_suppkey"],
+        [([], "count_all")],
+        {"count_all": "_n"},
+        num_partitions=num_partitions,
+    )
+    part_d = highcard_groupagg(
+        joined.select_columns(["p_brand", "l_partkey"]),
+        ["p_brand", "l_partkey"],
+        [([], "count_all")],
+        {"count_all": "_n"},
+        num_partitions=num_partitions,
+    )
+    ns = lowcard_groupagg(
+        supp.select_columns(["p_brand"]), ["p_brand"], [([], "count_all")],
+        {"count_all": "n_suppliers"},
+    ).to_pandas()
+    np_ = lowcard_groupagg(
+        part_d.select_columns(["p_brand"]), ["p_brand"], [([], "count_all")],
+        {"count_all": "n_parts"},
+    ).to_pandas()
+    import ray.data as rd
+
+    out = ns.merge(np_, on="p_brand")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "p_brand": pa.array(out["p_brand"].tolist(), pa.string()),
+                "n_suppliers": pa.array(out["n_suppliers"].to_numpy(), pa.int64()),
+                "n_parts": pa.array(out["n_parts"].to_numpy(), pa.int64()),
+            }
+        )
+    )
+
+
 _HLL_COLS = [  # (table, column) specs for the approx-distinct survey
     ("events", "user_id"),
     ("events", "event_type"),

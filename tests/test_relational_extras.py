@@ -157,6 +157,22 @@ def test_histogram_matches_oracle_sf0001(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_brand_supplier_counts_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import (
+        brand_supplier_counts,
+    )
+
+    got = _sorted(brand_supplier_counts(SF).to_pandas())
+    want = _sorted(
+        _oracle(
+            entrymod.oracle_sql()["brand_supplier_counts"],
+            tables=("lineitem", "part"),
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_pivot_and_props_match_oracle_sf0001(ray_session):
     import __ray_entry__ as entrymod
     from near_duplicate_detection_ray.pipelines.relational import (
