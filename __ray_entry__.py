@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": relational.user_top_event,           # mode / arg-max per group
         "customer_order_histogram": relational.customer_order_histogram,  # TPC-H Q13 shape (zero-fill histogram)
         "brand_supplier_counts": relational.brand_supplier_counts,  # grouped COUNT(DISTINCT) (Q16 family)
+        "user_event_sequence": relational.user_event_sequence,  # ordered string_agg / collect_list
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -461,6 +462,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        # ordered string aggregation with the engine's exact (ts, event_id) order
+        "user_event_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         # Q16 family: grouped COUNT(DISTINCT) over the part hash join
         "brand_supplier_counts": """

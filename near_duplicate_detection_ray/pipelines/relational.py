@@ -1190,6 +1190,46 @@ def brand_supplier_counts(sf_dir: str, num_partitions: int | None = None):
     )
 
 
+def user_event_sequence(sf_dir: str):
+    """ORDERED string aggregation per group (collect_list / string_agg
+    family — the relational cousin of the flagship's transcript assemble,
+    `stages/assemble.py`): each user's comma-joined event-type sequence in
+    (ts, event_id) order, plus its length.
+
+    One keyed hash-partition on user_id, then a block-local vectorized
+    kernel: sort once, then per-group join via pandas' C-level groupby-agg
+    (no per-user Python function).  The SQL oracle uses string_agg with the
+    identical ORDER BY."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_seq", pa.string()),
+         ("n_events", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=True)["event_type"]
+        out = g.agg([("event_seq", ",".join), ("n_events", "size")]).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "event_seq": pa.array(out["event_seq"].tolist(), pa.string()),
+                "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+
+
 _HLL_COLS = [  # (table, column) specs for the approx-distinct survey
     ("events", "user_id"),
     ("events", "event_type"),

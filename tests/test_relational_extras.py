@@ -157,6 +157,17 @@ def test_histogram_matches_oracle_sf0001(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_user_event_sequence_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import (
+        user_event_sequence,
+    )
+
+    got = _sorted(user_event_sequence(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["user_event_sequence"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_brand_supplier_counts_matches_oracle_sf0001(ray_session):
     import __ray_entry__ as entrymod
     from near_duplicate_detection_ray.pipelines.relational import (
