@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_histogram": relational.customer_order_histogram,  # TPC-H Q13 shape (zero-fill histogram)
         "brand_supplier_counts": relational.brand_supplier_counts,  # grouped COUNT(DISTINCT) (Q16 family)
         "user_event_sequence": relational.user_event_sequence,  # ordered string_agg / collect_list
+        "repeat_customers": relational.repeat_customers,       # INTERSECT set-op semi-join
+        "event_value_stats": relational.event_value_stats,     # variance/stddev combiner
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -469,6 +471,47 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        # INTERSECT of two derived key sets, rolled up per nation
+        "repeat_customers": """
+            WITH both_years AS (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01'
+                INTERSECT
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT n_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN both_years ON c_custkey = o_custkey
+            GROUP BY n_name
+        """,
+        # variance family via integer-cent partials; the final mean/stddev is
+        # the IDENTICAL IEEE double expression the engine evaluates (division,
+        # multiply, subtract, divide-by-1e4, clamp, sqrt — in that order)
+        "event_value_stats": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            ), a AS (
+                SELECT event_type,
+                       CAST(sum(c) AS BIGINT) AS s,
+                       CAST(sum(c * c) AS BIGINT) AS s2,
+                       count(*) AS n
+                FROM c GROUP BY event_type
+            )
+            SELECT event_type,
+                   n AS n_events,
+                   round(CAST(s AS DOUBLE) / n / 100.0, 4) AS mean_value,
+                   round(sqrt(greatest(
+                       (CAST(s2 AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                       / 10000.0, 0.0)), 4) AS stddev_pop
+            FROM a
         """,
         # Q16 family: grouped COUNT(DISTINCT) over the part hash join
         "brand_supplier_counts": """

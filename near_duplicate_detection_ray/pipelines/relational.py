@@ -1230,6 +1230,107 @@ def user_event_sequence(sf_dir: str):
     )
 
 
+def repeat_customers(sf_dir: str, y1: int = 1996, y2: int = 1997):
+    """INTERSECT of two derived key sets (set-op family): customers with at
+    least one order in BOTH ``y1`` and ``y2``, rolled up per nation.
+
+    Each year's distinct customer keys are built OFF-DRIVER
+    (``distinct_values_ref``); the intersection happens in one remote task
+    (numpy ``intersect1d`` on the two object-store arrays — the driver never
+    sees the keys); the result broadcasts into a single ``pc.is_in`` filter
+    over customer + the usual nation-label combiner rollup."""
+    import ray
+
+    from ..state.partitioning import distinct_values_ref
+
+    def year_keys(year: int):
+        lo = np.datetime64(f"{year}-01-01", "us")
+        hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+        def in_year(t: pa.Table) -> pa.Table:
+            od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((od >= lo) & (od < hi)))
+
+        ref, _n = distinct_values_ref(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+                in_year, batch_format="pyarrow"
+            ),
+            ["o_custkey"],
+        )
+        return ref
+
+    @ray.remote
+    def intersect(a, b):
+        return pa.array(
+            np.intersect1d(
+                a.to_numpy(zero_copy_only=False), b.to_numpy(zero_copy_only=False)
+            )
+        )
+
+    both_ref = intersect.remote(year_keys(y1), year_keys(y2))
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nmap_ref = ray.put(lut)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["c_custkey"], value_set=ray.get(both_ref)))
+        names = ray.get(nmap_ref)[t["c_nationkey"].to_numpy(zero_copy_only=False)]
+        return pa.table({"n_name": pa.array(names.tolist(), pa.string())})
+
+    return lowcard_groupagg(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            keep, batch_format="pyarrow"
+        ),
+        ["n_name"],
+        [([], "count_all")],
+        {"count_all": "n_customers"},
+    )
+
+
+def event_value_stats(sf_dir: str):
+    """Per-group VARIANCE family (mean + population stddev): decomposes into
+    combiner partials (n, sum, sum-of-squares).  Values are summed as exact
+    integer CENTS (and squared cents) so both engines aggregate identically
+    in any association order; only the final mean/stddev expression is
+    floating point, and it is the IDENTICAL IEEE expression on both sides."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {"event_type": t["event_type"],
+             "c": pa.array(c, pa.int64()),
+             "c2": pa.array(c * c, pa.int64())}
+        )
+
+    agg = lowcard_groupagg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["event_type"],
+        [("c", "sum"), ("c2", "sum"), ([], "count_all")],
+        {"c_sum": "sum_c", "c2_sum": "sum_c2", "count_all": "n_events"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["sum_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t["sum_c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = np.round(s / n / 100.0, 4)
+        var = (s2 / n - (s / n) ** 2) / 10000.0
+        std = np.round(np.sqrt(np.maximum(var, 0.0)), 4)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "mean_value": pa.array(mean, pa.float64()),
+                "stddev_pop": pa.array(std, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 _HLL_COLS = [  # (table, column) specs for the approx-distinct survey
     ("events", "user_id"),
     ("events", "event_type"),

@@ -198,3 +198,30 @@ def test_pivot_and_props_match_oracle_sf0001(ray_session):
     got = _sorted(props_key_stats(SF).to_pandas())
     want = _sorted(_oracle(entrymod.oracle_sql()["props_key_stats"]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_repeat_customers_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import repeat_customers
+
+    got = _sorted(repeat_customers(SF).to_pandas())
+    want = _sorted(
+        _oracle(
+            entrymod.oracle_sql()["repeat_customers"],
+            tables=("orders", "customer", "nation"),
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0  # sf0.001 has repeat customers in 1996+1997
+
+
+def test_event_value_stats_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import event_value_stats
+
+    got = _sorted(event_value_stats(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["event_value_stats"]))
+    # exact value equality INCLUDING the float columns: both sides evaluate
+    # the identical IEEE expression over identical integer partials
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["stddev_pop"] >= 0).all()
