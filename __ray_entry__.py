@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams_corpus": text_analysis.top_ngrams_corpus,  # SQL-checked (combiner agg)
         "clean_docs": text_analysis.clean_docs,                # SQL-checked (rewrite map)
         "vocab_stats": text_analysis.vocab_stats,              # SQL-checked (global distinct)
+        "redact_docs": text_analysis.redact_docs,              # SQL-checked (PII scrub, RE2 parity)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -843,6 +844,29 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(kept, ' ') AS clean_text,
                    len(l) - len(kept) AS n_removed
             FROM f
+        """,
+        # PII scrub over the deterministically-derived PII-bearing corpus:
+        # identical RE2 pattern strings as pipelines/text_analysis (counts on
+        # the original text, replacements applied email -> phone -> IPv4)
+        "redact_docs": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@mail.example.com or +1-202-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS redacted_text,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+                   len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips
+            FROM aug
         """,
         "top_ngrams_corpus": r"""
             WITH toks AS (

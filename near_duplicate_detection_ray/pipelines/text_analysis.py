@@ -523,3 +523,70 @@ def sample_docs(sf_dir: str, pct: int = 10):
     return _read_docs(sf_dir, ["doc_id", "lang", "n_chars", "source"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+# Pattern strings are RE2 on BOTH sides (Arrow re2 kernels, DuckDB regexp_*),
+# so match sets — and therefore counts and replacements — agree byte-for-byte.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_IP_PAT = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_text_batch(text: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
+    """The generic PII-scrub kernel: count matches on the ORIGINAL text, then
+    apply the replacements sequentially (email -> phone -> IPv4).  Entirely
+    vectorized: one ``pc.count_substring_regex`` + one
+    ``pc.replace_substring_regex`` per pattern class, no Python per row.
+
+    Returns columns ``redacted_text, n_emails, n_phones, n_ips``.
+    """
+    counts = {
+        name: pc.cast(pc.count_substring_regex(text, pattern=pat), pa.int64())
+        for name, pat in (
+            ("n_emails", _EMAIL_PAT),
+            ("n_phones", _PHONE_PAT),
+            ("n_ips", _IP_PAT),
+        )
+    }
+    red = text
+    for pat, repl in (
+        (_EMAIL_PAT, "[EMAIL]"),
+        (_PHONE_PAT, "[PHONE]"),
+        (_IP_PAT, "[IP]"),
+    ):
+        red = pc.replace_substring_regex(red, pattern=pat, replacement=repl)
+    return {"redacted_text": red, **counts}
+
+
+def redact_docs(sf_dir: str):
+    """PII redaction over a PII-bearing corpus — the scrubbing step every
+    training-data pipeline runs before tokenization.
+
+    The synthetic ``documents`` table carries no PII, so the query derives a
+    deterministic PII-laden corpus first (a contact line computed from
+    ``doc_id`` appended to each text — vectorized Arrow string build, replayed
+    verbatim in the SQL oracle), then applies the generic
+    :func:`redact_text_batch` kernel.  Output: ``doc_id, redacted_text,
+    n_emails, n_phones, n_ips``.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        ids_s = pc.cast(ids, pa.string())
+        phone4 = pc.ascii_lpad(
+            pc.cast(pa.array(ids_np % 10000, pa.int64()), pa.string()),
+            width=4, padding="0",
+        )
+        oct_b = pc.cast(pa.array(ids_np % 256, pa.int64()), pa.string())
+        oct_d = pc.cast(pa.array((ids_np * 7) % 256, pa.int64()), pa.string())
+        aug = pc.binary_join_element_wise(
+            batch["text"],
+            " contact user", ids_s, "@mail.example.com or +1-202-", phone4,
+            " from 10.", oct_b, ".0.", oct_d,
+            "",
+        )
+        return pa.table({"doc_id": ids, **redact_text_batch(aug)})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,52 @@
+"""PII-redaction kernel edge cases + full-query DuckDB oracle parity."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_redact_kernel_edges():
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        redact_text_batch,
+    )
+
+    t = pa.array(
+        [
+            "a.b+c_9%@sub.x-y.co trailing",          # full email charset
+            "+1-555-1234 and +44-20-7946",           # second one too short -> no match
+            "ip 10.0.0.1, ip2 255.255.255.255x",     # \b after digits: comma ok, x ok (x is a word char -> no \b) 
+            "not-an-email@ or @no-local.com",        # malformed
+            "",                                       # empty
+            "x@y.io +1-202-0000 1.2.3.4 x@y.io",     # multiple classes, two emails
+        ]
+    )
+    out = redact_text_batch(t)
+    assert out["n_emails"].to_pylist() == [1, 0, 0, 0, 0, 2]
+    assert out["n_phones"].to_pylist() == [0, 1, 0, 0, 0, 1]
+    # "255.255.255.255x": trailing 'x' kills the word boundary -> only first ip
+    assert out["n_ips"].to_pylist() == [0, 0, 1, 0, 0, 1]
+    red = out["redacted_text"].to_pylist()
+    assert red[0] == "[EMAIL] trailing"
+    assert red[5] == "[EMAIL] [PHONE] [IP] [EMAIL]"
+    assert red[4] == ""
+
+
+def test_redact_docs_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.text_analysis import redact_docs
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["redact_docs"]).df()
+    got = redact_docs(SF).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every synthesized row carries exactly one of each PII class
+    assert (got["n_emails"] == 1).all() and (got["n_phones"] == 1).all()
+    assert (got["n_ips"] == 1).all()
+    assert got["redacted_text"].str.contains("[EMAIL]", regex=False).all()
