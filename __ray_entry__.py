@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
+        "dedup_best_docs": docs_dedup.dedup_best_docs,          # SQL-checked (quality keep-rule)
         "edit_distance_pairs": docs_dedup.edit_distance_pairs,  # SQL-checked (blocked Levenshtein)
         "curate_docs": _curate_docs,                            # SQL-checked (composed pipeline)
         "decontaminate_docs": _decontaminate_docs,              # SQL-checked (cross-corpus n-gram)
@@ -937,6 +938,20 @@ def oracle_sql() -> dict[str, str]:
         # sets, mirroring the engine's connected-components stage.
         "dedup_keep_docs": _DEDUP_COMP_CTES
         + " SELECT rep AS doc_id, count(*) AS n_members FROM comp GROUP BY rep",
+        # Same components, QUALITY keep-rule: longest member wins (tie: min id)
+        "dedup_best_docs": _DEDUP_COMP_CTES
+        + """
+            , ranked AS (
+                SELECT c.rep, c.doc_id, d.n_chars,
+                       row_number() OVER (PARTITION BY c.rep
+                                          ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+                       count(*) OVER (PARTITION BY c.rep) AS n_members
+                FROM comp c JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM ranked WHERE rk = 1
+        """,
         # Composed curation pipeline: dedup-representative AND lang vote AND
         # token budget AND repetition cap (each predicate separately oracled).
         "curate_docs": _curate_sql(),

@@ -675,6 +675,88 @@ def dedup_keep_docs(sf_dir: str, cfg: NDDConfig | None = None):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+
+def dedup_best_docs(sf_dir: str, cfg: NDDConfig | None = None):
+    """Dedup with a QUALITY keep-rule: per duplicate component keep the
+    LONGEST document (``n_chars``; ties -> smallest ``doc_id``) instead of the
+    smallest id — the "keep the best member" policy real curation pipelines
+    use (longest / highest-quality / newest wins).
+
+    Engine path: the shared exact+near-dup component labeling
+    (``_dedup_components``), then the arg-max reduced to an ASSOCIATIVE max
+    by packing ``(n_chars, doc_id)`` into one int64 — ``n_chars * 2^40 +
+    (2^40 - 1 - doc_id)`` — so it rides the existing combiner machinery with
+    no order-dependence.  The quality column is attached WITHOUT a hash join:
+    the cluster stream and the documents stream are unioned and merged by a
+    keyed max-agg on ``doc_id`` (cluster label and packed score each live on
+    exactly one side), then a second keyed agg on ``cluster_id`` takes the
+    packed max + member count.
+
+    Output: ``doc_id`` (kept member), ``n_chars`` (its length),
+    ``n_members``.  SQL oracle: the recursive component CTEs + a
+    ``row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id)``
+    arg-max.
+    """
+    from ..functions.groupagg import highcard_groupagg
+
+    _PACK = 1 << 40  # doc_id < 2^40, n_chars < 2^23 by a huge margin
+
+    clusters = _dedup_components(sf_dir, cfg)
+
+    def tag_cluster(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["conv_id"], pa.int64()),
+                "cluster_id": batch["cluster_id"],
+                "packed": pa.array(
+                    np.full(batch.num_rows, -1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        packed = nc * _PACK + (_PACK - 1 - ids)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "cluster_id": pa.array([""] * batch.num_rows, pa.string()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    merged = clusters.map_batches(tag_cluster, batch_format="pyarrow").union(
+        _read_docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+            tag_docs, batch_format="pyarrow"
+        )
+    )
+    per_doc = highcard_groupagg(
+        merged,
+        ["doc_id"],
+        [("cluster_id", "max"), ("packed", "max")],
+        {"cluster_id_max": "cluster_id", "packed_max": "packed"},
+    )
+    per_cluster = highcard_groupagg(
+        per_doc,
+        ["cluster_id"],
+        [("packed", "max"), ([], "count_all")],
+        {"packed_max": "packed", "count_all": "n_members"},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(_PACK - 1 - (packed & (_PACK - 1)), pa.int64()),
+                "n_chars": pa.array(packed >> 40, pa.int64()),
+                "n_members": pc.cast(batch["n_members"], pa.int64()),
+            }
+        )
+
+    return per_cluster.map_batches(finish, batch_format="pyarrow")
+
+
 def edit_distance_pairs(sf_dir: str, block_chars: int = 40,
                         head_chars: int = 128, max_dist: int = 16):
     """Edit-distance (Levenshtein) near-dup pairs — the fuzzy-matching member

@@ -103,3 +103,51 @@ def test_edit_distance_matches_oracle_sf0001(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_best_docs_quality_rule(ray_session, tmp_path_factory):
+    """The LONGEST member wins its component (tie -> min id), which must
+    differ from dedup_keep_docs' min-id rule on this corpus."""
+    from near_duplicate_detection_ray.pipelines.docs_dedup import dedup_best_docs
+
+    d = str(tmp_path_factory.mktemp("bestdocs"))
+    base = " ".join(f"w{i}" for i in range(40))  # distinct tokens -> dense shingles
+    rows = [
+        (0, base),                                   # near-dup cluster {0,1}
+        (1, base + " iota kappa"),                   # longer -> should win (j=36/38)
+        (2, "totally different text about unrelated matters entirely here"),
+        (3, "x"),                                    # singleton short doc
+        (4, base + " iota kappa"),                   # exact copy of 1 (tie -> min id 1)
+    ]
+    _write_docs(d, rows)
+    got = dedup_best_docs(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    kept = dict(zip(got["doc_id"], got["n_members"]))
+    assert kept == {1: 3, 2: 1, 3: 1}  # 1 beats 0 on length and 4 on id
+    assert set(got["n_chars"]) == {len(rows[1][1]), len(rows[2][1]), 1}
+
+
+def test_dedup_best_docs_matches_oracle_sf0001(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.docs_dedup import dedup_best_docs
+
+    got = (
+        dedup_best_docs("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["dedup_best_docs"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
