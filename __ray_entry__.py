@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts": relational.brand_supplier_counts,  # grouped COUNT(DISTINCT) (Q16 family)
         "user_event_sequence": relational.user_event_sequence,  # ordered string_agg / collect_list
         "repeat_customers": relational.repeat_customers,       # INTERSECT set-op semi-join
+        "user_funnel": relational.user_funnel,                 # ordered sequence-pattern match
         "event_value_stats": relational.event_value_stats,     # variance/stddev combiner
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
@@ -473,6 +474,23 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        # funnel progression over the SAME ordered sequence, identical RE2
+        # subsequence patterns on both sides (no event type is a substring of
+        # another, so the plain patterns are exact)
+        "user_funnel": """
+            WITH s AS (
+                SELECT user_id,
+                       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+                       count(*) AS n_events
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, n_events,
+                   CAST(CASE WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 3
+                             WHEN regexp_matches(seq, 'view.*click') THEN 2
+                             WHEN regexp_matches(seq, 'view') THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM s
         """,
         # INTERSECT of two derived key sets, rolled up per nation
         "repeat_customers": """

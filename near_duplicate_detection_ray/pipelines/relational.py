@@ -1591,3 +1591,34 @@ def event_value_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
     return key_partitioned(parts, ["event_type"]).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+def user_funnel(sf_dir: str):
+    """Funnel / ordered-sequence-pattern analysis (the event-stream cousin of
+    sessionization): how far each user progressed through
+    view -> click -> purchase as an ordered subsequence of their event
+    stream in the deterministic (ts, event_id) order.
+
+    Composes over :func:`user_event_sequence` (one keyed shuffle) and matches
+    the comma-joined sequence with vectorized RE2 kernels — no event type is
+    a substring of another, so plain ``view.*click.*purchase`` subsequence
+    regexes are exact.  ``funnel_stage`` = deepest prefix reached (0-3).
+    The SQL oracle applies the IDENTICAL RE2 patterns to the identical
+    ``string_agg`` sequence."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        seq = batch["event_seq"]
+        stage = np.zeros(batch.num_rows, dtype=np.int64)
+        for pat in ("view", "view.*click", "view.*click.*purchase"):
+            stage += pc.match_substring_regex(seq, pat).to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "n_events": batch["n_events"],
+                "funnel_stage": pa.array(stage, pa.int64()),
+            }
+        )
+
+    return user_event_sequence(sf_dir).map_batches(fn, batch_format="pyarrow")

@@ -225,3 +225,54 @@ def test_event_value_stats_matches_oracle_sf0001(ray_session):
     # the identical IEEE expression over identical integer partials
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["stddev_pop"] >= 0).all()
+
+
+def test_user_funnel_stages(ray_session, tmp_path_factory):
+    """Crafted streams covering every funnel stage, including out-of-order
+    events (purchase BEFORE click must not count) and ts ties broken by
+    event_id."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("funnel"))
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [  # (event_id, ts, user_id, type)
+        (0, base + 0 * s, 1, "view"),      # user 1: full funnel -> 3
+        (1, base + 1 * s, 1, "click"),
+        (2, base + 2 * s, 1, "purchase"),
+        (3, base + 0 * s, 2, "purchase"),  # user 2: purchase first -> view,click only -> 2
+        (4, base + 1 * s, 2, "view"),
+        (5, base + 2 * s, 2, "click"),
+        (6, base + 0 * s, 3, "view"),      # user 3: view only -> 1
+        (7, base + 1 * s, 3, "error"),
+        (8, base + 0 * s, 4, "signup"),    # user 4: nothing -> 0
+        (9, base + 5 * s, 5, "click"),     # user 5: ts tie, view id 10 > click id 9
+        (10, base + 5 * s, 5, "view"),     #   -> order click,view -> stage 1
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    from near_duplicate_detection_ray.pipelines.relational import user_funnel
+
+    got = user_funnel(d).to_pandas().set_index("user_id")["funnel_stage"].to_dict()
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+def test_user_funnel_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import user_funnel
+
+    got = _sorted(user_funnel(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["user_funnel"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["funnel_stage"].max() == 3  # sf0.001 has full-funnel users
