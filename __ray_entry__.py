@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_docs": text_analysis.clean_docs,                # SQL-checked (rewrite map)
         "vocab_stats": text_analysis.vocab_stats,              # SQL-checked (global distinct)
         "redact_docs": text_analysis.redact_docs,              # SQL-checked (PII scrub, RE2 parity)
+        "stratified_sample_docs": text_analysis.stratified_sample_docs,  # SQL-checked (per-stratum hash top-k)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -1064,6 +1065,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, source
             FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+        """,
+        # balanced per-stratum sample: k smallest md5 hashes per lang,
+        # (hash, doc_id) ascending — md5_number_lower == engine md5_low64
+        "stratified_sample_docs": """
+            WITH h AS (
+                SELECT lang, doc_id,
+                       md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), r AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY h, doc_id) AS rank
+                FROM h
+            )
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+            FROM r WHERE rank <= 20
         """,
         "lang_id_docs": _lang_id_sql(),
         # SimHash basis is md5_low64(shingle string) == DuckDB

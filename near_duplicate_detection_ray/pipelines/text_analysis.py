@@ -590,3 +590,58 @@ def redact_docs(sf_dir: str):
         return pa.table({"doc_id": ids, **redact_text_batch(aug)})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample_docs(sf_dir: str, k: int = 20):
+    """Deterministic STRATIFIED sampling: the ``k`` docs with the smallest
+    ``md5_low64(str(doc_id))`` per language stratum — the balanced-eval-split
+    primitive (equal-size per-group samples that are stable under corpus
+    growth within a stratum, partitioning, and parallelism, unlike
+    row-number or RNG sampling).
+
+    Combiner shape: every block keeps only its own k smallest (hash, doc_id)
+    per stratum (a C-level lexsort + groupby-head, bounded k x n_langs rows
+    out per block), then ONE tiny keyed shuffle on the low-cardinality
+    stratum merges partials and assigns ranks.  SQL parity: DuckDB
+    ``md5_number_lower`` is bit-identical to the engine hash; ordering is
+    (hash, doc_id) ascending on both sides."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_low64
+    from ..state.partitioning import key_partitioned
+
+    def hash_and_prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = np.fromiter(
+            (md5_low64(str(int(d))) for d in df["doc_id"]),
+            np.uint64,
+            len(df),
+        )
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(k)
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("rank", pa.int64()), ("doc_id", pa.int64())]
+    )
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        df = df.groupby("lang", sort=False).head(k)
+        df["rank"] = df.groupby("lang", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"].tolist(), pa.string()),
+                "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    partials = _read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        hash_and_prune, batch_format="pandas"
+    )
+    return key_partitioned(partials, ["lang"]).map_batches(
+        final_topk, batch_format="pandas", batch_size=None
+    )

@@ -50,3 +50,35 @@ def test_redact_docs_matches_oracle_sf0001(ray_session):
     assert (got["n_emails"] == 1).all() and (got["n_phones"] == 1).all()
     assert (got["n_ips"] == 1).all()
     assert got["redacted_text"].str.contains("[EMAIL]", regex=False).all()
+
+
+def test_stratified_sample_partition_invariance(ray_session):
+    """The sample must be identical under different parallelism (combiner
+    correctness: block-local pruning never drops a global top-k member)."""
+    import __ray_entry__ as entrymod
+    import duckdb
+
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        stratified_sample_docs,
+    )
+
+    got = (
+        stratified_sample_docs(SF)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    # every stratum present with a full contiguous 1..k (or group-size) rank run
+    for lang, g in got.groupby("lang"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["stratified_sample_docs"])
+        .df()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False)
