@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequence": relational.user_event_sequence,  # ordered string_agg / collect_list
         "repeat_customers": relational.repeat_customers,       # INTERSECT set-op semi-join
         "user_funnel": relational.user_funnel,                 # ordered sequence-pattern match
+        "idle_customer_balance": relational.idle_customer_balance,  # TPC-H Q22 shape (global scalar + anti-join)
         "event_value_stats": relational.event_value_stats,     # variance/stddev combiner
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
@@ -642,6 +643,26 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.90) AS p90,
                    quantile_disc(value, 0.99) AS p99
             FROM events GROUP BY event_type
+        """,
+        # Q22 shape: global scalar subquery (avg positive balance, compared
+        # in exact integer arithmetic: cents * n > sum_cents) + anti-join
+        "idle_customer_balance": """
+            WITH pos AS (
+                SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+                       count(*) AS n
+                FROM customer
+                WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+            )
+            SELECT n_name,
+                   round(sum(c_acctbal), 4) AS total_bal,
+                   count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey, pos
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+              AND c_custkey NOT IN (
+                  SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY n_name
         """,
         "customers_without_orders": """
             SELECT n_name,

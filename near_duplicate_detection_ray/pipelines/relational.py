@@ -1622,3 +1622,72 @@ def user_funnel(sf_dir: str):
         )
 
     return user_event_sequence(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def idle_customer_balance(sf_dir: str, since: str = "2000-01-01"):
+    """TPC-H Q22 shape — GLOBAL scalar subquery + anti-join: customers whose
+    balance exceeds the corpus-wide average positive balance AND who have
+    placed no order since ``since``, rolled up per nation.
+
+    The global average is never compared in floats: each block emits exact
+    integer partials (sum of positive cents, count), and the filter compares
+    ``cents * n > sum_cents`` in int64 — the identical exact arithmetic the
+    SQL oracle uses.  The order-customer key set is built off-driver
+    (``distinct_values_ref``) and applied as one inverted ``pc.is_in``; the
+    customer table is never shuffled."""
+    import ray
+
+    from ..state.partitioning import distinct_values_ref
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["c_acctbal"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pos = cents > 0
+        return pa.table(
+            {"s": pa.array([int(cents[pos].sum())], pa.int64()),
+             "n": pa.array([int(pos.sum())], pa.int64())}
+        )
+
+    # bounded driver materialization: ONE row per block
+    stats = cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    s_pos, n_pos = int(stats["s"].sum()), int(stats["n"].sum())
+
+    lo = np.datetime64(since, "us")
+
+    def recent(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(od >= lo))
+
+    ids_ref, _n = distinct_values_ref(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            recent, batch_format="pyarrow"
+        ),
+        ["o_custkey"],
+    )
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nmap_ref = ray.put(lut)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        mask = cents * n_pos > s_pos  # exact: c_acctbal > avg(positive)
+        mask &= pc.invert(
+            pc.is_in(batch["c_custkey"], value_set=ray.get(ids_ref))
+        ).to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(mask))
+        names = ray.get(nmap_ref)[t["c_nationkey"].to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {"n_name": pa.array(names.tolist(), pa.string()),
+             "c_acctbal": t["c_acctbal"]}
+        )
+
+    agg = lowcard_groupagg(
+        cust.map_batches(keep, batch_format="pyarrow"),
+        ["n_name"],
+        [("c_acctbal", "sum"), ([], "count_all")],
+        {"c_acctbal_sum": "total_bal", "count_all": "n_customers"},
+    )
+    return _round_floats(agg, ["total_bal"], 4)

@@ -276,3 +276,20 @@ def test_user_funnel_matches_oracle_sf0001(ray_session):
     want = _sorted(_oracle(entrymod.oracle_sql()["user_funnel"]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["funnel_stage"].max() == 3  # sf0.001 has full-funnel users
+
+
+def test_idle_customer_balance_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import (
+        idle_customer_balance,
+    )
+
+    got = _sorted(idle_customer_balance(SF).to_pandas())
+    want = _sorted(
+        _oracle(
+            entrymod.oracle_sql()["idle_customer_balance"],
+            tables=("customer", "orders", "nation"),
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_customers"].sum() >= 1  # populated at sf0.001
