@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
         "dedup_best_docs": docs_dedup.dedup_best_docs,          # SQL-checked (quality keep-rule)
+        "dup_spans_docs": docs_dedup.dup_spans_docs,            # SQL-checked (exact repeated-span plan)
         "edit_distance_pairs": docs_dedup.edit_distance_pairs,  # SQL-checked (blocked Levenshtein)
         "curate_docs": _curate_docs,                            # SQL-checked (composed pipeline)
         "decontaminate_docs": _decontaminate_docs,              # SQL-checked (cross-corpus n-gram)
@@ -991,6 +992,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(n_members AS BIGINT) AS n_members
             FROM ranked WHERE rk = 1
+        """,
+        # Exact repeated-span plan (Lee et al. exact substring dedup): maximal
+        # spans whose every 8-gram occurs >= 2x corpus-wide; gaps-and-islands
+        # merge with the identical gap rule (pos - lag(pos) <= 8)
+        "dup_spans_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ), grams AS (
+                SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+                FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+                WHERE len(t) >= 8
+            ), dupg AS (
+                SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+            ), hits AS (
+                SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+            ), isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER w <= 8 THEN 0 ELSE 1 END AS brk
+                FROM hits
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), isl2 AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM isl
+            )
+            SELECT doc_id,
+                   min(pos) AS start_tok,
+                   max(pos) + 7 AS end_tok,
+                   CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
+            FROM isl2 GROUP BY doc_id, island
         """,
         # Composed curation pipeline: dedup-representative AND lang vote AND
         # token budget AND repetition cap (each predicate separately oracled).

@@ -840,3 +840,105 @@ def edit_distance_pairs(sf_dir: str, block_chars: int = 40,
     return key_partitioned(ds, ["pfx"]).map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def dup_spans_docs(sf_dir: str, w: int = 8):
+    """EXACT repeated-span detection — the "exact substring dedup" plan of
+    Lee et al., *Deduplicating Training Data Makes Language Models Better*
+    (ACL 2022), reduced to Ray Data primitives: for every document, the
+    maximal token spans whose every ``w``-gram occurs at least twice in the
+    whole corpus (within-doc repeats count, like the paper's suffix-array
+    formulation).  Downstream curation cuts exactly these spans.
+
+    Three stages, all vectorized:
+
+    1. gram emission: Arrow split -> ``list_flatten`` -> ``take`` on w
+       shifted index vectors -> one ``binary_join_element_wise`` — every
+       positional w-gram string built with zero per-row Python;
+    2. ONE keyed hash-partition on the gram string; block-local pandas
+       ``groupby.transform('size') >= 2`` keeps duplicated occurrences
+       (grams are grouped by exact STRING here — collision-free and what
+       the SQL oracle sees; the 100-TB path would key on a 128-bit hash
+       to shrink shuffle bytes);
+    3. ONE keyed hash-partition on doc_id; block-local gaps-and-islands
+       merge (`pos - prev > w` breaks an island) -> per-island min/max.
+
+    Output: ``doc_id, start_tok, end_tok, n_tokens`` (1-based inclusive
+    token positions).  The SQL oracle replays the identical grams +
+    HAVING count(*) > 1 + window-function island merge."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # blank text splits to [''] with length 1 -> produces no w-grams anyway
+        flat = pc.list_flatten(toks)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        n_grams = np.maximum(lens - (w - 1), 0)
+        base = np.repeat(offsets[:-1], n_grams)
+        pos_in_doc = (
+            np.arange(int(n_grams.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(n_grams)))[:-1], n_grams)
+        )
+        starts = base + pos_in_doc
+        parts = [flat.take(pa.array(starts + k, pa.int64())) for k in range(w)]
+        g = pc.binary_join_element_wise(*parts, " ")
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), n_grams
+        )
+        return pa.table(
+            {
+                "g": g,
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(pos_in_doc + 1, pa.int64()),  # 1-based like SQL
+            }
+        )
+
+    def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df[["doc_id", "pos"]]
+        keep = df.groupby("g", sort=False)["g"].transform("size") >= 2
+        return df.loc[keep, ["doc_id", "pos"]]
+
+    def islands(df: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("start_tok", pa.int64()),
+             ("end_tok", pa.int64()), ("n_tokens", pa.int64())]
+        )
+        if df.empty:
+            return pa.Table.from_pylist([], schema=schema)
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort").reset_index(drop=True)
+        doc = df["doc_id"].to_numpy()
+        pos = df["pos"].to_numpy()
+        brk = np.ones(len(df), dtype=np.int64)
+        same_doc = doc[1:] == doc[:-1]
+        brk[1:] = ~(same_doc & (pos[1:] - pos[:-1] <= w))
+        df["island"] = np.cumsum(brk)
+        g = df.groupby("island", sort=False).agg(
+            doc_id=("doc_id", "first"), start_tok=("pos", "min"), end_tok=("pos", "max")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "start_tok": pa.array(g["start_tok"].to_numpy(), pa.int64()),
+                "end_tok": pa.array(g["end_tok"].to_numpy() + (w - 1), pa.int64()),
+                "n_tokens": pa.array(
+                    g["end_tok"].to_numpy() + w - g["start_tok"].to_numpy(), pa.int64()
+                ),
+            },
+            schema=schema,
+        )
+
+    gram_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        grams, batch_format="pyarrow"
+    )
+    hits = key_partitioned(gram_ds, ["g"]).map_batches(
+        dup_hits, batch_format="pandas", batch_size=None
+    )
+    return key_partitioned(hits, ["doc_id"]).map_batches(
+        islands, batch_format="pandas", batch_size=None
+    )

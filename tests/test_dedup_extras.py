@@ -151,3 +151,68 @@ def test_dedup_best_docs_matches_oracle_sf0001(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dup_spans_planted(ray_session, tmp_path_factory):
+    """Cross-doc shared run, within-doc repeat, and non-duplicated filler:
+    spans cover exactly the duplicated 8-gram runs, merged per doc."""
+    from near_duplicate_detection_ray.pipelines.docs_dedup import dup_spans_docs
+
+    d = str(tmp_path_factory.mktemp("spans"))
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token shared run
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(5)) + " " + shared
+             + " " + " ".join(f"b{i}" for i in range(5))),  # shared at tok 6..17
+        (1, shared + " " + " ".join(f"c{i}" for i in range(10))),  # shared at 1..12
+        (2, " ".join(f"d{i}" for i in range(30))),  # unique -> no spans
+        (3, " ".join(f"e{i}" for i in range(8)) + " x y z "
+             + " ".join(f"e{i}" for i in range(8))),  # within-doc repeated 8-gram
+    ]
+    _write_docs(d, rows)
+    got = (
+        dup_spans_docs(d)
+        .to_pandas()
+        .sort_values(["doc_id", "start_tok"])
+        .reset_index(drop=True)
+    )
+    spans = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_tokens) for r in got.itertuples()
+    }
+    # doc 0: grams at token starts 6..10 are duplicated -> span 6..17 (12 toks)
+    # doc 1: starts 1..5 -> span 1..12
+    # doc 3: 'e0..e7' appears at 1..8 and 12..19 -> two 8-token spans
+    assert spans == {
+        (0, 6, 17, 12),
+        (1, 1, 12, 12),
+        (3, 1, 8, 8),
+        (3, 12, 19, 8),
+    }
+    assert 2 not in set(got["doc_id"])
+
+
+def test_dup_spans_matches_oracle_sf0001(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.docs_dedup import dup_spans_docs
+
+    got = (
+        dup_spans_docs("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["doc_id", "start_tok"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["dup_spans_docs"])
+        .df()
+        .sort_values(["doc_id", "start_tok"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
