@@ -83,6 +83,8 @@ def run_queries() -> dict[str, float]:
         "curate_docs",
         "decontaminate_docs",
         "edit_distance_pairs",
+        "dup_spans_docs",
+        "dedup_best_docs",
     ]
     out: dict[str, float] = {}
     for name in picks:
