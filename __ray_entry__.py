@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
         "dedup_best_docs": docs_dedup.dedup_best_docs,          # SQL-checked (quality keep-rule)
         "dup_spans_docs": docs_dedup.dup_spans_docs,            # SQL-checked (exact repeated-span plan)
+        "cut_spans_docs": docs_dedup.cut_spans_docs,            # SQL-checked (span-cut cleaned text)
         "edit_distance_pairs": docs_dedup.edit_distance_pairs,  # SQL-checked (blocked Levenshtein)
         "curate_docs": _curate_docs,                            # SQL-checked (composed pipeline)
         "decontaminate_docs": _decontaminate_docs,              # SQL-checked (cross-corpus n-gram)
@@ -1024,6 +1025,42 @@ def oracle_sql() -> dict[str, str]:
                    max(pos) + 7 AS end_tok,
                    CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
             FROM isl2 GROUP BY doc_id, island
+        """,
+        # The span-cut cleaned text: every token covered by a duplicated
+        # 8-gram removed, survivors re-joined by single spaces
+        "cut_spans_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+                FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+                WHERE len(t) >= 8
+            ), dupg AS (
+                SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+            ), hits AS (
+                SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+            ), cov AS (
+                SELECT DISTINCT h.doc_id, u.j
+                FROM hits h, UNNEST(range(h.pos, h.pos + 8)) AS u(j)
+            ), tokpos AS (
+                SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
+                FROM toks
+            ), keptagg AS (
+                SELECT tp.doc_id,
+                       string_agg(tp.tok, ' ' ORDER BY tp.i) AS kept_text,
+                       count(*) AS n_kept
+                FROM tokpos tp
+                LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.j = tp.i
+                WHERE cov.doc_id IS NULL
+                GROUP BY tp.doc_id
+            )
+            SELECT x.doc_id,
+                   coalesce(k.kept_text, '') AS kept_text,
+                   CAST(len(x.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+            FROM toks x LEFT JOIN keptagg k USING (doc_id)
         """,
         # Composed curation pipeline: dedup-representative AND lang vote AND
         # token budget AND repetition cap (each predicate separately oracled).

@@ -870,40 +870,6 @@ def dup_spans_docs(sf_dir: str, w: int = 8):
 
     from ..state.partitioning import key_partitioned
 
-    def grams(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
-        )
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        # blank text splits to [''] with length 1 -> produces no w-grams anyway
-        flat = pc.list_flatten(toks)
-        offsets = np.concatenate(([0], np.cumsum(lens)))
-        n_grams = np.maximum(lens - (w - 1), 0)
-        base = np.repeat(offsets[:-1], n_grams)
-        pos_in_doc = (
-            np.arange(int(n_grams.sum()), dtype=np.int64)
-            - np.repeat(np.concatenate(([0], np.cumsum(n_grams)))[:-1], n_grams)
-        )
-        starts = base + pos_in_doc
-        parts = [flat.take(pa.array(starts + k, pa.int64())) for k in range(w)]
-        g = pc.binary_join_element_wise(*parts, " ")
-        doc_ids = np.repeat(
-            batch["doc_id"].to_numpy(zero_copy_only=False), n_grams
-        )
-        return pa.table(
-            {
-                "g": g,
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "pos": pa.array(pos_in_doc + 1, pa.int64()),  # 1-based like SQL
-            }
-        )
-
-    def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df[["doc_id", "pos"]]
-        keep = df.groupby("g", sort=False)["g"].transform("size") >= 2
-        return df.loc[keep, ["doc_id", "pos"]]
-
     def islands(df: pd.DataFrame) -> pa.Table:
         schema = pa.schema(
             [("doc_id", pa.int64()), ("start_tok", pa.int64()),
@@ -933,12 +899,151 @@ def dup_spans_docs(sf_dir: str, w: int = 8):
             schema=schema,
         )
 
+    hits = _dup_gram_hits(sf_dir, w)
+    return key_partitioned(hits, ["doc_id"]).map_batches(
+        islands, batch_format="pandas", batch_size=None
+    )
+
+
+def _dup_gram_hits(sf_dir: str, w: int):
+    """Shared stages 1-2 of the exact repeated-span plan: (doc_id, pos) of
+    every positional ``w``-gram occurring >= 2x corpus-wide (see
+    :func:`dup_spans_docs` for the vectorization notes)."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        n_grams = np.maximum(lens - (w - 1), 0)
+        base = np.repeat(offsets[:-1], n_grams)
+        pos_in_doc = (
+            np.arange(int(n_grams.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(n_grams)))[:-1], n_grams)
+        )
+        starts = base + pos_in_doc
+        parts = [flat.take(pa.array(starts + k, pa.int64())) for k in range(w)]
+        g = pc.binary_join_element_wise(*parts, " ")
+        doc_ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), n_grams)
+        return pa.table(
+            {
+                "g": g,
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(pos_in_doc + 1, pa.int64()),
+            }
+        )
+
+    def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df[["doc_id", "pos"]]
+        keep = df.groupby("g", sort=False)["g"].transform("size") >= 2
+        return df.loc[keep, ["doc_id", "pos"]]
+
     gram_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         grams, batch_format="pyarrow"
     )
-    hits = key_partitioned(gram_ds, ["g"]).map_batches(
+    return key_partitioned(gram_ds, ["g"]).map_batches(
         dup_hits, batch_format="pandas", batch_size=None
     )
-    return key_partitioned(hits, ["doc_id"]).map_batches(
-        islands, batch_format="pandas", batch_size=None
+
+
+def cut_spans_docs(sf_dir: str, w: int = 8):
+    """The CONSUMABLE output of exact-substring dedup: each document with its
+    corpus-duplicated spans REMOVED (every token covered by a duplicated
+    ``w``-gram is cut; survivors re-joined by single spaces), plus the removed
+    count.  Lee et al. (ACL 2022) apply exactly this cut before training.
+
+    The duplicated-gram hits (shared stages with :func:`dup_spans_docs`) are
+    routed back to the text by a union + ONE keyed partition on doc_id (hit
+    rows carry pos, doc rows carry text under a ``pos = -1`` sentinel — no
+    hash join).  Block-local rebuild is fully vectorized: a difference array
+    over the flattened token space (+1 at span starts, -1 past span ends,
+    cumsum > 0 = covered), one Arrow filter, and a ``ListArray`` re-wrap +
+    ``binary_join`` to re-emit per-doc strings."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    hits = _dup_gram_hits(sf_dir, w).map_batches(
+        lambda t: t.append_column("text", pa.array([""] * t.num_rows, pa.string())),
+        batch_format="pyarrow",
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pos": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+                "text": batch["text"],
+            }
+        )
+
+    merged = hits.union(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            doc_rows, batch_format="pyarrow"
+        )
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("kept_text", pa.string()),
+         ("n_removed", pa.int64())]
+    )
+
+    def rebuild(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        docs = df[df["pos"] < 0].sort_values("doc_id", kind="mergesort")
+        hitrows = df[df["pos"] > 0]
+        text = pa.array(docs["text"].tolist(), pa.string())
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # trim+split of '' yields [''] — treat as zero tokens
+        blank = pc.equal(pc.utf8_trim_whitespace(text), pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        lens[blank] = 0
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        total = int(offsets[-1])
+
+        row_of = pd.Series(
+            np.arange(len(docs), dtype=np.int64), index=docs["doc_id"].to_numpy()
+        )
+        hrow = row_of.loc[hitrows["doc_id"].to_numpy()].to_numpy()
+        hpos = hitrows["pos"].to_numpy() - 1  # 0-based token index
+        starts = offsets[hrow] + hpos
+        ends = offsets[hrow] + np.minimum(hpos + w, lens[hrow])
+        delta = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+        covered = np.cumsum(delta)[:total] > 0
+
+        flat = pc.list_flatten(toks)
+        if len(flat) != total:  # blank docs contributed a phantom '' token
+            keep_tok = np.ones(len(flat), dtype=bool)
+            raw_lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            raw_off = np.concatenate(([0], np.cumsum(raw_lens)))
+            keep_tok[raw_off[:-1][blank]] = False
+            flat = flat.filter(pa.array(keep_tok))
+        kept_flat = flat.filter(pa.array(~covered))
+        row_idx = np.repeat(np.arange(len(docs), dtype=np.int64), lens)
+        kept_per_doc = np.bincount(row_idx[~covered], minlength=len(docs))
+        kept_off = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        kept_lists = pa.ListArray.from_arrays(pa.array(kept_off), kept_flat)
+        kept_text = pc.binary_join(kept_lists, pa.scalar(" "))
+        return pa.table(
+            {
+                "doc_id": pa.array(docs["doc_id"].to_numpy(), pa.int64()),
+                "kept_text": kept_text,
+                "n_removed": pa.array(lens - kept_per_doc, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return key_partitioned(merged, ["doc_id"]).map_batches(
+        rebuild, batch_format="pandas", batch_size=None
     )

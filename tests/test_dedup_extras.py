@@ -216,3 +216,58 @@ def test_dup_spans_matches_oracle_sf0001(ray_session):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0
+
+
+def test_cut_spans_planted(ray_session, tmp_path_factory):
+    """Span cutting removes exactly the covered tokens and preserves order,
+    including blank docs, fully-duplicated docs, and untouched docs."""
+    from near_duplicate_detection_ray.pipelines.docs_dedup import cut_spans_docs
+
+    d = str(tmp_path_factory.mktemp("cut"))
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (0, "head0 head1 " + shared + " tail0 tail1"),
+        (1, shared),                                  # fully duplicated -> ''
+        (2, " ".join(f"u{i}" for i in range(20))),    # untouched
+        (3, ""),                                      # blank
+    ]
+    _write_docs(d, rows)
+    got = (
+        cut_spans_docs(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "kept_text"] == "head0 head1 tail0 tail1"
+    assert got.loc[0, "n_removed"] == 10
+    assert got.loc[1, "kept_text"] == "" and got.loc[1, "n_removed"] == 10
+    assert got.loc[2, "kept_text"] == rows[2][1] and got.loc[2, "n_removed"] == 0
+    assert got.loc[3, "kept_text"] == "" and got.loc[3, "n_removed"] == 0
+
+
+def test_cut_spans_matches_oracle_sf0001(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.docs_dedup import cut_spans_docs
+
+    got = (
+        cut_spans_docs("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["cut_spans_docs"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_removed"] > 0).any()
