@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": relational.user_funnel,                 # ordered sequence-pattern match
         "idle_customer_balance": relational.idle_customer_balance,  # TPC-H Q22 shape (global scalar + anti-join)
         "event_value_stats": relational.event_value_stats,     # variance/stddev combiner
+        "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -478,6 +479,21 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        # per-user inter-event gaps (lag window), exact integer microseconds
+        "user_event_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id
         """,
         # funnel progression over the SAME ordered sequence, identical RE2
         # subsequence patterns on both sides (no event type is a substring of

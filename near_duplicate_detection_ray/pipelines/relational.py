@@ -1691,3 +1691,52 @@ def idle_customer_balance(sf_dir: str, since: str = "2000-01-01"):
         {"c_acctbal_sum": "total_bal", "count_all": "n_customers"},
     )
     return _round_floats(agg, ["total_bal"], 4)
+
+
+def user_event_gaps(sf_dir: str):
+    """LAG-family window aggregate: per-user inter-event gap statistics over
+    the deterministic (ts, event_id) order.  Gaps are exact integer
+    microseconds (count / max / sum — no float mean, so the hash is
+    association-order-proof); users with fewer than two events drop out,
+    matching the SQL ``WHERE gap IS NOT NULL``.
+
+    One keyed hash-partition on user_id, then a fully vectorized block
+    kernel: one mergesort, one ``np.diff`` masked at user boundaries, one
+    pandas C-level groupby-agg."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_gaps", pa.int64()),
+         ("max_gap_us", pa.int64()), ("sum_gap_us", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.diff(ts)
+        same = uid[1:] == uid[:-1]
+        g = pd.DataFrame({"user_id": uid[1:][same], "gap": gap[same]})
+        if g.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        out = g.groupby("user_id", sort=True)["gap"].agg(
+            n_gaps="size", max_gap_us="max", sum_gap_us="sum"
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "n_gaps": pa.array(out["n_gaps"].to_numpy(), pa.int64()),
+                "max_gap_us": pa.array(out["max_gap_us"].to_numpy(), pa.int64()),
+                "sum_gap_us": pa.array(out["sum_gap_us"].to_numpy(), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )

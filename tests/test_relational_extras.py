@@ -293,3 +293,13 @@ def test_idle_customer_balance_matches_oracle_sf0001(ray_session):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["n_customers"].sum() >= 1  # populated at sf0.001
+
+
+def test_user_event_gaps_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import user_event_gaps
+
+    got = _sorted(user_event_gaps(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["user_event_gaps"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["max_gap_us"] >= 0).all()
