@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
         "media_feature_summary": multimodal.media_feature_summary,
         "media_chunks": multimodal.media_chunks,               # SQL-checked (M3 chunk plan)
+        "media_chunk_dedup": multimodal.media_chunk_dedup,     # SQL-checked (binary chunk dedup)
         # --- flagship transcript pipeline (engine-synthesized input; SQL-checked
         #     via the derived-corpus CTEs in oracle_sql, + NumPy oracle in pytest) ---
         "ndd_clusters": _ndd_clusters,
@@ -421,6 +422,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents CROSS JOIN
                  unnest(range(0, CASE WHEN strlen(text) = 0 THEN 0
                                       ELSE 1 + (strlen(text) - 1) // 192 END)) AS t(u)
+        """,
+        # duplicated chunk CONTENTS across binary payloads (payload = utf-8
+        # text bytes, ASCII corpus: substr codepoints == bytes; engine hashes
+        # the identical byte windows with the md5_number_lower basis)
+        "media_chunk_dedup": """
+            WITH chunks AS (
+                SELECT doc_id AS media_id,
+                       md5_number_lower(substr(text, u * 192 + 1,
+                           least(256, strlen(text) - u * 192))) AS h
+                FROM documents CROSS JOIN
+                     unnest(range(0, CASE WHEN strlen(text) = 0 THEN 0
+                                          ELSE 1 + (strlen(text) - 1) // 192 END)) AS t(u)
+            )
+            SELECT h AS chunk_hash,
+                   count(*) AS n_occurrences,
+                   CAST(count(DISTINCT media_id) AS BIGINT) AS n_media
+            FROM chunks GROUP BY h HAVING count(*) > 1
         """,
         "region_revenue": """
             SELECT r_name,

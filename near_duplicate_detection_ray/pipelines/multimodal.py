@@ -249,3 +249,64 @@ def media_chunks(sf_dir: str, window: int = 256, stride: int = 192):
         )
 
     return media_from_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def media_chunk_dedup(sf_dir: str, window: int = 256, stride: int = 192):
+    """Content-level CHUNK dedup across binary payloads — the multimodal
+    cousin of exact text dedup (storage dedup / repeated-asset detection):
+    hash every ``stride``-spaced window of every payload and report the chunk
+    contents occurring more than once corpus-wide.
+
+    The chunk plan is the same arithmetic as :func:`media_chunks`; here the
+    actual BYTES are sliced and fingerprinted (md5_low64, the DuckDB-parity
+    basis), then ONE keyed hash-partition on the fingerprint + a block-local
+    groupby emits (chunk_hash, n_occurrences, n_media) for duplicated chunks.
+    At 100 TB the payload column streams: each task touches only its block's
+    bytes, and the shuffle carries 8-byte hashes, never chunk bytes."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_low64
+    from ..state.partitioning import key_partitioned
+
+    def chunk_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        hs: list[int] = []
+        mids: list[int] = []
+        for mid, p in zip(ids, payloads):
+            for off in range(0, len(p), stride):
+                hs.append(md5_low64(p[off : off + window]))
+                mids.append(int(mid))
+        return pa.table(
+            {
+                "h": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
+                "media_id": pa.array(mids, pa.int64()),
+            }
+        )
+
+    def dup_block(df: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [("chunk_hash", pa.uint64()), ("n_occurrences", pa.int64()),
+             ("n_media", pa.int64())]
+        )
+        if df.empty:
+            return pa.Table.from_pylist([], schema=schema)
+        g = df.groupby("h", sort=False).agg(
+            n_occurrences=("media_id", "size"), n_media=("media_id", "nunique")
+        ).reset_index()
+        g = g[g["n_occurrences"] > 1]
+        return pa.table(
+            {
+                "chunk_hash": pa.array(g["h"].to_numpy().astype(np.uint64), pa.uint64()),
+                "n_occurrences": pa.array(g["n_occurrences"].to_numpy(), pa.int64()),
+                "n_media": pa.array(g["n_media"].to_numpy(), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    hashes = media_from_documents(sf_dir).map_batches(
+        chunk_hashes, batch_format="pyarrow", batch_size=256
+    )
+    return key_partitioned(hashes, ["h"]).map_batches(
+        dup_block, batch_format="pandas", batch_size=None
+    )

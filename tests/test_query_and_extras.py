@@ -222,3 +222,57 @@ def test_query_partial_text_containment(index):
     assert hits, "partial probe found nothing"
     assert hits[0]["conv_id"] == "u00000"
     assert hits[0]["containment"] > 0.9
+
+
+def test_media_chunk_dedup_planted_and_oracle(ray_session, tmp_path_factory):
+    """A chunk shared by two payloads at different offsets is found; the
+    sf0.001 output matches the DuckDB oracle byte-for-byte."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.multimodal import media_chunk_dedup
+
+    # planted: docs 0 and 1 share their FIRST 256 bytes (one full window);
+    # doc 2 is unique. stride 192 means doc 0's chunk@192 differs from doc 1's.
+    d = str(tmp_path_factory.mktemp("chunkdedup"))
+    common = ("abcd " * 52)[:256]          # exactly one window of shared bytes
+    rows = [
+        (0, common + "tail-zero " * 10),
+        (1, common + "tail-one " * 12),
+        (2, "completely unrelated payload " * 12),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["t"] * 3, pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = media_chunk_dedup(d).to_pandas()
+    assert len(got) == 1  # only the shared first window duplicates
+    assert got.iloc[0]["n_occurrences"] == 2 and got.iloc[0]["n_media"] == 2
+
+    got = (
+        media_chunk_dedup(SF)
+        .to_pandas()
+        .sort_values("chunk_hash")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["media_chunk_dedup"])
+        .df()
+        .sort_values("chunk_hash")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
