@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customer_balance": relational.idle_customer_balance,  # TPC-H Q22 shape (global scalar + anti-join)
         "event_value_stats": relational.event_value_stats,     # variance/stddev combiner
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
+        "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -529,6 +530,23 @@ def oracle_sql() -> dict[str, str]:
                              WHEN regexp_matches(seq, 'view') THEN 1
                              ELSE 0 END AS BIGINT) AS funnel_stage
             FROM s
+        """,
+        # EXCEPT of the same two derived key sets
+        "lapsed_customers": """
+            WITH only_y1 AS (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01'
+                EXCEPT
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT n_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN only_y1 ON c_custkey = o_custkey
+            GROUP BY n_name
         """,
         # INTERSECT of two derived key sets, rolled up per nation
         "repeat_customers": """

@@ -1740,3 +1740,59 @@ def user_event_gaps(sf_dir: str):
     return key_partitioned(ds, ["user_id"]).map_batches(
         block, batch_format="pandas", batch_size=None
     )
+
+
+def lapsed_customers(sf_dir: str, y1: int = 1996, y2: int = 1997):
+    """EXCEPT counterpart of :func:`repeat_customers` (set-op family):
+    customers with at least one order in ``y1`` but NONE in ``y2``, per
+    nation.  Same off-driver distinct key sets; the difference is one
+    ``np.setdiff1d`` in a remote task, then a single broadcast ``pc.is_in``
+    filter + nation rollup."""
+    import ray
+
+    from ..state.partitioning import distinct_values_ref
+
+    def year_keys(year: int):
+        lo = np.datetime64(f"{year}-01-01", "us")
+        hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+        def in_year(t: pa.Table) -> pa.Table:
+            od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((od >= lo) & (od < hi)))
+
+        ref, _n = distinct_values_ref(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+                in_year, batch_format="pyarrow"
+            ),
+            ["o_custkey"],
+        )
+        return ref
+
+    @ray.remote
+    def diff(a, b):
+        return pa.array(
+            np.setdiff1d(
+                a.to_numpy(zero_copy_only=False), b.to_numpy(zero_copy_only=False)
+            )
+        )
+
+    only_ref = diff.remote(year_keys(y1), year_keys(y2))
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nmap_ref = ray.put(lut)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["c_custkey"], value_set=ray.get(only_ref)))
+        names = ray.get(nmap_ref)[t["c_nationkey"].to_numpy(zero_copy_only=False)]
+        return pa.table({"n_name": pa.array(names.tolist(), pa.string())})
+
+    return lowcard_groupagg(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            keep, batch_format="pyarrow"
+        ),
+        ["n_name"],
+        [([], "count_all")],
+        {"count_all": "n_customers"},
+    )

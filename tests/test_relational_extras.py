@@ -303,3 +303,17 @@ def test_user_event_gaps_matches_oracle_sf0001(ray_session):
     want = _sorted(_oracle(entrymod.oracle_sql()["user_event_gaps"]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["max_gap_us"] >= 0).all()
+
+
+def test_lapsed_customers_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import lapsed_customers
+
+    got = _sorted(lapsed_customers(SF).to_pandas())
+    want = _sorted(
+        _oracle(
+            entrymod.oracle_sql()["lapsed_customers"],
+            tables=("orders", "customer", "nation"),
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
