@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats": text_analysis.vocab_stats,              # SQL-checked (global distinct)
         "redact_docs": text_analysis.redact_docs,              # SQL-checked (PII scrub, RE2 parity)
         "stratified_sample_docs": text_analysis.stratified_sample_docs,  # SQL-checked (per-stratum hash top-k)
+        "top_terms_docs": text_analysis.top_terms_docs,        # SQL-checked (TF-IDF top-k, exact rational score)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -1208,6 +1209,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, source
             FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+        """,
+        # TF-IDF top-3 terms per doc; score = tf * N / df as ONE double
+        # division (bit-identical in numpy and DuckDB; log-idf would not be)
+        "top_terms_docs": r"""
+            WITH tf AS (
+                SELECT doc_id, tok AS term, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                      FROM documents WHERE trim(text) <> '')
+                GROUP BY doc_id, tok
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       CAST(tf.tf * n.n AS DOUBLE) / dfreq.df AS score
+                FROM tf JOIN dfreq USING (term), n
+            ), ranked AS (
+                SELECT doc_id, term, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+            FROM ranked WHERE rank <= 3
         """,
         # balanced per-stratum sample: k smallest md5 hashes per lang,
         # (hash, doc_id) ascending — md5_number_lower == engine md5_low64

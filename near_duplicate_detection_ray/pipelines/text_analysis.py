@@ -645,3 +645,97 @@ def stratified_sample_docs(sf_dir: str, k: int = 20):
     return key_partitioned(partials, ["lang"]).map_batches(
         final_topk, batch_format="pandas", batch_size=None
     )
+
+
+def top_terms_docs(sf_dir: str, k: int = 3):
+    """TF-IDF-style top-``k`` characteristic terms per document — the classic
+    IR feature-extraction step.  The score is the EXACT rational
+    ``tf * N / df`` evaluated as one IEEE double division (bit-identical in
+    numpy and DuckDB, unlike log-based idf whose libm rounding differs);
+    ranking is (score DESC, term ASC), so the whole output hash-matches SQL.
+
+    Distributed shape (the PPJoin df-attach pattern from
+    ``docs_dedup.ngram_jaccard_pairs``): per-block (doc, term, tf) partials
+    via a C-level pandas groupby; ONE term-keyed partition where each term's
+    document frequency is its local group size; ONE doc-keyed partition for
+    the per-doc top-k."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata count (no full read)
+
+    def tf_block(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(pc.utf8_trim_whitespace(batch["text"]), pa.scalar(""))
+        )
+        if batch.num_rows == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        row_idx, _ = _token_row_index(toks, batch.num_rows)
+        d = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[row_idx],
+                "term": pc.list_flatten(toks).to_pandas(),
+            }
+        )
+        out = d.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        return pa.table(
+            {
+                "term": pa.array(out["term"].tolist(), pa.string()),
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "tf": pa.array(out["tf"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            df["df"] = pd.Series([], dtype=np.int64)
+            return df
+        df = df.copy()
+        # (doc, term) rows are unique, so group size == document frequency
+        df["df"] = df.groupby("term", sort=False)["term"].transform("size")
+        return df
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("rank", pa.int64()),
+         ("term", pa.string()), ("score", pa.float64())]
+    )
+
+    def topk(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.copy()
+        df["score"] = (df["tf"].to_numpy() * n_docs).astype(np.float64) / df[
+            "df"
+        ].to_numpy().astype(np.float64)
+        df = df.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("doc_id", sort=False).head(k)
+        df["rank"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+                "term": pa.array(df["term"].tolist(), pa.string()),
+                "score": pa.array(df["score"].to_numpy(), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    tf = docs.map_batches(tf_block, batch_format="pyarrow")
+    with_df = key_partitioned(tf, ["term"]).map_batches(
+        attach_df, batch_format="pandas", batch_size=None
+    )
+    return key_partitioned(with_df, ["doc_id"]).map_batches(
+        topk, batch_format="pandas", batch_size=None
+    )

@@ -82,3 +82,32 @@ def test_stratified_sample_partition_invariance(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False)
+
+
+def test_top_terms_matches_oracle_sf0001(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.text_analysis import top_terms_docs
+
+    got = (
+        top_terms_docs(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["top_terms_docs"])
+        .df()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # exact equality INCLUDING the float score (one IEEE division both sides)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    assert (got.groupby("doc_id")["rank"].max() <= 3).all()
