@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": relational.event_value_stats,     # variance/stddev combiner
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
+        "user_event_types": relational.user_event_types,       # grouped collect-set
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -498,6 +499,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
                    count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        # grouped collect-set: sorted distinct event types per user
+        "user_event_types": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                       AS event_types,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM events GROUP BY user_id
         """,
         # per-user inter-event gaps (lag window), exact integer microseconds

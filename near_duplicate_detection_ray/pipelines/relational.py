@@ -1796,3 +1796,41 @@ def lapsed_customers(sf_dir: str, y1: int = 1996, y2: int = 1997):
         [([], "count_all")],
         {"count_all": "n_customers"},
     )
+
+
+def user_event_types(sf_dir: str):
+    """Grouped COLLECT-SET (distinct-list aggregate): each user's sorted
+    distinct event types as one comma-joined string plus the distinct count.
+    Complements the ordered collect-list (:func:`user_event_sequence`) with
+    the set-semantics variant.  One keyed shuffle; block kernel is a C-level
+    pandas drop_duplicates + groupby string join."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_types", pa.string()),
+         ("n_types", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        d = df.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"], kind="mergesort"
+        )
+        g = d.groupby("user_id", sort=True)["event_type"]
+        out = g.agg([("event_types", ",".join), ("n_types", "size")]).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "event_types": pa.array(out["event_types"].tolist(), pa.string()),
+                "n_types": pa.array(out["n_types"].to_numpy(), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )

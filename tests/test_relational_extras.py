@@ -317,3 +317,12 @@ def test_lapsed_customers_matches_oracle_sf0001(ray_session):
         )
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_user_event_types_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import user_event_types
+
+    got = _sorted(user_event_types(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["user_event_types"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
