@@ -104,3 +104,87 @@ def test_oracle_recall_monotone_in_tau():
     p8 = oracle_dup_pairs(docs, NDDConfig(tau=0.8))
     p9 = oracle_dup_pairs(docs, NDDConfig(tau=0.95))
     assert p9 <= p8 <= p6
+
+
+# --- invariants for the round-2 continuation kernels ------------------------
+
+words_st = st.lists(
+    st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+    min_size=0, max_size=40,
+)
+
+
+@given(st.lists(words_st, min_size=1, max_size=6))
+@settings(max_examples=8, deadline=None)
+def test_span_cut_conservation(corpora):
+    """kept + removed == total tokens per doc, spans never overlap, every
+    cut token is inside a reported span (dup_spans and cut_spans agree)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile
+
+    from near_duplicate_detection_ray.pipelines.docs_dedup import (
+        cut_spans_docs,
+        dup_spans_docs,
+    )
+
+    texts = [" ".join(ws) for ws in corpora]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(texts), pa.string()),
+                    "source": pa.array(["t"] * len(texts), pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        spans = dup_spans_docs(d).to_pandas()
+        cut = cut_spans_docs(d).to_pandas().set_index("doc_id")
+
+    # spans disjoint and within bounds; total span tokens == n_removed
+    span_tokens = {i: 0 for i in range(len(texts))}
+    if "doc_id" not in spans.columns:  # fully-empty result loses its schema
+        spans = spans.reindex(columns=["doc_id", "start_tok", "end_tok", "n_tokens"])
+    for doc, g in spans.groupby("doc_id"):
+        g = g.sort_values("start_tok")
+        prev_end = 0
+        n_tok = len(texts[doc].split())
+        for r in g.itertuples():
+            assert r.start_tok > prev_end, "overlapping spans"
+            assert 1 <= r.start_tok <= r.end_tok <= n_tok
+            assert r.n_tokens == r.end_tok - r.start_tok + 1
+            span_tokens[doc] += r.n_tokens
+            prev_end = r.end_tok
+    for i, t in enumerate(texts):
+        n_tok = len(t.split())
+        kept = cut.loc[i, "kept_text"]
+        n_kept = len(kept.split()) if kept else 0
+        assert n_kept + cut.loc[i, "n_removed"] == n_tok
+        assert cut.loc[i, "n_removed"] == span_tokens[i]
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_redact_kernel_total_and_idempotent(s):
+    """Redaction never raises, output contains no residual matches of the
+    three PII patterns, and re-redacting is a fixpoint."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        _EMAIL_PAT,
+        _IP_PAT,
+        _PHONE_PAT,
+        redact_text_batch,
+    )
+
+    once = redact_text_batch(pa.array([s], pa.string()))
+    red = once["redacted_text"]
+    for pat in (_EMAIL_PAT, _PHONE_PAT, _IP_PAT):
+        assert pc.count_substring_regex(red, pattern=pat).to_pylist() == [0]
+    twice = redact_text_batch(red)
+    assert twice["redacted_text"].to_pylist() == red.to_pylist()
