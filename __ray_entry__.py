@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
         "ann_ivf_topk": ann.ann_ivf_topk,                      # rows-only (approximate; full-probe==exact pinned in pytest)
+        "ann_filtered_topk": ann.ann_filtered_topk,            # SQL-checked (label-filtered exact search)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
@@ -1389,6 +1390,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
             )
             SELECT src AS conv_id, min(node) AS cluster_id FROM reach GROUP BY src
+        """,
+        # label-filtered exact search: same-rank semantics as ann_cosine_topk
+        # restricted to the query's own label
+        "ann_filtered_topk": """
+            WITH q AS (
+                SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 10
+            ), sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])
+                       ) AS score
+                FROM q JOIN embeddings c
+                  ON q.vec_id <> c.vec_id AND q.label = c.label
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id ASC
+                       ) AS rank
+                FROM sims
+            )
+            SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
         """,
         "ann_cosine_topk": """
             WITH sims AS (

@@ -561,3 +561,72 @@ def label_centroids(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def ann_filtered_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """FILTERED exact vector search — the metadata-predicate variant every
+    production vector store exposes: for each query, the k nearest OTHER
+    vectors *with the query's own label* (search-within-category).
+
+    Same streaming shape as :func:`cosine_topk` (queries broadcast once, the
+    corpus never leaves its blocks, bounded per-block partials), with the
+    per-query predicate applied BEFORE the matmul: each block is sliced per
+    distinct query label (<= 10 slices, each a vectorized matmul), so
+    filtered-out vectors cost nothing — the "pre-filter" strategy, which is
+    exact, vs. post-filtering a larger unfiltered top-k."""
+    import ray
+
+    from ..functions.similarity import cosine_topk_block
+
+    queries_tbl = (
+        _read_emb(sf_dir, ["vec_id", "embedding", "label"])
+        .filter(lambda row: row["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries_tbl["vec_id"].to_numpy()
+    q_labels = queries_tbl["label"].to_numpy()
+    q_mat = np.stack(queries_tbl["embedding"].to_numpy()).astype(np.float64)
+    q_ref = ray.put((q_ids, q_labels, q_mat))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids, labels, qm = ray.get(q_ref)
+        corpus = _emb_matrix(batch)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        c_labels = batch["label"].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for lab in np.unique(labels):
+            qsel = np.flatnonzero(labels == lab)
+            csel = np.flatnonzero(c_labels == lab)
+            if len(csel) == 0:
+                continue
+            scores, idx = cosine_topk_block(qm[qsel], corpus[csel], k + 1)
+            sub_ids = vec_ids[csel]
+            for qi in range(len(qsel)):
+                for j in range(idx.shape[1]):
+                    out_q.append(int(ids[qsel[qi]]))
+                    out_n.append(int(sub_ids[idx[qi, j]]))
+                    out_s.append(float(scores[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        _read_emb(sf_dir, ["vec_id", "embedding", "label"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    out = topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -69,3 +69,35 @@ def test_kmeans_deterministic_and_normalized():
     c2 = _kmeans_centroids(mat, 8, 5, seed=7)
     assert np.array_equal(c1, c2)
     np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-12)
+
+
+def test_ann_filtered_topk_respects_labels(ray_session):
+    """Every neighbor shares its query's label, and the result matches the
+    DuckDB oracle at sf0.001."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.ann import ann_filtered_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        ann_filtered_topk(sf)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["ann_filtered_topk"])
+        .df()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    labels = con.execute("SELECT vec_id, label FROM embeddings").df().set_index("vec_id")["label"]
+    assert (labels.loc[got["query_id"]].to_numpy()
+            == labels.loc[got["neighbor_id"]].to_numpy()).all()
