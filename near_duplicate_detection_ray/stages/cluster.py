@@ -87,9 +87,21 @@ def cluster(conversations, edge_datasets, max_driver_edges: int | None = None):
     # union first: ONE execution materializes every edge set (each separate
     # materialize paid a full executor startup — measurable fixed cost per
     # pipeline run)
+    def _ab(t):
+        # force the identical 2-column schema on EVERY bundle of every edge
+        # stream (a bare select_columns lets full-schema empty bundles from
+        # upstream filters interleave into the union, tripping Ray's
+        # mixed-schema warning)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"a": pc.cast(t["a"], pa.string()), "b": pc.cast(t["b"], pa.string())}
+        )
+
     edges = None
     for ds in edge_datasets:
-        part = ds.select_columns(["a", "b"])
+        part = ds.map_batches(_ab, batch_format="pyarrow")
         edges = part if edges is None else edges.union(part)
     if edges is None:
         return cluster_driver_unionfind(conversations, [])
