@@ -89,6 +89,12 @@ def _curate_docs(sf_dir: str):
     return curate_docs(sf_dir)
 
 
+def _prepare_training_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import prepare_training_docs
+
+    return prepare_training_docs(sf_dir)
+
+
 def _assemble_transcripts(sf_dir: str):
     from near_duplicate_detection_ray.sources.transcripts import (
         transcripts_from_documents,
@@ -174,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cut_spans_docs": docs_dedup.cut_spans_docs,            # SQL-checked (span-cut cleaned text)
         "edit_distance_pairs": docs_dedup.edit_distance_pairs,  # SQL-checked (blocked Levenshtein)
         "curate_docs": _curate_docs,                            # SQL-checked (composed pipeline)
+        "prepare_training_docs": _prepare_training_docs,        # SQL-checked (curate x span-cut composition)
         "decontaminate_docs": _decontaminate_docs,              # SQL-checked (cross-corpus n-gram)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
@@ -299,6 +306,45 @@ _DEDUP_COMP_CTES = """
             ), comp AS (
                 SELECT src AS doc_id, min(node) AS rep FROM reach GROUP BY src
             )
+"""
+
+
+# Span-cut cleaned text (shared by the cut_spans_docs oracle and the
+# prepare_training_docs composition): tokens covered by any corpus-duplicated
+# 8-gram removed, survivors re-joined by single spaces.
+_CUT_SPANS_SQL = r"""
+            (WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+                FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+                WHERE len(t) >= 8
+            ), dupg AS (
+                SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+            ), hits AS (
+                SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+            ), cov AS (
+                SELECT DISTINCT h.doc_id, u.j
+                FROM hits h, UNNEST(range(h.pos, h.pos + 8)) AS u(j)
+            ), tokpos AS (
+                SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
+                FROM toks
+            ), keptagg AS (
+                SELECT tp.doc_id,
+                       string_agg(tp.tok, ' ' ORDER BY tp.i) AS kept_text,
+                       count(*) AS n_kept
+                FROM tokpos tp
+                LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.j = tp.i
+                WHERE cov.doc_id IS NULL
+                GROUP BY tp.doc_id
+            )
+            SELECT x.doc_id,
+                   coalesce(k.kept_text, '') AS kept_text,
+                   CAST(len(x.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+            FROM toks x LEFT JOIN keptagg k USING (doc_id))
 """
 
 
@@ -1091,39 +1137,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The span-cut cleaned text: every token covered by a duplicated
         # 8-gram removed, survivors re-joined by single spaces
-        "cut_spans_docs": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-                FROM documents
-            ), grams AS (
-                SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
-                FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
-                WHERE len(t) >= 8
-            ), dupg AS (
-                SELECT g FROM grams GROUP BY g HAVING count(*) > 1
-            ), hits AS (
-                SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
-            ), cov AS (
-                SELECT DISTINCT h.doc_id, u.j
-                FROM hits h, UNNEST(range(h.pos, h.pos + 8)) AS u(j)
-            ), tokpos AS (
-                SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
-                FROM toks
-            ), keptagg AS (
-                SELECT tp.doc_id,
-                       string_agg(tp.tok, ' ' ORDER BY tp.i) AS kept_text,
-                       count(*) AS n_kept
-                FROM tokpos tp
-                LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.j = tp.i
-                WHERE cov.doc_id IS NULL
-                GROUP BY tp.doc_id
-            )
-            SELECT x.doc_id,
-                   coalesce(k.kept_text, '') AS kept_text,
-                   CAST(len(x.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
-            FROM toks x LEFT JOIN keptagg k USING (doc_id)
+        "cut_spans_docs": _CUT_SPANS_SQL,
+        # End-to-end corpus prep: curate survivors x span-cut text, post-cut
+        # token refilter — each predicate individually oracled above
+        "prepare_training_docs": f"""
+            SELECT c.doc_id,
+                   k.kept_text AS text_out,
+                   CAST(CASE WHEN trim(k.kept_text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(k.kept_text), '\\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM ({_curate_sql()}) c
+            JOIN ({_CUT_SPANS_SQL}) k USING (doc_id)
+            WHERE CASE WHEN trim(k.kept_text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(k.kept_text), '\\s+'))
+                  END >= 10
         """,
         # Composed curation pipeline: dedup-representative AND lang vote AND
         # token budget AND repetition cap (each predicate separately oracled).

@@ -236,3 +236,42 @@ def decontaminate_docs(sf_dir: str, n: int = 8, pct: int = 10):
     return _read(["doc_id", "text", "n_chars"]).map_batches(
         keep_clean, batch_format="pyarrow"
     )
+
+
+def prepare_training_docs(sf_dir: str, min_out_tokens: int = 10,
+                          cfg: NDDConfig | None = None):
+    """The full corpus-preparation composition — what a user actually ships
+    to a tokenizer: :func:`curate_docs` survivors (dedup representative,
+    language vote, token budget, repetition cap) with their corpus-duplicated
+    spans CUT (``docs_dedup.cut_spans_docs``), re-filtered to
+    ``min_out_tokens`` post-cut tokens.
+
+    Composition stays distributed: the survivor id set is built off-driver
+    (``distinct_values_ref`` over the curate output) and applied to the
+    span-cut stream as one broadcast ``pc.is_in``; the post-cut length
+    filter is a vectorized count on the already-clean text.  Output:
+    ``doc_id, text_out, n_tokens`` — every stage individually SQL-verified,
+    and the composition oracled end-to-end."""
+    import ray
+
+    from ..state.partitioning import distinct_values_ref
+    from .docs_dedup import cut_spans_docs
+    from .text_analysis import _TOKEN_PAT
+
+    survivors_ref, _n = distinct_values_ref(
+        curate_docs(sf_dir, cfg=cfg), ["doc_id"]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(batch["doc_id"], value_set=ray.get(survivors_ref))
+        )
+        n_tok = pc.cast(
+            pc.count_substring_regex(t["kept_text"], pattern=_TOKEN_PAT), pa.int64()
+        )
+        t = pa.table(
+            {"doc_id": t["doc_id"], "text_out": t["kept_text"], "n_tokens": n_tok}
+        )
+        return t.filter(pc.greater_equal(t["n_tokens"], pa.scalar(min_out_tokens)))
+
+    return cut_spans_docs(sf_dir).map_batches(finish, batch_format="pyarrow")

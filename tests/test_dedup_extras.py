@@ -271,3 +271,33 @@ def test_cut_spans_matches_oracle_sf0001(ray_session):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["n_removed"] > 0).any()
+
+
+def test_prepare_training_docs_matches_oracle_sf0001(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.curate import prepare_training_docs
+
+    got = (
+        prepare_training_docs("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["prepare_training_docs"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    assert (got["n_tokens"] >= 10).all()
