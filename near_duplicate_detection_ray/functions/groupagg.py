@@ -74,3 +74,24 @@ def highcard_groupagg(ds, keys: list[str], aggs: list[tuple], rename: dict[str, 
     return key_partitioned(ds, keys, num_partitions).map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def global_topk(ds, cols: list[str], descending: list[bool], k: int):
+    """Global top-``k`` WITHOUT a global sort: every block emits only its own
+    k best rows (a C-level pandas sort + head — bounded k rows out per
+    block), then one final single-partition merge re-sorts the <= k x
+    n_blocks survivors.  The all-to-all exchange a ``Dataset.sort(...).
+    limit(k)`` plan pays on the full table shrinks to k rows per block —
+    the difference between shuffling 100 TB and shuffling kilobytes.
+    Output rows arrive globally sorted by ``cols``."""
+    asc = [not d for d in descending]
+
+    def block(df):
+        if df.empty:
+            return df
+        return df.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+
+    partials = ds.map_batches(block, batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )

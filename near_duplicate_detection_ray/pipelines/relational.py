@@ -108,9 +108,14 @@ def pricing_summary(sf_dir: str):
 
 
 def top_orders(sf_dir: str, k: int = 10):
-    """Global sort + limit (O1): k highest-value orders."""
+    """Global top-k (O1 semantics: ORDER BY ... LIMIT k) — served by bounded
+    per-block partials + one tiny merge (``functions/groupagg.global_topk``)
+    instead of a full-table ``Dataset.sort``, which would be an all-to-all
+    shuffle of the whole orders table for k rows."""
+    from ..functions.groupagg import global_topk
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return global_topk(ds, ["o_totalprice", "o_orderkey"], [True, False], k)
 
 
 def order_priority_counts(sf_dir: str):

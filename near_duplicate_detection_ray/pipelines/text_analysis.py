@@ -427,10 +427,14 @@ def top_ngrams_corpus(sf_dir: str, k: int = 20):
             {"gram": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
+    from ..functions.groupagg import global_topk
+
     parts = _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
     totals = parts.groupby("gram").sum("n")
     totals = totals.rename_columns({"sum(n)": "n"})
-    return totals.sort(["n", "gram"], descending=[True, False]).limit(k)
+    # vocabulary-sized table: take the top k via bounded per-block partials,
+    # not a full Dataset.sort of every distinct gram
+    return global_topk(totals, ["n", "gram"], [True, False], k)
 
 
 def clean_docs(sf_dir: str):
