@@ -524,10 +524,13 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         [("rev", "sum")],
         {"rev_sum": "revenue_c4"},
     )
-    return agg.sort(
-        ["revenue_c4", "o_orderdate", "l_orderkey"],
-        descending=[True, False, False],
-    ).limit(k)
+    from ..functions.groupagg import global_topk
+
+    # per-order agg output is order-cardinality at scale: bounded partials,
+    # not a full sort, serve the LIMIT k
+    return global_topk(
+        agg, ["revenue_c4", "o_orderdate", "l_orderkey"], [True, False, False], k
+    )
 
 
 def large_quantity_orders(sf_dir: str, threshold: int = 300, k: int = 10,
@@ -581,10 +584,11 @@ def large_quantity_orders(sf_dir: str, threshold: int = 300, k: int = 10,
     out = j2.select_columns(
         ["c_name", "o_custkey", "l_orderkey", "o_orderdate", "o_totalprice", "total_qty"]
     )
-    return out.sort(
-        ["o_totalprice", "o_orderdate", "l_orderkey"],
-        descending=[True, False, False],
-    ).limit(k)
+    from ..functions.groupagg import global_topk
+
+    return global_topk(
+        out, ["o_totalprice", "o_orderdate", "l_orderkey"], [True, False, False], k
+    )
 
 
 def customers_without_orders(sf_dir: str, year: int = 1997):
