@@ -215,7 +215,10 @@ def grouped_topk_events(sf_dir: str, k: int = 5):
     best = key_partitioned(ds, ["user_id"]).map_batches(
         best_per_user_block, batch_format="pandas", batch_size=None
     )
-    return best.sort(["value", "event_id"], descending=[True, False]).limit(k)
+    # `best` is user-cardinality at scale: bounded partials serve the LIMIT
+    from ..functions.groupagg import global_topk
+
+    return global_topk(best, ["value", "event_id"], [True, False], k)
 
 
 def distinct_event_types(sf_dir: str):
