@@ -326,3 +326,39 @@ def test_user_event_types_matches_oracle_sf0001(ray_session):
     got = _sorted(user_event_types(SF).to_pandas())
     want = _sorted(_oracle(entrymod.oracle_sql()["user_event_types"]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_full_global_sort_is_ordered_across_blocks(ray_session):
+    """O1's full-sort form (no limit): Dataset.sort produces a globally
+    monotone stream across block boundaries.  The LIMIT-k queries instead
+    use functions/groupagg.global_topk (bounded partials) — this pins the
+    full-sort operator itself, which a user needs for ordered exports."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    s = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+    prev = None
+    n = 0
+    for batch in s.iter_batches(batch_size=512, batch_format="pandas"):
+        vals = list(zip((-batch["o_totalprice"]).tolist(), batch["o_orderkey"].tolist()))
+        assert vals == sorted(vals)
+        if prev is not None:
+            assert prev <= vals[0]
+        prev = vals[-1]
+        n += len(vals)
+    assert n == ds.count()
+
+
+def test_global_topk_equals_full_sort(ray_session):
+    from near_duplicate_detection_ray.functions.groupagg import global_topk
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    got = global_topk(ds, ["o_totalprice", "o_orderkey"], [True, False], 25).to_pandas()
+    want = (
+        ds.to_pandas()
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
