@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
+        "promo_revenue": relational.promo_revenue,             # TPC-H Q14 shape (global ratio)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -717,6 +718,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(price_c), 0) AS BIGINT) AS revenue_c
             FROM li JOIN st USING (l_partkey)
             WHERE 5 * q * cnt < sq
+        """,
+        # Q14 shape: exact integer revenue sums, one final IEEE division
+        "promo_revenue": """
+            WITH j AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+                       p_type = 'PROMO' AS is_promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT CAST(coalesce(sum(CASE WHEN is_promo THEN rev ELSE 0 END), 0) AS BIGINT)
+                       AS promo_rev_c4,
+                   CAST(coalesce(sum(rev), 0) AS BIGINT) AS total_rev_c4,
+                   CASE WHEN coalesce(sum(rev), 0) = 0 THEN 0.0
+                        ELSE CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS DOUBLE)
+                             / CAST(sum(rev) AS DOUBLE) END AS promo_ratio
+            FROM j
         """,
         "brand_revenue": """
             SELECT p_brand,

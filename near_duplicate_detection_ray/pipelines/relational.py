@@ -1846,3 +1846,58 @@ def user_event_types(sf_dir: str):
     return key_partitioned(ds, ["user_id"]).map_batches(
         block, batch_format="pandas", batch_size=None
     )
+
+
+def promo_revenue(sf_dir: str, year: int = 1997, num_partitions: int = 8):
+    """TPC-H Q14 shape — GLOBAL conditional-aggregate RATIO: the share of
+    ``year``'s shipped revenue coming from PROMO-type parts.  Same medium-dim
+    hash join as :func:`brand_revenue`; the two revenue sums are exact
+    integer 1e-4 units folded by per-block partials, and only the FINAL
+    ratio is floating point — one IEEE division, identical in SQL."""
+    items = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    def in_year(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((sd >= lo) & (sd < hi)))
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = items.map_batches(in_year, batch_format="pyarrow").join(
+        parts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        promo = pc.equal(t["p_type"], pa.scalar("PROMO")).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "promo_c4": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_c4": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    # bounded: ONE row per block
+    import ray.data as rd
+
+    sums = joined.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    promo_c4, total_c4 = int(sums["promo_c4"]), int(sums["total_c4"])
+    ratio = float(promo_c4) / float(total_c4) if total_c4 else 0.0
+    return rd.from_items(
+        [{"promo_rev_c4": promo_c4, "total_rev_c4": total_c4,
+          "promo_ratio": ratio}]
+    )

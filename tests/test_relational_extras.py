@@ -362,3 +362,18 @@ def test_global_topk_equals_full_sort(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_promo_revenue_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import promo_revenue
+
+    got = _sorted(promo_revenue(SF).to_pandas())
+    want = _sorted(
+        _oracle(
+            entrymod.oracle_sql()["promo_revenue"], tables=("lineitem", "part")
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    row = got.iloc[0]
+    assert 0 < row["promo_rev_c4"] < row["total_rev_c4"]
