@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
         "promo_revenue": relational.promo_revenue,             # TPC-H Q14 shape (global ratio)
+        "top_supplier": relational.top_supplier,               # TPC-H Q15 shape (max + tie filter)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -718,6 +719,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(price_c), 0) AS BIGINT) AS revenue_c
             FROM li JOIN st USING (l_partkey)
             WHERE 5 * q * cnt < sq
+        """,
+        # Q15 shape: all suppliers achieving the global max year revenue
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS BIGINT) AS total_rev_c4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_rev_c4
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_rev_c4 = (SELECT max(total_rev_c4) FROM rev)
         """,
         # Q14 shape: exact integer revenue sums, one final IEEE division
         "promo_revenue": """

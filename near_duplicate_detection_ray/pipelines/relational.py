@@ -1901,3 +1901,79 @@ def promo_revenue(sf_dir: str, year: int = 1997, num_partitions: int = 8):
         [{"promo_rev_c4": promo_c4, "total_rev_c4": total_c4,
           "promo_ratio": ratio}]
     )
+
+
+def top_supplier(sf_dir: str, year: int = 1997, num_partitions: int | None = None):
+    """TPC-H Q15 shape — global MAX + tie-returning equality filter (a
+    different pattern from LIMIT-k: ALL suppliers achieving the maximum
+    revenue are returned): per-supplier revenue for ``year`` via one keyed
+    combiner agg, the global max via bounded per-block partials, winners via
+    one vectorized equality filter, and the supplier names attached by a
+    filter-pushdown read of the dimension (winner keys are the tie count —
+    broadcast-trivial)."""
+    import ray
+
+    from ..functions.groupagg import highcard_groupagg
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"l_suppkey": t["l_suppkey"],
+             "rev": pa.array(price_c * (100 - disc_c), pa.int64())}
+        )
+
+    per_supp = highcard_groupagg(
+        _read(
+            sf_dir, "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(rev_rows, batch_format="pyarrow"),
+        ["l_suppkey"],
+        [("rev", "sum")],
+        {"rev_sum": "total_rev_c4"},
+        num_partitions,
+    ).materialize()
+
+    # global max from one bounded partial per block
+    def max_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table(
+            {"m": pa.array(
+                [int(t["total_rev_c4"].to_numpy(zero_copy_only=False).max())],
+                pa.int64(),
+            )}
+        )
+
+    maxima = per_supp.map_batches(max_partial, batch_format="pyarrow").to_pandas()
+    best = int(maxima["m"].max())
+
+    winners = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t["total_rev_c4"], pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()  # tie count: bounded
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    keys = pa.array(winners["l_suppkey"].to_numpy(), pa.int64())
+    names = (
+        supp.map_batches(
+            lambda t: t.filter(pc.is_in(t["s_suppkey"], value_set=keys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("s_suppkey")["s_name"]
+    )
+    import ray.data as rd
+
+    out = winners.rename(columns={"l_suppkey": "s_suppkey"}).sort_values("s_suppkey")
+    out["s_name"] = names.loc[out["s_suppkey"]].to_numpy()
+    return rd.from_pandas(out[["s_suppkey", "s_name", "total_rev_c4"]].reset_index(drop=True))

@@ -377,3 +377,51 @@ def test_promo_revenue_matches_oracle_sf0001(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     row = got.iloc[0]
     assert 0 < row["promo_rev_c4"] < row["total_rev_c4"]
+
+
+def test_top_supplier_matches_oracle_and_returns_ties(ray_session, tmp_path_factory):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import top_supplier
+
+    got = _sorted(top_supplier(SF).to_pandas())
+    want = _sorted(
+        _oracle(
+            entrymod.oracle_sql()["top_supplier"], tables=("lineitem", "supplier")
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # tie semantics: two suppliers with IDENTICAL max revenue both return
+    d = str(tmp_path_factory.mktemp("q15tie"))
+    base = np.datetime64("1997-06-01T00:00:00", "us")
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "l_partkey": pa.array([1, 1, 1], pa.int64()),
+                "l_suppkey": pa.array([7, 8, 9], pa.int64()),
+                "l_linenumber": pa.array([1, 1, 1], pa.int32()),
+                "l_quantity": pa.array([1.0, 1.0, 1.0]),
+                "l_extendedprice": pa.array([100.0, 100.0, 50.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0]),
+                "l_tax": pa.array([0.0, 0.0, 0.0]),
+                "l_returnflag": pa.array(["N"] * 3),
+                "l_linestatus": pa.array(["O"] * 3),
+                "l_shipdate": pa.array([base] * 3, pa.timestamp("us")),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([7, 8, 9], pa.int64()),
+                "s_name": pa.array(["sa", "sb", "sc"]),
+                "s_nationkey": pa.array([0, 0, 0], pa.int32()),
+                "s_acctbal": pa.array([0.0, 0.0, 0.0]),
+            }
+        ),
+        f"{d}/supplier.parquet",
+    )
+    ties = top_supplier(d).to_pandas()
+    assert sorted(ties["s_suppkey"]) == [7, 8]
