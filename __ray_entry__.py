@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_types": relational.user_event_types,       # grouped collect-set
         "promo_revenue": relational.promo_revenue,             # TPC-H Q14 shape (global ratio)
         "top_supplier": relational.top_supplier,               # TPC-H Q15 shape (max + tie filter)
+        "event_transitions": relational.event_transitions,     # sequence-bigram transition counts
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -171,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_docs": text_analysis.redact_docs,              # SQL-checked (PII scrub, RE2 parity)
         "stratified_sample_docs": text_analysis.stratified_sample_docs,  # SQL-checked (per-stratum hash top-k)
         "top_terms_docs": text_analysis.top_terms_docs,        # SQL-checked (TF-IDF top-k, exact rational score)
+        "normalize_docs": text_analysis.normalize_docs,        # SQL-checked (M5 canonical normalization)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -549,6 +551,19 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        # consecutive-event transition counts in (ts, event_id) order
+        "event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   count(*) AS n_transitions
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
         """,
         # grouped collect-set: sorted distinct event types per user
         "user_event_types": """
@@ -1282,6 +1297,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, source
             FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+        """,
+        # canonical M5 normalization replayed in SQL (nfc -> lower -> ws)
+        "normalize_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\s+', ' ', 'g')) AS norm_text,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\s+', ' ', 'g')) <> text AS changed
+            FROM documents
         """,
         # TF-IDF top-3 terms per doc; score = tf * N / df as ONE double
         # division (bit-identical in numpy and DuckDB; log-idf would not be)

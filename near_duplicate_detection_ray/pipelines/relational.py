@@ -1977,3 +1977,43 @@ def top_supplier(sf_dir: str, year: int = 1997, num_partitions: int | None = Non
     out = winners.rename(columns={"l_suppkey": "s_suppkey"}).sort_values("s_suppkey")
     out["s_name"] = names.loc[out["s_suppkey"]].to_numpy()
     return rd.from_pandas(out[["s_suppkey", "s_name", "total_rev_c4"]].reset_index(drop=True))
+
+
+def event_transitions(sf_dir: str):
+    """Event-sequence TRANSITION counts (the stream analogue of corpus
+    bigrams): how often each (prev_type -> next_type) pair occurs between
+    CONSECUTIVE events of the same user in (ts, event_id) order.  One keyed
+    shuffle, a vectorized shift masked at user boundaries, then a tiny
+    combiner rollup onto the <= n_types^2 key space."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"prev_type": pa.array([], pa.string()),
+             "next_type": pa.array([], pa.string())}
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        return pa.table(
+            {
+                "prev_type": pa.array(et[:-1][same].tolist(), pa.string()),
+                "next_type": pa.array(et[1:][same].tolist(), pa.string()),
+            }
+        )
+
+    pairs = key_partitioned(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"],
+    ).map_batches(block, batch_format="pandas", batch_size=None)
+    return lowcard_groupagg(
+        pairs,
+        ["prev_type", "next_type"],
+        [([], "count_all")],
+        {"count_all": "n_transitions"},
+    )

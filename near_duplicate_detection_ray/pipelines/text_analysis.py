@@ -743,3 +743,30 @@ def top_terms_docs(sf_dir: str, k: int = 3):
     return key_partitioned(with_df, ["doc_id"]).map_batches(
         topk, batch_format="pandas", batch_size=None
     )
+
+
+def normalize_docs(sf_dir: str):
+    """The M5 normalization map as a standalone oracled operator (the same
+    canonical NFC -> lower -> whitespace-collapse -> strip the flagship's
+    ``functions.text.normalize_text`` defines, here fully vectorized:
+    ``pc.utf8_normalize`` + ``utf8_lower`` + one RE2 replace + trim).
+    Output: ``doc_id, norm_text, changed`` — SQL parity via DuckDB
+    ``nfc_normalize``/``lower``/``regexp_replace``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.utf8_normalize(batch["text"], form="NFC")),
+                pattern=r"\s+",
+                replacement=" ",
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": norm,
+                "changed": pc.not_equal(norm, batch["text"]),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

@@ -425,3 +425,43 @@ def test_top_supplier_matches_oracle_and_returns_ties(ray_session, tmp_path_fact
     )
     ties = top_supplier(d).to_pandas()
     assert sorted(ties["s_suppkey"]) == [7, 8]
+
+
+def test_event_transitions_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import event_transitions
+
+    got = _sorted(event_transitions(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["event_transitions"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every (prev, next) count >= 1 and the matrix keys are event types
+    assert (got["n_transitions"] >= 1).all()
+
+
+def test_normalize_docs_matches_scalar_reference(ray_session):
+    """The vectorized normalize map equals functions.text.normalize_text and
+    the DuckDB oracle row-for-row."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.functions.text import normalize_text
+    from near_duplicate_detection_ray.pipelines.text_analysis import normalize_docs
+
+    got = (
+        normalize_docs(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["normalize_docs"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    raw = con.execute("SELECT text FROM documents ORDER BY doc_id").df()["text"]
+    assert list(got["norm_text"]) == [normalize_text(t) for t in raw]
