@@ -656,11 +656,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type,
                    n AS n_events,
-                   round(CAST(s AS DOUBLE) / n / 100.0, 4) AS mean_value,
-                   round(sqrt(greatest(
+                   CAST(s AS DOUBLE) / n / 100.0 AS mean_value,
+                   sqrt(greatest(
                        (CAST(s2 AS DOUBLE) / n
                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
-                       / 10000.0, 0.0)), 4) AS stddev_pop
+                       / 10000.0, 0.0)) AS stddev_pop
             FROM a
         """,
         # Q16 family: grouped COUNT(DISTINCT) over the part hash join
@@ -1146,11 +1146,13 @@ def oracle_sql() -> dict[str, str]:
             , ranked AS (
                 SELECT c.rep, c.doc_id, d.n_chars,
                        row_number() OVER (PARTITION BY c.rep
-                                          ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+                                          ORDER BY least(d.n_chars, 8388607) DESC,
+                                                   c.doc_id ASC) AS rk,
                        count(*) OVER (PARTITION BY c.rep) AS n_members
                 FROM comp c JOIN documents d USING (doc_id)
             )
-            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+            SELECT doc_id,
+                   CAST(least(n_chars, 8388607) AS BIGINT) AS n_chars,
                    CAST(n_members AS BIGINT) AS n_members
             FROM ranked WHERE rk = 1
         """,
@@ -1302,9 +1304,9 @@ def oracle_sql() -> dict[str, str]:
         "normalize_docs": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(nfc_normalize(text)),
-                                       '\s+', ' ', 'g')) AS norm_text,
+                                       '\s+', ' ', 'g'), ' ') AS norm_text,
                    trim(regexp_replace(lower(nfc_normalize(text)),
-                                       '\s+', ' ', 'g')) <> text AS changed
+                                       '\s+', ' ', 'g'), ' ') <> text AS changed
             FROM documents
         """,
         # TF-IDF top-3 terms per doc; score = tf * N / df as ONE double

@@ -717,6 +717,10 @@ def dedup_best_docs(sf_dir: str, cfg: NDDConfig | None = None):
     def tag_docs(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        # clamp so packing can never overflow int64: docs >= 2^23 chars
+        # (~8.4 MB) all compare equal on length and fall to the min-id
+        # tie-break — the SQL oracle applies the identical least() clamp
+        nc = np.minimum(nc, (1 << 23) - 1)
         packed = nc * _PACK + (_PACK - 1 - ids)
         return pa.table(
             {

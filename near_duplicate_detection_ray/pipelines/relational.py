@@ -1242,52 +1242,80 @@ def user_event_sequence(sf_dir: str):
     )
 
 
-def repeat_customers(sf_dir: str, y1: int = 1996, y2: int = 1997):
-    """INTERSECT of two derived key sets (set-op family): customers with at
-    least one order in BOTH ``y1`` and ``y2``, rolled up per nation.
-
-    Each year's distinct customer keys are built OFF-DRIVER
-    (``distinct_values_ref``); the intersection happens in one remote task
-    (numpy ``intersect1d`` on the two object-store arrays — the driver never
-    sees the keys); the result broadcasts into a single ``pc.is_in`` filter
-    over customer + the usual nation-label combiner rollup."""
+def _nation_lut_ref(sf_dir: str):
+    """Broadcast nationkey -> name lookup (ray.put once, read per task)."""
     import ray
-
-    from ..state.partitioning import distinct_values_ref
-
-    def year_keys(year: int):
-        lo = np.datetime64(f"{year}-01-01", "us")
-        hi = np.datetime64(f"{year + 1}-01-01", "us")
-
-        def in_year(t: pa.Table) -> pa.Table:
-            od = t["o_orderdate"].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array((od >= lo) & (od < hi)))
-
-        ref, _n = distinct_values_ref(
-            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
-                in_year, batch_format="pyarrow"
-            ),
-            ["o_custkey"],
-        )
-        return ref
-
-    @ray.remote
-    def intersect(a, b):
-        return pa.array(
-            np.intersect1d(
-                a.to_numpy(zero_copy_only=False), b.to_numpy(zero_copy_only=False)
-            )
-        )
-
-    both_ref = intersect.remote(year_keys(y1), year_keys(y2))
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
     lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
-    nmap_ref = ray.put(lut)
+    return ray.put(lut)
+
+
+def _two_year_custkey_refs(sf_dir: str, y1: int, y2: int):
+    """Distinct order-customer keys for BOTH years from ONE scan of orders:
+    per-block distinct (custkey, year-tag) partials, a remote dedup tree,
+    and one split task returning two object-store arrays — the driver never
+    touches keys and orders is read once, not once per year."""
+    import ray
+
+    bounds = [
+        (np.datetime64(f"{y}-01-01", "us"), np.datetime64(f"{y + 1}-01-01", "us"))
+        for y in (y1, y2)
+    ]
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        ks, ys = [], []
+        for tag, (lo, hi) in enumerate(bounds, start=1):
+            u = np.unique(ck[(od >= lo) & (od < hi)])
+            ks.append(u)
+            ys.append(np.full(len(u), tag, np.int8))
+        return pa.table(
+            {"k": pa.array(np.concatenate(ks), pa.int64()),
+             "y": pa.array(np.concatenate(ys), pa.int8())}
+        )
+
+    refs = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(block_pairs, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+
+    @ray.remote
+    def merge(*tables):
+        tt = [t for t in tables if t.num_rows and t.num_columns]
+        if not tt:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "y": pa.array([], pa.int8())}
+            )
+        cat = pa.concat_tables(tt)
+        df = cat.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 64]) for i in range(0, len(refs), 64)]
+
+    @ray.remote(num_returns=2)
+    def split(t):
+        k = t["k"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.array(np.unique(k[y == 1])), pa.array(np.unique(k[y == 2]))
+
+    return split.remote(refs[0])
+
+
+def _customers_per_nation(sf_dir: str, keys_ref):
+    """Count customers per nation among those whose key is in ``keys_ref``
+    (broadcast ``pc.is_in`` filter + nation-label combiner rollup)."""
+    import ray
+
+    nmap_ref = _nation_lut_ref(sf_dir)
 
     def keep(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.is_in(batch["c_custkey"], value_set=ray.get(both_ref)))
+        t = batch.filter(pc.is_in(batch["c_custkey"], value_set=ray.get(keys_ref)))
         names = ray.get(nmap_ref)[t["c_nationkey"].to_numpy(zero_copy_only=False)]
         return pa.table({"n_name": pa.array(names.tolist(), pa.string())})
 
@@ -1299,6 +1327,29 @@ def repeat_customers(sf_dir: str, y1: int = 1996, y2: int = 1997):
         [([], "count_all")],
         {"count_all": "n_customers"},
     )
+
+
+def repeat_customers(sf_dir: str, y1: int = 1996, y2: int = 1997):
+    """INTERSECT of two derived key sets (set-op family): customers with at
+    least one order in BOTH ``y1`` and ``y2``, rolled up per nation.
+
+    Both years' distinct keys come from ONE off-driver orders scan
+    (``_two_year_custkey_refs``); the intersection happens in one remote
+    task (the driver never sees keys); the result broadcasts into a single
+    ``pc.is_in`` filter over customer + the nation combiner rollup."""
+    import ray
+
+    r1, r2 = _two_year_custkey_refs(sf_dir, y1, y2)
+
+    @ray.remote
+    def intersect(a, b):
+        return pa.array(
+            np.intersect1d(
+                a.to_numpy(zero_copy_only=False), b.to_numpy(zero_copy_only=False)
+            )
+        )
+
+    return _customers_per_nation(sf_dir, intersect.remote(r1, r2))
 
 
 def event_value_stats(sf_dir: str):
@@ -1328,9 +1379,13 @@ def event_value_stats(sf_dir: str):
         n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
         s = t["sum_c"].to_numpy(zero_copy_only=False).astype(np.float64)
         s2 = t["sum_c2"].to_numpy(zero_copy_only=False).astype(np.float64)
-        mean = np.round(s / n / 100.0, 4)
-        var = (s2 / n - (s / n) ** 2) / 10000.0
-        std = np.round(np.sqrt(np.maximum(var, 0.0)), 4)
+        # NO rounding: both engines compute these exact IEEE expressions over
+        # identical integer partials, so the doubles are bit-identical as-is;
+        # a final round() would REINTRODUCE divergence (np.round is half-even,
+        # DuckDB round is half-away — they differ on representable half-ties)
+        mean = s / n / 100.0
+        var = (s2 / n - (s / n) * (s / n)) / 10000.0
+        std = np.sqrt(np.maximum(var, 0.0))
         return pa.table(
             {
                 "event_type": t["event_type"],
@@ -1757,28 +1812,11 @@ def user_event_gaps(sf_dir: str):
 def lapsed_customers(sf_dir: str, y1: int = 1996, y2: int = 1997):
     """EXCEPT counterpart of :func:`repeat_customers` (set-op family):
     customers with at least one order in ``y1`` but NONE in ``y2``, per
-    nation.  Same off-driver distinct key sets; the difference is one
-    ``np.setdiff1d`` in a remote task, then a single broadcast ``pc.is_in``
-    filter + nation rollup."""
+    nation.  Shares the one-scan key builder and the nation rollup; the
+    only variation is ``np.setdiff1d`` in place of ``intersect1d``."""
     import ray
 
-    from ..state.partitioning import distinct_values_ref
-
-    def year_keys(year: int):
-        lo = np.datetime64(f"{year}-01-01", "us")
-        hi = np.datetime64(f"{year + 1}-01-01", "us")
-
-        def in_year(t: pa.Table) -> pa.Table:
-            od = t["o_orderdate"].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array((od >= lo) & (od < hi)))
-
-        ref, _n = distinct_values_ref(
-            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
-                in_year, batch_format="pyarrow"
-            ),
-            ["o_custkey"],
-        )
-        return ref
+    r1, r2 = _two_year_custkey_refs(sf_dir, y1, y2)
 
     @ray.remote
     def diff(a, b):
@@ -1788,26 +1826,7 @@ def lapsed_customers(sf_dir: str, y1: int = 1996, y2: int = 1997):
             )
         )
 
-    only_ref = diff.remote(year_keys(y1), year_keys(y2))
-
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
-    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
-    nmap_ref = ray.put(lut)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.is_in(batch["c_custkey"], value_set=ray.get(only_ref)))
-        names = ray.get(nmap_ref)[t["c_nationkey"].to_numpy(zero_copy_only=False)]
-        return pa.table({"n_name": pa.array(names.tolist(), pa.string())})
-
-    return lowcard_groupagg(
-        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-            keep, batch_format="pyarrow"
-        ),
-        ["n_name"],
-        [([], "count_all")],
-        {"count_all": "n_customers"},
-    )
+    return _customers_per_nation(sf_dir, diff.remote(r1, r2))
 
 
 def user_event_types(sf_dir: str):
@@ -1865,7 +1884,19 @@ def promo_revenue(sf_dir: str, year: int = 1997, num_partitions: int = 8):
         return t.filter(pa.array((sd >= lo) & (sd < hi)))
 
     parts = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    joined = items.map_batches(in_year, batch_format="pyarrow").join(
+    # scrub schema-less empty blocks the year filter can produce — they
+    # crash the Acero hash join (the documented Ray 2.49 trap)
+    from ..state.partitioning import materialize_clean
+
+    in_window = materialize_clean(items.map_batches(in_year, batch_format="pyarrow"))
+    import ray.data as rd
+
+    if in_window.count() == 0:
+        # an all-empty left side crashes the Acero join outright
+        return rd.from_items(
+            [{"promo_rev_c4": 0, "total_rev_c4": 0, "promo_ratio": 0.0}]
+        )
+    joined = in_window.join(
         parts,
         join_type="inner",
         num_partitions=num_partitions,
@@ -1894,8 +1925,12 @@ def promo_revenue(sf_dir: str, year: int = 1997, num_partitions: int = 8):
     # bounded: ONE row per block
     import ray.data as rd
 
-    sums = joined.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
-    promo_c4, total_c4 = int(sums["promo_c4"]), int(sums["total_c4"])
+    sums = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if sums.empty or "promo_c4" not in sums.columns:
+        # empty join output loses its schema at to_pandas(): zero revenue
+        promo_c4 = total_c4 = 0
+    else:
+        promo_c4, total_c4 = int(sums["promo_c4"].sum()), int(sums["total_c4"].sum())
     ratio = float(promo_c4) / float(total_c4) if total_c4 else 0.0
     return rd.from_items(
         [{"promo_rev_c4": promo_c4, "total_rev_c4": total_c4,
@@ -1955,6 +1990,19 @@ def top_supplier(sf_dir: str, year: int = 1997, num_partitions: int | None = Non
         )
 
     maxima = per_supp.map_batches(max_partial, batch_format="pyarrow").to_pandas()
+    import ray.data as rd
+
+    if maxima.empty or "m" not in maxima.columns or maxima["m"].isna().all():
+        # no lineitem in the window: empty result with a stable schema,
+        # matching the oracle's zero rows (from_arrow, not from_pandas —
+        # Ray mangles 0-row pandas frames)
+        return rd.from_arrow(
+            pa.table(
+                {"s_suppkey": pa.array([], pa.int64()),
+                 "s_name": pa.array([], pa.string()),
+                 "total_rev_c4": pa.array([], pa.int64())}
+            )
+        )
     best = int(maxima["m"].max())
 
     winners = per_supp.map_batches(

@@ -746,20 +746,45 @@ def top_terms_docs(sf_dir: str, k: int = 3):
 
 
 def normalize_docs(sf_dir: str):
-    """The M5 normalization map as a standalone oracled operator (the same
-    canonical NFC -> lower -> whitespace-collapse -> strip the flagship's
-    ``functions.text.normalize_text`` defines, here fully vectorized:
-    ``pc.utf8_normalize`` + ``utf8_lower`` + one RE2 replace + trim).
-    Output: ``doc_id, norm_text, changed`` — SQL parity via DuckDB
-    ``nfc_normalize``/``lower``/``regexp_replace``."""
+    """The M5 normalization map as a standalone oracled operator: NFC ->
+    lower -> ASCII-whitespace collapse -> space strip, fully vectorized
+    (``pc.utf8_normalize`` + ``utf8_lower`` + one RE2 replace +
+    ``utf8_trim(' ')``).
+
+    EXACT SQL parity for ALL inputs: both Arrow and DuckDB run RE2 whose
+    ``\\s`` is ASCII-only, and the final strip removes plain spaces only
+    (DuckDB ``trim``) — after the collapse, edges carry at most one space,
+    so that is the complete strip.  The flagship's scalar
+    ``functions.text.normalize_text`` uses Python's UNICODE ``\\s``; the two
+    agree on ASCII-whitespace corpora (asserted in tests) but this operator,
+    not the scalar, is the SQL-parity form.  Output: ``doc_id, norm_text,
+    changed``."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        norm = pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(
-                pc.utf8_lower(pc.utf8_normalize(batch["text"], form="NFC")),
-                pattern=r"\s+",
-                replacement=" ",
+        text = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray
+        ) else batch["text"]
+        # NFC: identity on pure-ASCII rows (vectorized check — the common
+        # case costs nothing); true unicodedata NFC on the rare rest.
+        # pyarrow 16's utf8_normalize is NOT form-conformant (returns
+        # decomposed output for form='NFC'), so it cannot be used here.
+        ascii_mask = pc.equal(pc.utf8_length(text), pc.binary_length(text))
+        if batch.num_rows and not pc.all(ascii_mask).as_py():
+            import unicodedata
+
+            am = ascii_mask.to_numpy(zero_copy_only=False)
+            text = pa.array(
+                [
+                    v if a else unicodedata.normalize("NFC", v)
+                    for v, a in zip(text.to_pylist(), am)
+                ],
+                pa.string(),
             )
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(text), pattern=r"\s+", replacement=" "
+            ),
+            characters=" ",
         )
         return pa.table(
             {

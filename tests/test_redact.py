@@ -111,3 +111,37 @@ def test_top_terms_matches_oracle_sf0001(ray_session):
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
     assert (got.groupby("doc_id")["rank"].max() <= 3).all()
+
+
+def test_normalize_docs_non_ascii_parity():
+    """Review finding: the kernel must match DuckDB on NBSP / decomposed
+    unicode, not just the ASCII corpus (pyarrow utf8_normalize is not
+    form-conformant, so the kernel routes non-ASCII rows through
+    unicodedata)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import unicodedata
+
+    cases = ["a\xa0b", "\xa0x", "café  NOIR", "\xa0 x \xa0", "  y  ", ""]
+    text = pa.array(cases)
+    ascii_mask = pc.equal(pc.utf8_length(text), pc.binary_length(text))
+    am = ascii_mask.to_numpy(zero_copy_only=False)
+    text = pa.array(
+        [v if a else unicodedata.normalize("NFC", v)
+         for v, a in zip(text.to_pylist(), am)],
+        pa.string(),
+    )
+    eng = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(text), pattern=r"\s+", replacement=" "),
+        characters=" ",
+    ).to_pylist()
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT trim(regexp_replace(lower(nfc_normalize(?)), '\\s+', ' ', 'g'), ' ')",
+            [c],
+        ).fetchone()[0]
+        for c in cases
+    ]
+    assert eng == want

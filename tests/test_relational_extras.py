@@ -465,3 +465,20 @@ def test_normalize_docs_matches_scalar_reference(ray_session):
     )
     raw = con.execute("SELECT text FROM documents ORDER BY doc_id").df()["text"]
     assert list(got["norm_text"]) == [normalize_text(t) for t in raw]
+
+
+def test_empty_window_queries_do_not_crash(ray_session):
+    """Review finding: year windows matching no rows must return empty/zero
+    results with stable schemas, not raise."""
+    from near_duplicate_detection_ray.pipelines.relational import (
+        promo_revenue,
+        top_supplier,
+    )
+
+    # Ray drops zero-row blocks at to_pandas (documented platform gotcha),
+    # so the contract here is "empty result, no crash"
+    ts = top_supplier(SF, year=2015).to_pandas()
+    assert len(ts) == 0
+    pr = promo_revenue(SF, year=2015).to_pandas()
+    assert len(pr) == 1
+    assert pr.iloc[0]["total_rev_c4"] == 0 and pr.iloc[0]["promo_ratio"] == 0.0
