@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": relational.promo_revenue,             # TPC-H Q14 shape (global ratio)
         "top_supplier": relational.top_supplier,               # TPC-H Q15 shape (max + tie filter)
         "event_transitions": relational.event_transitions,     # sequence-bigram transition counts
+        "session_conversion": relational.session_conversion,   # sessionization x funnel composition
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -551,6 +552,31 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        # per-user session counts + sessions containing a purchase
+        "session_conversion": """
+            WITH g AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, event_type,
+                       sum(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            ), per_sess AS (
+                SELECT user_id, sid,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(conv) AS BIGINT) AS n_converted
+            FROM per_sess GROUP BY user_id
         """,
         # consecutive-event transition counts in (ts, event_id) order
         "event_transitions": """

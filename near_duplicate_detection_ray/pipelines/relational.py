@@ -2065,3 +2065,48 @@ def event_transitions(sf_dir: str):
         [([], "count_all")],
         {"count_all": "n_transitions"},
     )
+
+
+def session_conversion(sf_dir: str, gap_minutes: int = 30):
+    """Session-level FUNNEL OUTCOME (sessionization x conversion composition):
+    per user, how many sessions they had and how many contained at least one
+    ``purchase``.  One keyed shuffle on user_id; the block kernel is the
+    sessionization gap-cumsum plus a two-level C-level pandas rollup."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_sessions", pa.int64()),
+         ("n_converted", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        new = np.ones(len(df), dtype=np.int64)
+        same = uid[1:] == uid[:-1]
+        new[1:] = (~same) | ((ts[1:] - ts[:-1]) > gap)
+        df["sid"] = np.cumsum(new)  # globally unique within block
+        df["conv"] = (df["event_type"].to_numpy() == "purchase").astype(np.int64)
+        per_sess = df.groupby(["user_id", "sid"], sort=False)["conv"].max()
+        out = per_sess.groupby(level=0).agg(
+            n_sessions="size", n_converted="sum"
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "n_sessions": pa.array(out["n_sessions"].to_numpy(), pa.int64()),
+                "n_converted": pa.array(out["n_converted"].to_numpy(), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )

@@ -482,3 +482,20 @@ def test_empty_window_queries_do_not_crash(ray_session):
     pr = promo_revenue(SF, year=2015).to_pandas()
     assert len(pr) == 1
     assert pr.iloc[0]["total_rev_c4"] == 0 and pr.iloc[0]["promo_ratio"] == 0.0
+
+
+def test_session_conversion_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import (
+        session_conversion,
+        user_sessions,
+    )
+
+    got = _sorted(session_conversion(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["session_conversion"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # session counts must agree with the independent user_sessions query
+    us = user_sessions(SF).to_pandas().set_index("user_id")["n_sessions"]
+    sc = got.set_index("user_id")["n_sessions"]
+    assert (us.sort_index() == sc.sort_index()).all()
+    assert (got["n_converted"] <= got["n_sessions"]).all()
