@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": relational.top_supplier,               # TPC-H Q15 shape (max + tie filter)
         "event_transitions": relational.event_transitions,     # sequence-bigram transition counts
         "session_conversion": relational.session_conversion,   # sessionization x funnel composition
+        "global_value_quantiles": relational.global_value_quantiles,  # exact corpus-wide order stats (histogram select)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -823,6 +824,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # quantile_disc is an order statistic (element-picking, no
         # interpolation) — numpy's inverted_cdf returns the identical element
+        # exact GLOBAL order statistics (no group key, whole corpus)
+        "global_value_quantiles": """
+            SELECT count(*) AS n_events,
+                   quantile_disc(value, 0.25) AS p25,
+                   quantile_disc(value, 0.50) AS p50,
+                   quantile_disc(value, 0.90) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events
+        """,
         "event_value_quantiles": """
             SELECT event_type,
                    count(*) AS n_events,

@@ -2110,3 +2110,48 @@ def session_conversion(sf_dir: str, gap_minutes: int = 30):
     return key_partitioned(ds, ["user_id"]).map_batches(
         block, batch_format="pandas", batch_size=None
     )
+
+
+def global_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
+    """EXACT corpus-wide order statistics WITHOUT sorting the data — the
+    count-then-select scale path the per-group quantile docstring promises:
+    one streaming pass builds per-block (cent-value, count) partials, one
+    keyed combine collapses them to the DOMAIN-bounded histogram (at most
+    one row per distinct cent value, independent of corpus size), and the
+    quantiles are selected from the cumulative counts on the driver.
+
+    Works whenever the value domain is bounded/discretizable (here:
+    2-decimal monetary values, so cents round-trip exactly to the original
+    doubles); unbounded domains route to the mergeable sketch
+    (``event_value_quantiles_sketch``).  Element selection matches DuckDB
+    ``quantile_disc`` (lower element at position ceil(q*n))."""
+    import math
+
+    import ray.data as rd
+
+    from ..functions.groupagg import highcard_groupagg
+
+    def hist_block(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table(
+            {"c": pa.array(u, pa.int64()), "n": pa.array(n, pa.int64())}
+        )
+
+    hist = highcard_groupagg(
+        _read(sf_dir, "events", ["value"]).map_batches(
+            hist_block, batch_format="pyarrow"
+        ),
+        ["c"],
+        [("n", "sum")],
+        {"n_sum": "n"},
+    )
+    df = hist.to_pandas().sort_values("c").reset_index(drop=True)  # domain-bounded
+    cum = df["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    cents = df["c"].to_numpy()
+    out = {"n_events": total}
+    for q in qs:
+        pos = max(1, math.ceil(q * total))
+        out[f"p{int(q * 100)}"] = float(cents[np.searchsorted(cum, pos)] / 100.0)
+    return rd.from_items([out])

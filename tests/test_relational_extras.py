@@ -499,3 +499,39 @@ def test_session_conversion_matches_oracle_sf0001(ray_session):
     sc = got.set_index("user_id")["n_sessions"]
     assert (us.sort_index() == sc.sort_index()).all()
     assert (got["n_converted"] <= got["n_sessions"]).all()
+
+
+def test_global_value_quantiles_matches_oracle(ray_session, tmp_path_factory):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import (
+        global_value_quantiles,
+    )
+
+    got = _sorted(global_value_quantiles(SF).to_pandas())
+    want = _sorted(_oracle(entrymod.oracle_sql()["global_value_quantiles"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # selection-rule pin on tiny even/odd corpora (quantile_disc lower-element)
+    for vals in ([1.0, 2.0, 3.0, 4.0], [5.0, 1.0, 3.0], [2.25]):
+        d = str(tmp_path_factory.mktemp("gq"))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(vals)), pa.int64()),
+                    "ts": pa.array(
+                        [np.datetime64("2024-01-01", "us")] * len(vals),
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([1] * len(vals), pa.int64()),
+                    "event_type": pa.array(["x"] * len(vals)),
+                    "value": pa.array(vals, pa.float64()),
+                    "props": pa.array(["{}"] * len(vals)),
+                }
+            ),
+            f"{d}/events.parquet",
+        )
+        g = _sorted(global_value_quantiles(d).to_pandas())
+        w = _sorted(
+            _oracle(entrymod.oracle_sql()["global_value_quantiles"], sf_dir=d)
+        )
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
