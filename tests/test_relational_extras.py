@@ -532,6 +532,10 @@ def test_global_value_quantiles_matches_oracle(ray_session, tmp_path_factory):
         )
         g = _sorted(global_value_quantiles(d).to_pandas())
         w = _sorted(
-            _oracle(entrymod.oracle_sql()["global_value_quantiles"], sf_dir=d)
+            _oracle(
+                entrymod.oracle_sql()["global_value_quantiles"],
+                sf_dir=d,
+                tables=("events",),
+            )
         )
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
