@@ -140,11 +140,7 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8):
     small side); final rollup via map-side combine."""
     import ray
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    # dense key -> name lookup: vectorized numpy fancy-index, no per-row dict
-    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
-    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
-    nmap_ref = ray.put(lut)
+    nmap_ref = _nation_lut_ref(sf_dir)
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -257,10 +253,7 @@ def supplier_balance_by_nation(sf_dir: str):
     over a small dimension chain (supplier JOIN nation broadcast)."""
     import ray
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
-    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
-    nmap_ref = ray.put(lut)
+    nmap_ref = _nation_lut_ref(sf_dir)
     ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
 
     def label(batch: pa.Table) -> pa.Table:
@@ -622,10 +615,7 @@ def customers_without_orders(sf_dir: str, year: int = 1997):
         ["o_custkey"],
     )
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
-    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
-    nmap_ref = ray.put(lut)
+    nmap_ref = _nation_lut_ref(sf_dir)
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
 
@@ -721,10 +711,7 @@ def nation_yearly_rollup(sf_dir: str, num_partitions: int = 8):
     the last ULP, integers re-aggregate exactly at every level."""
     import ray
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
-    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
-    nmap_ref = ray.put(lut)
+    nmap_ref = _nation_lut_ref(sf_dir)
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -1733,10 +1720,7 @@ def idle_customer_balance(sf_dir: str, since: str = "2000-01-01"):
         ["o_custkey"],
     )
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    lut = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
-    lut[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
-    nmap_ref = ray.put(lut)
+    nmap_ref = _nation_lut_ref(sf_dir)
 
     def keep(batch: pa.Table) -> pa.Table:
         cents = np.round(batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
