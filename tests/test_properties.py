@@ -188,3 +188,32 @@ def test_redact_kernel_total_and_idempotent(s):
         assert pc.count_substring_regex(red, pattern=pat).to_pylist() == [0]
     twice = redact_text_batch(red)
     assert twice["redacted_text"].to_pylist() == red.to_pylist()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 50)),
+        min_size=1, max_size=300,
+    ),
+    st.integers(1, 12),
+)
+@settings(max_examples=10, deadline=None)
+def test_global_topk_equals_sorted_head(rows, k):
+    """Bounded-partial top-k == full sort + head for arbitrary data/k,
+    regardless of how rows land in blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.functions.groupagg import global_topk
+
+    df = pd.DataFrame(rows, columns=["a", "b"])
+    ds = rd.from_pandas(df).repartition(4)
+    got = global_topk(ds, ["a", "b"], [True, False], k).to_pandas()
+    want = (
+        df.sort_values(["a", "b"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
