@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": relational.user_funnel,                 # ordered sequence-pattern match
         "idle_customer_balance": relational.idle_customer_balance,  # TPC-H Q22 shape (global scalar + anti-join)
         "event_value_stats": relational.event_value_stats,     # variance/stddev combiner
+        "qty_discount_corr": relational.qty_discount_corr,     # grouped corr/covar combiner
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
@@ -688,6 +689,39 @@ def oracle_sql() -> dict[str, str]:
                        (CAST(s2 AS DOUBLE) / n
                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
                        / 10000.0, 0.0)) AS stddev_pop
+            FROM a
+        """,
+        # grouped Pearson corr/covar from exact integer-cent sufficient sums;
+        # the final double expressions are written with the engine's exact
+        # parenthesization (relational.qty_discount_corr) so hashes bit-match
+        "qty_discount_corr": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                       CAST(round(l_discount * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), a AS (
+                SELECT l_returnflag,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       count(*) AS n
+                FROM c GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   n AS n_rows,
+                   (CAST(sxy AS DOUBLE) / n
+                    - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                   / 10000.0 AS covar_pop,
+                   (CAST(sxy AS DOUBLE) / n
+                    - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                   / sqrt((CAST(sxx AS DOUBLE) / n
+                           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                        * (CAST(syy AS DOUBLE) / n
+                           - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+                   AS corr_qty_discount
             FROM a
         """,
         # Q16 family: grouped COUNT(DISTINCT) over the part hash join

@@ -1385,6 +1385,69 @@ def event_value_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def qty_discount_corr(sf_dir: str):
+    """Per-group Pearson CORRELATION + population COVARIANCE between two
+    measures (corr(l_quantity, l_discount) by l_returnflag).  Same exactness
+    strategy as :func:`event_value_stats`: both measures are converted to
+    integer CENTS per row, the five sufficient sums (sx, sy, sxx, syy, sxy)
+    plus the count are aggregated as exact int64 partials (associative in any
+    Ray merge order), and only the final covariance/correlation expression is
+    floating point — an IEEE expression written IDENTICALLY on the engine and
+    DuckDB sides, so the doubles are bit-equal.
+
+    Cents keep the partials exact for any 2-decimal input; int64 headroom for
+    sum(x*x) with quantity <= 50 (x <= 5000) holds to ~3.7e11 rows per group,
+    beyond the 1e12-turn design point only if one group held every row —
+    at that scale swap the partials to float64 (documented, not needed here).
+    """
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        x = np.round(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        y = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+                "yy": pa.array(y * y, pa.int64()),
+                "xy": pa.array(x * y, pa.int64()),
+            }
+        )
+
+    agg = lowcard_groupagg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+         ("xy", "sum"), ([], "count_all")],
+        {"x_sum": "sx", "y_sum": "sy", "xx_sum": "sxx", "yy_sum": "syy",
+         "xy_sum": "sxy", "count_all": "n_rows"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = t["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # the exact parenthesization below is mirrored in the oracle SQL
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) * (sx / n)
+        vy = syy / n - (sy / n) * (sy / n)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n_rows": t["n_rows"],
+                "covar_pop": pa.array(cov / 10000.0, pa.float64()),
+                "corr_qty_discount": pa.array(cov / np.sqrt(vx * vy), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 _HLL_COLS = [  # (table, column) specs for the approx-distinct survey
     ("events", "user_id"),
     ("events", "event_type"),
