@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customer_balance": relational.idle_customer_balance,  # TPC-H Q22 shape (global scalar + anti-join)
         "event_value_stats": relational.event_value_stats,     # variance/stddev combiner
         "qty_discount_corr": relational.qty_discount_corr,     # grouped corr/covar combiner
+        "revenue_cube": relational.revenue_cube,               # CUBE grouping sets, one shuffle
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
@@ -723,6 +724,22 @@ def oracle_sql() -> dict[str, str]:
                            - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
                    AS corr_qty_discount
             FROM a
+        """,
+        # CUBE: all four grouping sets; COALESCE mirrors the engine's 'ALL'
+        "revenue_cube": """
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+                FROM lineitem
+            )
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(q) AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(sum(p) AS DOUBLE) / 100.0 AS sum_base_price,
+                   count(*) AS n_rows
+            FROM c
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         # Q16 family: grouped COUNT(DISTINCT) over the part hash join
         "brand_supplier_counts": """

@@ -1448,6 +1448,66 @@ def qty_discount_corr(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def revenue_cube(sf_dir: str):
+    """GROUP BY CUBE (all four grouping sets of two keys) over lineitem.
+
+    The distributed work is ONE fine-grained partial aggregation (integer
+    cents, exact in any merge order); the three coarser grouping sets are
+    derived by re-aggregating the tiny (|flag| x |status|) base table — no
+    second pass over the data, no extra shuffle.  Aggregated-away keys carry
+    the literal ``'ALL'`` (mirrored by COALESCE in the oracle) instead of
+    NULL so the gate's string normalization is unambiguous."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        q = np.round(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        p = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {"l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+             "q": pa.array(q, pa.int64()), "p": pa.array(p, pa.int64())}
+        )
+
+    base = lowcard_groupagg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("q", "sum"), ("p", "sum"), ([], "count_all")],
+        {"q_sum": "q", "p_sum": "p", "count_all": "n"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lvls = []
+        for keep in ((True, True), (True, False), (False, True), (False, False)):
+            g = [k for k, on in zip(("l_returnflag", "l_linestatus"), keep) if on]
+            if g:
+                a = t.group_by(g).aggregate([("q", "sum"), ("p", "sum"), ("n", "sum")])
+                lvl = pa.table(
+                    {**{k: a[k] for k in g},
+                     "q": a["q_sum"], "p": a["p_sum"], "n": a["n_sum"]}
+                )
+            else:
+                lvl = pa.table({"q": [int(pc.sum(t["q"]).as_py() or 0)],
+                                "p": [int(pc.sum(t["p"]).as_py() or 0)],
+                                "n": [int(pc.sum(t["n"]).as_py() or 0)]})
+            n = lvl.num_rows
+            for col, on in zip(("l_returnflag", "l_linestatus"), keep):
+                if not on:
+                    lvl = lvl.append_column(col, pa.array(["ALL"] * n, pa.string()))
+            lvls.append(lvl.select(["l_returnflag", "l_linestatus", "q", "p", "n"]))
+        allv = pa.concat_tables(lvls)
+        return pa.table(
+            {
+                "l_returnflag": allv["l_returnflag"],
+                "l_linestatus": allv["l_linestatus"],
+                "sum_qty": pc.divide(pc.cast(allv["q"], pa.float64()), 100.0),
+                "sum_base_price": pc.divide(pc.cast(allv["p"], pa.float64()), 100.0),
+                "n_rows": pc.cast(allv["n"], pa.int64()),
+            }
+        )
+
+    return base.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
 _HLL_COLS = [  # (table, column) specs for the approx-distinct survey
     ("events", "user_id"),
     ("events", "event_type"),
