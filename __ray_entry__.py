@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
         "ann_ivf_topk": ann.ann_ivf_topk,                      # rows-only (approximate; full-probe==exact pinned in pytest)
         "ann_filtered_topk": ann.ann_filtered_topk,            # SQL-checked (label-filtered exact search)
+        "semdedup_docs": ann.semdedup_embeddings,              # rows-only (SemDeDup; NumPy-oracle pytest)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---

@@ -630,3 +630,109 @@ def ann_filtered_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.92,
+                        seed: int = 42, kmeans_iters: int = 8,
+                        train_sample: int = 4096):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public knowledge):
+    semantic deduplication by k-means clustering of the embedding space
+    followed by WITHIN-CLUSTER epsilon-ball pruning, the curation step modern
+    LLM pipelines run after exact/MinHash dedup.
+
+    Plan (all distributed except the bounded quantizer train):
+
+    1. TRAIN: seeded spherical k-means over an id-bounded sample (same
+       deterministic train path as :func:`ann_ivf_topk`).
+    2. ASSIGN: centroids broadcast once (``ray.put``); one matmul per block
+       assigns every vector its cluster and centroid-cosine.
+    3. PARTITION: one keyed hash shuffle on ``cluster`` — each cluster lands
+       whole in one block (`state/partitioning.key_partitioned`), vectors
+       travel through the exchange exactly once.
+    4. PRUNE (block-local, per cluster): rows ordered by (centroid-cosine
+       ASC, vec_id ASC) — the paper's keep-low-centroid-similarity rule made
+       deterministic — and greedily KEPT iff max cosine to all previously
+       kept rows is < ``threshold``.  The greedy scan is sequential by
+       nature (each decision depends on the kept set) but each step is one
+       vectorized matvec against the kept matrix.
+
+    Cluster sizes are ~N/k with k chosen ~sqrt(N) at scale; the paper's
+    50k-cluster config keeps the per-cluster quadratic term bounded.  Output:
+    (vec_id, cluster, keep) for EVERY input row — consumers filter
+    ``keep`` (kept = the deduplicated corpus).  Approximate by construction
+    (cluster boundaries hide cross-cluster dups), so rows-only in the driver
+    gate; tests/test_semdedup.py pins the output against a from-scratch NumPy
+    oracle and checks the greedy invariants.
+    """
+    import ray
+
+    from ..state.partitioning import default_partitions, key_partitioned
+
+    train = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < train_sample)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    t_mat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    centroids = _kmeans_centroids(t_mat, n_clusters, kmeans_iters, seed)
+    cents_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = _emb_matrix(batch)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (mat / n) @ cents.T
+        cl = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "cluster": pa.array(cl.astype(np.int32), pa.int32()),
+                "csim": pa.array(sims[np.arange(len(cl)), cl], pa.float64()),
+            }
+        )
+
+    def prune(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int32()),
+             "keep": pa.array([], pa.bool_())}
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        csim = t["csim"].to_numpy(zero_copy_only=False)
+        mat = _emb_matrix(t)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        x = mat / n
+        keep = np.zeros(len(ids), bool)
+        for c in np.unique(cl):
+            idx = np.flatnonzero(cl == c)
+            order = idx[np.lexsort((ids[idx], csim[idx]))]
+            sub = x[order]
+            kept = np.empty_like(sub)
+            kn = 0
+            for i in range(len(order)):
+                if kn == 0 or float((kept[:kn] @ sub[i]).max()) < threshold:
+                    kept[kn] = sub[i]
+                    kn += 1
+                    keep[order[i]] = True
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int32()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    assigned = _read_emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    parts = min(default_partitions(), max(1, n_clusters))
+    return key_partitioned(assigned, ["cluster"], parts).map_batches(
+        prune, batch_size=None, batch_format="pyarrow"
+    )

@@ -1,0 +1,104 @@
+"""SemDeDup pins: the distributed pipeline must equal a from-scratch NumPy
+oracle (same seeded k-means + greedy epsilon-ball prune), and the greedy
+invariants must hold (kept rows pairwise below threshold within a cluster;
+every dropped row explained by a kept row at/above threshold)."""
+
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _oracle(ids, mat, n_clusters, threshold, seed, iters, train_sample):
+    from near_duplicate_detection_ray.pipelines.ann import _kmeans_centroids
+
+    train = mat[ids < train_sample]
+    cents = _kmeans_centroids(train, n_clusters, iters, seed)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    x = mat / n
+    sims = x @ cents.T
+    cl = np.argmax(sims, axis=1)
+    csim = sims[np.arange(len(cl)), cl]
+    keep = np.zeros(len(ids), bool)
+    for c in np.unique(cl):
+        idx = np.flatnonzero(cl == c)
+        order = idx[np.lexsort((ids[idx], csim[idx]))]
+        kept_rows = []
+        for i in order:
+            if not kept_rows or max(float(x[j] @ x[i]) for j in kept_rows) < threshold:
+                kept_rows.append(i)
+                keep[i] = True
+    return cl, keep
+
+
+def test_semdedup_matches_numpy_oracle(ray_session):
+    from near_duplicate_detection_ray.pipelines.ann import semdedup_embeddings
+
+    got = (
+        semdedup_embeddings(SF, n_clusters=8, threshold=0.85, seed=42)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids, mat = _load(SF)
+    cl, keep = _oracle(ids, mat, 8, 0.85, 42, 8, 4096)
+    assert got["vec_id"].to_numpy().tolist() == ids.tolist()
+    assert got["cluster"].to_numpy().tolist() == cl.tolist()
+    assert got["keep"].to_numpy().tolist() == keep.tolist()
+    assert 0 < got["keep"].sum() <= len(got)
+
+
+def test_semdedup_single_cluster_equals_global_greedy(ray_session):
+    """n_clusters=1 removes the clustering approximation: the result must be
+    the global greedy epsilon-ball prune over the whole corpus."""
+    from near_duplicate_detection_ray.pipelines.ann import semdedup_embeddings
+
+    got = (
+        semdedup_embeddings(SF, n_clusters=1, threshold=0.8, seed=7)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids, mat = _load(SF)
+    _, keep = _oracle(ids, mat, 1, 0.8, 7, 8, 4096)
+    assert got["keep"].to_numpy().tolist() == keep.tolist()
+    assert (got["cluster"] == 0).all()
+
+
+def test_semdedup_greedy_invariants(ray_session):
+    from near_duplicate_detection_ray.pipelines.ann import semdedup_embeddings
+
+    thr = 0.85
+    got = (
+        semdedup_embeddings(SF, n_clusters=8, threshold=thr, seed=42)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids, mat = _load(SF)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    x = mat / n
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for c, grp in got.groupby("cluster"):
+        kept = grp[grp["keep"]]["vec_id"].map(pos).to_numpy()
+        dropped = grp[~grp["keep"]]["vec_id"].map(pos).to_numpy()
+        if len(kept) > 1:
+            sims = x[kept] @ x[kept].T
+            np.fill_diagonal(sims, -1.0)
+            assert sims.max() < thr, f"cluster {c}: kept pair >= threshold"
+        for d in dropped:
+            assert (x[kept] @ x[d]).max() >= thr, f"cluster {c}: unexplained drop"
