@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": relational.event_value_stats,     # variance/stddev combiner
         "qty_discount_corr": relational.qty_discount_corr,     # grouped corr/covar combiner
         "revenue_cube": relational.revenue_cube,               # CUBE grouping sets, one shuffle
+        "supplier_balance_rank": relational.supplier_balance_rank,  # rank/dense_rank window
+        "event_value_outliers": relational.event_value_outliers,    # z-score outlier flagging
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
@@ -741,6 +743,50 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM c
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        # z-score outliers: stats CTE mirrors the engine's broadcast pass;
+        # identical IEEE mean/sd/z expressions make the |z| boundary exact
+        "event_value_outliers": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS vc
+                FROM events
+            ), a AS (
+                SELECT event_type,
+                       CAST(sum(vc) AS BIGINT) AS s,
+                       CAST(sum(vc * vc) AS BIGINT) AS s2,
+                       count(*) AS n
+                FROM c GROUP BY event_type
+            ), st AS (
+                SELECT event_type,
+                       CAST(s AS DOUBLE) / n / 100.0 AS m,
+                       sqrt(greatest(
+                           (CAST(s2 AS DOUBLE) / n
+                            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                           / 10000.0, 0.0)) AS sd
+                FROM a
+            )
+            SELECT c.event_id, c.event_type, c.vc AS value_c,
+                   (CAST(c.vc AS DOUBLE) / 100.0 - st.m) / st.sd AS zscore
+            FROM c JOIN st USING (event_type)
+            WHERE st.sd > 0
+              AND abs((CAST(c.vc AS DOUBLE) / 100.0 - st.m) / st.sd) > 3.0
+        """,
+        # RANK/DENSE_RANK window partitioned by nation over exact cent ties
+        "supplier_balance_rank": """
+            WITH c AS (
+                SELECT s_suppkey, s_nationkey,
+                       CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+                FROM supplier
+            )
+            SELECT s_suppkey, s_nationkey, bal_c,
+                   CAST(rank() OVER (
+                       PARTITION BY s_nationkey ORDER BY bal_c DESC
+                   ) AS BIGINT) AS bal_rank,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY s_nationkey ORDER BY bal_c DESC
+                   ) AS BIGINT) AS bal_dense_rank
+            FROM c
         """,
         # Q16 family: grouped COUNT(DISTINCT) over the part hash join
         "brand_supplier_counts": """

@@ -1508,6 +1508,128 @@ def revenue_cube(sf_dir: str):
     return base.map_batches(finish, batch_size=None, batch_format="pyarrow")
 
 
+def supplier_balance_rank(sf_dir: str):
+    """RANK() / DENSE_RANK() window per group (suppliers ranked by account
+    balance within their nation).  One keyed hash-partition on s_nationkey,
+    then a block-local vectorized rank: sort by (nation, -balance, suppkey),
+    mark value-change boundaries, and derive both rank flavors with cumsum /
+    maximum.accumulate — no per-group Python loop.  Balances compare as exact
+    integer cents so tie groups are identical on both engines."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    out_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64()),
+         ("bal_c", pa.int64()), ("bal_rank", pa.int64()),
+         ("bal_dense_rank", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        bal = np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        df = df.assign(bal_c=bal).sort_values(
+            ["s_nationkey", "bal_c", "s_suppkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        nat = df["s_nationkey"].to_numpy()
+        balc = df["bal_c"].to_numpy()
+        n = len(df)
+        idx = np.arange(n)
+        new_grp = np.concatenate(([True], nat[1:] != nat[:-1]))
+        new_val = new_grp | np.concatenate(([True], balc[1:] != balc[:-1]))
+        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        val_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rank = val_start - grp_start + 1
+        dense = np.cumsum(new_val)
+        dense_base = np.maximum.accumulate(np.where(new_grp, dense - 1, 0))
+        return pa.table(
+            {
+                "s_suppkey": pa.array(df["s_suppkey"].to_numpy(), pa.int64()),
+                "s_nationkey": pa.array(nat, pa.int64()),
+                "bal_c": pa.array(balc, pa.int64()),
+                "bal_rank": pa.array(rank, pa.int64()),
+                "bal_dense_rank": pa.array(dense - dense_base, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return key_partitioned(ds, ["s_nationkey"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+
+
+def event_value_outliers(sf_dir: str, z_thresh: float = 3.0):
+    """Per-group z-score OUTLIER detection: rows whose value deviates more
+    than ``z_thresh`` population standard deviations from their event_type's
+    mean.  Two passes, as in SQL: (1) the exact integer-cent sufficient sums
+    per type (combiner pattern, same partials as :func:`event_value_stats`);
+    (2) the tiny per-type (mean, sd) table broadcast once (``ray.put``) and
+    applied per block via dictionary-encode + np.take — no per-row Python.
+    Mean/sd/z are the IDENTICAL IEEE expressions on both engines, so the
+    boundary comparison |z| > z_thresh selects the same rows bit-for-bit."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {"event_type": t["event_type"],
+             "c": pa.array(c, pa.int64()),
+             "c2": pa.array(c * c, pa.int64())}
+        )
+
+    agg = lowcard_groupagg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["event_type"],
+        [("c", "sum"), ("c2", "sum"), ([], "count_all")],
+        {"c_sum": "s", "c2_sum": "s2", "count_all": "n"},
+    ).to_pandas()
+    n = agg["n"].to_numpy().astype(np.float64)
+    s = agg["s"].to_numpy().astype(np.float64)
+    s2 = agg["s2"].to_numpy().astype(np.float64)
+    mean = s / n / 100.0
+    sd = np.sqrt(np.maximum((s2 / n - (s / n) * (s / n)) / 10000.0, 0.0))
+    stats_ref = ray.put({t: (m, d) for t, m, d in zip(agg["event_type"], mean, sd)})
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()),
+         ("value_c", pa.int64()), ("zscore", pa.float64())]
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        stats = ray.get(stats_ref)
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        dict_vals = enc.dictionary.to_pylist()
+        m_by_code = np.array([stats.get(v, (0.0, 0.0))[0] for v in dict_vals])
+        d_by_code = np.array([stats.get(v, (0.0, 0.0))[1] for v in dict_vals])
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        m = m_by_code[codes]
+        d = d_by_code[codes]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (c / 100.0 - m) / d
+        mask = (d > 0) & (np.abs(z) > z_thresh)
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    t["event_id"].to_numpy(zero_copy_only=False)[mask], pa.int64()),
+                "event_type": pc.array_filter(
+                    t["event_type"].combine_chunks(), pa.array(mask)),
+                "value_c": pa.array(c[mask], pa.int64()),
+                "zscore": pa.array(z[mask], pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 _HLL_COLS = [  # (table, column) specs for the approx-distinct survey
     ("events", "user_id"),
     ("events", "event_type"),
