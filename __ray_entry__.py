@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cube": relational.revenue_cube,               # CUBE grouping sets, one shuffle
         "supplier_balance_rank": relational.supplier_balance_rank,  # rank/dense_rank window
         "event_value_outliers": relational.event_value_outliers,    # z-score outlier flagging
+        "customer_first_order": relational.customer_first_order,    # per-group argmin row
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
@@ -744,6 +745,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
+        # per-group argmin row (first order per customer, orderkey tiebreak)
+        "customer_first_order": """
+            SELECT o_custkey,
+                   o_orderkey AS first_orderkey,
+                   o_orderdate AS first_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS first_price_c
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ) = 1
+        """,
         # z-score outliers: stats CTE mirrors the engine's broadcast pass;
         # identical IEEE mean/sd/z expressions make the |z| boundary exact
         "event_value_outliers": """
@@ -785,7 +797,13 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS bal_rank,
                    CAST(dense_rank() OVER (
                        PARTITION BY s_nationkey ORDER BY bal_c DESC
-                   ) AS BIGINT) AS bal_dense_rank
+                   ) AS BIGINT) AS bal_dense_rank,
+                   percent_rank() OVER (
+                       PARTITION BY s_nationkey ORDER BY bal_c DESC
+                   ) AS bal_pct_rank,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY s_nationkey ORDER BY bal_c DESC, s_suppkey
+                   ) AS BIGINT) AS bal_ntile4
             FROM c
         """,
         # Q16 family: grouped COUNT(DISTINCT) over the part hash join

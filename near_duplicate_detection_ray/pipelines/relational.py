@@ -1509,8 +1509,11 @@ def revenue_cube(sf_dir: str):
 
 
 def supplier_balance_rank(sf_dir: str):
-    """RANK() / DENSE_RANK() window per group (suppliers ranked by account
-    balance within their nation).  One keyed hash-partition on s_nationkey,
+    """RANK() / DENSE_RANK() / PERCENT_RANK() / NTILE(4) windows per group
+    (suppliers ranked by account balance within their nation) — the ntile
+    ties are broken by the unique suppkey in the window order, so bucket
+    edges are deterministic, and percent_rank's one division is the same
+    IEEE expression on both engines.  One keyed hash-partition on s_nationkey,
     then a block-local vectorized rank: sort by (nation, -balance, suppkey),
     mark value-change boundaries, and derive both rank flavors with cumsum /
     maximum.accumulate — no per-group Python loop.  Balances compare as exact
@@ -1523,7 +1526,8 @@ def supplier_balance_rank(sf_dir: str):
     out_schema = pa.schema(
         [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64()),
          ("bal_c", pa.int64()), ("bal_rank", pa.int64()),
-         ("bal_dense_rank", pa.int64())]
+         ("bal_dense_rank", pa.int64()), ("bal_pct_rank", pa.float64()),
+         ("bal_ntile4", pa.int64())]
     )
 
     def block(df: pd.DataFrame) -> pa.Table:
@@ -1545,6 +1549,21 @@ def supplier_balance_rank(sf_dir: str):
         rank = val_start - grp_start + 1
         dense = np.cumsum(new_val)
         dense_base = np.maximum.accumulate(np.where(new_grp, dense - 1, 0))
+        pos = idx - grp_start  # 0-based position within the nation
+        starts_idx = idx[new_grp]
+        sizes = np.diff(np.append(starts_idx, n))
+        gsize = np.repeat(sizes, sizes)
+        pct = np.where(gsize > 1, (rank - 1) / np.maximum(gsize - 1, 1), 0.0)
+        k = 4  # SQL NTILE: first (n % k) buckets take ceil(n/k) rows
+        big = gsize % k
+        big_sz = gsize // k + 1
+        small_sz = np.maximum(gsize // k, 1)
+        in_big = pos < big * big_sz
+        ntile = np.where(
+            in_big,
+            pos // big_sz + 1,
+            big + (pos - big * big_sz) // small_sz + 1,
+        )
         return pa.table(
             {
                 "s_suppkey": pa.array(df["s_suppkey"].to_numpy(), pa.int64()),
@@ -1552,11 +1571,57 @@ def supplier_balance_rank(sf_dir: str):
                 "bal_c": pa.array(balc, pa.int64()),
                 "bal_rank": pa.array(rank, pa.int64()),
                 "bal_dense_rank": pa.array(dense - dense_base, pa.int64()),
+                "bal_pct_rank": pa.array(pct, pa.float64()),
+                "bal_ntile4": pa.array(ntile, pa.int64()),
             },
             schema=out_schema,
         )
 
     return key_partitioned(ds, ["s_nationkey"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+
+
+def customer_first_order(sf_dir: str):
+    """ARG-MIN / FIRST_VALUE per group: each customer's earliest order (date,
+    then orderkey as the deterministic tiebreak) with its attributes — the
+    row-returning argmin that plain min() aggregates cannot express.  One
+    keyed hash-partition on o_custkey, block-local mergesort, and a
+    group-boundary mask picks the first row per key; no per-group Python."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    out_schema = pa.schema(
+        [("o_custkey", pa.int64()), ("first_orderkey", pa.int64()),
+         ("first_orderdate", pa.timestamp("us")), ("first_price_c", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        cust = df["o_custkey"].to_numpy()
+        first = np.concatenate(([True], cust[1:] != cust[:-1]))
+        sel = df.iloc[first]
+        price_c = np.round(sel["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(sel["o_custkey"].to_numpy(), pa.int64()),
+                "first_orderkey": pa.array(sel["o_orderkey"].to_numpy(), pa.int64()),
+                "first_orderdate": pa.array(
+                    sel["o_orderdate"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "first_price_c": pa.array(price_c, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return key_partitioned(ds, ["o_custkey"]).map_batches(
         block, batch_format="pandas", batch_size=None
     )
 
