@@ -736,3 +736,158 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
     return key_partitioned(assigned, ["cluster"], parts).map_batches(
         prune, batch_size=None, batch_format="pyarrow"
     )
+
+
+def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 64,
+                    seed: int = 42, kmeans_iters: int = 8,
+                    train_sample: int = 4096) -> dict:
+    """PERSISTED IVF index — the extreme-scale upgrade promised by
+    :func:`ann_ivf_topk`'s docstring: vectors are written as parquet
+    partitioned BY CELL (hive layout ``vectors/cell=N/``), so a query that
+    probes ``nprobe`` cells lists and reads ONLY those directories — at 100 TB
+    the scan cost drops from the whole corpus to ~nprobe/n_centroids of it at
+    the STORAGE layer, not post-read.
+
+    Layout: ``{index_dir}/vectors/cell=N/*.parquet`` (vec_id, embedding,
+    cell_v — the cell is duplicated in-file because hive writers strip the
+    partition column), ``centroids.npy``, ``manifest.json``.  Returns the
+    manifest dict."""
+    import json
+    import os
+
+    import ray
+
+    train = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < train_sample)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    t_mat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    centroids = _kmeans_centroids(t_mat, n_centroids, kmeans_iters, seed)
+    cents_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = _emb_matrix(batch)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        cl = np.argmax((mat / n) @ cents.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "cell": pa.array(cl, pa.int32()),
+                "cell_v": pa.array(cl, pa.int32()),
+            }
+        )
+
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    vec_dir = os.path.join(index_dir, "vectors")
+    os.makedirs(vec_dir, exist_ok=True)
+    ds.write_parquet(vec_dir, partition_cols=["cell"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    manifest = {
+        "n_centroids": int(len(centroids)),
+        "dim": int(centroids.shape[1]),
+        "seed": seed,
+        "kmeans_iters": kmeans_iters,
+        "train_sample": train_sample,
+        "cells_written": sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(vec_dir)
+            if d.startswith("cell=")
+        ),
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def ann_ivf_index_topk(index_dir: str, sf_dir: str, n_queries: int = 10,
+                       k: int = 5, nprobe: int = 8):
+    """Query a :func:`build_ivf_index` artifact: load the tiny centroid
+    matrix, pick each query's ``nprobe`` nearest cells, and ``read_parquet``
+    ONLY the union of probed cell directories — storage-level pruning (the
+    un-probed partitions are never listed, opened, or shipped).  Exact cosine
+    within the probed subset; same output schema and merge as
+    :func:`ann_ivf_topk`, and with ``nprobe >= n_centroids`` it equals the
+    exact scan (pinned in tests/test_ivf_index.py)."""
+    import os
+
+    import ray
+
+    from ..sources.io import read_parquet_clean
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    n_cells = len(centroids)
+    nprobe_eff = min(nprobe, n_cells)
+
+    queries_tbl = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries_tbl["vec_id"].to_numpy()
+    q_mat = np.stack(queries_tbl["embedding"].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    q_cells = np.argsort(-((q_mat / qn) @ centroids.T), axis=1)[:, :nprobe_eff]
+
+    vec_dir = os.path.join(index_dir, "vectors")
+    probe_union = sorted(set(int(c) for c in q_cells.ravel()))
+    paths = [
+        os.path.join(vec_dir, f"cell={c}", f)
+        for c in probe_union
+        if os.path.isdir(os.path.join(vec_dir, f"cell={c}"))
+        for f in sorted(os.listdir(os.path.join(vec_dir, f"cell={c}")))
+        if f.endswith(".parquet")
+    ]
+    state_ref = ray.put((q_ids, q_mat, q_cells))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids, qm, qc = ray.get(state_ref)
+        corpus = _emb_matrix(batch)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cells = batch["cell_v"].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ids)):
+            mask = np.isin(cells, qc[qi])
+            if not mask.any():
+                continue
+            scores, idx = cosine_topk_block(qm[qi : qi + 1], corpus[mask], k + 1)
+            sub_ids = vec_ids[mask]
+            for j in range(idx.shape[1]):
+                out_q.append(int(ids[qi]))
+                out_n.append(int(sub_ids[idx[0, j]]))
+                out_s.append(float(scores[0, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    import ray.data as rd
+
+    if not paths:
+        import pandas as pd
+
+        return rd.from_pandas(
+            pd.DataFrame({"query_id": [], "rank": [], "neighbor_id": []})
+        )
+    partials = (
+        read_parquet_clean(paths, columns=["vec_id", "embedding", "cell_v"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    return rd.from_pandas(topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True))
