@@ -111,8 +111,10 @@ def main() -> None:
 
     rd.DataContext.get_current().enable_progress_bars = False
 
+    cal_start = _calibrate()
     headline = run_headline()
     queries = run_queries()
+    cal_end = _calibrate()
     print(
         json.dumps(
             {
@@ -127,6 +129,10 @@ def main() -> None:
                 "clusters": headline["clusters"],
                 "dup_pairs": headline["dup_pairs"],
                 "bench_reps": REPS,
+                # single-core probe before/after (quiet host ~540k iters/s);
+                # a depressed probe marks this run as CPU-steal-contaminated
+                # (shared box, ±40% observed) — see BASELINE.md noise notes
+                "calib_iters_per_sec": [round(cal_start), round(cal_end)],
             }
         )
     )
