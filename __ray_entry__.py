@@ -83,6 +83,12 @@ def _decontaminate_docs(sf_dir: str):
     return decontaminate_docs(sf_dir)
 
 
+def _contamination_report(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import contamination_report
+
+    return contamination_report(sf_dir)
+
+
 def _curate_docs(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import curate_docs
 
@@ -193,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": _curate_docs,                            # SQL-checked (composed pipeline)
         "prepare_training_docs": _prepare_training_docs,        # SQL-checked (curate x span-cut composition)
         "decontaminate_docs": _decontaminate_docs,              # SQL-checked (cross-corpus n-gram)
+        "contamination_report": _contamination_report,          # SQL-checked (overlap fractions)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -1417,6 +1424,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM split
             WHERE NOT is_eval
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        # graded contamination: per-train-doc n-gram window hit counts
+        "contamination_report": """
+            WITH split AS (
+                SELECT doc_id, string_split(text, ' ') AS ws,
+                       md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10 AS is_eval
+                FROM documents
+            ),
+            eval_grams AS (
+                SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS gram
+                FROM split, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+                WHERE is_eval
+            ),
+            tg AS (
+                SELECT s.doc_id, array_to_string(s.ws[i:i+7], ' ') AS gram
+                FROM split s, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+                WHERE NOT s.is_eval
+            ),
+            agg AS (
+                SELECT doc_id,
+                       count(*) AS n_grams,
+                       CAST(sum(CASE WHEN gram IN (SELECT gram FROM eval_grams)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+                FROM tg GROUP BY doc_id
+            )
+            SELECT doc_id, n_grams, n_hits,
+                   CAST(n_hits AS DOUBLE) / n_grams AS contamination_frac
+            FROM agg
         """,
         # prefix-blocked Levenshtein: DuckDB levenshtein is byte-based,
         # substr is codepoint-based — the engine kernel mirrors both exactly

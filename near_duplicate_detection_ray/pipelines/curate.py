@@ -28,6 +28,39 @@ import pyarrow.compute as pc
 from ..config import NDDConfig
 
 
+def _gram_windows(texts, n: int):
+    """All word n-gram strings of each text (single-space split) plus the
+    per-gram doc index.  Fully vectorized: one Arrow split, shifted
+    object-array concatenation, one within-doc validity mask.  Mirrors the
+    SQL ``array_to_string(ws[i:i+n-1], ' ')`` windows exactly (docs with
+    fewer than n tokens contribute nothing)."""
+    toks = pc.split_pattern(texts, pattern=" ")
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    counts = np.diff(offsets)
+    L = len(flat)
+    if L == 0 or L < n:
+        return np.empty(0, object), np.empty(0, np.int64)
+    g = flat[: L - n + 1].copy()
+    for k in range(1, n):
+        g = g + " "
+        g = g + flat[k : L - n + 1 + k]
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    doc_end = offsets[1:][doc_of]
+    pos = np.arange(L, dtype=np.int64)
+    valid = (pos + n - 1 < doc_end)[: L - n + 1]
+    return g[valid], doc_of[: L - n + 1][valid]
+
+
+def _eval_split_mask(ids: np.ndarray, pct: int) -> np.ndarray:
+    """Deterministic content-independent eval split: md5_low64(id) % 100 < pct."""
+    from ..functions.hashing import md5_low64
+
+    return np.fromiter(
+        (md5_low64(str(int(d))) % 100 < pct for d in ids), bool, len(ids)
+    )
+
+
 def curate_docs(
     sf_dir: str,
     min_tokens: int = 20,
@@ -169,7 +202,6 @@ def decontaminate_docs(sf_dir: str, n: int = 8, pct: int = 10):
     hashes, so the match is collision-free."""
     import ray
 
-    from ..functions.hashing import md5_low64
     from ..state.partitioning import distinct_values_ref
     from ..sources.io import read_parquet_clean
 
@@ -177,31 +209,10 @@ def decontaminate_docs(sf_dir: str, n: int = 8, pct: int = 10):
         return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
     def _gram_strings(texts: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
-        """All n-gram strings of each text (single-space split), plus the
-        per-row doc index of every gram.  Fully vectorized: one Arrow split,
-        shifted object-array concatenation, one validity mask."""
-        toks = pc.split_pattern(texts, pattern=" ")
-        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
-        counts = np.diff(offsets)
-        L = len(flat)
-        if L == 0 or L < n:
-            return np.empty(0, object), np.empty(0, np.int64)
-        g = flat[: L - n + 1].copy()
-        for k in range(1, n):
-            g = g + " "
-            g = g + flat[k : L - n + 1 + k]
-        # window starting at j is valid iff it stays inside j's doc
-        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        doc_end = offsets[1:][doc_of]  # end offset of the doc containing j
-        pos = np.arange(L, dtype=np.int64)
-        valid = (pos + n - 1 < doc_end)[: L - n + 1]
-        return g[valid], doc_of[: L - n + 1][valid]
+        return _gram_windows(texts, n)
 
     def _is_eval(ids: np.ndarray) -> np.ndarray:
-        return np.fromiter(
-            (md5_low64(str(int(d))) % 100 < pct for d in ids), bool, len(ids)
-        )
+        return _eval_split_mask(ids, pct)
 
     def eval_grams(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -236,6 +247,73 @@ def decontaminate_docs(sf_dir: str, n: int = 8, pct: int = 10):
     return _read(["doc_id", "text", "n_chars"]).map_batches(
         keep_clean, batch_format="pyarrow"
     )
+
+
+def contamination_report(sf_dir: str, n: int = 8, pct: int = 10):
+    """Contamination SEVERITY report — the graded companion to the binary
+    :func:`decontaminate_docs` drop: for every train-side doc with at least
+    one word ``n``-gram window, how many of its windows appear in the eval
+    split's distinct-gram set, and the fraction.
+
+    Same scale shape as decontaminate: the eval gram set is built off-driver
+    and broadcast once; ONE streamed pass over the train side computes all
+    windows vectorized and reduces per doc with two ``np.bincount`` calls —
+    no shuffle of the corpus.  Output: (doc_id, n_grams, n_hits,
+    contamination_frac), the float being the identical hits/total IEEE
+    division on both engines."""
+    import ray
+
+    from ..sources.io import read_parquet_clean
+    from ..state.partitioning import distinct_values_ref
+
+    def _read(columns):
+        return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(_eval_split_mask(ids, pct)))
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        g, _ = _gram_windows(t["text"].combine_chunks(), n)
+        return pa.table({"gram": pa.array(pc.unique(pa.array(g, pa.string())))})
+
+    grams_ds = _read(["doc_id", "text"]).map_batches(eval_grams, batch_format="pyarrow")
+    eval_ref, _ = distinct_values_ref(grams_ds, ["gram"])
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()),
+         ("n_hits", pa.int64()), ("contamination_frac", pa.float64())]
+    )
+
+    def report(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(~_eval_split_mask(ids, pct)))
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        g, doc_of = _gram_windows(t["text"].combine_chunks(), n)
+        totals = np.bincount(doc_of, minlength=t.num_rows).astype(np.int64)
+        hits_per_doc = np.zeros(t.num_rows, np.int64)
+        if len(g):
+            hits = pc.is_in(
+                pa.array(g, pa.string()), value_set=ray.get(eval_ref)
+            ).to_numpy(zero_copy_only=False)
+            hits_per_doc = np.bincount(
+                doc_of, weights=hits.astype(np.float64), minlength=t.num_rows
+            ).astype(np.int64)
+        keep = totals > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+                "n_grams": pa.array(totals[keep], pa.int64()),
+                "n_hits": pa.array(hits_per_doc[keep], pa.int64()),
+                "contamination_frac": pa.array(
+                    hits_per_doc[keep] / totals[keep], pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return _read(["doc_id", "text"]).map_batches(report, batch_format="pyarrow")
 
 
 def prepare_training_docs(sf_dir: str, min_out_tokens: int = 10,
