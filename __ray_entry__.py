@@ -83,6 +83,15 @@ def _decontaminate_docs(sf_dir: str):
     return decontaminate_docs(sf_dir)
 
 
+def _dup_turns(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import dup_turns
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return dup_turns(transcripts_from_documents(sf_dir))
+
+
 def _contamination_report(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import contamination_report
 
@@ -200,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_training_docs": _prepare_training_docs,        # SQL-checked (curate x span-cut composition)
         "decontaminate_docs": _decontaminate_docs,              # SQL-checked (cross-corpus n-gram)
         "contamination_report": _contamination_report,          # SQL-checked (overlap fractions)
+        "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -1424,6 +1434,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM split
             WHERE NOT is_eval
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        # turn-level dedup census over the derived transcripts: turns are
+        # 30-token chunks (sources/transcripts.docs_to_transcript_batch);
+        # the m-variant replaces every 29th token (1-based i % 29 = 0)
+        "dup_turns": r"""
+            WITH base AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+                       trim(text) <> '' AS has_tokens
+                FROM documents
+            ), variants AS (
+                SELECT printf('doc%09d', doc_id) AS conv_id, doc_id, t,
+                       has_tokens, false AS is_m
+                FROM base
+                UNION ALL
+                SELECT printf('doc%09d', doc_id) || 'e', doc_id, t,
+                       has_tokens, false
+                FROM base WHERE doc_id % 10 = 7
+                UNION ALL
+                SELECT printf('doc%09d', doc_id) || 'm', doc_id, t,
+                       has_tokens, true
+                FROM base WHERE doc_id % 10 = 3
+            ), exploded AS (
+                SELECT conv_id, doc_id, is_m, unnest(t) AS tok,
+                       unnest(range(1, len(t) + 1)) AS i
+                FROM variants WHERE has_tokens
+            ), turns AS (
+                SELECT conv_id,
+                       string_agg(CASE WHEN is_m AND (i % 29 = 0)
+                                       THEN 'tok' || doc_id
+                                       ELSE tok END, ' ' ORDER BY i) AS turn_text
+                FROM exploded GROUP BY conv_id, (i - 1) // 30
+            )
+            SELECT turn_text,
+                   count(*) AS n_occurrences,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM turns
+            GROUP BY turn_text
+            HAVING count(*) > 1
         """,
         # graded contamination: per-train-doc n-gram window hit counts
         "contamination_report": """

@@ -122,3 +122,49 @@ def near_dup_pipeline(
     if sub_pairs is not None:
         out["substring_pairs"] = sub_pairs
     return out
+
+
+def dup_turns(transcripts, num_partitions: int | None = None):
+    """TURN-level exact dedup census: every non-empty turn text that occurs
+    more than once across the corpus, with its occurrence count and the
+    number of distinct conversations it appears in — the fine-grained
+    companion to conversation-level exact dedup (repeated boilerplate turns,
+    canned assistant replies, copy-pasted tool outputs).
+
+    One keyed hash-partition on the turn text puts every identical turn in
+    one block, so the block-local Arrow ``count`` / ``count_distinct`` are
+    global — the same one-shuffle discipline as
+    ``functions/groupagg.highcard_groupagg``.  Output: (turn_text,
+    n_occurrences, n_convs) where n_occurrences > 1."""
+    from ..state.partitioning import key_partitioned
+
+    ds = transcripts.select_columns(["conv_id", "text"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["text"], "")), batch_format="pyarrow"
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("turn_text", pa.string()), ("n_occurrences", pa.int64()),
+             ("n_convs", pa.int64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        a = t.group_by(["text"]).aggregate(
+            [("conv_id", "count_distinct"), ([], "count_all")]
+        )
+        out = pa.table(
+            {
+                "turn_text": a["text"],
+                "n_occurrences": pa.array(
+                    a["count_all"].to_numpy(zero_copy_only=False), pa.int64()),
+                "n_convs": pa.array(
+                    a["conv_id_count_distinct"].to_numpy(zero_copy_only=False),
+                    pa.int64()),
+            },
+            schema=schema,
+        )
+        return out.filter(pc.greater(out["n_occurrences"], 1))
+
+    return key_partitioned(ds, ["text"], num_partitions).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
