@@ -92,6 +92,15 @@ def _dup_turns(sf_dir: str):
     return dup_turns(transcripts_from_documents(sf_dir))
 
 
+def _tool_usage(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import tool_usage
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return tool_usage(transcripts_from_documents(sf_dir))
+
+
 def _contamination_report(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import contamination_report
 
@@ -210,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _decontaminate_docs,              # SQL-checked (cross-corpus n-gram)
         "contamination_report": _contamination_report,          # SQL-checked (overlap fractions)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
+        "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -1472,6 +1482,51 @@ def oracle_sql() -> dict[str, str]:
             FROM turns
             GROUP BY turn_text
             HAVING count(*) > 1
+        """,
+        # per-(role, tool) usage census over the derived transcripts; the
+        # role/tool derivation mirrors sources/transcripts constants
+        "tool_usage": r"""
+            WITH base AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+                       trim(text) <> '' AS has_tokens
+                FROM documents
+            ), variants AS (
+                SELECT printf('doc%09d', doc_id) AS conv_id, doc_id, t,
+                       has_tokens
+                FROM base
+                UNION ALL
+                SELECT printf('doc%09d', doc_id) || 'e', doc_id, t, has_tokens
+                FROM base WHERE doc_id % 10 = 7
+                UNION ALL
+                SELECT printf('doc%09d', doc_id) || 'm', doc_id, t, has_tokens
+                FROM base WHERE doc_id % 10 = 3
+            ), exploded AS (
+                SELECT conv_id, doc_id,
+                       unnest(range(1, len(t) + 1)) AS i
+                FROM variants WHERE has_tokens
+            ), turn_tok AS (
+                SELECT conv_id, doc_id, (i - 1) // 30 AS tix, count(*) AS n_tok
+                FROM exploded GROUP BY conv_id, doc_id, (i - 1) // 30
+                UNION ALL
+                SELECT conv_id, doc_id, 0, 0
+                FROM variants WHERE NOT has_tokens
+            ), turns AS (
+                SELECT conv_id,
+                       CASE WHEN tix % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       CASE WHEN tix % 2 = 1
+                            THEN ['', '', '', 'search', 'python', 'browser']
+                                 [CAST((doc_id + tix) % 6 AS INT) + 1]
+                            ELSE '' END AS tool,
+                       n_tok
+                FROM turn_tok
+            )
+            SELECT role, tool,
+                   count(*) AS n_turns,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM turns
+            GROUP BY role, tool
         """,
         # graded contamination: per-train-doc n-gram window hit counts
         "contamination_report": """

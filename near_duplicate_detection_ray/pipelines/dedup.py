@@ -168,3 +168,69 @@ def dup_turns(transcripts, num_partitions: int | None = None):
     return key_partitioned(ds, ["text"], num_partitions).map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def tool_usage(transcripts, num_partitions: int | None = None):
+    """Per-(role, tool) usage census over a transcripts table: turn count,
+    distinct-conversation count, total whitespace tokens.
+
+    Two decomposed passes, each scale-safe: (1) turn counts and token sums
+    are plain combiner partials (low-cardinality group, map-side combine);
+    (2) the distinct-conversation count routes through ONE keyed partition
+    on conv_id and a block-local distinct of (role, tool, conv_id) triples —
+    output bounded by n_convs x |groups|, never a hot (role, tool)
+    partition holding the whole corpus."""
+    from ..functions.groupagg import lowcard_groupagg
+    from ..state.partitioning import key_partitioned
+
+    ds = transcripts.select_columns(["conv_id", "role", "tool", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype("int64")
+        empty = pc.equal(t["text"], "").to_numpy(zero_copy_only=False)
+        n[empty] = 0
+        return pa.table(
+            {"role": t["role"], "tool": t["tool"],
+             "n_tok": pa.array(n, pa.int64())}
+        )
+
+    counts = lowcard_groupagg(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["role", "tool"],
+        [("n_tok", "sum"), ([], "count_all")],
+        {"n_tok_sum": "n_tokens", "count_all": "n_turns"},
+    )
+
+    def triple_distinct(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("role", pa.string()), ("tool", pa.string()),
+             ("conv_id", pa.string())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        g = t.group_by(["role", "tool", "conv_id"]).aggregate([])
+        return g.select(["role", "tool", "conv_id"]).cast(schema)
+
+    triples = key_partitioned(
+        ds.select_columns(["conv_id", "role", "tool"]), ["conv_id"], num_partitions
+    ).map_batches(triple_distinct, batch_format="pyarrow", batch_size=None)
+    convs = lowcard_groupagg(
+        triples, ["role", "tool"], [([], "count_all")], {"count_all": "n_convs"}
+    )
+
+    ct = pa.concat_tables(
+        b for b in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    )
+    cv = pa.concat_tables(
+        b for b in convs.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    )
+    import ray.data as rd
+
+    joined = ct.join(cv, keys=["role", "tool"], join_type="inner")
+    joined = joined.sort_by([("role", "ascending"), ("tool", "ascending")])
+    return rd.from_arrow(
+        joined.select(["role", "tool", "n_turns", "n_convs", "n_tokens"])
+    )
