@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_feature_summary": multimodal.media_feature_summary,
         "media_chunks": multimodal.media_chunks,               # SQL-checked (M3 chunk plan)
         "media_chunk_dedup": multimodal.media_chunk_dedup,     # SQL-checked (binary chunk dedup)
+        "media_cdc_dedup": multimodal.media_cdc_dedup,         # rows-only (gear-hash CDC; NumPy-oracle pytest)
         # --- flagship transcript pipeline (engine-synthesized input; SQL-checked
         #     via the derived-corpus CTEs in oracle_sql, + NumPy oracle in pytest) ---
         "ndd_clusters": _ndd_clusters,

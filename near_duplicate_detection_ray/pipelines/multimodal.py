@@ -310,3 +310,117 @@ def media_chunk_dedup(sf_dir: str, window: int = 256, stride: int = 192):
     return key_partitioned(hashes, ["h"]).map_batches(
         dup_block, batch_format="pandas", batch_size=None
     )
+
+
+# Content-defined chunking (gear hash / FastCDC family — public knowledge:
+# Xia et al., USENIX ATC'16).  The 64-entry-window gear recurrence
+# h_i = (2*h_{i-1} + gear[b_i]) mod 2^64 depends only on the last 64 bytes,
+# so it vectorizes as 64 shifted adds over the whole byte array.
+_GEAR = np.random.default_rng(0x9E3779B9).integers(
+    0, 2**64, size=256, dtype=np.uint64
+)  # uniform 64-bit entries: every output bit well-mixed
+
+
+def cdc_boundaries(data: bytes, min_size: int = 64, avg_bits: int = 7,
+                   max_size: int = 1024) -> np.ndarray:
+    """Chunk END offsets (exclusive) for one payload under gear-hash CDC:
+    a boundary lands after byte i when the rolling hash's low ``avg_bits``
+    bits are zero, subject to ``min_size``/``max_size`` chunk bounds
+    (expected chunk ~2^avg_bits bytes).  Deterministic; identical content
+    yields identical boundaries regardless of where it sits in the stream
+    once the 64-byte hash window has refilled — the shift-robustness that
+    fixed-stride chunking lacks."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, np.int64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    g = _GEAR[b]
+    h = np.zeros(n, np.uint64)
+    for k in range(64):
+        if k >= n:
+            break
+        h[k:] += g[: n - k] << np.uint64(k)
+    mask = np.uint64((1 << avg_bits) - 1)
+    cand = np.flatnonzero((h & mask) == 0) + 1  # boundary AFTER byte i
+    ends = []
+    start = 0
+    for c in map(int, cand):
+        if c - start < min_size:
+            continue
+        while c - start > max_size:  # forced cuts for long gaps
+            start += max_size
+            ends.append(start)
+        ends.append(c)
+        start = c
+    while n - start > max_size:
+        start += max_size
+        ends.append(start)
+    if start < n:
+        ends.append(n)
+    return np.asarray(ends, np.int64)
+
+
+def media_cdc_dedup(sf_dir: str, min_size: int = 64, avg_bits: int = 7,
+                    max_size: int = 1024, num_partitions: int | None = None):
+    """CONTENT-DEFINED chunk dedup across binary payloads — the
+    insertion-robust upgrade of :func:`media_chunk_dedup`: identical content
+    at DIFFERENT byte offsets (a prepended header, an insertion) still
+    produces identical chunks because boundaries follow content, not stride.
+
+    Per block: boundaries via the vectorized gear hash, chunk bytes
+    fingerprinted (md5_low64), then ONE keyed hash-partition on the
+    fingerprint and a block-local census — the shuffle carries 8-byte
+    hashes only.  Output: (chunk_hash, n_occurrences, n_media) for chunk
+    contents occurring more than once.  Rows-only in the driver gate (a
+    sequential rolling-hash recurrence is not SQL-expressible);
+    tests/test_cdc.py pins a from-scratch oracle, boundary bounds, and the
+    shift-robustness property."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_low64
+    from ..state.partitioning import key_partitioned
+
+    def chunk_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        hs: list[int] = []
+        mids: list[int] = []
+        for mid, p in zip(ids, payloads):
+            start = 0
+            for e in cdc_boundaries(p, min_size, avg_bits, max_size):
+                hs.append(md5_low64(p[start:e]))
+                mids.append(int(mid))
+                start = int(e)
+        return pa.table(
+            {
+                "h": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
+                "media_id": pa.array(mids, pa.int64()),
+            }
+        )
+
+    def dup_block(df: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [("chunk_hash", pa.uint64()), ("n_occurrences", pa.int64()),
+             ("n_media", pa.int64())]
+        )
+        if df.empty:
+            return pa.Table.from_pylist([], schema=schema)
+        g = df.groupby("h", sort=False).agg(
+            n_occurrences=("media_id", "size"), n_media=("media_id", "nunique")
+        ).reset_index()
+        g = g[g["n_occurrences"] > 1]
+        return pa.table(
+            {
+                "chunk_hash": pa.array(g["h"].to_numpy(), pa.uint64()),
+                "n_occurrences": pa.array(g["n_occurrences"].to_numpy(), pa.int64()),
+                "n_media": pa.array(g["n_media"].to_numpy(), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    hashes = media_from_documents(sf_dir).map_batches(
+        chunk_hashes, batch_format="pyarrow"
+    )
+    return key_partitioned(hashes, ["h"], num_partitions).map_batches(
+        dup_block, batch_format="pandas", batch_size=None
+    )

@@ -1,0 +1,121 @@
+"""Content-defined chunking pins: gear-hash boundary oracle (sequential
+reimplementation), size bounds/coverage, insertion shift-robustness, and the
+full pipeline census against a from-scratch local oracle."""
+
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _seq_boundaries(data: bytes, min_size=64, avg_bits=7, max_size=1024):
+    """Byte-at-a-time reference for cdc_boundaries."""
+    from near_duplicate_detection_ray.pipelines.multimodal import _GEAR
+
+    mask = (1 << avg_bits) - 1
+    ends, start, h = [], 0, 0
+    cands = []
+    for i, byte in enumerate(data):
+        h = ((h << 1) + int(_GEAR[byte])) & 0xFFFFFFFFFFFFFFFF
+        if (h & mask) == 0:
+            cands.append(i + 1)
+    for c in cands:
+        if c - start < min_size:
+            continue
+        while c - start > max_size:
+            start += max_size
+            ends.append(start)
+        ends.append(c)
+        start = c
+    n = len(data)
+    while n - start > max_size:
+        start += max_size
+        ends.append(start)
+    if start < n:
+        ends.append(n)
+    return ends
+
+
+def test_cdc_boundaries_match_sequential_oracle():
+    from near_duplicate_detection_ray.pipelines.multimodal import cdc_boundaries
+
+    rng = np.random.default_rng(7)
+    for size in (0, 1, 63, 64, 200, 4096, 10000):
+        data = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+        got = cdc_boundaries(data).tolist()
+        assert got == _seq_boundaries(data), f"size={size}"
+
+
+def test_cdc_bounds_and_coverage():
+    from near_duplicate_detection_ray.pipelines.multimodal import cdc_boundaries
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, size=20000, dtype=np.uint8).tobytes()
+    ends = cdc_boundaries(data)
+    assert ends[-1] == len(data)
+    sizes = np.diff(np.concatenate(([0], ends)))
+    assert (sizes > 0).all() and (sizes <= 1024).all()
+    # all but the final chunk respect min_size unless forced by max_size cuts
+    assert (sizes[:-1][sizes[:-1] < 64] == 0).sum() == 0
+
+
+def test_cdc_shift_robustness():
+    """Prepending a header re-synchronizes: most chunk CONTENTS survive —
+    the property fixed-stride chunking lacks."""
+    import hashlib
+
+    from near_duplicate_detection_ray.pipelines.multimodal import cdc_boundaries
+
+    rng = np.random.default_rng(13)
+    p = rng.integers(0, 256, size=8192, dtype=np.uint8).tobytes()
+    q = b"\x01" * 37 + p  # odd-length insertion: breaks any stride alignment
+
+    def chunk_set(d):
+        out, s = set(), 0
+        for e in cdc_boundaries(d):
+            out.add(hashlib.md5(d[s:e]).hexdigest())
+            s = int(e)
+        return out
+
+    cp, cq = chunk_set(p), chunk_set(q)
+    shared = len(cp & cq) / len(cp)
+    assert shared >= 0.6, f"only {shared:.0%} of chunks survived the shift"
+
+
+def test_media_cdc_dedup_matches_local_oracle(ray_session):
+    from near_duplicate_detection_ray.functions.hashing import md5_low64
+    from near_duplicate_detection_ray.pipelines.multimodal import (
+        cdc_boundaries,
+        media_cdc_dedup,
+    )
+
+    got = (
+        media_cdc_dedup(SF)
+        .to_pandas()
+        .sort_values("chunk_hash")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for mid, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        p = text.encode("utf-8")
+        s = 0
+        for e in cdc_boundaries(p):
+            occ[md5_low64(p[s : int(e)])].append(mid)
+            s = int(e)
+    import pandas as pd
+
+    ora = pd.DataFrame(
+        [(h, len(v), len(set(v))) for h, v in occ.items() if len(v) > 1],
+        columns=["chunk_hash", "n_occurrences", "n_media"],
+    ).sort_values("chunk_hash").reset_index(drop=True)
+    assert len(got) == len(ora) > 0
+    assert got["chunk_hash"].astype("uint64").tolist() == ora["chunk_hash"].tolist()
+    assert got["n_occurrences"].tolist() == ora["n_occurrences"].tolist()
+    assert got["n_media"].tolist() == ora["n_media"].tolist()

@@ -19,6 +19,7 @@ def test_inventory_consistency():
         "ann_lsh_topk",            # approximate ANN (recall pytest-pinned)
         "distinct_stats_hll",      # HLL sketch (merge determinism + error pinned)
         "event_value_quantiles_sketch",  # mergeable sketch (error pytest-pinned)
+        "media_cdc_dedup",         # rolling-hash CDC boundaries (NumPy-oracle pytest)
         "semdedup_docs",           # k-means-bounded semantic dedup (NumPy-oracle pytest)
     ], rows_only
     for name, fn in q.items():
