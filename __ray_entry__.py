@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_rank": relational.supplier_balance_rank,  # rank/dense_rank window
         "event_value_outliers": relational.event_value_outliers,    # z-score outlier flagging
         "customer_first_order": relational.customer_first_order,    # per-group argmin row
+        "nation_participation": relational.nation_participation,    # FULL OUTER join of partials
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
@@ -772,6 +773,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM c
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        # FULL OUTER join of per-nation partial counts, zero-filled
+        "nation_participation": """
+            WITH c AS (
+                SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                FROM customer GROUP BY c_nationkey
+            ), s AS (
+                SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey
+            )
+            SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                   COALESCE(c.n_customers, 0) AS n_customers,
+                   COALESCE(s.n_suppliers, 0) AS n_suppliers
+            FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
         """,
         # per-group argmin row (first order per customer, orderkey tiebreak)
         "customer_first_order": """

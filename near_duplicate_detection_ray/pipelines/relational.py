@@ -1626,6 +1626,44 @@ def customer_first_order(sf_dir: str):
     )
 
 
+def nation_participation(sf_dir: str):
+    """FULL OUTER JOIN shape: per-nation customer and supplier counts,
+    including nations present on only one side (zero-filled).  Both inputs
+    reduce to tiny per-nation counts via the combiner pattern BEFORE any
+    join — the outer join itself runs over <=25-row partials on the driver
+    side of the aggregation, never over the raw tables."""
+    cust = lowcard_groupagg(
+        _read(sf_dir, "customer", ["c_nationkey"]),
+        ["c_nationkey"], [([], "count_all")], {"count_all": "n_customers"},
+    )
+    supp = lowcard_groupagg(
+        _read(sf_dir, "supplier", ["s_nationkey"]),
+        ["s_nationkey"], [([], "count_all")], {"count_all": "n_suppliers"},
+    )
+    ct = pa.concat_tables(
+        b for b in cust.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ).rename_columns(["nationkey", "n_customers"])
+    st = pa.concat_tables(
+        b for b in supp.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ).rename_columns(["nationkey", "n_suppliers"])
+    j = ct.join(st, keys=["nationkey"], join_type="full outer")
+    nk = j["nationkey"]
+    ncust = pc.fill_null(j["n_customers"], 0)
+    nsupp = pc.fill_null(j["n_suppliers"], 0)
+    import ray.data as rd
+
+    out = pa.table(
+        {
+            "nationkey": pc.cast(nk, pa.int64()),
+            "n_customers": pc.cast(ncust, pa.int64()),
+            "n_suppliers": pc.cast(nsupp, pa.int64()),
+        }
+    ).sort_by([("nationkey", "ascending")])
+    return rd.from_arrow(out)
+
+
 def event_value_outliers(sf_dir: str, z_thresh: float = 3.0):
     """Per-group z-score OUTLIER detection: rows whose value deviates more
     than ``z_thresh`` population standard deviations from their event_type's
