@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_quantity_orders": relational.large_quantity_orders,  # TPC-H Q18 shape (HAVING + join-back)
         "customers_without_orders": relational.customers_without_orders,  # anti-join (D4 shape)
         "event_value_quantiles": relational.event_value_quantiles,  # order-statistic agg
+        "event_value_quantiles_cont": relational.event_value_quantiles_cont,  # interpolated quantiles
         "event_value_quantiles_sketch": relational.event_value_quantiles_sketch,  # rows-only (mergeable sketch; exactness at small N + error bound pytest-pinned)
         "nation_yearly_rollup": relational.nation_yearly_rollup,  # ROLLUP multi-level agg
         "brand_revenue": relational.brand_revenue,            # medium-dim hash join
@@ -999,6 +1000,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.50) AS p50,
                    quantile_disc(value, 0.90) AS p90,
                    quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "event_value_quantiles_cont": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.50) AS p50,
+                   quantile_cont(value, 0.90) AS p90,
+                   quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY event_type
         """,
         # Q22 shape: global scalar subquery (avg positive balance, compared

@@ -701,6 +701,61 @@ def event_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
     )
 
 
+def event_value_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
+    """Per-group CONTINUOUS (linearly interpolated) quantiles — the
+    ``quantile_cont`` / ``percentile_cont`` flavor, completing the
+    order-statistic family next to the discrete picker above.  Same keyed
+    repartition + block-local sorted-group scan; the interpolation
+    ``lo + frac * (hi - lo)`` at ``pos = (n-1)*q`` is the identical IEEE
+    expression DuckDB's quantile_cont evaluates (probed bit-equal across
+    sizes and q), so the gate hash matches despite the floats."""
+    from ..state.partitioning import key_partitioned
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    names = [f"p{int(q * 100):02d}" for q in qs]
+
+    def block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                **{nm: pa.array([], pa.float64()) for nm in names},
+            }
+        )
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return empty
+        enc = batch["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        ends = np.append(starts[1:], len(cs))
+        cols = {"event_type": [], "n_events": [], **{nm: [] for nm in names}}
+        for s, e in zip(starts, ends):
+            cols["event_type"].append(enc.dictionary[cs[s]].as_py())
+            n = int(e - s)
+            cols["n_events"].append(n)
+            seg = vs[s:e]
+            for q, nm in zip(qs, names):
+                pos = (n - 1) * q
+                lo = int(np.floor(pos))
+                hi = min(lo + 1, n - 1)
+                frac = pos - lo
+                cols[nm].append(float(seg[lo] + frac * (seg[hi] - seg[lo])))
+        return pa.table(
+            {
+                "event_type": pa.array(cols["event_type"], pa.string()),
+                "n_events": pa.array(cols["n_events"], pa.int64()),
+                **{nm: pa.array(cols[nm], pa.float64()) for nm in names},
+            }
+        )
+
+    return key_partitioned(ds, ["event_type"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def nation_yearly_rollup(sf_dir: str, num_partitions: int = 8):
     """ROLLUP aggregate (nation, order-year) -> per-nation subtotal -> grand
     total, as one base aggregation plus two derived re-aggregations of the
