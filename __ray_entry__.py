@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_outliers": relational.event_value_outliers,    # z-score outlier flagging
         "customer_first_order": relational.customer_first_order,    # per-group argmin row
         "nation_participation": relational.nation_participation,    # FULL OUTER join of partials
+        "priority_unpivot": relational.priority_unpivot,            # UNPIVOT / melt reshape
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
@@ -582,6 +583,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        # UNPIVOT of the pivoted priority counts back to long form
+        "priority_unpivot": """
+            WITH w AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+                       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+                       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+                FROM orders GROUP BY 1
+            )
+            SELECT yr, priority, n_orders
+            FROM w UNPIVOT (n_orders FOR priority IN (
+                p1 AS '1-URGENT', p2 AS '2-HIGH', p3 AS '3-MEDIUM',
+                p4 AS '4-NOT SPECIFIED', p5 AS '5-LOW'))
         """,
         # ordered string aggregation with the engine's exact (ts, event_id) order
         "user_event_sequence": """

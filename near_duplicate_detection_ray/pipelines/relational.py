@@ -1055,6 +1055,40 @@ def orders_priority_pivot(sf_dir: str):
     )
 
 
+def priority_unpivot(sf_dir: str):
+    """UNPIVOT / melt — the wide-to-long reshape inverse of
+    :func:`orders_priority_pivot`: the per-year priority-count columns melt
+    back into (yr, priority, n_orders) rows.  The melt runs over the TINY
+    pivoted table (|years| rows) with one vectorized repeat/tile — the
+    distributed work is the same single combiner aggregation the pivot
+    does; reshaping never touches the raw table."""
+    import ray.data as rd
+
+    wide = pa.concat_tables(
+        b for b in orders_priority_pivot(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    )
+    names = ["p" + p.split("-")[0] for p in _PRIORITIES]
+    n = wide.num_rows
+    yr = wide["yr"].to_numpy(zero_copy_only=False)
+    out = pa.table(
+        {
+            "yr": pa.array(np.repeat(yr, len(_PRIORITIES)), pa.int64()),
+            "priority": pa.array(
+                np.tile(np.asarray(_PRIORITIES, object), n), pa.string()),
+            "n_orders": pa.array(
+                np.stack(
+                    [wide[nm].to_numpy(zero_copy_only=False) for nm in names],
+                    axis=1,
+                ).reshape(-1),
+                pa.int64(),
+            ),
+        }
+    )
+    return rd.from_arrow(out)
+
+
 def props_key_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer ``k`` field out of the
     JSON ``props`` string column with ONE vectorized RE2 kernel
