@@ -38,3 +38,88 @@ def read_parquet_clean(path, columns=None, **kwargs):
     return ds.map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
+
+
+def write_range_partitions(ds, col: str, out_dir: str) -> list[dict]:
+    """Range-layout writer with a ZONE-MAP manifest — the storage-pruning
+    counterpart of the hash layout in ``pipelines/ann.build_ivf_index``:
+    sort once by ``col`` (the one amortized all-to-all a layout build pays),
+    write parquet, then record each file's [min, max] of ``col`` from the
+    parquet FOOTERS into ``manifest.json``.  Range reads then open only
+    overlapping files — at 100 TB a selective range predicate skips nearly
+    every file at the STORAGE layer instead of post-read.
+
+    Returns the manifest: [{"file", "min", "max", "rows"}, ...]."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.sort(col).write_parquet(out_dir)
+    manifest = []
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out_dir, f)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        lo, hi, rows = None, None, 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            rows += md.row_group(rg).num_rows
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        manifest.append({"file": f, "min": lo, "max": hi, "rows": rows})
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump({"col": col, "files": manifest}, fh, default=str)
+    return manifest
+
+
+def read_range_pruned(out_dir: str, lo, hi, columns=None):
+    """Read back a :func:`write_range_partitions` layout for the predicate
+    ``lo <= col <= hi``: consult the zone-map manifest, open ONLY files whose
+    [min, max] overlaps, and apply the exact residual filter to the survivors.
+    Returns ``(dataset, n_files_read, n_files_total)`` so callers (and tests)
+    can see the pruning."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        man = json.load(fh)
+    col = man["col"]
+    keep = [
+        e["file"] for e in man["files"]
+        if e["min"] is not None and not (e["max"] < lo or e["min"] > hi)
+    ]
+    total = len(man["files"])
+    if not keep:
+        import pyarrow.parquet as pq
+
+        first = os.path.join(out_dir, man["files"][0]["file"])
+        schema = pq.read_schema(first).remove_metadata()
+        if columns is not None:
+            import pyarrow as pa
+
+            schema = pa.schema([schema.field(c) for c in columns])
+        empty = schema.empty_table()
+        return rd.from_arrow(empty), 0, total
+    read_cols = columns
+    if columns is not None and col not in columns:
+        read_cols = list(columns) + [col]
+    ds = read_parquet_clean(
+        [os.path.join(out_dir, f) for f in keep], columns=read_cols
+    )
+
+    def residual(t):
+        t = t.filter(
+            pc.and_(pc.greater_equal(t[col], lo), pc.less_equal(t[col], hi))
+        )
+        return t.select(columns) if columns is not None else t
+
+    ds = ds.map_batches(residual, batch_format="pyarrow")
+    return ds, len(keep), total

@@ -1,0 +1,75 @@
+"""Zone-map range layout pins: manifest integrity, storage-level pruning
+(fewer files opened), and result equality with a full-scan filter."""
+
+import sys
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+def _build(tmp_path):
+    from near_duplicate_detection_ray.sources.io import (
+        read_parquet_clean,
+        write_range_partitions,
+    )
+
+    out = str(tmp_path / "by_value")
+    ds = read_parquet_clean(f"{SF}/events.parquet", columns=["event_id", "value"])
+    # several files so pruning is observable
+    manifest = write_range_partitions(ds.repartition(8), "value", out)
+    return out, manifest
+
+
+def test_manifest_covers_all_rows_and_is_sorted(ray_session, tmp_path):
+    out, manifest = _build(tmp_path)
+    total = sum(e["rows"] for e in manifest)
+    assert total == pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    assert len(manifest) > 1
+    # sorted layout: file ranges are non-overlapping up to boundary ties
+    spans = sorted((float(e["min"]), float(e["max"])) for e in manifest)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2 or abs(hi1 - lo2) < 1e-9
+
+
+def test_pruned_read_equals_full_filter(ray_session, tmp_path):
+    from near_duplicate_detection_ray.sources.io import (
+        read_parquet_clean,
+        read_range_pruned,
+    )
+
+    out, manifest = _build(tmp_path)
+    lo, hi = 100.0, 150.0
+    ds, n_read, n_total = read_range_pruned(out, lo, hi)
+    got = sorted(ds.to_pandas()["event_id"].tolist())
+    full = read_parquet_clean(f"{SF}/events.parquet", columns=["event_id", "value"])
+    want = sorted(
+        full.map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.greater_equal(t["value"], lo), pc.less_equal(t["value"], hi))
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["event_id"].tolist()
+    )
+    assert got == want and len(got) > 0
+    assert n_read < n_total, f"no pruning: {n_read}/{n_total}"
+
+
+def test_pruned_read_empty_range(ray_session, tmp_path):
+    from near_duplicate_detection_ray.sources.io import read_range_pruned
+
+    out, _ = _build(tmp_path)
+    ds, n_read, n_total = read_range_pruned(out, -1e12, -1e11)
+    assert n_read == 0 and ds.count() == 0
+
+
+def test_pruned_read_column_projection(ray_session, tmp_path):
+    from near_duplicate_detection_ray.sources.io import read_range_pruned
+
+    out, _ = _build(tmp_path)
+    ds, n_read, _ = read_range_pruned(out, 100.0, 120.0, columns=["event_id"])
+    df = ds.to_pandas()
+    assert list(df.columns) == ["event_id"] and len(df) > 0
