@@ -92,6 +92,15 @@ def _dup_turns(sf_dir: str):
     return dup_turns(transcripts_from_documents(sf_dir))
 
 
+def _strip_boilerplate_turns(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import strip_boilerplate_turns
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return strip_boilerplate_turns(transcripts_from_documents(sf_dir))
+
+
 def _tool_usage(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import tool_usage
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -223,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_report": _contamination_report,          # SQL-checked (overlap fractions)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
+        "strip_boilerplate_turns": _strip_boilerplate_turns,    # SQL-checked (turn boilerplate removal)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -1525,6 +1535,47 @@ def oracle_sql() -> dict[str, str]:
             FROM turns
             GROUP BY turn_text
             HAVING count(*) > 1
+        """,
+        # turn-level boilerplate strip: turns in > 3 distinct conversations
+        # drop from every conversation; empty turns drop too
+        "strip_boilerplate_turns": r"""
+            WITH base AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+                       trim(text) <> '' AS has_tokens
+                FROM documents
+            ), variants AS (
+                SELECT printf('doc%09d', doc_id) AS conv_id, doc_id, t,
+                       has_tokens, false AS is_m
+                FROM base
+                UNION ALL
+                SELECT printf('doc%09d', doc_id) || 'e', doc_id, t,
+                       has_tokens, false
+                FROM base WHERE doc_id % 10 = 7
+                UNION ALL
+                SELECT printf('doc%09d', doc_id) || 'm', doc_id, t,
+                       has_tokens, true
+                FROM base WHERE doc_id % 10 = 3
+            ), exploded AS (
+                SELECT conv_id, doc_id, is_m, unnest(t) AS tok,
+                       unnest(range(1, len(t) + 1)) AS i
+                FROM variants WHERE has_tokens
+            ), turns AS (
+                SELECT conv_id, (i - 1) // 30 AS tix,
+                       string_agg(CASE WHEN is_m AND (i % 29 = 0)
+                                       THEN 'tok' || doc_id
+                                       ELSE tok END, ' ' ORDER BY i) AS turn_text
+                FROM exploded GROUP BY conv_id, (i - 1) // 30
+            ), boiler AS (
+                SELECT turn_text FROM turns
+                GROUP BY turn_text
+                HAVING count(DISTINCT conv_id) > 3
+            )
+            SELECT conv_id,
+                   tix AS turn_idx,
+                   CASE WHEN tix % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+                   turn_text AS text
+            FROM turns
+            WHERE turn_text NOT IN (SELECT turn_text FROM boiler)
         """,
         # per-(role, tool) usage census over the derived transcripts; the
         # role/tool derivation mirrors sources/transcripts constants

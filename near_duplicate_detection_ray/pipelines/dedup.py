@@ -234,3 +234,56 @@ def tool_usage(transcripts, num_partitions: int | None = None):
     return rd.from_arrow(
         joined.select(["role", "tool", "n_turns", "n_convs", "n_tokens"])
     )
+
+
+def strip_boilerplate_turns(transcripts, max_convs: int = 3,
+                            num_partitions: int | None = None):
+    """Turn-level BOILERPLATE removal — the transcript-domain cousin of the
+    reference's letterbox strip (M7): any turn text appearing in more than
+    ``max_convs`` distinct conversations (canned greetings, repeated tool
+    banners) is dropped from every conversation; empty turns drop too.
+
+    Shape: the :func:`dup_turns` census bounds the boilerplate set (its
+    distinct texts are FEW by definition — each costs > max_convs corpus
+    occurrences), the set is built off-driver and broadcast once
+    (``distinct_values_ref``), and the transcripts stream through one
+    vectorized ``pc.is_in`` anti-filter.  No shuffle of the transcript
+    table.  Output: (conv_id, turn_idx, role, text) survivors."""
+    import ray
+
+    from ..state.partitioning import distinct_values_ref
+
+    census = dup_turns(transcripts, num_partitions)
+    boiler = census.map_batches(
+        lambda t: t.filter(pc.greater(t["n_convs"], max_convs))
+                   .select(["turn_text"]),
+        batch_format="pyarrow",
+    )
+    ref, n_boiler = distinct_values_ref(boiler, ["turn_text"])
+
+    out_schema = pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int64()),
+         ("role", pa.string()), ("text", pa.string())]
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        keep = pc.invert(pc.equal(t["text"], ""))
+        if n_boiler:
+            bad = pc.is_in(t["text"], value_set=ray.get(ref))
+            keep = pc.and_(keep, pc.invert(bad))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "role": t["role"],
+                "text": t["text"],
+            },
+            schema=out_schema,
+        )
+
+    return transcripts.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(strip, batch_format="pyarrow")
