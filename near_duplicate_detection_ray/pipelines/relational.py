@@ -1597,6 +1597,48 @@ def revenue_cube(sf_dir: str):
     return base.map_batches(finish, batch_size=None, batch_format="pyarrow")
 
 
+def window_rank_block(df):
+    """Block-local vectorized window-rank math over (s_nationkey, s_acctbal,
+    s_suppkey): returns the frame sorted by (nation, -cents, suppkey) with
+    bal_c / bal_rank / bal_dense_rank / bal_pct_rank / bal_ntile4 columns —
+    boundary masks + cumsum / maximum.accumulate, no per-group Python.
+    Shared by the pipeline block and the property tests
+    (tests/test_window_ranks.py) so refactors stay pinned."""
+    bal = np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64)
+    d = df.assign(bal_c=bal).sort_values(
+        ["s_nationkey", "bal_c", "s_suppkey"],
+        ascending=[True, False, True], kind="mergesort",
+    )
+    nat = d["s_nationkey"].to_numpy()
+    balc = d["bal_c"].to_numpy()
+    n = len(d)
+    idx = np.arange(n)
+    new_grp = np.concatenate(([True], nat[1:] != nat[:-1]))
+    new_val = new_grp | np.concatenate(([True], balc[1:] != balc[:-1]))
+    grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+    val_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+    rank = val_start - grp_start + 1
+    dense = np.cumsum(new_val)
+    dense_base = np.maximum.accumulate(np.where(new_grp, dense - 1, 0))
+    pos = idx - grp_start  # 0-based position within the group
+    starts_idx = idx[new_grp]
+    sizes = np.diff(np.append(starts_idx, n))
+    gsize = np.repeat(sizes, sizes)
+    pct = np.where(gsize > 1, (rank - 1) / np.maximum(gsize - 1, 1), 0.0)
+    k = 4  # SQL NTILE: first (n % k) buckets take ceil(n/k) rows
+    big = gsize % k
+    big_sz = gsize // k + 1
+    small_sz = np.maximum(gsize // k, 1)
+    in_big = pos < big * big_sz
+    ntile = np.where(
+        in_big,
+        pos // big_sz + 1,
+        big + (pos - big * big_sz) // small_sz + 1,
+    )
+    return d.assign(bal_rank=rank, bal_dense_rank=dense - dense_base,
+                    bal_pct_rank=pct, bal_ntile4=ntile)
+
+
 def supplier_balance_rank(sf_dir: str):
     """RANK() / DENSE_RANK() / PERCENT_RANK() / NTILE(4) windows per group
     (suppliers ranked by account balance within their nation) — the ntile
@@ -1622,46 +1664,16 @@ def supplier_balance_rank(sf_dir: str):
     def block(df: pd.DataFrame) -> pa.Table:
         if df.empty:
             return pa.Table.from_pylist([], schema=out_schema)
-        bal = np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64)
-        df = df.assign(bal_c=bal).sort_values(
-            ["s_nationkey", "bal_c", "s_suppkey"],
-            ascending=[True, False, True], kind="mergesort",
-        )
-        nat = df["s_nationkey"].to_numpy()
-        balc = df["bal_c"].to_numpy()
-        n = len(df)
-        idx = np.arange(n)
-        new_grp = np.concatenate(([True], nat[1:] != nat[:-1]))
-        new_val = new_grp | np.concatenate(([True], balc[1:] != balc[:-1]))
-        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
-        val_start = np.maximum.accumulate(np.where(new_val, idx, 0))
-        rank = val_start - grp_start + 1
-        dense = np.cumsum(new_val)
-        dense_base = np.maximum.accumulate(np.where(new_grp, dense - 1, 0))
-        pos = idx - grp_start  # 0-based position within the nation
-        starts_idx = idx[new_grp]
-        sizes = np.diff(np.append(starts_idx, n))
-        gsize = np.repeat(sizes, sizes)
-        pct = np.where(gsize > 1, (rank - 1) / np.maximum(gsize - 1, 1), 0.0)
-        k = 4  # SQL NTILE: first (n % k) buckets take ceil(n/k) rows
-        big = gsize % k
-        big_sz = gsize // k + 1
-        small_sz = np.maximum(gsize // k, 1)
-        in_big = pos < big * big_sz
-        ntile = np.where(
-            in_big,
-            pos // big_sz + 1,
-            big + (pos - big * big_sz) // small_sz + 1,
-        )
+        d = window_rank_block(df)
         return pa.table(
             {
-                "s_suppkey": pa.array(df["s_suppkey"].to_numpy(), pa.int64()),
-                "s_nationkey": pa.array(nat, pa.int64()),
-                "bal_c": pa.array(balc, pa.int64()),
-                "bal_rank": pa.array(rank, pa.int64()),
-                "bal_dense_rank": pa.array(dense - dense_base, pa.int64()),
-                "bal_pct_rank": pa.array(pct, pa.float64()),
-                "bal_ntile4": pa.array(ntile, pa.int64()),
+                "s_suppkey": pa.array(d["s_suppkey"].to_numpy(), pa.int64()),
+                "s_nationkey": pa.array(d["s_nationkey"].to_numpy(), pa.int64()),
+                "bal_c": pa.array(d["bal_c"].to_numpy(), pa.int64()),
+                "bal_rank": pa.array(d["bal_rank"].to_numpy(), pa.int64()),
+                "bal_dense_rank": pa.array(d["bal_dense_rank"].to_numpy(), pa.int64()),
+                "bal_pct_rank": pa.array(d["bal_pct_rank"].to_numpy(), pa.float64()),
+                "bal_ntile4": pa.array(d["bal_ntile4"].to_numpy(), pa.int64()),
             },
             schema=out_schema,
         )
