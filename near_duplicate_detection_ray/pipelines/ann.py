@@ -408,6 +408,29 @@ def _kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int, seed: int) 
     return c
 
 
+def _train_quantizer(sf_dir: str, n_centroids: int, kmeans_iters: int,
+                     seed: int, train_sample: int) -> np.ndarray:
+    """Deterministic quantizer train shared by every k-means consumer
+    (ann_ivf_topk, semdedup_embeddings, build_ivf_index): vec_id-bounded,
+    id-SORTED sample — ``limit()`` over a streaming read takes whichever
+    blocks arrive first and made the quantizer (hence every downstream
+    result) vary across processes."""
+    train = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < train_sample)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    t_mat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    return _kmeans_centroids(t_mat, n_centroids, kmeans_iters, seed)
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
 def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_centroids: int = 64,
                  nprobe: int = 8, seed: int = 42, kmeans_iters: int = 8,
                  train_sample: int = 4096):
@@ -432,17 +455,8 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_centroids: int 
     Same output schema as ``cosine_topk``: (query_id, rank, neighbor_id)."""
     import ray
 
-    # deterministic train sample: vec_id-bounded, id-sorted — ``limit()`` over
-    # a streaming read takes whichever blocks arrive first and made the
-    # quantizer (hence the whole query result) vary across processes
-    train = (
-        _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < train_sample)
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    t_mat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
-    centroids = _kmeans_centroids(t_mat, n_centroids, kmeans_iters, seed)
+    centroids = _train_quantizer(sf_dir, n_centroids, kmeans_iters, seed,
+                                 train_sample)
     n_cells = len(centroids)
     nprobe_eff = min(nprobe, n_cells)
 
@@ -668,22 +682,13 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
 
     from ..state.partitioning import default_partitions, key_partitioned
 
-    train = (
-        _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < train_sample)
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    t_mat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
-    centroids = _kmeans_centroids(t_mat, n_clusters, kmeans_iters, seed)
+    centroids = _train_quantizer(sf_dir, n_clusters, kmeans_iters, seed,
+                                 train_sample)
     cents_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cents_ref)
-        mat = _emb_matrix(batch)
-        n = np.linalg.norm(mat, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        sims = (mat / n) @ cents.T
+        sims = _normalize_rows(_emb_matrix(batch)) @ cents.T
         cl = np.argmax(sims, axis=1)
         return pa.table(
             {
@@ -705,10 +710,7 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         cl = t["cluster"].to_numpy(zero_copy_only=False)
         csim = t["csim"].to_numpy(zero_copy_only=False)
-        mat = _emb_matrix(t)
-        n = np.linalg.norm(mat, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        x = mat / n
+        x = _normalize_rows(_emb_matrix(t))
         keep = np.zeros(len(ids), bool)
         for c in np.unique(cl):
             idx = np.flatnonzero(cl == c)
@@ -754,25 +756,19 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 64,
     manifest dict."""
     import json
     import os
+    import shutil
 
     import ray
 
-    train = (
-        _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < train_sample)
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    t_mat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
-    centroids = _kmeans_centroids(t_mat, n_centroids, kmeans_iters, seed)
+    centroids = _train_quantizer(sf_dir, n_centroids, kmeans_iters, seed,
+                                 train_sample)
     cents_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cents_ref)
-        mat = _emb_matrix(batch)
-        n = np.linalg.norm(mat, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        cl = np.argmax((mat / n) @ cents.T, axis=1).astype(np.int32)
+        cl = np.argmax(
+            _normalize_rows(_emb_matrix(batch)) @ cents.T, axis=1
+        ).astype(np.int32)
         return pa.table(
             {
                 "vec_id": batch["vec_id"],
@@ -786,6 +782,10 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 64,
         assign, batch_format="pyarrow"
     )
     vec_dir = os.path.join(index_dir, "vectors")
+    # a rebuild must not mix stale cells with new ones: write_parquet APPENDS
+    # new UUID-named files and cells_written scans the directory
+    if os.path.isdir(vec_dir):
+        shutil.rmtree(vec_dir)
     os.makedirs(vec_dir, exist_ok=True)
     ds.write_parquet(vec_dir, partition_cols=["cell"])
     np.save(os.path.join(index_dir, "centroids.npy"), centroids)

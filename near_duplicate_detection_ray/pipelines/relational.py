@@ -1741,14 +1741,17 @@ def nation_participation(sf_dir: str):
         _read(sf_dir, "supplier", ["s_nationkey"]),
         ["s_nationkey"], [([], "count_all")], {"count_all": "n_suppliers"},
     )
-    ct = pa.concat_tables(
-        b for b in cust.iter_batches(batch_size=None, batch_format="pyarrow")
-        if b.num_rows and b.num_columns
-    ).rename_columns(["nationkey", "n_customers"])
-    st = pa.concat_tables(
-        b for b in supp.iter_batches(batch_size=None, batch_format="pyarrow")
-        if b.num_rows and b.num_columns
-    ).rename_columns(["nationkey", "n_suppliers"])
+    def _collect(ds_small, key, cnt):
+        t = pa.concat_tables(
+            b for b in ds_small.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        )
+        # select by NAME — pyarrow group_by output column order is
+        # version-dependent, a positional rename could swap key and count
+        return pa.table({"nationkey": t[key], cnt: t[cnt]})
+
+    ct = _collect(cust, "c_nationkey", "n_customers")
+    st = _collect(supp, "s_nationkey", "n_suppliers")
     j = ct.join(st, keys=["nationkey"], join_type="full outer")
     nk = j["nationkey"]
     ncust = pc.fill_null(j["n_customers"], 0)

@@ -52,9 +52,14 @@ def write_range_partitions(ds, col: str, out_dir: str) -> list[dict]:
     Returns the manifest: [{"file", "min", "max", "rows"}, ...]."""
     import json
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
+    # a rebuild must not absorb stale files: write_parquet APPENDS new
+    # UUID-named files, so clear any previous layout first
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     ds.sort(col).write_parquet(out_dir)
     manifest = []
@@ -92,9 +97,25 @@ def read_range_pruned(out_dir: str, lo, hi, columns=None):
     with open(os.path.join(out_dir, "manifest.json")) as fh:
         man = json.load(fh)
     col = man["col"]
+
+    def _coerce(v):
+        """Manifest values round-trip through JSON (default=str), so typed
+        bounds (dates/timestamps/decimals) come back as strings — parse them
+        back into the caller's comparison domain."""
+        import datetime
+
+        if isinstance(v, str) and isinstance(lo, datetime.datetime):
+            return datetime.datetime.fromisoformat(v)
+        if isinstance(v, str) and isinstance(lo, datetime.date):
+            return datetime.datetime.fromisoformat(v).date()
+        return v
+
     keep = [
         e["file"] for e in man["files"]
-        if e["min"] is not None and not (e["max"] < lo or e["min"] > hi)
+        # files lacking footer min/max stats are kept CONSERVATIVELY — the
+        # residual filter makes them exact; dropping them would lose rows
+        if e["min"] is None
+        or not (_coerce(e["max"]) < lo or _coerce(e["min"]) > hi)
     ]
     total = len(man["files"])
     if not keep:

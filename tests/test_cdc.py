@@ -59,8 +59,11 @@ def test_cdc_bounds_and_coverage():
     assert ends[-1] == len(data)
     sizes = np.diff(np.concatenate(([0], ends)))
     assert (sizes > 0).all() and (sizes <= 1024).all()
-    # all but the final chunk respect min_size unless forced by max_size cuts
-    assert (sizes[:-1][sizes[:-1] < 64] == 0).sum() == 0
+    # candidate-driven cuts respect min_size; only a chunk immediately after
+    # a forced max_size cut (rare: p ~ (127/128)^1024 per gap) or the final
+    # chunk may be shorter.  This seed has no forced cuts, so the bound is
+    # strict for all non-final chunks.
+    assert (sizes[:-1] >= 64).all()
 
 
 def test_cdc_shift_robustness():

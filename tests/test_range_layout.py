@@ -73,3 +73,34 @@ def test_pruned_read_column_projection(ray_session, tmp_path):
     ds, n_read, _ = read_range_pruned(out, 100.0, 120.0, columns=["event_id"])
     df = ds.to_pandas()
     assert list(df.columns) == ["event_id"] and len(df) > 0
+
+
+def test_pruned_read_timestamp_column(ray_session, tmp_path):
+    """min/max round-trip through JSON as strings for temporal columns; the
+    reader must coerce them back before comparing (review finding)."""
+    import datetime
+
+    from near_duplicate_detection_ray.sources.io import (
+        read_parquet_clean,
+        read_range_pruned,
+        write_range_partitions,
+    )
+
+    out = str(tmp_path / "by_date")
+    ds = read_parquet_clean(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    write_range_partitions(ds.repartition(6), "o_orderdate", out)
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1995, 12, 31)
+    pruned, n_read, n_total = read_range_pruned(out, lo, hi)
+    got = sorted(pruned.to_pandas()["o_orderkey"].tolist())
+    full = read_parquet_clean(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).to_pandas()
+    want = sorted(
+        full[(full["o_orderdate"] >= lo) & (full["o_orderdate"] <= hi)]
+        ["o_orderkey"].tolist()
+    )
+    assert got == want and len(got) > 0
+    assert n_read < n_total
