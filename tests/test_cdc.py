@@ -122,3 +122,33 @@ def test_media_cdc_dedup_matches_local_oracle(ray_session):
     assert got["chunk_hash"].astype("uint64").tolist() == ora["chunk_hash"].tolist()
     assert got["n_occurrences"].tolist() == ora["n_occurrences"].tolist()
     assert got["n_media"].tolist() == ora["n_media"].tolist()
+
+
+def test_cdc_boundaries_hypothesis_params():
+    """Param-space sweep: vectorized boundaries == sequential oracle for
+    arbitrary payloads and (min, avg_bits, max) configs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from near_duplicate_detection_ray.pipelines.multimodal import cdc_boundaries
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=3000),
+        min_size=st.integers(1, 96),
+        avg_bits=st.integers(2, 9),
+        max_mult=st.integers(2, 8),
+    )
+    def check(data, min_size, avg_bits, max_mult):
+        max_size = min_size * max_mult
+        got = cdc_boundaries(data, min_size, avg_bits, max_size).tolist()
+        want = _seq_boundaries(data, min_size, avg_bits, max_size)
+        assert got == want
+        if data:
+            assert got[-1] == len(data)
+            import numpy as np
+
+            sizes = np.diff(np.concatenate(([0], got)))
+            assert (sizes > 0).all() and (sizes <= max_size).all()
+
+    check()
