@@ -110,6 +110,12 @@ def _tool_usage(sf_dir: str):
     return tool_usage(transcripts_from_documents(sf_dir))
 
 
+def _decontaminate_docs_bloom(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import decontaminate_docs_bloom
+
+    return decontaminate_docs_bloom(sf_dir)
+
+
 def _contamination_report(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import contamination_report
 
@@ -230,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_training_docs": _prepare_training_docs,        # SQL-checked (curate x span-cut composition)
         "decontaminate_docs": _decontaminate_docs,              # SQL-checked (cross-corpus n-gram)
         "contamination_report": _contamination_report,          # SQL-checked (overlap fractions)
+        "decontaminate_docs_bloom": _decontaminate_docs_bloom,  # SQL-checked (Bloom-screened scale path)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
         "strip_boilerplate_turns": _strip_boilerplate_turns,    # SQL-checked (turn boilerplate removal)
@@ -465,6 +472,15 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literal()
+    # the Bloom-screened scale path is output-identical to the exact
+    # decontamination (false positives are dropped by the confirm join),
+    # so the SAME oracle gates both
+    d["decontaminate_docs_bloom"] = d["decontaminate_docs"]
+    return d
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -353,3 +353,133 @@ def prepare_training_docs(sf_dir: str, min_out_tokens: int = 10,
         return t.filter(pc.greater_equal(t["n_tokens"], pa.scalar(min_out_tokens)))
 
     return cut_spans_docs(sf_dir).map_batches(finish, batch_format="pyarrow")
+
+
+def decontaminate_docs_bloom(sf_dir: str, n: int = 8, pct: int = 10,
+                             fp_rate: float = 0.01,
+                             num_partitions: int | None = None):
+    """BLOOM-SCREENED decontamination — the documented scale path of
+    :func:`decontaminate_docs` for eval-gram sets too large to broadcast as
+    an exact value_set:
+
+    1. the eval gram stream feeds a fixed-size distributed Bloom filter
+       (``state/bloom.build_bloom`` — off-driver partial bit arrays, remote
+       tree OR-merge; 8 MiB at 5M grams / 1% FPR regardless of string bytes);
+    2. the train pass probes the filter vectorized and emits only CANDIDATE
+       (doc_id, gram) hits — true hits plus ~fp_rate of gram volume;
+    3. an exact inner join of the candidates against the (globally
+       deduplicated, keyed-shuffled) eval grams confirms every hit, so false
+       positives are dropped and the output is IDENTICAL to the exact path —
+       the same DuckDB oracle gates both (`tests/test_bloom_decontaminate.py`
+       additionally pins engine==engine equality).
+
+    The join shuffles only candidates + eval grams, never the train corpus;
+    the contaminated-doc id set (bounded by true contamination) broadcasts
+    for the final anti-filter pass."""
+    import ray
+
+    from ..sources.io import read_parquet_clean
+    from ..state.bloom import bloom_filter as _bf  # noqa: F401 (family ref)
+    from ..state.bloom import _probe_positions, _test_bits, build_bloom
+    from ..state.partitioning import (
+        default_partitions,
+        distinct_values_ref,
+        key_partitioned,
+        materialize_clean,
+    )
+
+    def _read(columns):
+        return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(_eval_split_mask(ids, pct)))
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        g, _ = _gram_windows(t["text"].combine_chunks(), n)
+        return pa.table({"gram": pa.array(pc.unique(pa.array(g, pa.string())))})
+
+    grams_ds = materialize_clean(
+        _read(["doc_id", "text"]).map_batches(eval_grams, batch_format="pyarrow")
+    )
+    n_est = grams_ds.count()  # upper bound (per-block-unique rows)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+
+    def all_clean(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(~_eval_split_mask(ids, pct)))
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_chars": t["n_chars"]}, schema=out_schema
+        )
+
+    if n_est == 0:
+        return _read(["doc_id", "n_chars"]).map_batches(
+            all_clean, batch_format="pyarrow"
+        )
+
+    words_ref, n_bits, k = build_bloom(grams_ds, ["gram"], n_est, fp_rate)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "gram": pa.array([], pa.string())}
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(~_eval_split_mask(ids, pct)))
+        if t.num_rows == 0:
+            return empty
+        g, doc_of = _gram_windows(t["text"].combine_chunks(), n)
+        if not len(g):
+            return empty
+        words = ray.get(words_ref)
+        mask = _test_bits(words, _probe_positions(g, n_bits, k))
+        if not mask.any():
+            return empty
+        d_ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_of[mask]]
+        return pa.table(
+            {
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "gram": pa.array(g[mask], pa.string()),
+            }
+        )
+
+    cand = materialize_clean(
+        _read(["doc_id", "text"]).map_batches(candidates, batch_format="pyarrow")
+    )
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        return pa.table({"gram": pc.unique(t["gram"].combine_chunks())})
+
+    parts = num_partitions or default_partitions()
+    eval_distinct = materialize_clean(
+        key_partitioned(grams_ds, ["gram"], parts).map_batches(
+            block_distinct, batch_format="pyarrow", batch_size=None
+        )
+    )
+    confirmed = cand.join(
+        eval_distinct,
+        join_type="inner",
+        num_partitions=parts,
+        on=("gram",),
+        right_suffix="_e",
+    )
+    ids_ref, n_bad = distinct_values_ref(
+        confirmed.select_columns(["doc_id"]), ["doc_id"]
+    )
+
+    def strip_bad(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(~_eval_split_mask(ids, pct)))
+        if n_bad and t.num_rows:
+            bad = pc.is_in(t["doc_id"], value_set=ray.get(ids_ref))
+            t = t.filter(pc.invert(bad))
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_chars": t["n_chars"]}, schema=out_schema
+        )
+
+    return _read(["doc_id", "n_chars"]).map_batches(
+        strip_bad, batch_format="pyarrow"
+    )
