@@ -269,6 +269,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # conversation's doc_text is just the lowercased token join).
 # ---------------------------------------------------------------------------
 
+# Shared TURN-level derivation of the synthetic transcripts (mirrors
+# sources/transcripts.docs_to_transcript_batch): base docs -> planted
+# exact/near-dup conversation variants -> per-token explode -> 30-token
+# turns with the m-variant's every-29th-token substitution.  Used by the
+# dup_turns / strip_boilerplate_turns / tool_usage oracles.
+_TURN_CTES = r"""
+base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+           trim(text) <> '' AS has_tokens
+    FROM documents
+), variants AS (
+    SELECT printf('doc%09d', doc_id) AS conv_id, doc_id, t,
+           has_tokens, false AS is_m
+    FROM base
+    UNION ALL
+    SELECT printf('doc%09d', doc_id) || 'e', doc_id, t, has_tokens, false
+    FROM base WHERE doc_id % 10 = 7
+    UNION ALL
+    SELECT printf('doc%09d', doc_id) || 'm', doc_id, t, has_tokens, true
+    FROM base WHERE doc_id % 10 = 3
+), exploded AS (
+    SELECT conv_id, doc_id, is_m, unnest(t) AS tok,
+           unnest(range(1, len(t) + 1)) AS i
+    FROM variants WHERE has_tokens
+), turns AS (
+    SELECT conv_id, doc_id, (i - 1) // 30 AS tix,
+           string_agg(CASE WHEN is_m AND (i % 29 = 0)
+                           THEN 'tok' || doc_id
+                           ELSE tok END, ' ' ORDER BY i) AS turn_text,
+           count(*) AS n_tok
+    FROM exploded GROUP BY conv_id, doc_id, (i - 1) // 30
+)
+"""
+
+
 _CONV_CTES = r"""
 base AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
@@ -1516,35 +1551,9 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         # turn-level dedup census over the derived transcripts: turns are
         # 30-token chunks (sources/transcripts.docs_to_transcript_batch);
-        # the m-variant replaces every 29th token (1-based i % 29 = 0)
-        "dup_turns": r"""
-            WITH base AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-                       trim(text) <> '' AS has_tokens
-                FROM documents
-            ), variants AS (
-                SELECT printf('doc%09d', doc_id) AS conv_id, doc_id, t,
-                       has_tokens, false AS is_m
-                FROM base
-                UNION ALL
-                SELECT printf('doc%09d', doc_id) || 'e', doc_id, t,
-                       has_tokens, false
-                FROM base WHERE doc_id % 10 = 7
-                UNION ALL
-                SELECT printf('doc%09d', doc_id) || 'm', doc_id, t,
-                       has_tokens, true
-                FROM base WHERE doc_id % 10 = 3
-            ), exploded AS (
-                SELECT conv_id, doc_id, is_m, unnest(t) AS tok,
-                       unnest(range(1, len(t) + 1)) AS i
-                FROM variants WHERE has_tokens
-            ), turns AS (
-                SELECT conv_id,
-                       string_agg(CASE WHEN is_m AND (i % 29 = 0)
-                                       THEN 'tok' || doc_id
-                                       ELSE tok END, ' ' ORDER BY i) AS turn_text
-                FROM exploded GROUP BY conv_id, (i - 1) // 30
-            )
+        # the m-variant replaces every 29th token (1-based i % 29 = 0).
+        # _TURN_CTES is the shared base/variants/exploded/turns derivation.
+        "dup_turns": "WITH " + _TURN_CTES + """
             SELECT turn_text,
                    count(*) AS n_occurrences,
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
@@ -1554,34 +1563,8 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         # turn-level boilerplate strip: turns in > 3 distinct conversations
         # drop from every conversation; empty turns drop too
-        "strip_boilerplate_turns": r"""
-            WITH base AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-                       trim(text) <> '' AS has_tokens
-                FROM documents
-            ), variants AS (
-                SELECT printf('doc%09d', doc_id) AS conv_id, doc_id, t,
-                       has_tokens, false AS is_m
-                FROM base
-                UNION ALL
-                SELECT printf('doc%09d', doc_id) || 'e', doc_id, t,
-                       has_tokens, false
-                FROM base WHERE doc_id % 10 = 7
-                UNION ALL
-                SELECT printf('doc%09d', doc_id) || 'm', doc_id, t,
-                       has_tokens, true
-                FROM base WHERE doc_id % 10 = 3
-            ), exploded AS (
-                SELECT conv_id, doc_id, is_m, unnest(t) AS tok,
-                       unnest(range(1, len(t) + 1)) AS i
-                FROM variants WHERE has_tokens
-            ), turns AS (
-                SELECT conv_id, (i - 1) // 30 AS tix,
-                       string_agg(CASE WHEN is_m AND (i % 29 = 0)
-                                       THEN 'tok' || doc_id
-                                       ELSE tok END, ' ' ORDER BY i) AS turn_text
-                FROM exploded GROUP BY conv_id, (i - 1) // 30
-            ), boiler AS (
+        "strip_boilerplate_turns": "WITH " + _TURN_CTES + """
+            , boiler AS (
                 SELECT turn_text FROM turns
                 GROUP BY turn_text
                 HAVING count(DISTINCT conv_id) > 3
@@ -1595,32 +1578,14 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         # per-(role, tool) usage census over the derived transcripts; the
         # role/tool derivation mirrors sources/transcripts constants
-        "tool_usage": r"""
-            WITH base AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-                       trim(text) <> '' AS has_tokens
-                FROM documents
-            ), variants AS (
-                SELECT printf('doc%09d', doc_id) AS conv_id, doc_id, t,
-                       has_tokens
-                FROM base
-                UNION ALL
-                SELECT printf('doc%09d', doc_id) || 'e', doc_id, t, has_tokens
-                FROM base WHERE doc_id % 10 = 7
-                UNION ALL
-                SELECT printf('doc%09d', doc_id) || 'm', doc_id, t, has_tokens
-                FROM base WHERE doc_id % 10 = 3
-            ), exploded AS (
-                SELECT conv_id, doc_id,
-                       unnest(range(1, len(t) + 1)) AS i
-                FROM variants WHERE has_tokens
-            ), turn_tok AS (
-                SELECT conv_id, doc_id, (i - 1) // 30 AS tix, count(*) AS n_tok
-                FROM exploded GROUP BY conv_id, doc_id, (i - 1) // 30
+        # (empty-doc conversations contribute one empty user turn)
+        "tool_usage": "WITH " + _TURN_CTES + """
+            , turn_all AS (
+                SELECT conv_id, doc_id, tix, n_tok FROM turns
                 UNION ALL
                 SELECT conv_id, doc_id, 0, 0
                 FROM variants WHERE NOT has_tokens
-            ), turns AS (
+            ), labeled AS (
                 SELECT conv_id,
                        CASE WHEN tix % 2 = 0 THEN 'user'
                             ELSE 'assistant' END AS role,
@@ -1629,13 +1594,13 @@ def _oracle_sql_literal() -> dict[str, str]:
                                  [CAST((doc_id + tix) % 6 AS INT) + 1]
                             ELSE '' END AS tool,
                        n_tok
-                FROM turn_tok
+                FROM turn_all
             )
             SELECT role, tool,
                    count(*) AS n_turns,
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
                    CAST(sum(n_tok) AS BIGINT) AS n_tokens
-            FROM turns
+            FROM labeled
             GROUP BY role, tool
         """,
         # graded contamination: per-train-doc n-gram window hit counts
