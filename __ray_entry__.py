@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_first_order": relational.customer_first_order,    # per-group argmin row
         "nation_participation": relational.nation_participation,    # FULL OUTER join of partials
         "priority_unpivot": relational.priority_unpivot,            # UNPIVOT / melt reshape
+        "user_retention": relational.user_retention,                # cohort retention matrix
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
@@ -644,6 +645,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        # cohort retention: absolute epoch-week buckets, one count per
+        # (cohort, offset, user) triple
+        "user_retention": """
+            WITH w AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+                FROM events
+            ), c AS (
+                SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id
+            ), a AS (
+                SELECT DISTINCT w.user_id, c.cohort,
+                       w.wk - c.cohort AS week_offset
+                FROM w JOIN c USING (user_id)
+            )
+            SELECT cohort AS cohort_week, week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a GROUP BY cohort, week_offset
         """,
         # UNPIVOT of the pivoted priority counts back to long form
         "priority_unpivot": """

@@ -1768,6 +1768,58 @@ def nation_participation(sf_dir: str):
     return rd.from_arrow(out)
 
 
+def user_retention(sf_dir: str):
+    """COHORT RETENTION — the classic product-analytics matrix: users
+    cohorted by their first-activity week, counted once per (cohort,
+    week-offset) they were active in.  Weeks are absolute epoch-week indexes
+    (floor(epoch_seconds / 604800)) so both engines bucket identically with
+    no calendar/locale dependence.
+
+    One keyed hash-partition on user_id makes each user's history
+    block-local; the per-block distinct (cohort, offset, user) triples then
+    sum across blocks (users never span blocks), finishing with a tiny
+    combiner aggregate."""
+    import pandas as pd
+
+    from ..functions.groupagg import lowcard_groupagg
+    from ..state.partitioning import key_partitioned
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    part_schema = pa.schema(
+        [("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=part_schema)
+        wk = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // (604800 * 10**6)
+        )
+        d = df.assign(wk=wk)
+        cohort = d.groupby("user_id")["wk"].transform("min")
+        d = d.assign(cohort=cohort, off=d["wk"] - cohort)
+        pairs = d[["user_id", "cohort", "off"]].drop_duplicates()
+        g = pairs.groupby(["cohort", "off"]).size().reset_index(name="n")
+        return pa.table(
+            {
+                "cohort_week": pa.array(g["cohort"].to_numpy(), pa.int64()),
+                "week_offset": pa.array(g["off"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    partials = key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+    return lowcard_groupagg(
+        partials, ["cohort_week", "week_offset"],
+        [("n", "sum")], {"n_sum": "n_users"},
+    )
+
+
 def event_value_outliers(sf_dir: str, z_thresh: float = 3.0):
     """Per-group z-score OUTLIER detection: rows whose value deviates more
     than ``z_thresh`` population standard deviations from their event_type's
