@@ -648,7 +648,8 @@ def ann_filtered_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
 
 def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.92,
                         seed: int = 42, kmeans_iters: int = 8,
-                        train_sample: int = 4096):
+                        train_sample: int = 4096,
+                        max_cluster_rows: int | None = None):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public knowledge):
     semantic deduplication by k-means clustering of the embedding space
     followed by WITHIN-CLUSTER epsilon-ball pruning, the curation step modern
@@ -677,6 +678,14 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
     (cluster boundaries hide cross-cluster dups), so rows-only in the driver
     gate; tests/test_semdedup.py pins the output against a from-scratch NumPy
     oracle and checks the greedy invariants.
+
+    SKEW GUARD: a degenerate quantizer (or pathological data) can dump most
+    rows into one cluster, making the per-cluster quadratic prune — and the
+    single block holding it — explode.  With ``max_cluster_rows`` set, any
+    cluster over the cap is deterministically SALTED into
+    ceil(size/cap) shards by md5(vec_id); shards prune independently (the
+    same boundary approximation the clustering step already makes, applied
+    recursively).  Costs one tiny cluster-size aggregate before the shuffle.
     """
     import ray
 
@@ -709,11 +718,15 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
             return empty
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         cl = t["cluster"].to_numpy(zero_copy_only=False)
+        shard = (
+            t["shard"].to_numpy(zero_copy_only=False)
+            if "shard" in t.column_names else cl
+        )
         csim = t["csim"].to_numpy(zero_copy_only=False)
         x = _normalize_rows(_emb_matrix(t))
         keep = np.zeros(len(ids), bool)
-        for c in np.unique(cl):
-            idx = np.flatnonzero(cl == c)
+        for c in np.unique(shard):
+            idx = np.flatnonzero(shard == c)
             order = idx[np.lexsort((ids[idx], csim[idx]))]
             sub = x[order]
             kept = np.empty_like(sub)
@@ -734,8 +747,41 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
     assigned = _read_emb(sf_dir, ["vec_id", "embedding"]).map_batches(
         assign, batch_format="pyarrow"
     )
+    shuffle_key = "cluster"
+    if max_cluster_rows is not None:
+        from ..functions.groupagg import lowcard_groupagg
+        from ..functions.hashing import md5_low64
+        from ..state.partitioning import materialize_clean
+
+        assigned = materialize_clean(assigned)  # sizing pass must not re-run assign
+        sizes_tbl = lowcard_groupagg(
+            assigned.select_columns(["cluster"]), ["cluster"],
+            [([], "count_all")], {"count_all": "n"},
+        ).to_pandas()
+        n_sub = {
+            int(c): max(1, -(-int(n) // max_cluster_rows))
+            for c, n in zip(sizes_tbl["cluster"], sizes_tbl["n"])
+        }
+        n_sub_ref = ray.put(n_sub)
+        shard_stride = max(n_sub.values()) if n_sub else 1
+
+        def salt(t: pa.Table) -> pa.Table:
+            sub = ray.get(n_sub_ref)
+            cl = t["cluster"].to_numpy(zero_copy_only=False)
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            k = np.fromiter((sub.get(int(c), 1) for c in cl), np.int64, len(cl))
+            salted = np.fromiter(
+                (md5_low64(str(int(v))) for v in ids), np.uint64, len(ids)
+            ).astype(np.int64) % np.maximum(k, 1)
+            return t.append_column(
+                "shard",
+                pa.array(cl.astype(np.int64) * shard_stride + salted, pa.int64()),
+            )
+
+        assigned = assigned.map_batches(salt, batch_format="pyarrow")
+        shuffle_key = "shard"
     parts = min(default_partitions(), max(1, n_clusters))
-    return key_partitioned(assigned, ["cluster"], parts).map_batches(
+    return key_partitioned(assigned, [shuffle_key], parts).map_batches(
         prune, batch_size=None, batch_format="pyarrow"
     )
 

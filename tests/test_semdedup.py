@@ -102,3 +102,39 @@ def test_semdedup_greedy_invariants(ray_session):
             assert sims.max() < thr, f"cluster {c}: kept pair >= threshold"
         for d in dropped:
             assert (x[kept] @ x[d]).max() >= thr, f"cluster {c}: unexplained drop"
+
+
+def test_semdedup_salting_cap(ray_session):
+    """Skew guard: with a tiny max_cluster_rows the output stays sound
+    (every dropped row explained by a kept row >= threshold in its cluster),
+    and with a huge cap the result is identical to the unsalted path."""
+    from near_duplicate_detection_ray.pipelines.ann import semdedup_embeddings
+
+    thr = 0.85
+    base = (
+        semdedup_embeddings(SF, n_clusters=4, threshold=thr, seed=42)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    big_cap = (
+        semdedup_embeddings(SF, n_clusters=4, threshold=thr, seed=42,
+                            max_cluster_rows=10**9)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert big_cap.equals(base), "huge cap must be a no-op"
+
+    salted = (
+        semdedup_embeddings(SF, n_clusters=4, threshold=thr, seed=42,
+                            max_cluster_rows=16)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert salted["vec_id"].tolist() == base["vec_id"].tolist()
+    assert salted["cluster"].tolist() == base["cluster"].tolist()
+    ids, mat = _load(SF)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    x = mat / n
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for c, grp in salted.groupby("cluster"):
+        kept = grp[grp["keep"]]["vec_id"].map(pos).to_numpy()
+        for d in grp[~grp["keep"]]["vec_id"].map(pos).to_numpy():
+            assert (x[kept] @ x[d]).max() >= thr, f"cluster {c}: unexplained drop"
