@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_participation": relational.nation_participation,    # FULL OUTER join of partials
         "priority_unpivot": relational.priority_unpivot,            # UNPIVOT / melt reshape
         "user_retention": relational.user_retention,                # cohort retention matrix
+        "disjunctive_revenue": relational.disjunctive_revenue,      # Q19 shape (hash join + OR groups)
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
@@ -645,6 +646,20 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        # Q19 shape: hash join + disjunctive predicate groups, exact 1e-4 units
+        "disjunctive_revenue": """
+            SELECT CAST(COALESCE(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ), 0) AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         # cohort retention: absolute epoch-week buckets, one count per
         # (cohort, offset, user) triple

@@ -1820,6 +1820,90 @@ def user_retention(sf_dir: str):
     )
 
 
+_Q19_GROUPS = [  # (brand, size_hi, qty_lo, qty_hi) disjunctive predicate groups
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+]
+
+
+def disjunctive_revenue(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q19 shape: revenue under OR'd multi-table predicate groups —
+    the query exercising a REAL distributed hash join (lineitem x part on
+    partkey; at scale both sides are large, so no broadcast) plus a
+    disjunctive post-join predicate evaluated vectorized.
+
+    The part side is pre-filtered to the three brands BEFORE the join
+    (predicate pushdown shrinks the shuffle), and lineitem to the overall
+    quantity envelope.  Revenue accumulates in exact integer 1e-4 units
+    (price cents x (100 - discount cents)) so both engines sum identically
+    in any order."""
+    import ray.data as rd
+
+    from ..state.partitioning import materialize_clean
+
+    brands = [g[0] for g in _Q19_GROUPS]
+    qty_lo = min(g[2] for g in _Q19_GROUPS)
+    qty_hi = max(g[3] for g in _Q19_GROUPS)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["p_brand"], value_set=pa.array(brands))),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["l_quantity"], qty_lo),
+                    pc.less_equal(t["l_quantity"], qty_hi))
+        ),
+        batch_format="pyarrow",
+    )
+    j = materialize_clean(li).join(
+        materialize_clean(part),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"rev": pa.array([], pa.int64())})
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        brand = t["p_brand"].to_pylist()
+        mask = np.zeros(t.num_rows, bool)
+        for b, s_hi, lo, hi in _Q19_GROUPS:
+            mask |= (
+                (np.asarray(brand, object) == b)
+                & (size >= 1) & (size <= s_hi)
+                & (q >= lo) & (q <= hi)
+            )
+        if not mask.any():
+            return pa.table({"rev": pa.array([], pa.int64())})
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[mask] * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False)[mask] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"rev": pa.array([int((price_c * (100 - disc_c)).sum())], pa.int64())}
+        )
+
+    partials = j.map_batches(partial, batch_format="pyarrow")
+    total = sum(
+        int(pc.sum(b["rev"]).as_py() or 0)
+        for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    )
+    return rd.from_arrow(
+        pa.table({"revenue": pa.array([total / 10000.0], pa.float64())})
+    )
+
+
 def event_value_outliers(sf_dir: str, z_thresh: float = 3.0):
     """Per-group z-score OUTLIER detection: rows whose value deviates more
     than ``z_thresh`` population standard deviations from their event_type's
