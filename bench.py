@@ -195,6 +195,7 @@ def scaling() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "sf": SF_DIR,
                 "turns": r_hi["turns"],
+                "bench_reps": REPS,
                 # single-core probe before each phase (quiet host ~540k
                 # iters/s); a depressed probe marks that phase's timing as
                 # steal-contaminated — see BASELINE.md noise notes
