@@ -101,6 +101,15 @@ def _strip_boilerplate_turns(sf_dir: str):
     return strip_boilerplate_turns(transcripts_from_documents(sf_dir))
 
 
+def _conversation_stats(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import conversation_stats
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return conversation_stats(transcripts_from_documents(sf_dir))
+
+
 def _tool_usage(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import tool_usage
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -242,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
         "strip_boilerplate_turns": _strip_boilerplate_turns,    # SQL-checked (turn boilerplate removal)
+        "conversation_stats": _conversation_stats,              # SQL-checked (per-conv profile)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -1609,6 +1619,23 @@ def _oracle_sql_literal() -> dict[str, str]:
                    turn_text AS text
             FROM turns
             WHERE turn_text NOT IN (SELECT turn_text FROM boiler)
+        """,
+        # per-conversation profile: turn count, token total, tool calls
+        # (tool set on odd turns when (doc_id + tix) % 6 picks a named tool)
+        "conversation_stats": "WITH " + _TURN_CTES + """
+            , turn_all AS (
+                SELECT conv_id, doc_id, tix, n_tok FROM turns
+                UNION ALL
+                SELECT conv_id, doc_id, 0, 0
+                FROM variants WHERE NOT has_tokens
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN tix % 2 = 1
+                                  AND (doc_id + tix) % 6 >= 3
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls
+            FROM turn_all GROUP BY conv_id
         """,
         # per-(role, tool) usage census over the derived transcripts; the
         # role/tool derivation mirrors sources/transcripts constants

@@ -287,3 +287,52 @@ def strip_boilerplate_turns(transcripts, max_convs: int = 3,
     return transcripts.select_columns(
         ["conv_id", "turn_idx", "role", "text"]
     ).map_batches(strip, batch_format="pyarrow")
+
+
+def conversation_stats(transcripts, num_partitions: int | None = None):
+    """Per-conversation PROFILE: turn count, whitespace-token total, and
+    tool-call count — the basic transcript census a pipeline operator reads
+    before sizing dedup runs.  One keyed hash-partition on conv_id, then a
+    block-local Arrow group_by (conversations are whole per block)."""
+    from ..state.partitioning import key_partitioned
+
+    ds = transcripts.select_columns(["conv_id", "text", "tool"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        import numpy as np
+
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype("int64")
+        n[pc.equal(t["text"], "").to_numpy(zero_copy_only=False)] = 0
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_tok": pa.array(n, pa.int64()),
+                "is_tool": pc.cast(
+                    pc.invert(pc.equal(t["tool"], "")), pa.int64()),
+            }
+        )
+
+    def block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("conv_id", pa.string()), ("n_turns", pa.int64()),
+             ("n_tokens", pa.int64()), ("n_tool_calls", pa.int64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        a = t.group_by(["conv_id"]).aggregate(
+            [("n_tok", "sum"), ("is_tool", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "conv_id": a["conv_id"],
+                "n_turns": pc.cast(a["count_all"], pa.int64()),
+                "n_tokens": pc.cast(a["n_tok_sum"], pa.int64()),
+                "n_tool_calls": pc.cast(a["is_tool_sum"], pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return key_partitioned(
+        ds.map_batches(prep, batch_format="pyarrow"), ["conv_id"], num_partitions
+    ).map_batches(block, batch_format="pyarrow", batch_size=None)
