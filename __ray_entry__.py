@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_unpivot": relational.priority_unpivot,            # UNPIVOT / melt reshape
         "user_retention": relational.user_retention,                # cohort retention matrix
         "disjunctive_revenue": relational.disjunctive_revenue,      # Q19 shape (hash join + OR groups)
+        "heavy_hitter_users": relational.heavy_hitter_users,        # MG screen + exact confirm
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
@@ -656,6 +657,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        # exact heavy hitters (Misra-Gries screen + exact confirm pass)
+        "heavy_hitter_users": """
+            SELECT user_id, count(*) AS n_events
+            FROM events
+            GROUP BY user_id
+            HAVING CAST(count(*) AS DOUBLE)
+                   > CAST((SELECT count(*) FROM events) AS DOUBLE) * 0.005
         """,
         # Q19 shape: hash join + disjunctive predicate groups, exact 1e-4 units
         "disjunctive_revenue": """

@@ -1904,6 +1904,92 @@ def disjunctive_revenue(sf_dir: str, num_partitions: int = 8):
     )
 
 
+def heavy_hitter_users(sf_dir: str, eps: float = 0.005):
+    """EXACT heavy hitters without a full-cardinality shuffle: users with
+    more than ``eps`` of all events.
+
+    1. SCREEN: per-block Misra-Gries summaries with k = ceil(1/eps)
+       counters (``state/sketch.mg_reduce``), merged off-driver through a
+       remote tree — the merged summary's undercount is bounded by
+       N/(k+1) <= eps*N, so every truly-frequent user is GUARANTEED in the
+       <=k-entry candidate set (Agarwal et al., mergeable summaries).
+    2. CONFIRM: candidates broadcast once; ONE streamed counting pass sums
+       exact per-candidate counts (combiner partials), then the threshold
+       filter.  The confirmed output is exact and deterministic — merge
+       order only changes the candidate SUPERSET — so the plain SQL
+       GROUP BY/HAVING oracles it.
+
+    The full-groupby alternative shuffles every (user, count) pair;
+    this shuffles nothing and broadcasts <=k candidates."""
+    import ray
+
+    from ..state.sketch import mg_merge, mg_reduce
+
+    k = int(np.ceil(1.0 / eps))
+    ds = _read(sf_dir, "events", ["user_id"])
+    n_total = ds.count()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        vals, cnts = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        v, c = mg_reduce(vals, cnts.astype(np.int64), k)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    refs = (
+        ds.map_batches(block_summary, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+
+    @ray.remote
+    def merge(*tables):
+        parts = [
+            (t["v"].to_numpy(zero_copy_only=False),
+             t["c"].to_numpy(zero_copy_only=False))
+            for t in tables if t.num_rows and t.num_columns
+        ]
+        v, c = mg_merge(parts, k) if parts else (np.empty(0, np.int64),
+                                                 np.empty(0, np.int64))
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i: i + 64]) for i in range(0, len(refs), 64)]
+    cand = ray.get(refs[0])["v"].combine_chunks() if refs else pa.array([], pa.int64())
+    cand_ref = ray.put(cand)
+
+    def count_cand(t: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        if t.num_rows == 0 or len(cs) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        sel = t.filter(pc.is_in(t["user_id"], value_set=cs))
+        vals, cnts = np.unique(
+            sel["user_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"user_id": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    agg = lowcard_groupagg(
+        ds.map_batches(count_cand, batch_format="pyarrow"),
+        ["user_id"], [("n", "sum")], {"n_sum": "n_events"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # same float threshold expression as the SQL HAVING
+        mask = pc.greater(
+            pc.cast(t["n_events"], pa.float64()), float(n_total) * eps
+        )
+        return t.filter(mask)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def event_value_outliers(sf_dir: str, z_thresh: float = 3.0):
     """Per-group z-score OUTLIER detection: rows whose value deviates more
     than ``z_thresh`` population standard deviations from their event_type's

@@ -121,3 +121,32 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# --- Misra-Gries heavy-hitter summaries (mergeable; Agarwal et al., public
+# knowledge).  The summary UNDERCOUNTS by at most N/(k+1) total, so any value
+# with true frequency > N/(k+1) is guaranteed present in the merged summary —
+# callers use it as a CANDIDATE SCREEN and confirm with one exact counting
+# pass, making the final output exact and deterministic regardless of merge
+# order (only the candidate superset varies, never the confirmed result).
+
+
+def mg_reduce(values: np.ndarray, counts: np.ndarray, k: int):
+    """Reduce exact (value, count) pairs to a <=k-entry Misra-Gries summary:
+    subtract the (k+1)-th largest count from everything, keep positives."""
+    if len(values) <= k:
+        return values, counts
+    thresh = np.partition(counts, -(k + 1))[-(k + 1)]
+    keep = counts > thresh
+    return values[keep], counts[keep] - thresh
+
+
+def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]], k: int):
+    """Merge MG summaries: concatenate, group-sum by value, reduce to k."""
+    vals = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, object)
+    cnts = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+    if len(vals) == 0:
+        return vals, cnts
+    uniq, inv = np.unique(vals, return_inverse=True)
+    summed = np.bincount(inv, weights=cnts).astype(np.int64)
+    return mg_reduce(uniq, summed, k)

@@ -74,3 +74,51 @@ def test_sketch_quantiles_close_to_exact_operator(ray_session):
     # values per group are ~2k at sf0.001 (< m) -> sketch should be exact
     for col in ("p25", "p50", "p90", "p99"):
         np.testing.assert_allclose(exact[col], approx[col], rtol=0, atol=1e-12)
+
+
+def test_mg_screen_confirm_exact(ray_session):
+    """Misra-Gries screen + exact confirm == plain exact threshold, even when
+    k forces heavy candidate truncation (k=34 counters vs 150 users)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from near_duplicate_detection_ray.pipelines.relational import heavy_hitter_users
+
+    sf = "/root/testdata/sf0.001"
+    eps = 0.03  # k = 34
+    got = (
+        heavy_hitter_users(sf, eps=eps)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["user_id"]).to_pandas()
+    cnt = ev.groupby("user_id").size().reset_index(name="n_events")
+    want = (
+        cnt[cnt["n_events"].astype(float) > float(len(ev)) * eps]
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+
+
+def test_mg_reduce_guarantee():
+    """Every value with true count > N/(k+1) survives mg_reduce/mg_merge."""
+    import numpy as np
+
+    from near_duplicate_detection_ray.state.sketch import mg_merge, mg_reduce
+
+    rng = np.random.default_rng(5)
+    # skewed multinomial: a few heavy values + long tail
+    vals = np.concatenate([np.repeat(np.arange(5), 500),
+                           rng.integers(100, 5000, size=3000)])
+    rng.shuffle(vals)
+    k = 20
+    n = len(vals)
+    # split into 7 chunks, per-chunk exact counts -> reduce -> merge
+    parts = []
+    for chunk in np.array_split(vals, 7):
+        u, c = np.unique(chunk, return_counts=True)
+        parts.append(mg_reduce(u, c.astype(np.int64), k))
+    mv, _ = mg_merge(parts, k)
+    u, c = np.unique(vals, return_counts=True)
+    frequent = set(u[c > n / (k + 1)].tolist())
+    assert frequent <= set(mv.tolist()), "guaranteed-frequent value dropped"
