@@ -287,7 +287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # exact/near-dup conversation variants -> per-token explode -> 30-token
 # turns with the m-variant's every-29th-token substitution.  Used by the
 # dup_turns / strip_boilerplate_turns / tool_usage oracles.
-_TURN_CTES = r"""
+# The base/variants/exploded fragment shared by BOTH oracle families
+# (turn-level and conversation-level) — one definition of the planted
+# exact('e')/near('m')-dup variant rules.
+_BASE_VARIANT_CTES = r"""
 base AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
            trim(text) <> '' AS has_tokens
@@ -306,7 +309,9 @@ base AS (
     SELECT conv_id, doc_id, is_m, unnest(t) AS tok,
            unnest(range(1, len(t) + 1)) AS i
     FROM variants WHERE has_tokens
-), turns AS (
+)"""
+
+_TURN_CTES = _BASE_VARIANT_CTES + r""", turns AS (
     SELECT conv_id, doc_id, (i - 1) // 30 AS tix,
            string_agg(CASE WHEN is_m AND (i % 29 = 0)
                            THEN 'tok' || doc_id
@@ -317,21 +322,7 @@ base AS (
 """
 
 
-_CONV_CTES = r"""
-base AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-           trim(text) <> '' AS has_tokens
-    FROM documents
-), variants AS (
-    SELECT printf('doc%09d', doc_id) AS conv_id, doc_id, t, has_tokens, false AS is_m FROM base
-    UNION ALL
-    SELECT printf('doc%09d', doc_id) || 'e', doc_id, t, has_tokens, false FROM base WHERE doc_id % 10 = 7
-    UNION ALL
-    SELECT printf('doc%09d', doc_id) || 'm', doc_id, t, has_tokens, true FROM base WHERE doc_id % 10 = 3
-), exploded AS (
-    SELECT conv_id, doc_id, is_m, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
-    FROM variants WHERE has_tokens
-), rebuilt AS (
+_CONV_CTES = _BASE_VARIANT_CTES + r""", rebuilt AS (
     SELECT conv_id,
            string_agg(CASE WHEN is_m AND (i % 29 = 0) THEN 'tok' || doc_id
                            ELSE lower(tok) END, ' ' ORDER BY i) AS doc_text,

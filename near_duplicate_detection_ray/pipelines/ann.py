@@ -748,9 +748,9 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
         assign, batch_format="pyarrow"
     )
     shuffle_key = "cluster"
+    n_shards = max(1, n_clusters)
     if max_cluster_rows is not None:
         from ..functions.groupagg import lowcard_groupagg
-        from ..functions.hashing import md5_low64
         from ..state.partitioning import materialize_clean
 
         assigned = materialize_clean(assigned)  # sizing pass must not re-run assign
@@ -764,15 +764,21 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
         }
         n_sub_ref = ray.put(n_sub)
         shard_stride = max(n_sub.values()) if n_sub else 1
+        n_shards = sum(n_sub.values()) if n_sub else 1
 
         def salt(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
             sub = ray.get(n_sub_ref)
             cl = t["cluster"].to_numpy(zero_copy_only=False)
             ids = t["vec_id"].to_numpy(zero_copy_only=False)
             k = np.fromiter((sub.get(int(c), 1) for c in cl), np.int64, len(cl))
-            salted = np.fromiter(
-                (md5_low64(str(int(v))) for v in ids), np.uint64, len(ids)
-            ).astype(np.int64) % np.maximum(k, 1)
+            # vectorized deterministic hash (SipHash w/ fixed key — shard
+            # assignment is output-invisible, no SQL-parity requirement)
+            hashed = pd.util.hash_array(
+                ids.astype(np.int64), hash_key="0123456789123456"
+            ).astype(np.int64)
+            salted = hashed % np.maximum(k, 1)
             return t.append_column(
                 "shard",
                 pa.array(cl.astype(np.int64) * shard_stride + salted, pa.int64()),
@@ -780,7 +786,7 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
 
         assigned = assigned.map_batches(salt, batch_format="pyarrow")
         shuffle_key = "shard"
-    parts = min(default_partitions(), max(1, n_clusters))
+    parts = min(default_partitions(), n_shards)
     return key_partitioned(assigned, [shuffle_key], parts).map_batches(
         prune, batch_size=None, batch_format="pyarrow"
     )

@@ -61,6 +61,22 @@ def _eval_split_mask(ids: np.ndarray, pct: int) -> np.ndarray:
     )
 
 
+def _eval_gram_batch(n: int, pct: int):
+    """Batch fn shared by every decontamination flavor: per-block UNIQUE
+    word n-gram strings of the EVAL split.  One definition keeps the exact
+    and Bloom paths' gram derivations bit-identical (their output-identity
+    guarantee depends on it)."""
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(_eval_split_mask(ids, pct)))
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        g, _ = _gram_windows(t["text"].combine_chunks(), n)
+        return pa.table({"gram": pa.array(pc.unique(pa.array(g, pa.string())))})
+
+    return eval_grams
+
+
 def curate_docs(
     sf_dir: str,
     min_tokens: int = 20,
@@ -214,13 +230,7 @@ def decontaminate_docs(sf_dir: str, n: int = 8, pct: int = 10):
     def _is_eval(ids: np.ndarray) -> np.ndarray:
         return _eval_split_mask(ids, pct)
 
-    def eval_grams(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        t = batch.filter(pa.array(_is_eval(ids)))
-        if t.num_rows == 0:
-            return pa.table({"gram": pa.array([], pa.string())})
-        g, _ = _gram_strings(t["text"].combine_chunks())
-        return pa.table({"gram": pa.array(pc.unique(pa.array(g, pa.string())))})
+    eval_grams = _eval_gram_batch(n, pct)
 
     grams_ds = _read(["doc_id", "text"]).map_batches(eval_grams, batch_format="pyarrow")
     eval_ref, n_eval = distinct_values_ref(grams_ds, ["gram"])
@@ -269,13 +279,7 @@ def contamination_report(sf_dir: str, n: int = 8, pct: int = 10):
     def _read(columns):
         return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
-    def eval_grams(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        t = batch.filter(pa.array(_eval_split_mask(ids, pct)))
-        if t.num_rows == 0:
-            return pa.table({"gram": pa.array([], pa.string())})
-        g, _ = _gram_windows(t["text"].combine_chunks(), n)
-        return pa.table({"gram": pa.array(pc.unique(pa.array(g, pa.string())))})
+    eval_grams = _eval_gram_batch(n, pct)
 
     grams_ds = _read(["doc_id", "text"]).map_batches(eval_grams, batch_format="pyarrow")
     eval_ref, _ = distinct_values_ref(grams_ds, ["gram"])
@@ -391,13 +395,7 @@ def decontaminate_docs_bloom(sf_dir: str, n: int = 8, pct: int = 10,
     def _read(columns):
         return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
-    def eval_grams(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        t = batch.filter(pa.array(_eval_split_mask(ids, pct)))
-        if t.num_rows == 0:
-            return pa.table({"gram": pa.array([], pa.string())})
-        g, _ = _gram_windows(t["text"].combine_chunks(), n)
-        return pa.table({"gram": pa.array(pc.unique(pa.array(g, pa.string())))})
+    eval_grams = _eval_gram_batch(n, pct)
 
     grams_ds = materialize_clean(
         _read(["doc_id", "text"]).map_batches(eval_grams, batch_format="pyarrow")

@@ -170,6 +170,18 @@ def dup_turns(transcripts, num_partitions: int | None = None):
     )
 
 
+def _turn_token_counts(t: pa.Table) -> "np.ndarray":
+    """Whitespace-token count per turn text (single-space join), with empty
+    turns counted as 0 — ONE kernel shared by tool_usage and
+    conversation_stats so both SQL-gated queries agree on n_tok."""
+    import numpy as np
+
+    toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype("int64")
+    n[pc.equal(t["text"], "").to_numpy(zero_copy_only=False)] = 0
+    return n
+
+
 def tool_usage(transcripts, num_partitions: int | None = None):
     """Per-(role, tool) usage census over a transcripts table: turn count,
     distinct-conversation count, total whitespace tokens.
@@ -186,13 +198,9 @@ def tool_usage(transcripts, num_partitions: int | None = None):
     ds = transcripts.select_columns(["conv_id", "role", "tool", "text"])
 
     def tok_partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
-        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype("int64")
-        empty = pc.equal(t["text"], "").to_numpy(zero_copy_only=False)
-        n[empty] = 0
         return pa.table(
             {"role": t["role"], "tool": t["tool"],
-             "n_tok": pa.array(n, pa.int64())}
+             "n_tok": pa.array(_turn_token_counts(t), pa.int64())}
         )
 
     counts = lowcard_groupagg(
@@ -299,15 +307,10 @@ def conversation_stats(transcripts, num_partitions: int | None = None):
     ds = transcripts.select_columns(["conv_id", "text", "tool"])
 
     def prep(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
-        import numpy as np
-
-        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype("int64")
-        n[pc.equal(t["text"], "").to_numpy(zero_copy_only=False)] = 0
         return pa.table(
             {
                 "conv_id": t["conv_id"],
-                "n_tok": pa.array(n, pa.int64()),
+                "n_tok": pa.array(_turn_token_counts(t), pa.int64()),
                 "is_tool": pc.cast(
                     pc.invert(pc.equal(t["tool"], "")), pa.int64()),
             }

@@ -1873,11 +1873,10 @@ def disjunctive_revenue(sf_dir: str, num_partitions: int = 8):
             return pa.table({"rev": pa.array([], pa.int64())})
         q = t["l_quantity"].to_numpy(zero_copy_only=False)
         size = t["p_size"].to_numpy(zero_copy_only=False)
-        brand = t["p_brand"].to_pylist()
         mask = np.zeros(t.num_rows, bool)
         for b, s_hi, lo, hi in _Q19_GROUPS:
             mask |= (
-                (np.asarray(brand, object) == b)
+                pc.equal(t["p_brand"], b).to_numpy(zero_copy_only=False)
                 & (size >= 1) & (size <= s_hi)
                 & (q >= lo) & (q <= hi)
             )

@@ -148,5 +148,8 @@ def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]], k: int):
     if len(vals) == 0:
         return vals, cnts
     uniq, inv = np.unique(vals, return_inverse=True)
-    summed = np.bincount(inv, weights=cnts).astype(np.int64)
+    # integer accumulation: float64 bincount weights lose exactness past
+    # 2^53 per-value counts, breaking the summary's exactness claim
+    summed = np.zeros(len(uniq), np.int64)
+    np.add.at(summed, inv, cnts.astype(np.int64))
     return mg_reduce(uniq, summed, k)

@@ -134,7 +134,23 @@ def test_semdedup_salting_cap(ray_session):
     n[n == 0] = 1.0
     x = mat / n
     pos = {int(v): i for i, v in enumerate(ids)}
-    for c, grp in salted.groupby("cluster"):
+    # recompute the shard assignment (same sizing rule + SipHash key) so the
+    # soundness check runs at SHARD granularity — if salting silently
+    # no-opped (cluster-wide greedy), drops explained only by a kept row in
+    # a DIFFERENT shard would fail this
+    import pandas as pd
+
+    sizes = salted.groupby("cluster").size()
+    n_sub = {int(c): max(1, -(-int(s) // 16)) for c, s in sizes.items()}
+    assert max(n_sub.values()) > 1, "cap never engaged — test data too small"
+    hashed = pd.util.hash_array(
+        salted["vec_id"].to_numpy().astype(np.int64),
+        hash_key="0123456789123456",
+    ).astype(np.int64)
+    k = salted["cluster"].map(n_sub).to_numpy()
+    salted = salted.assign(shard=hashed % np.maximum(k, 1))
+    for (c, sh), grp in salted.groupby(["cluster", "shard"]):
         kept = grp[grp["keep"]]["vec_id"].map(pos).to_numpy()
         for d in grp[~grp["keep"]]["vec_id"].map(pos).to_numpy():
-            assert (x[kept] @ x[d]).max() >= thr, f"cluster {c}: unexplained drop"
+            assert (x[kept] @ x[d]).max() >= thr, \
+                f"cluster {c} shard {sh}: unexplained drop"
