@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": relational.user_retention,                # cohort retention matrix
         "disjunctive_revenue": relational.disjunctive_revenue,      # Q19 shape (hash join + OR groups)
         "heavy_hitter_users": relational.heavy_hitter_users,        # MG screen + exact confirm
+        "value_histogram": relational.value_histogram,              # equal-width integer bins
+        "event_value_mad": relational.event_value_mad,              # robust median/MAD stats
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
@@ -648,6 +650,41 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        # equal-width histogram: pure integer binning mirrors the engine
+        "value_histogram": """
+            WITH c AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+            ), m AS (
+                SELECT min(v) AS mn, max(v) AS mx,
+                       (max(v) - min(v) + 20) // 20 AS w
+                FROM c
+            )
+            SELECT (v - mn) // greatest(w, 1) AS bin,
+                   mn + ((v - mn) // greatest(w, 1)) * greatest(w, 1) AS lo_c,
+                   least(mn + ((v - mn) // greatest(w, 1) + 1)
+                         * greatest(w, 1) - 1, mx) AS hi_c,
+                   count(*) AS n_events
+            FROM c, m
+            GROUP BY 1, 2, 3
+        """,
+        # robust stats: discrete (element-picking) median and MAD in cents
+        "event_value_mad": """
+            WITH c AS (
+                SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+                FROM events
+            ), med AS (
+                SELECT event_type,
+                       CAST(quantile_disc(v, 0.5) AS BIGINT) AS median_c
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_type,
+                   any_value(med.median_c) AS median_c,
+                   CAST(quantile_disc(abs(c.v - med.median_c), 0.5) AS BIGINT)
+                       AS mad_c,
+                   count(*) AS n_events
+            FROM c JOIN med USING (event_type)
+            GROUP BY c.event_type
         """,
         # exact heavy hitters (Misra-Gries screen + exact confirm pass)
         "heavy_hitter_users": """

@@ -1989,6 +1989,99 @@ def heavy_hitter_users(sf_dir: str, eps: float = 0.005):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def value_histogram(sf_dir: str, n_bins: int = 20):
+    """Equal-width HISTOGRAM of event values — binning as pure integer
+    arithmetic so both engines land every row in the same bin: values as
+    cents, width = ceil((max-min+1)/n_bins) via integer ceil, bin =
+    (v-min)//width.  Two passes like SQL: a tiny global (min,max) reduce,
+    then combiner bin counts."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"mn": pa.array([int(c.min())], pa.int64()),
+                         "mx": pa.array([int(c.max())], pa.int64())})
+
+    mm = pa.concat_tables(
+        b for b in ds.map_batches(mm_partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    )
+    if mm.num_rows == 0:
+        return rd.from_arrow(pa.table(
+            {"bin": pa.array([], pa.int64()), "lo_c": pa.array([], pa.int64()),
+             "hi_c": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64())}
+        ))
+    mn = int(pc.min(mm["mn"]).as_py())
+    mx = int(pc.max(mm["mx"]).as_py())
+    width = (mx - mn + n_bins) // n_bins  # integer ceil of (mx-mn+1)/n_bins
+
+    def bins(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"bin": pa.array((c - mn) // max(width, 1), pa.int64())})
+
+    agg = lowcard_groupagg(
+        ds.map_batches(bins, batch_format="pyarrow"),
+        ["bin"], [([], "count_all")], {"count_all": "n_events"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t["bin"].to_numpy(zero_copy_only=False)
+        w = max(width, 1)
+        return pa.table(
+            {
+                "bin": t["bin"],
+                "lo_c": pa.array(mn + b * w, pa.int64()),
+                "hi_c": pa.array(np.minimum(mn + (b + 1) * w - 1, mx), pa.int64()),
+                "n_events": t["n_events"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def event_value_mad(sf_dir: str):
+    """Per-group MEDIAN + MAD (median absolute deviation) — the robust-stats
+    companion to the mean/stddev family.  All order statistics are DISCRETE
+    (element-picking, numpy inverted_cdf == DuckDB quantile_disc — the
+    parity already proven for event_value_quantiles) over integer cents, so
+    the output is exact integers.  One keyed partition; the two quantile
+    passes are block-local per group."""
+    from ..state.partitioning import key_partitioned
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("event_type", pa.string()), ("median_c", pa.int64()),
+             ("mad_c", pa.int64()), ("n_events", pa.int64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        rows = {"event_type": [], "median_c": [], "mad_c": [], "n_events": []}
+        for code in np.unique(codes):
+            seg = c[codes == code]
+            med = int(np.quantile(seg, 0.5, method="inverted_cdf"))
+            mad = int(np.quantile(np.abs(seg - med), 0.5, method="inverted_cdf"))
+            rows["event_type"].append(enc.dictionary[code].as_py())
+            rows["median_c"].append(med)
+            rows["mad_c"].append(mad)
+            rows["n_events"].append(int(len(seg)))
+        return pa.Table.from_pydict(rows, schema=schema)
+
+    return key_partitioned(ds, ["event_type"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def event_value_outliers(sf_dir: str, z_thresh: float = 3.0):
     """Per-group z-score OUTLIER detection: rows whose value deviates more
     than ``z_thresh`` population standard deviations from their event_type's
