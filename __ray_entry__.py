@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
+        "dup_pair_degrees": docs_dedup.dup_pair_degrees,        # SQL-checked (dup-graph degrees)
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
@@ -1497,6 +1498,40 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        # degree histogram of the same brute-force near-dup pair graph
+        "dup_pair_degrees": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), jp AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            ), ends AS (
+                SELECT a AS doc_id FROM jp UNION ALL SELECT b FROM jp
+            ), deg AS (
+                SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id
+            )
+            SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
         """,
         # End-user dedup output: one kept representative (min doc_id) per
         # duplicate component, components spanning exact raw-text copies AND

@@ -1051,3 +1051,33 @@ def cut_spans_docs(sf_dir: str, w: int = 8):
     return key_partitioned(merged, ["doc_id"]).map_batches(
         rebuild, batch_format="pandas", batch_size=None
     )
+
+
+def dup_pair_degrees(sf_dir: str, cfg: NDDConfig | None = None):
+    """DEGREE DISTRIBUTION of the near-dup pair graph — the dedup-ops
+    diagnostic (how clustered is the duplicate mass? a fat tail means
+    template families, degree-1 spikes mean isolated pairs).  Reuses the
+    SQL-checked :func:`near_dup_pairs_docs` pairs, explodes both endpoints,
+    counts per-doc degree with one keyed aggregation, and histograms the
+    (low-cardinality) degrees with a combiner."""
+    import numpy as np
+
+    from ..functions.groupagg import highcard_groupagg, lowcard_groupagg
+
+    pairs = near_dup_pairs_docs(sf_dir, cfg)
+
+    def ends(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, b]), pa.int64())})
+
+    deg = highcard_groupagg(
+        pairs.map_batches(ends, batch_format="pyarrow"),
+        ["doc_id"], [([], "count_all")], {"count_all": "degree"},
+    )
+    return lowcard_groupagg(
+        deg.select_columns(["degree"]),
+        ["degree"], [([], "count_all")], {"count_all": "n_docs"},
+    )
