@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
         "dup_pair_degrees": docs_dedup.dup_pair_degrees,        # SQL-checked (dup-graph degrees)
+        "span_coverage_stats": docs_dedup.span_coverage_stats,  # SQL-checked (duplication mass)
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
@@ -1590,6 +1591,21 @@ def _oracle_sql_literal() -> dict[str, str]:
         # The span-cut cleaned text: every token covered by a duplicated
         # 8-gram removed, survivors re-joined by single spaces
         "cut_spans_docs": _CUT_SPANS_SQL,
+        # corpus duplication mass: aggregate of the span-cut output
+        "span_coverage_stats": f"""
+            WITH x AS {_CUT_SPANS_SQL}
+            SELECT CAST(sum(n_removed) AS BIGINT) AS n_tokens_removed,
+                   CAST(sum(n_removed)
+                        + sum(CASE WHEN kept_text = '' THEN 0
+                                   ELSE len(string_split(kept_text, ' ')) END)
+                        AS BIGINT) AS n_tokens_total,
+                   CAST(sum(n_removed) AS DOUBLE)
+                   / CAST(sum(n_removed)
+                          + sum(CASE WHEN kept_text = '' THEN 0
+                                     ELSE len(string_split(kept_text, ' ')) END)
+                          AS DOUBLE) AS removed_frac
+            FROM x
+        """,
         # End-to-end corpus prep: curate survivors x span-cut text, post-cut
         # token refilter — each predicate individually oracled above
         "prepare_training_docs": f"""

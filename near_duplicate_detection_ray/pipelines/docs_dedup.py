@@ -1081,3 +1081,44 @@ def dup_pair_degrees(sf_dir: str, cfg: NDDConfig | None = None):
         deg.select_columns(["degree"]),
         ["degree"], [([], "count_all")], {"count_all": "n_docs"},
     )
+
+
+def span_coverage_stats(sf_dir: str, w: int = 8):
+    """Corpus DUPLICATION-MASS summary: what fraction of all tokens sits
+    inside corpus-duplicated ``w``-gram spans — the headline number a data
+    team tracks across crawl snapshots (Lee et al. report it as the
+    dedupable mass).  One row: (n_tokens_removed, n_tokens_total,
+    removed_frac).  Derived entirely from the SQL-checked
+    :func:`cut_spans_docs` stream via tiny per-block partials."""
+    import numpy as np
+    import ray.data as rd
+
+    out = cut_spans_docs(sf_dir, w)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"rem": pa.array([], pa.int64()),
+                             "kept": pa.array([], pa.int64())})
+        rem = int(pc.sum(t["n_removed"]).as_py() or 0)
+        toks = pc.split_pattern(t["kept_text"].combine_chunks(), pattern=" ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n[pc.equal(t["kept_text"], "").to_numpy(zero_copy_only=False)] = 0
+        return pa.table({"rem": pa.array([rem], pa.int64()),
+                         "kept": pa.array([int(n.sum())], pa.int64())})
+
+    parts = pa.concat_tables(
+        b for b in out.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    )
+    rem = int(pc.sum(parts["rem"]).as_py() or 0) if parts.num_rows else 0
+    kept = int(pc.sum(parts["kept"]).as_py() or 0) if parts.num_rows else 0
+    total = rem + kept
+    return rd.from_arrow(pa.table(
+        {
+            "n_tokens_removed": pa.array([rem], pa.int64()),
+            "n_tokens_total": pa.array([total], pa.int64()),
+            "removed_frac": pa.array(
+                [rem / total if total else 0.0], pa.float64()),
+        }
+    ))
