@@ -47,6 +47,26 @@ def _ndd_clusters(sf_dir: str):
     return near_dup_pipeline(transcripts_from_documents(sf_dir))["clusters"]
 
 
+def _cluster_size_histogram(sf_dir: str):
+    """Distribution of flagship cluster sizes: (cluster_size, n_clusters)."""
+    from near_duplicate_detection_ray.functions.groupagg import (
+        highcard_groupagg,
+        lowcard_groupagg,
+    )
+
+    clusters = _ndd_clusters(sf_dir)
+    sizes = highcard_groupagg(
+        clusters.select_columns(["cluster_id"]),
+        ["cluster_id"], [([], "count_all")], {"count_all": "sz"},
+    )
+    return lowcard_groupagg(
+        sizes.select_columns(["sz"]).map_batches(
+            lambda t: t.rename_columns(["cluster_size"]), batch_format="pyarrow"
+        ),
+        ["cluster_size"], [([], "count_all")], {"count_all": "n_clusters"},
+    )
+
+
 def _ndd_dup_pairs(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -273,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship transcript pipeline (engine-synthesized input; SQL-checked
         #     via the derived-corpus CTEs in oracle_sql, + NumPy oracle in pytest) ---
         "ndd_clusters": _ndd_clusters,
+        "cluster_size_histogram": _cluster_size_histogram,
         "ndd_dup_pairs": _ndd_dup_pairs,
         "ndd_conversations": _assemble_transcripts,
     }
@@ -337,6 +358,35 @@ _CONV_CTES = _BASE_VARIANT_CTES + r""", rebuilt AS (
     FROM variants v LEFT JOIN rebuilt r ON v.conv_id = r.conv_id
 )
 """
+
+# Reachability (connected components) over the planted-dup edge sets —
+# shared by the ndd_clusters and cluster_size_histogram oracles.
+_NDD_REACH_TAIL = r"""
+
+            , jpairs AS (SELECT a, b FROM rjacc WHERE jaccard >= 0.8),
+            cpairs AS (
+                SELECT j.a, j.b
+                FROM rjacc j JOIN reps ra ON j.a = ra.conv_id
+                             JOIN reps rb ON j.b = rb.conv_id
+                WHERE j.jaccard < 0.8 AND j.containment >= 0.9
+                  AND CASE WHEN length(ra.doc_text) <= length(rb.doc_text)
+                           THEN position(ra.doc_text IN rb.doc_text) > 0
+                           ELSE position(rb.doc_text IN ra.doc_text) > 0 END
+            ), xpairs AS (
+                SELECT r.conv_id AS a, c.conv_id AS b
+                FROM conv c JOIN reps r ON c.doc_text = r.doc_text
+                WHERE c.conv_id <> r.conv_id
+            ), edges AS (
+                SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs
+                UNION SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs
+                UNION SELECT a, b FROM xpairs UNION SELECT b, a FROM xpairs
+            ), reach(src, node) AS (
+                SELECT conv_id, conv_id FROM conv
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+            )
+"""
+
 
 # Jaccard/containment pairs among fingerprint representatives of that corpus.
 _REP_PAIR_CTES = r"""
@@ -1969,32 +2019,22 @@ def _oracle_sql_literal() -> dict[str, str]:
         # normalized-substring; the engine additionally requires an
         # anchor-shingle collision, which holds w.h.p. (1 - (7/8)^k) for any
         # non-trivial shared run.
-        "ndd_clusters": "WITH RECURSIVE " + _CONV_CTES + _REP_PAIR_CTES + """
-            , jpairs AS (SELECT a, b FROM rjacc WHERE jaccard >= 0.8),
-            cpairs AS (
-                SELECT j.a, j.b
-                FROM rjacc j JOIN reps ra ON j.a = ra.conv_id
-                             JOIN reps rb ON j.b = rb.conv_id
-                WHERE j.jaccard < 0.8 AND j.containment >= 0.9
-                  AND CASE WHEN length(ra.doc_text) <= length(rb.doc_text)
-                           THEN position(ra.doc_text IN rb.doc_text) > 0
-                           ELSE position(rb.doc_text IN ra.doc_text) > 0 END
-            ), xpairs AS (
-                SELECT r.conv_id AS a, c.conv_id AS b
-                FROM conv c JOIN reps r ON c.doc_text = r.doc_text
-                WHERE c.conv_id <> r.conv_id
-            ), edges AS (
-                SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs
-                UNION SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs
-                UNION SELECT a, b FROM xpairs UNION SELECT b, a FROM xpairs
-            ), reach(src, node) AS (
-                SELECT conv_id, conv_id FROM conv
-                UNION
-                SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+        "ndd_clusters": "WITH RECURSIVE " + _CONV_CTES + _REP_PAIR_CTES
+        + _NDD_REACH_TAIL
+        + " SELECT src AS conv_id, min(node) AS cluster_id FROM reach GROUP BY src",
+        # distribution of flagship cluster sizes (same reachability CTEs)
+        "cluster_size_histogram": "WITH RECURSIVE " + _CONV_CTES + _REP_PAIR_CTES
+        + _NDD_REACH_TAIL
+        + """
+            , comp AS (
+                SELECT src, min(node) AS cluster_id FROM reach GROUP BY src
+            ), sizes AS (
+                SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id
             )
-            SELECT src AS conv_id, min(node) AS cluster_id FROM reach GROUP BY src
+            SELECT sz AS cluster_size, count(*) AS n_clusters
+            FROM sizes GROUP BY sz
         """,
-        # label-filtered exact search: same-rank semantics as ann_cosine_topk
+                # label-filtered exact search: same-rank semantics as ann_cosine_topk
         # restricted to the query's own label
         "ann_filtered_topk": """
             WITH q AS (
