@@ -144,3 +144,28 @@ def read_range_pruned(out_dir: str, lo, hi, columns=None):
 
     ds = ds.map_batches(residual, batch_format="pyarrow")
     return ds, len(keep), total
+
+
+def read_csv_clean(path, **kwargs):
+    """``ray.data.read_csv`` with schema metadata stripped per block — the
+    CSV ingestion twin of :func:`read_parquet_clean` for corpora delivered
+    as delimited text (same downstream pipelines; parquet remains the
+    preferred scale format — columnar pruning and footer stats)."""
+    import ray.data as rd
+
+    ds = rd.read_csv(path, **kwargs)
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
+def read_json_clean(path, **kwargs):
+    """``ray.data.read_json`` (newline-delimited JSON) with schema metadata
+    stripped per block — the NDJSON ingestion twin of
+    :func:`read_parquet_clean`."""
+    import ray.data as rd
+
+    ds = rd.read_json(path, **kwargs)
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
