@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": text_analysis.stratified_sample_docs,  # SQL-checked (per-stratum hash top-k)
         "top_terms_docs": text_analysis.top_terms_docs,        # SQL-checked (TF-IDF top-k, exact rational score)
         "normalize_docs": text_analysis.normalize_docs,        # SQL-checked (M5 canonical normalization)
+        "chunk_docs": text_analysis.chunk_docs,                # SQL-checked (RAG token windows)
+        "bigram_novelty_docs": text_analysis.bigram_novelty_docs,  # SQL-checked (cross-doc gram novelty)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -1500,6 +1502,58 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM bg GROUP BY gram
             ORDER BY n DESC, gram ASC
             LIMIT 20
+        """,
+        # RAG token-window chunking: DuckDB list slicing is 1-based inclusive
+        # and clamps, so l[st+1 : st+32] is exactly the engine's
+        # tokens[st : st+32] window.
+        "chunk_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+              FROM documents
+            )
+            SELECT doc_id,
+                   u AS chunk_idx,
+                   array_to_string(l[u*24+1 : u*24+32], ' ') AS chunk_text,
+                   least(32, len(l) - u*24) AS n_tokens
+            FROM toks CROSS JOIN
+                 unnest(range(0, CASE WHEN len(l) = 0 THEN 0
+                                      ELSE 1 + (len(l) - 1) // 24 END)) AS t(u)
+        """,
+        # cross-doc bigram novelty: integer-only aggregates (order-insensitive,
+        # hash-exact); n_self counts distinct grams whose corpus-wide count
+        # equals their in-doc count (they occur nowhere else).
+        "bigram_novelty_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+              FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(l)),
+                                           i -> l[i] || ' ' || l[i+1])) AS gram
+              FROM toks
+            ), per_doc AS (
+              SELECT doc_id, gram, count(*) AS k FROM bg GROUP BY 1, 2
+            ), corpus AS (
+              SELECT gram, CAST(sum(k) AS BIGINT) AS n FROM per_doc GROUP BY 1
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(sum(k) AS BIGINT) AS n_bigrams,
+                     count(*) AS n_distinct_bigrams,
+                     CAST(count(*) FILTER (WHERE n = k) AS BIGINT)
+                         AS n_self_bigrams,
+                     CAST(sum(k * n) AS BIGINT) AS familiarity_w
+              FROM per_doc JOIN corpus USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+                   coalesce(n_self_bigrams, 0) AS n_self_bigrams,
+                   coalesce(familiarity_w, 0) AS familiarity_w
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         "length_class_docs": """
             SELECT doc_id,

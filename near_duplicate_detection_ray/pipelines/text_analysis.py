@@ -795,3 +795,171 @@ def normalize_docs(sf_dir: str):
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_docs(sf_dir: str, size: int = 32, stride: int = 24):
+    """RAG-style OVERLAPPING token-window chunking: every document is cut
+    into windows of ``size`` whitespace tokens advancing by ``stride``
+    (overlap = ``size - stride``), the retrieval-corpus preparation step of
+    LLM data pipelines.  Complements ``media_chunks`` (byte-window PLAN
+    arithmetic, no content): this emits the actual chunk TEXT.
+
+    Reference analogue: the 1000 ms frame-sampling stride inside a shot
+    (SURVEY §2 M3, ``ndd/extract_images.py:43``) — a deterministic stride
+    expansion of one unit into many sub-units.
+
+    Fully vectorized fan-out: per-chunk flat token positions are built with
+    ``np.repeat``/cumsum arithmetic, gathered with one Arrow ``take``, and
+    re-joined per chunk via ``pc.binary_join`` over a rebuilt list array —
+    no per-document Python.  Blank docs emit no chunks; the final window of
+    a doc may be shorter than ``size``.
+
+    Output: ``doc_id, chunk_idx, chunk_text, n_tokens``.
+    SQL parity: DuckDB 1-based inclusive clamped list slicing
+    ``l[st+1 : st+size]`` over ``regexp_split_to_array``.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        blank = pc.equal(trimmed, pa.scalar("")).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        _, raw_lens = _token_row_index(toks, n)
+        lens = np.where(blank, 0, raw_lens)  # '' splits to [''] — zero it
+        n_chunks = (lens + stride - 1) // stride  # ceil; 0 for blank docs
+        total = int(n_chunks.sum())
+        doc_row = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        row_first = np.cumsum(n_chunks) - n_chunks  # exclusive prefix
+        chunk_idx = (
+            np.arange(total, dtype=np.int64) - np.repeat(row_first, n_chunks)
+        )
+        start_tok = chunk_idx * stride
+        clen = np.minimum(size, lens[doc_row] - start_tok)
+
+        tok_off = np.cumsum(raw_lens) - raw_lens  # row start in the flat array
+        pos0 = tok_off[doc_row] + start_tok
+        coff = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(clen, out=coff[1:])
+        flat_pos = (
+            np.repeat(pos0, clen)
+            + np.arange(coff[-1], dtype=np.int64)
+            - np.repeat(coff[:-1], clen)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        sel = flat.take(pa.array(flat_pos, pa.int64())).cast(pa.large_string())
+        chunk_text = pc.binary_join(
+            pa.LargeListArray.from_arrays(coff, sel),
+            pa.scalar(" ", pa.large_string()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(doc_row, pa.int64())),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "chunk_text": pc.cast(chunk_text, pa.string()),
+                "n_tokens": pa.array(clen, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_novelty_docs(sf_dir: str):
+    """Cross-document n-gram NOVELTY scoring: for every document, how much of
+    its bigram content is shared with the rest of the corpus — the "how
+    derivative is this doc" signal used to prioritize novel data (and to
+    flag boilerplate-heavy docs whose grams are corpus-wide).
+
+    All outputs are exact integers (order-insensitive sums, hash-exact in
+    SQL): ``n_bigrams`` (total), ``n_distinct_bigrams``, ``n_self_bigrams``
+    (distinct grams occurring NOWHERE else in the corpus — pure novelty),
+    and ``familiarity_w`` = Σ k·n over the doc's distinct grams (k = count
+    in this doc, n = corpus-wide count).
+
+    Distributed shape — the df-attach pattern of ``top_terms_docs`` at
+    corpus scale, no broadcast of the gram vocabulary: (1) per-block
+    (doc_id, gram, k) partials via a C-level pandas groupby (docs are
+    row-atomic, so block partials are exact per-doc counts); (2) ONE
+    gram-keyed hash partition where each gram's corpus count is a local
+    ``transform('sum')``; (3) ONE doc-keyed groupby-sum over the stat rows,
+    zero-fill rows for gram-less docs riding the same shuffle.
+    """
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    gram_schema = pa.schema(
+        [("doc_id", pa.int64()), ("gram", pa.string()), ("k", pa.int64())]
+    )
+
+    def per_doc_grams(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_pylist([], schema=gram_schema)
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        blank = pc.equal(trimmed, pa.scalar("")).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        row_idx, _ = _token_row_index(toks, n)
+        flat = pc.list_flatten(toks).combine_chunks()
+        if len(flat) < 2:
+            return pa.Table.from_pylist([], schema=gram_schema)
+        same = (~blank[row_idx[1:]]) & (row_idx[1:] == row_idx[:-1])
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        ).filter(pa.array(same))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[row_idx[:-1][same]]
+        d = pd.DataFrame({"doc_id": ids, "gram": grams.to_pandas()})
+        out = d.groupby(["doc_id", "gram"], sort=False).size().reset_index(name="k")
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "gram": pa.array(out["gram"].tolist(), pa.string()),
+                "k": pa.array(out["k"].to_numpy(), pa.int64()),
+            }
+        )
+
+    stat_schema = pa.schema(
+        [("doc_id", pa.int64()), ("k", pa.int64()), ("dist", pa.int64()),
+         ("self", pa.int64()), ("w", pa.int64())]
+    )
+
+    def attach_corpus(df: "pd.DataFrame") -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=stat_schema)
+        nn = df.groupby("gram", sort=False)["k"].transform("sum").to_numpy()
+        k = df["k"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "dist": pa.array(np.ones(len(df), np.int64)),
+                "self": pa.array((nn == k).astype(np.int64)),
+                "w": pa.array(k * nn, pa.int64()),
+            },
+            schema=stat_schema,
+        )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(batch.num_rows, np.int64))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "k": z, "dist": z, "self": z, "w": z},
+            schema=stat_schema,
+        )
+
+    grams = docs.map_batches(per_doc_grams, batch_format="pyarrow")
+    stats = key_partitioned(grams, ["gram"]).map_batches(
+        attach_corpus, batch_format="pandas", batch_size=None
+    )
+    zeros = docs.select_columns(["doc_id"]).map_batches(
+        zero_rows, batch_format="pyarrow"
+    )
+    agg = stats.union(zeros).groupby("doc_id").sum(["k", "dist", "self", "w"])
+    return agg.rename_columns(
+        {
+            "sum(k)": "n_bigrams",
+            "sum(dist)": "n_distinct_bigrams",
+            "sum(self)": "n_self_bigrams",
+            "sum(w)": "familiarity_w",
+        }
+    )

@@ -1,0 +1,139 @@
+"""chunk_docs (RAG token windows) and bigram_novelty_docs: hand-computed
+semantics on tiny corpora + DuckDB oracle parity at sf0.001."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_chunk_docs_hand_semantics(ray_session, tmp_path):
+    from near_duplicate_detection_ray.pipelines.text_analysis import chunk_docs
+
+    sf = _write_docs(tmp_path, ["a b c d e", "", "x", "  p  q  "])
+    out = (
+        chunk_docs(sf, size=3, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    got = list(
+        zip(out["doc_id"], out["chunk_idx"], out["chunk_text"], out["n_tokens"])
+    )
+    assert got == [
+        (0, 0, "a b c", 3),
+        (0, 1, "c d e", 3),
+        (0, 2, "e", 1),
+        (2, 0, "x", 1),
+        (3, 0, "p q", 2),
+    ]
+
+
+def test_chunk_docs_coverage_invariants(ray_session):
+    """Every non-blank doc: chunk count = ceil(n_tokens/stride), indices are
+    0..c-1, full-size windows except possibly trailing ones, and stitching
+    each chunk's post-overlap suffix reconstructs the token stream."""
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        chunk_docs,
+        token_counts,
+    )
+
+    size, stride = 32, 24
+    out = chunk_docs(SF).to_pandas()
+    ntok = token_counts(SF).to_pandas().set_index("doc_id")["n_tokens"]
+    for doc_id, g in out.groupby("doc_id"):
+        n = int(ntok[doc_id])
+        c = -(-n // stride)
+        g = g.sort_values("chunk_idx")
+        assert list(g["chunk_idx"]) == list(range(c))
+        assert (
+            g["n_tokens"].to_numpy()
+            == [min(size, n - i * stride) for i in range(c)]
+        ).all()
+        # reconstruction: chunk 0 in full, then each chunk's tokens beyond
+        # the (size - stride)-token overlap with its predecessor
+        toks = []
+        for i, chunk in enumerate(g["chunk_text"]):
+            parts = chunk.split(" ")
+            toks.extend(parts if i == 0 else parts[size - stride:])
+        assert len(toks) == n
+    # blank docs emit nothing; all others emit >= 1 chunk
+    assert set(out["doc_id"]) == set(ntok[ntok > 0].index)
+
+
+def test_chunk_docs_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.text_analysis import chunk_docs
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["chunk_docs"]).df()
+    got = chunk_docs(SF).to_pandas()
+    key = ["doc_id", "chunk_idx"]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bigram_novelty_hand_semantics(ray_session, tmp_path):
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        bigram_novelty_docs,
+    )
+
+    sf = _write_docs(tmp_path, ["a b a b", "a b c", "", "tok"])
+    out = (
+        bigram_novelty_docs(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # corpus counts: "a b"=3, "b a"=1, "b c"=1
+    want = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "n_bigrams": [3, 2, 0, 0],
+            "n_distinct_bigrams": [2, 2, 0, 0],
+            "n_self_bigrams": [1, 1, 0, 0],
+            "familiarity_w": [2 * 3 + 1 * 1, 1 * 3 + 1 * 1, 0, 0],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        out[want.columns], want, check_dtype=False
+    )
+
+
+def test_bigram_novelty_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        bigram_novelty_docs,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["bigram_novelty_docs"]).df()
+    got = bigram_novelty_docs(SF).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # novelty sanity: self <= distinct <= total; familiarity >= total
+    assert (got["n_self_bigrams"] <= got["n_distinct_bigrams"]).all()
+    assert (got["n_distinct_bigrams"] <= got["n_bigrams"]).all()
+    assert (got["familiarity_w"] >= got["n_bigrams"]).all()
