@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_unpivot": relational.priority_unpivot,            # UNPIVOT / melt reshape
         "user_retention": relational.user_retention,                # cohort retention matrix
         "disjunctive_revenue": relational.disjunctive_revenue,      # Q19 shape (hash join + OR groups)
+        "returned_customer_revenue": relational.returned_customer_revenue,  # Q10 shape (fact-fact-dim chain)
+        "nation_pair_trade": relational.nation_pair_trade,          # Q7 shape (two-nation trade volume)
         "heavy_hitter_users": relational.heavy_hitter_users,        # MG screen + exact confirm
         "value_histogram": relational.value_histogram,              # equal-width integer bins
         "event_value_mad": relational.event_value_mad,              # robust median/MAD stats
@@ -749,6 +751,45 @@ def _oracle_sql_literal() -> dict[str, str]:
                    > CAST((SELECT count(*) FROM events) AS DOUBLE) * 0.005
         """,
         # Q19 shape: hash join + disjunctive predicate groups, exact 1e-4 units
+        # Q10 shape: revenue lost to returned items per customer, one quarter;
+        # exact integer 1e-4 revenue units on both sides.
+        "returned_customer_revenue": """
+            SELECT c_custkey, c_name, n_name, c_acctbal,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_c4
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name, c_acctbal
+            ORDER BY revenue_c4 DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        # Q7 shape: two-nation shipped trade volume by direction and year.
+        "nation_pair_trade": """
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_c4,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
         "disjunctive_revenue": """
             SELECT CAST(COALESCE(sum(
                        CAST(round(l_extendedprice * 100) AS BIGINT)

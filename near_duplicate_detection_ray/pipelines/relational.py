@@ -2905,3 +2905,224 @@ def global_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
         pos = max(1, math.ceil(q * total))
         out[f"p{int(q * 100)}"] = float(cents[np.searchsorted(cum, pos)] / 100.0)
     return rd.from_items([out])
+
+
+def returned_customer_revenue(sf_dir: str, k: int = 20, num_partitions: int = 8):
+    """TPC-H Q10 shape: top customers by revenue LOST to returned items in a
+    quarter.  The classic fact-fact-dim chain: lineitem (filtered to
+    returnflag='R', reduced to (orderkey, cents) BEFORE the shuffle) hash-
+    joins the date-windowed orders, per-customer revenue accumulates through
+    a customer-keyed partition (high-cardinality key — no combine waste),
+    the small per-customer result joins the customer dim, nation names ride
+    a broadcast lookup, and the top-k is bounded per-block partials — no
+    full sort, no driver loop.  Revenue in exact integer 1e-4 units."""
+    import ray
+
+    from ..functions.groupagg import global_topk, highcard_groupagg
+    from ..state.partitioning import materialize_clean
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+
+    def window(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        return t.select(["o_orderkey", "o_custkey"]).filter(
+            pa.array((od >= lo) & (od < hi))
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(window, batch_format="pyarrow")
+
+    def returned_cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "cents4": pa.array(price_c * (100 - disc_c), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(returned_cents, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()),
+         ("n_name", pa.string()), ("c_acctbal", pa.float64()),
+         ("revenue_c4", pa.int64())]
+    )
+    li_m, orders_m = materialize_clean(li), materialize_clean(orders)
+    if li_m.count() == 0 or orders_m.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+    joined = li_m.join(
+        orders_m,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    per_cust = highcard_groupagg(
+        joined.select_columns(["o_custkey", "cents4"]),
+        ["o_custkey"],
+        [("cents4", "sum")],
+        {"cents4_sum": "revenue_c4"},
+    )
+
+    customer = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    )
+    per_cust_m = materialize_clean(per_cust)
+    if per_cust_m.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+    with_dim = per_cust_m.join(
+        materialize_clean(customer),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    lut_ref = _nation_lut_ref(sf_dir)
+
+    def label(t: pa.Table) -> pa.Table:
+        names = ray.get(lut_ref)[t["c_nationkey"].to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "n_name": pa.array(names.tolist(), pa.string()),
+                "c_acctbal": t["c_acctbal"],
+                "revenue_c4": t["revenue_c4"],
+            }
+        )
+
+    labeled = with_dim.map_batches(label, batch_format="pyarrow")
+    return global_topk(labeled, ["revenue_c4", "c_custkey"], [True, False], k)
+
+
+def nation_pair_trade(sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2",
+                      num_partitions: int = 8):
+    """TPC-H Q7 shape: shipped trade volume between two nations by year and
+    direction.  Both fact sides shrink BEFORE the orderkey shuffle: lineitem
+    is date-filtered and reduced to (orderkey, supp_nation, year, cents)
+    with the supplier dim applied as a broadcast nationkey lookup; orders
+    carries cust_nation from a customer hash join pre-filtered to the two
+    nations.  The final (supp, cust, year) aggregate is low-cardinality —
+    Arrow combine partials, one tiny merge."""
+    import ray
+
+    from ..functions.groupagg import lowcard_groupagg
+    from ..state.partitioning import materialize_clean
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    pair = pa.array([n1, n2])
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nname = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    nname[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    slut = np.empty(int(supplier["s_suppkey"].max()) + 1, dtype=object)
+    slut[supplier["s_suppkey"].to_numpy()] = nname[
+        supplier["s_nationkey"].to_numpy()
+    ]
+    slut_ref = ray.put(slut)
+    nname_ref = ray.put(nname)
+
+    def li_side(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        supp = ray.get(slut_ref)[t["l_suppkey"].to_numpy(zero_copy_only=False)]
+        supp_arr = pa.array(supp.tolist(), pa.string())
+        keep = pc.is_in(supp_arr, value_set=pair)
+        t = t.filter(keep)
+        supp_arr = supp_arr.filter(keep)
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "supp_nation": supp_arr,
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "cents4": pa.array(price_c * (100 - disc_c), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow")
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        names = ray.get(nname_ref)[t["c_nationkey"].to_numpy(zero_copy_only=False)]
+        arr = pa.array(names.tolist(), pa.string())
+        keep = pc.is_in(arr, value_set=pair)
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "cust_nation": arr}
+        ).filter(keep)
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_side, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    out_schema = pa.schema(
+        [("supp_nation", pa.string()), ("cust_nation", pa.string()),
+         ("l_year", pa.int64()), ("revenue_c4", pa.int64()),
+         ("n_items", pa.int64())]
+    )
+    import ray.data as rd
+
+    # tiny scale factors can leave either fact side empty (no suppliers /
+    # customers in the chosen nations, or no shipments in the window) — an
+    # all-empty Acero join side crashes outright, so guard each join input
+    li_m = materialize_clean(li)
+    cust_m = materialize_clean(customer)
+    if li_m.count() == 0 or cust_m.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    ord_cust = materialize_clean(orders).join(
+        cust_m,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    oc_m = materialize_clean(ord_cust.select_columns(["o_orderkey", "cust_nation"]))
+    if oc_m.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    joined = li_m.join(
+        oc_m,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["supp_nation", "cust_nation", "l_year", "cents4"]
+        ).filter(pc.not_equal(t["supp_nation"], t["cust_nation"]))
+
+    return lowcard_groupagg(
+        joined.map_batches(cross_only, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        [("cents4", "sum"), ([], "count_all")],
+        {"cents4_sum": "revenue_c4", "count_all": "n_items"},
+    )

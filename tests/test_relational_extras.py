@@ -539,3 +539,52 @@ def test_global_value_quantiles_matches_oracle(ray_session, tmp_path_factory):
             )
         )
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_returned_customer_revenue_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines import relational
+
+    want = _oracle(
+        entrymod.oracle_sql()["returned_customer_revenue"],
+        tables=("customer", "orders", "lineitem", "nation"),
+    )
+    got = relational.returned_customer_revenue(SF).to_pandas()
+    assert len(got) == 20
+    # output arrives globally sorted (revenue desc, custkey asc)
+    rv = got["revenue_c4"].to_numpy()
+    assert (rv[:-1] >= rv[1:]).all()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_nation_pair_trade_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines import relational
+
+    # sf0.001 has no suppliers in the default NATION_1/2 — pick a pair that
+    # trades at this scale and parameterize the oracle the same way
+    n1, n2 = "NATION_18", "NATION_19"
+    sql = entrymod.oracle_sql()["nation_pair_trade"].replace(
+        "NATION_1'", f"{n1}'"
+    ).replace("NATION_2'", f"{n2}'")
+    want = _oracle(
+        sql, tables=("lineitem", "supplier", "nation", "orders", "customer")
+    )
+    got = relational.nation_pair_trade(SF, n1=n1, n2=n2).to_pandas()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+    assert set(got["supp_nation"]) <= {n1, n2}
+    assert (got["supp_nation"] != got["cust_nation"]).all()
+    assert got["l_year"].isin([1996, 1997]).all()
+
+
+def test_nation_pair_trade_empty_side_guard(ray_session):
+    """Default NATION_1/2 have no suppliers at sf0.001: the all-empty Acero
+    join side must be guarded, returning an empty schema-stable result."""
+    from near_duplicate_detection_ray.pipelines import relational
+
+    ds = relational.nation_pair_trade(SF)
+    assert ds.schema().names == [
+        "supp_nation", "cust_nation", "l_year", "revenue_c4", "n_items"
+    ]
+    assert ds.count() == 0
