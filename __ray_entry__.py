@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": relational.disjunctive_revenue,      # Q19 shape (hash join + OR groups)
         "returned_customer_revenue": relational.returned_customer_revenue,  # Q10 shape (fact-fact-dim chain)
         "nation_pair_trade": relational.nation_pair_trade,          # Q7 shape (two-nation trade volume)
+        "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "heavy_hitter_users": relational.heavy_hitter_users,        # MG screen + exact confirm
         "value_histogram": relational.value_histogram,              # equal-width integer bins
         "event_value_mad": relational.event_value_mad,              # robust median/MAD stats
@@ -260,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": text_analysis.normalize_docs,        # SQL-checked (M5 canonical normalization)
         "chunk_docs": text_analysis.chunk_docs,                # SQL-checked (RAG token windows)
         "bigram_novelty_docs": text_analysis.bigram_novelty_docs,  # SQL-checked (cross-doc gram novelty)
+        "keyword_search_docs": text_analysis.keyword_search_docs,  # SQL-checked (ranked lexical search)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -751,6 +753,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                    > CAST((SELECT count(*) FROM events) AS DOUBLE) * 0.005
         """,
         # Q19 shape: hash join + disjunctive predicate groups, exact 1e-4 units
+        # ROWS-frame rolling window: trailing-4-row per-user sum/mean on the
+        # deterministic (ts, event_id) order; exact integer cents, one
+        # identical IEEE division chain for the mean.
+        "events_rolling_stats": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_win,
+                   CAST(sum(c) OVER w AS BIGINT) AS sum_c,
+                   CAST(CAST(sum(c) OVER w AS BIGINT) AS DOUBLE) / 100.0
+                       / CAST(count(*) OVER w AS DOUBLE) AS avg_value
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
         # Q10 shape: revenue lost to returned items per customer, one quarter;
         # exact integer 1e-4 revenue units on both sides.
         "returned_customer_revenue": """
@@ -1595,6 +1615,46 @@ def _oracle_sql_literal() -> dict[str, str]:
                    coalesce(n_self_bigrams, 0) AS n_self_bigrams,
                    coalesce(familiarity_w, 0) AS familiarity_w
             FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        # ranked lexical search: exact rational tf-idf (one integer numerator
+        # / one integer denominator, single IEEE division) for the fixed
+        # query terms (spark, window, hash); zero-df terms use effective df 1.
+        "keyword_search_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+              FROM documents
+            ), tf AS (
+              SELECT doc_id,
+                     len(list_filter(l, x -> x = 'spark'))  AS tf1,
+                     len(list_filter(l, x -> x = 'window')) AS tf2,
+                     len(list_filter(l, x -> x = 'hash'))   AS tf3
+              FROM toks
+            ), df AS (
+              SELECT count(*) FILTER (WHERE tf1 > 0) AS r1,
+                     count(*) FILTER (WHERE tf2 > 0) AS r2,
+                     count(*) FILTER (WHERE tf3 > 0) AS r3,
+                     count(*) AS n
+              FROM tf
+            ), eff AS (
+              SELECT CASE WHEN r1 = 0 THEN 1 ELSE r1 END AS d1,
+                     CASE WHEN r2 = 0 THEN 1 ELSE r2 END AS d2,
+                     CASE WHEN r3 = 0 THEN 1 ELSE r3 END AS d3,
+                     n
+              FROM df
+            )
+            SELECT doc_id,
+                   CAST(tf1 > 0 AS BIGINT) + CAST(tf2 > 0 AS BIGINT)
+                       + CAST(tf3 > 0 AS BIGINT) AS n_hit_terms,
+                   CAST(tf1 * n * d2 * d3
+                      + tf2 * n * d1 * d3
+                      + tf3 * n * d1 * d2 AS DOUBLE)
+                       / CAST(d1 * d2 * d3 AS DOUBLE) AS score
+            FROM tf, eff
+            WHERE tf1 + tf2 + tf3 > 0
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
         """,
         "length_class_docs": """
             SELECT doc_id,

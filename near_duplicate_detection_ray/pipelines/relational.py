@@ -3126,3 +3126,63 @@ def nation_pair_trade(sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2",
         [("cents4", "sum"), ([], "count_all")],
         {"cents4_sum": "revenue_c4", "count_all": "n_items"},
     )
+
+
+def events_rolling_stats(sf_dir: str, win: int = 4):
+    """ROWS-frame rolling window: per user, the trailing-``win``-row sum and
+    mean of ``value`` over the deterministic (ts, event_id) order — the
+    moving-average smoothing primitive (SQL ``ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW``), complementing the RANGE-frame ``events_trailing_1h``.
+
+    ONE user-keyed hash partition, then a fully vectorized block kernel:
+    rows lexsorted by (user, ts, event_id), integer-cent global cumsum, and
+    each row's window sum is ``csum[i] - csum[win_lo - 1]`` where ``win_lo``
+    clamps to the user's first row — no per-user loop.  Sums are exact
+    int64 cents; the mean is the identical IEEE division chain
+    ``(sum/100.0)/n`` on both sides, so the whole output hash-matches SQL.
+    """
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("n_win", pa.int64()), ("sum_c", pa.int64()),
+         ("avg_value", pa.float64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts.astype(np.int64), uid))
+        uid, eid = uid[order], eid[order]
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False)[order] * 100
+        ).astype(np.int64)
+        n = len(uid)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gstart = np.maximum.accumulate(np.where(new_user, np.arange(n), 0))
+        pos = np.arange(n) - gstart
+        lo = np.arange(n) - np.minimum(pos, win - 1)
+        csum = np.cumsum(cents)
+        roll = csum - np.where(lo > 0, csum[np.maximum(lo - 1, 0)], 0)
+        n_win = np.arange(n) - lo + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "n_win": pa.array(n_win, pa.int64()),
+                "sum_c": pa.array(roll, pa.int64()),
+                "avg_value": pa.array(
+                    roll.astype(np.float64) / 100.0 / n_win.astype(np.float64)
+                ),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )

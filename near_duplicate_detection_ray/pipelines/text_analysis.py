@@ -963,3 +963,106 @@ def bigram_novelty_docs(sf_dir: str):
             "sum(w)": "familiarity_w",
         }
     )
+
+
+def keyword_search_docs(sf_dir: str, terms: tuple = ("spark", "window", "hash"),
+                        k: int = 10):
+    """Lexical keyword SEARCH over the corpus: rank documents for a fixed
+    query-term set by tf-idf and return the global top-``k`` — the batch
+    analogue of the reference's ranked query path (SURVEY §2 S11/O1:
+    ``ndd/server_ndd.py:108-123`` scores the whole corpus against one query
+    and returns the best hits).
+
+    The score is the EXACT RATIONAL ``Σ_i tf_i · N / df_i`` evaluated as one
+    integer numerator over one integer denominator and a SINGLE IEEE
+    division — bit-identical in SQL, unlike log-idf (libm) or per-term
+    float sums (order-dependent).  Zero-df terms drop out of both sides via
+    an effective-df of 1.  Int64 range bounds the construction to
+    tf·N·Πdf < 2^63 — fine for per-corpus vocabularies up to ~1e6 docs per
+    partition-corpus; beyond that, switch the score to per-term float with
+    a fixed summation order (documented tradeoff).
+
+    Distributed shape: the tf pass emits ONLY hit docs (one ``pc.equal`` +
+    bincount per query term, vectorized); document frequencies are
+    per-block count partials summed to |terms| integers (never a
+    vocabulary shuffle); the top-k rides bounded per-block partials.
+    Output: ``doc_id, n_hit_terms, score``.
+    """
+    from ..functions.groupagg import global_topk
+    from ..state.partitioning import materialize_clean
+
+    terms = list(terms)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata count
+
+    tf_schema = pa.schema(
+        [("doc_id", pa.int64())]
+        + [(f"tf{i + 1}", pa.int64()) for i in range(len(terms))]
+    )
+
+    def tf_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return tf_schema.empty_table()
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        row_idx, _ = _token_row_index(toks, n)
+        flat = pc.list_flatten(toks).combine_chunks()
+        tfs = []
+        for t in terms:
+            mask = pc.equal(flat, pa.scalar(t)).to_numpy(zero_copy_only=False)
+            tfs.append(np.bincount(row_idx[mask], minlength=n).astype(np.int64))
+        hit = np.logical_or.reduce([tf > 0 for tf in tfs])
+        keep = pa.array(hit)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(keep),
+                **{
+                    f"tf{i + 1}": pa.array(tf[hit], pa.int64())
+                    for i, tf in enumerate(tfs)
+                },
+            },
+            schema=tf_schema,
+        )
+
+    tf_ds = materialize_clean(docs.map_batches(tf_block, batch_format="pyarrow"))
+
+    # document frequencies: one tiny partial row per block, summed driver-side
+    def df_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                f"c{i + 1}": pa.array(
+                    [int((t[f"tf{i + 1}"].to_numpy(zero_copy_only=False) > 0).sum())],
+                    pa.int64(),
+                )
+                for i in range(len(terms))
+            }
+        )
+
+    df_rows = tf_ds.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    dfs = [
+        int(df_rows[f"c{i + 1}"].sum()) if not df_rows.empty else 0
+        for i in range(len(terms))
+    ]
+    eff = np.array([d if d > 0 else 1 for d in dfs], dtype=np.int64)
+    den = int(np.prod(eff))
+    # numerator coefficient for term i: N * prod of the OTHER effective dfs
+    coef = np.array([n_docs * (den // e) for e in eff], dtype=np.int64)
+
+    def score_block(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        tf_mat = np.stack(
+            [t[f"tf{i + 1}"].to_numpy(zero_copy_only=False) for i in range(len(terms))]
+        ) if m else np.zeros((len(terms), 0), np.int64)
+        num = (tf_mat * coef[:, None]).sum(axis=0)
+        hits = (tf_mat > 0).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hit_terms": pa.array(hits, pa.int64()),
+                "score": pa.array(num.astype(np.float64) / float(den)),
+            }
+        )
+
+    scored = tf_ds.map_batches(score_block, batch_format="pyarrow")
+    return global_topk(scored, ["score", "doc_id"], [True, False], k)

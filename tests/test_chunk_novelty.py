@@ -137,3 +137,60 @@ def test_bigram_novelty_matches_oracle_sf0001(ray_session):
     assert (got["n_self_bigrams"] <= got["n_distinct_bigrams"]).all()
     assert (got["n_distinct_bigrams"] <= got["n_bigrams"]).all()
     assert (got["familiarity_w"] >= got["n_bigrams"]).all()
+
+
+def test_keyword_search_matches_oracle_sf0001(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        keyword_search_docs,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["keyword_search_docs"]).df()
+    got = keyword_search_docs(SF).to_pandas()
+    assert len(got) == 10
+    # arrives globally sorted (score desc, doc_id asc)
+    sc = got["score"].to_numpy()
+    assert (sc[:-1] >= sc[1:]).all()
+    key = ["doc_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[sorted(got.columns)],
+        want.sort_values(key).reset_index(drop=True)[sorted(want.columns)],
+        check_dtype=False,
+    )
+
+
+def test_keyword_search_exact_rational_score(ray_session, tmp_path):
+    """Hand check: score == sum(tf_i * N / df_i) with exact single division."""
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        keyword_search_docs,
+    )
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            "spark spark window",   # tf = (2, 1, 0)
+            "hash table scan",      # tf = (0, 0, 1)
+            "window window window", # tf = (0, 3, 0)
+            "plain text here",      # no hits -> absent
+        ],
+    )
+    got = (
+        keyword_search_docs(sf, k=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = 4
+    df1, df2, df3 = 1, 2, 1
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert got["n_hit_terms"].tolist() == [2, 1, 1]
+    want = [
+        (2 * n * df2 * df3 + 1 * n * df1 * df3) / (df1 * df2 * df3),
+        (1 * n * df1 * df2) / (df1 * df2 * df3),
+        (3 * n * df1 * df3) / (df1 * df2 * df3),
+    ]
+    assert got["score"].tolist() == want

@@ -588,3 +588,49 @@ def test_nation_pair_trade_empty_side_guard(ray_session):
         "supp_nation", "cust_nation", "l_year", "revenue_c4", "n_items"
     ]
     assert ds.count() == 0
+
+
+def test_events_rolling_stats_hand_semantics(ray_session, tmp_path):
+    """Window clamps at each user's first rows; ties on ts break by event_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from near_duplicate_detection_ray.pipelines import relational
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [  # (event_id, ts, user_id, value)
+        (0, base + 0 * s, 1, 1.00),
+        (1, base + 1 * s, 1, 2.00),
+        (2, base + 2 * s, 1, 3.00),
+        (3, base + 3 * s, 1, 4.00),
+        (4, base + 4 * s, 1, 5.00),   # full window: 2+3+4+5
+        (5, base + 9 * s, 2, 10.00),  # new user resets the frame
+        (6, base + 9 * s, 2, 20.00),  # same ts, larger id -> later in frame
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        relational.events_rolling_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["sum_c"].tolist() == [100, 300, 600, 1000, 1400, 1000, 3000]
+    assert got["n_win"].tolist() == [1, 2, 3, 4, 4, 1, 2]
+    assert got["avg_value"].tolist() == [1.0, 1.5, 2.0, 2.5, 3.5, 10.0, 15.0]
+
+
+def test_events_rolling_stats_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines import relational
+
+    want = _oracle(entrymod.oracle_sql()["events_rolling_stats"], tables=("events",))
+    got = relational.events_rolling_stats(SF).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
