@@ -145,6 +145,12 @@ def _decontaminate_docs_bloom(sf_dir: str):
     return decontaminate_docs_bloom(sf_dir)
 
 
+def _decontaminate_docs_fuzzy(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import decontaminate_docs_fuzzy
+
+    return decontaminate_docs_fuzzy(sf_dir)
+
+
 def _contamination_report(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import contamination_report
 
@@ -279,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _decontaminate_docs,              # SQL-checked (cross-corpus n-gram)
         "contamination_report": _contamination_report,          # SQL-checked (overlap fractions)
         "decontaminate_docs_bloom": _decontaminate_docs_bloom,  # SQL-checked (Bloom-screened scale path)
+        "decontaminate_docs_fuzzy": _decontaminate_docs_fuzzy,  # SQL-checked (MinHash/LSH cross-split)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
         "strip_boilerplate_turns": _strip_boilerplate_turns,    # SQL-checked (turn boilerplate removal)
@@ -1883,6 +1890,49 @@ def _oracle_sql_literal() -> dict[str, str]:
                   AND array_to_string(s.ws[i:i+7], ' ') IN (SELECT gram FROM eval_grams)
             )
             SELECT doc_id, n_chars FROM split
+            WHERE NOT is_eval
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        # fuzzy decontamination: drop train docs with exact 5-token-shingle
+        # Jaccard >= 0.8 against any eval-split doc (same shingle derivation
+        # as near_dup_pairs_docs, same hash split as decontaminate_docs).
+        "decontaminate_docs_fuzzy": r"""
+            WITH base AS (
+                SELECT doc_id, n_chars, text,
+                       md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+                           AS is_eval
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, is_eval,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                           '\s+'
+                       ) AS t
+                FROM base
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, is_eval, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ')
+                               for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT e.doc_id AS e_id, tr.doc_id AS t_id, count(*) AS i
+                FROM sh e JOIN sh tr ON e.s = tr.s
+                WHERE e.is_eval AND NOT tr.is_eval
+                GROUP BY 1, 2
+            ), contaminated AS (
+                SELECT DISTINCT t_id AS doc_id
+                FROM inter
+                JOIN sizes se ON inter.e_id = se.doc_id
+                JOIN sizes st ON inter.t_id = st.doc_id
+                WHERE i * 1.0 / (se.n + st.n - i) >= 0.8
+            )
+            SELECT doc_id, n_chars FROM base
             WHERE NOT is_eval
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,

@@ -481,3 +481,75 @@ def decontaminate_docs_bloom(sf_dir: str, n: int = 8, pct: int = 10,
     return _read(["doc_id", "n_chars"]).map_batches(
         strip_bad, batch_format="pyarrow"
     )
+
+
+def decontaminate_docs_fuzzy(sf_dir: str, pct: int = 10, tau: float | None = None):
+    """FUZZY benchmark decontamination — the MinHash/LSH analogue of
+    :func:`decontaminate_docs`: drop training docs whose exact token-shingle
+    Jaccard against ANY eval-split doc reaches the near-dup threshold
+    (catching paraphrase-level leakage that exact n-gram matching misses;
+    cf. the cross-split fuzzy dedup step of large pretraining pipelines).
+
+    Reuses the flagship machinery end-to-end (sign -> band explode -> bucket
+    shuffle -> exact-Jaccard verify; bands=32 x rows=4 miss probability at
+    j >= 0.8 is < 5e-8, the same guarantee the SQL-checked
+    ``near_dup_pairs_docs`` rides).  Only CROSS-SPLIT pairs mark
+    contamination; the contaminated-train id set is deduplicated OFF-DRIVER
+    (``distinct_values_ref``) and broadcast for one anti-filter pass over
+    the train split.  Output: surviving train docs ``doc_id, n_chars`` —
+    same contract as the exact path.
+    """
+    import ray
+
+    from ..state.partitioning import distinct_values_ref, materialize_clean
+    from ..stages.lsh import candidate_pairs, explode_bands
+    from ..stages.signatures import sign_conversations
+    from ..stages.verify import verify_pairs
+    from .docs_dedup import DOCS_DEDUP_CFG, docs_as_conversations
+
+    import dataclasses
+
+    cfg = DOCS_DEDUP_CFG if tau is None else dataclasses.replace(
+        DOCS_DEDUP_CFG, tau=tau
+    )
+    convs = docs_as_conversations(sf_dir)
+    sigs = materialize_clean(sign_conversations(convs, cfg))
+    cand = candidate_pairs(explode_bands(sigs, cfg), cfg)
+    dup = verify_pairs(cand, sigs, cfg).map_batches(
+        lambda t: t.filter(pc.equal(t["method"], "minhash")), batch_format="pyarrow"
+    )
+
+    def cross_split_train_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        a = pc.cast(t["a"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t["b"], pa.int64()).to_numpy(zero_copy_only=False)
+        ea, eb = _eval_split_mask(a, pct), _eval_split_mask(b, pct)
+        # train endpoint of each eval<->train pair
+        cont = np.concatenate([a[~ea & eb], b[ea & ~eb]])
+        return pa.table({"doc_id": pa.array(np.unique(cont), pa.int64())})
+
+    cont_ds = dup.map_batches(cross_split_train_ids, batch_format="pyarrow")
+    cont_ref, _n_cont = distinct_values_ref(cont_ds, ["doc_id"])
+
+    def _read(columns):
+        from ..sources.io import read_parquet_clean
+
+        return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(~_eval_split_mask(ids, pct)))
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_chars": pa.array([], pa.int64())}
+            )
+        cont = ray.get(cont_ref)
+        if cont is not None and len(cont):
+            t = t.filter(
+                pc.invert(pc.is_in(pc.cast(t["doc_id"], pa.int64()), value_set=cont))
+            )
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"]})
+
+    return _read(["doc_id", "n_chars"]).map_batches(keep_clean, batch_format="pyarrow")
