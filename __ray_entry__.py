@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": text_analysis.chunk_docs,                # SQL-checked (RAG token windows)
         "bigram_novelty_docs": text_analysis.bigram_novelty_docs,  # SQL-checked (cross-doc gram novelty)
         "keyword_search_docs": text_analysis.keyword_search_docs,  # SQL-checked (ranked lexical search)
+        "pack_sequences_docs": text_analysis.pack_sequences_docs,  # SQL-checked (global prefix-sum packing)
+        "token_pmi_pairs": text_analysis.token_pmi_pairs,          # SQL-checked (collocation lift)
+        "source_report": text_analysis.source_report,              # SQL-checked (per-domain census)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -1622,6 +1625,84 @@ def _oracle_sql_literal() -> dict[str, str]:
                    coalesce(n_self_bigrams, 0) AS n_self_bigrams,
                    coalesce(familiarity_w, 0) AS familiarity_w
             FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        # per-source report card; dup docs counted against corpus-wide md5
+        # multiplicity (cross-source copies count).
+        "source_report": r"""
+            WITH fp AS (
+              SELECT source, text, n_chars, md5(text) AS h,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS ntok
+              FROM documents
+            ), cnt AS (
+              SELECT h, count(*) AS c FROM fp GROUP BY h
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(*) FILTER (WHERE trim(text) = '') AS n_blank,
+                   CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   count(*) FILTER (WHERE c > 1) AS n_dup_docs
+            FROM fp JOIN cnt USING (h)
+            GROUP BY source
+        """,
+        # collocation mining: lift = c_xy * N / (c_x * c_y) as one exact
+        # rational per pair (integer num/den, single IEEE division).
+        "token_pmi_pairs": r"""
+            WITH toks AS (
+              SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+              FROM documents
+            ), flat AS (
+              SELECT unnest(l) AS w FROM toks
+            ), uni AS (
+              SELECT w, count(*) AS c FROM flat GROUP BY w
+            ), nu AS (
+              SELECT count(*) AS n FROM flat
+            ), bg AS (
+              SELECT l[i] AS w1, l[i+1] AS w2
+              FROM toks CROSS JOIN unnest(range(1, len(l))) AS t(i)
+            ), bgc AS (
+              SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2
+            )
+            SELECT w1 || ' ' || w2 AS gram,
+                   c_xy,
+                   u1.c AS c_x,
+                   u2.c AS c_y,
+                   CAST(c_xy * n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)
+                       AS lift
+            FROM bgc
+            JOIN uni u1 ON bgc.w1 = u1.w
+            JOIN uni u2 ON bgc.w2 = u2.w
+            CROSS JOIN nu
+            WHERE c_xy >= 5
+            ORDER BY lift DESC, gram ASC
+            LIMIT 20
+        """,
+        # concat-and-chunk packing manifest: global prefix sum over doc_id
+        # order; empty docs occupy zero tokens at their offset.
+        "pack_sequences_docs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n
+              FROM documents
+            ), pre AS (
+              SELECT doc_id, n,
+                     CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS start_tok
+              FROM tok
+            )
+            SELECT doc_id,
+                   n AS n_tokens,
+                   start_tok,
+                   start_tok // 512 AS first_seq,
+                   CASE WHEN n = 0 THEN start_tok // 512
+                        ELSE (start_tok + n - 1) // 512 END AS last_seq
+            FROM pre
         """,
         # ranked lexical search: exact rational tf-idf (one integer numerator
         # / one integer denominator, single IEEE division) for the fixed

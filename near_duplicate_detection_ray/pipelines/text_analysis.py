@@ -1066,3 +1066,314 @@ def keyword_search_docs(sf_dir: str, terms: tuple = ("spark", "window", "hash"),
 
     scored = tf_ds.map_batches(score_block, batch_format="pyarrow")
     return global_topk(scored, ["score", "doc_id"], [True, False], k)
+
+
+def pack_sequences_docs(sf_dir: str, seq_len: int = 512):
+    """Training-sequence PACKING plan (GPT-style concat-and-chunk): documents
+    are concatenated in ``doc_id`` order and cut into fixed ``seq_len``-token
+    training sequences; each doc reports its global token offset and the
+    first/last sequence it lands in — the deterministic packing manifest a
+    tokenizer-sharding step consumes.
+
+    The distributed primitive here is a GLOBAL PREFIX SUM across blocks —
+    inexpressible as groupby/map_batches alone, so this stage follows SURVEY
+    §2's custom-operator ladder to (c) raw Ray tasks for the scan step:
+    (1) a map pass reduces docs to (doc_id, n_tokens) rows (16 bytes/doc —
+    the text never shuffles); (2) ``Dataset.sort`` range-partitions by
+    doc_id (ordered blocks, pinned by the cross-block monotonicity test);
+    (3) per-block token totals are computed remotely and only the P block
+    totals reach the driver for the exclusive prefix; (4) one remote task
+    per block adds its offset — ``from_arrow_refs`` re-enters the Dataset
+    API.  Output: ``doc_id, n_tokens, start_tok, first_seq, last_seq``
+    (empty docs occupy zero tokens: first_seq == last_seq == the sequence
+    at their offset).
+    """
+    import ray
+    import ray.data as rd
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=_TOKEN_PAT), pa.int64()
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    counts = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count_block, batch_format="pyarrow"
+    )
+    sorted_mat = counts.sort("doc_id").materialize()
+    refs = [
+        ref
+        for bundle in sorted_mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                 ("start_tok", pa.int64()), ("first_seq", pa.int64()),
+                 ("last_seq", pa.int64())]
+            ).empty_table()
+        )
+
+    @ray.remote
+    def block_total(t: pa.Table) -> int:
+        return int(t["n_tokens"].to_numpy(zero_copy_only=False).sum())
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def finish(t: pa.Table, off: int) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        start = off + np.cumsum(n) - n
+        first = start // seq_len
+        last = np.where(n > 0, (start + n - 1) // seq_len, first)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "start_tok": pa.array(start, pa.int64()),
+                "first_seq": pa.array(first, pa.int64()),
+                "last_seq": pa.array(last, pa.int64()),
+            }
+        )
+
+    return rd.from_arrow_refs(
+        [finish.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+
+def token_pmi_pairs(sf_dir: str, min_count: int = 5, k: int = 20):
+    """Phrase mining: top-``k`` adjacent token pairs by PMI-proportional lift
+    ``c_xy · N / (c_x · c_y)`` (word2phrase-style collocation detection —
+    the phrase-vocabulary induction step of tokenizer/corpus prep).  The
+    lift is an exact rational (integer numerator / integer denominator, one
+    IEEE division), so ranking AND values hash-match SQL; ``min_count``
+    prunes rare-pair noise.
+
+    Distributed shape — vocabulary-bounded throughout, no broadcast of any
+    count table: per-block unigram AND bigram ``value_counts`` partials ride
+    ONE tagged stream; attaching the two unigram counts to each bigram is
+    two word-keyed hash partitions (partials for a word co-locate, so a
+    local sum IS the global count — the same transform-attach pattern as
+    ``top_terms_docs``); the top-k rides bounded per-block partials.
+    """
+    import pandas as pd
+
+    from ..functions.groupagg import global_topk
+    from ..state.partitioning import key_partitioned, materialize_clean
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    part_schema = pa.schema(
+        [("w", pa.string()), ("other", pa.string()), ("c", pa.int64()),
+         ("is_uni", pa.bool_())]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return part_schema.empty_table()
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        blank = pc.equal(trimmed, pa.scalar("")).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        row_idx, _ = _token_row_index(toks, n)
+        flat = pc.list_flatten(toks).combine_chunks()
+        keep = ~blank[row_idx]
+        words = flat.filter(pa.array(keep))
+        uni = pc.value_counts(words)
+        out_w = [uni.field("values")]
+        out_o = [pa.nulls(len(uni), pa.string())]
+        out_c = [pc.cast(uni.field("counts"), pa.int64())]
+        out_u = [pa.array(np.ones(len(uni), bool))]
+        if len(flat) >= 2:
+            same = keep[1:] & keep[:-1] & (row_idx[1:] == row_idx[:-1])
+            w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+            w2 = flat.slice(1).filter(pa.array(same))
+            grams = pc.binary_join_element_wise(w1, w2, "\x1f")
+            bvc = pc.value_counts(grams)
+            if len(bvc):
+                pair = pc.split_pattern(bvc.field("values"), pattern="\x1f")
+                out_w.append(pc.list_element(pair, 0))
+                out_o.append(pc.list_element(pair, 1))
+                out_c.append(pc.cast(bvc.field("counts"), pa.int64()))
+                out_u.append(pa.array(np.zeros(len(bvc), bool)))
+        return pa.table(
+            {
+                "w": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_w]),
+                "other": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_o]),
+                "c": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_c]),
+                "is_uni": pa.concat_arrays([a for a in out_u]),
+            },
+            schema=part_schema,
+        )
+
+    parts = materialize_clean(docs.map_batches(partials, batch_format="pyarrow"))
+
+    # total token occurrences: per-block unigram-count sums, driver gets ints
+    nu_rows = parts.map_batches(
+        lambda t: pa.table(
+            {"s": pa.array(
+                [int(t.filter(t["is_uni"])["c"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64(),
+            )}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_u = int(nu_rows["s"].sum()) if not nu_rows.empty else 0
+
+    def attach(col_out: str):
+        """Word-keyed partition pass: local unigram sum -> attach to bigram
+        rows keyed by this word; re-tags bigram rows keyed by `other` for
+        the next pass (after pass 1, w holds w2 and other holds w1)."""
+
+        def block(df: "pd.DataFrame") -> "pd.DataFrame":
+            if df.empty:
+                df = df.copy()
+                df[col_out] = pd.Series([], dtype=np.int64)
+                return df
+            uni = df[df["is_uni"]].groupby("w", sort=False)["c"].sum()
+            bg = df[~df["is_uni"]].copy()
+            bg[col_out] = bg["w"].map(uni).fillna(0).astype(np.int64)
+            return bg
+
+        return block
+
+    # pass 1: keyed by w1 -> attach c_x; swap keys; pass 2: keyed by w2
+    p1 = key_partitioned(parts, ["w"]).map_batches(
+        attach("c_x"), batch_format="pandas", batch_size=None
+    )
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"w": t["other"], "other": t["w"], "c": t["c"],
+             "is_uni": t["is_uni"], "c_x": t["c_x"]}
+        )
+
+    uni_again = parts.map_batches(
+        lambda t: t.filter(t["is_uni"]).append_column(
+            "c_x", pa.array(np.zeros(int(t.filter(t["is_uni"]).num_rows), np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    p2_in = p1.map_batches(swap, batch_format="pyarrow").union(uni_again)
+
+    def block2(df: "pd.DataFrame") -> pa.Table:
+        out_schema = pa.schema(
+            [("gram", pa.string()), ("c_xy", pa.int64()), ("c_x", pa.int64()),
+             ("c_y", pa.int64()), ("lift", pa.float64())]
+        )
+        if df.empty:
+            return out_schema.empty_table()
+        uni = df[df["is_uni"]].groupby("w", sort=False)["c"].sum()
+        bg = df[~df["is_uni"]]
+        if bg.empty:
+            return out_schema.empty_table()
+        # bigram partials for one (w1, w2) may arrive from several blocks:
+        # both count columns are per-occurrence partials -> sum c, while c_x
+        # is already the global unigram count (identical on every partial)
+        g = bg.groupby(["other", "w"], sort=False).agg(
+            c_xy=("c", "sum"), c_x=("c_x", "max")
+        ).reset_index()
+        g = g[g["c_xy"] >= min_count]
+        if g.empty:
+            return out_schema.empty_table()
+        c_y = g["w"].map(uni).fillna(0).astype(np.int64).to_numpy()
+        c_xy = g["c_xy"].to_numpy()
+        c_x = g["c_x"].to_numpy()
+        lift = (c_xy * n_u).astype(np.float64) / (c_x * c_y).astype(np.float64)
+        return pa.table(
+            {
+                "gram": pa.array(
+                    (g["other"] + " " + g["w"]).tolist(), pa.string()
+                ),
+                "c_xy": pa.array(c_xy, pa.int64()),
+                "c_x": pa.array(c_x, pa.int64()),
+                "c_y": pa.array(c_y, pa.int64()),
+                "lift": pa.array(lift, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    scored = key_partitioned(p2_in, ["w"]).map_batches(
+        block2, batch_format="pandas", batch_size=None
+    )
+    return global_topk(scored, ["lift", "gram"], [True, False], k)
+
+
+def source_report(sf_dir: str):
+    """Per-SOURCE corpus report card — the per-domain census curation teams
+    read before setting mixing weights: doc counts, blank counts, token and
+    char mass, and how many of the source's docs are corpus-wide exact
+    duplicates (raw-text md5 occurring more than once ANYWHERE, i.e.
+    cross-source copies count).
+
+    One fingerprint-keyed hash partition (group size there IS the global
+    copy count — the transform-attach pattern), then a low-cardinality
+    source combine.  All outputs exact integers.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.groupagg import lowcard_groupagg
+    from ..state.partitioning import key_partitioned
+
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts.to_pylist()
+        ]
+        blank = pc.equal(pc.utf8_trim_whitespace(texts), pa.scalar(""))
+        ntok = pc.cast(
+            pc.count_substring_regex(texts, pattern=_TOKEN_PAT), pa.int64()
+        )
+        return pa.table(
+            {
+                "h": pa.array(fps, pa.string()),
+                "source": batch["source"],
+                "blank": pc.cast(blank, pa.int64()),
+                "ntok": ntok,
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    rows = _read_docs(sf_dir, ["text", "source", "n_chars"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+
+    def mark_dups(df: "pd.DataFrame") -> pa.Table:
+        schema = pa.schema(
+            [("source", pa.string()), ("blank", pa.int64()),
+             ("ntok", pa.int64()), ("n_chars", pa.int64()),
+             ("is_dup", pa.int64())]
+        )
+        if df.empty:
+            return schema.empty_table()
+        size = df.groupby("h", sort=False)["h"].transform("size")
+        return pa.table(
+            {
+                "source": pa.array(df["source"].tolist(), pa.string()),
+                "blank": pa.array(df["blank"].to_numpy(), pa.int64()),
+                "ntok": pa.array(df["ntok"].to_numpy(), pa.int64()),
+                "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
+                "is_dup": pa.array(
+                    (size.to_numpy() > 1).astype(np.int64), pa.int64()
+                ),
+            },
+            schema=schema,
+        )
+
+    marked = key_partitioned(rows, ["h"]).map_batches(
+        mark_dups, batch_format="pandas", batch_size=None
+    )
+    return lowcard_groupagg(
+        marked,
+        ["source"],
+        [([], "count_all"), ("blank", "sum"), ("ntok", "sum"),
+         ("n_chars", "sum"), ("is_dup", "sum")],
+        {"count_all": "n_docs", "blank_sum": "n_blank",
+         "ntok_sum": "sum_tokens", "n_chars_sum": "sum_chars",
+         "is_dup_sum": "n_dup_docs"},
+    )

@@ -2,6 +2,7 @@
 semantics on tiny corpora + DuckDB oracle parity at sf0.001."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -194,3 +195,71 @@ def test_keyword_search_exact_rational_score(ray_session, tmp_path):
         (3 * n * df1 * df3) / (df1 * df2 * df3),
     ]
     assert got["score"].tolist() == want
+
+
+def _oracle_docs(name: str) -> pd.DataFrame:
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con.execute(entrymod.oracle_sql()[name]).df()
+
+
+def test_pack_sequences_matches_oracle_sf0001(ray_session):
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        pack_sequences_docs,
+    )
+
+    want = _oracle_docs("pack_sequences_docs")
+    got = pack_sequences_docs(SF).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # prefix-sum invariants: offsets are the exclusive cumsum in doc_id order
+    g = got.sort_values("doc_id")
+    assert (
+        g["start_tok"].to_numpy()
+        == np.concatenate([[0], np.cumsum(g["n_tokens"].to_numpy())[:-1]])
+    ).all()
+    assert (g["last_seq"] >= g["first_seq"]).all()
+
+
+def test_token_pmi_hand_semantics(ray_session, tmp_path):
+    """Two docs; 'a b' occurs 6x (passes min_count=5), everything else is
+    rare.  lift('a b') = c_xy * N / (c_a * c_b)."""
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        token_pmi_pairs,
+    )
+
+    sf = _write_docs(tmp_path, ["a b a b a b", "a b a b a b c"])
+    got = token_pmi_pairs(sf, min_count=5, k=5).to_pandas()
+    # tokens: doc0 6, doc1 7 -> N = 13; c_a = 6, c_b = 6, c_ab = 6
+    assert got["gram"].tolist() == ["a b"]
+    assert got["c_xy"].tolist() == [6]
+    assert got["c_x"].tolist() == [6] and got["c_y"].tolist() == [6]
+    assert got["lift"].tolist() == [6 * 13 / (6 * 6)]
+
+
+def test_token_pmi_matches_oracle_sf0001(ray_session):
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        token_pmi_pairs,
+    )
+
+    want = _oracle_docs("token_pmi_pairs")
+    got = token_pmi_pairs(SF).to_pandas()
+    got = got.sort_values("gram").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("gram").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_source_report_matches_oracle_sf0001(ray_session):
+    from near_duplicate_detection_ray.pipelines.text_analysis import source_report
+
+    want = _oracle_docs("source_report")
+    got = source_report(SF).to_pandas()
+    got = got.sort_values("source").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("source").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_dup_docs"] <= got["n_docs"]).all()
