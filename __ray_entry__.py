@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_customer_revenue": relational.returned_customer_revenue,  # Q10 shape (fact-fact-dim chain)
         "nation_pair_trade": relational.nation_pair_trade,          # Q7 shape (two-nation trade volume)
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
+        "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "heavy_hitter_users": relational.heavy_hitter_users,        # MG screen + exact confirm
         "value_histogram": relational.value_histogram,              # equal-width integer bins
         "event_value_mad": relational.event_value_mad,              # robust median/MAD stats
@@ -763,6 +764,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                    > CAST((SELECT count(*) FROM events) AS DOUBLE) * 0.005
         """,
         # Q19 shape: hash join + disjunctive predicate groups, exact 1e-4 units
+        # watermark diagnostic: event_id is arrival order; late = ts below the
+        # user's running max over earlier arrivals; lateness in exact int us.
+        "late_event_stats": """
+            WITH arr AS (
+              SELECT user_id, ts,
+                     max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_max
+              FROM events
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   CAST(count(*) FILTER (WHERE ts < prev_max) AS BIGINT)
+                       AS n_late,
+                   CAST(coalesce(max(CASE WHEN ts < prev_max THEN
+                       epoch_us(prev_max) - epoch_us(ts) ELSE 0 END), 0)
+                       AS BIGINT) AS max_late_us
+            FROM arr
+            GROUP BY user_id
+        """,
         # ROWS-frame rolling window: trailing-4-row per-user sum/mean on the
         # deterministic (ts, event_id) order; exact integer cents, one
         # identical IEEE division chain for the mean.

@@ -3186,3 +3186,66 @@ def events_rolling_stats(sf_dir: str, win: int = 4):
     return key_partitioned(ds, ["user_id"]).map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def late_event_stats(sf_dir: str):
+    """Out-of-order arrival census — the WATERMARK diagnostic of streaming
+    pipelines (SURVEY §2.9): treating ``event_id`` as arrival order, an
+    event is LATE if its timestamp precedes the running max timestamp of the
+    user's earlier arrivals; report per-user late counts and the worst
+    lateness.  One user-keyed partition + a vectorized running-max kernel
+    (global ``np.maximum.accumulate`` with per-user restarts), exact int64
+    microsecond lateness."""
+    from ..functions.groupagg import highcard_groupagg
+    from ..state.partitioning import key_partitioned
+
+    mid_schema = pa.schema(
+        [("user_id", pa.int64()), ("is_late", pa.int64()),
+         ("late_us", pa.int64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return mid_schema.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        order = np.lexsort((eid, uid))
+        uid, ts = uid[order], ts[order]
+        n = len(uid)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        # per-user running max over arrival order (C-level cummax)
+        import pandas as pd
+
+        run = (
+            pd.Series(ts).groupby(pd.Series(uid), sort=False).cummax().to_numpy()
+        )
+        prev_max = np.empty(n, dtype=np.int64)
+        prev_max[1:] = run[:-1]
+        prev_max[new_user] = np.iinfo(np.int64).min
+        late = (~new_user) & (ts < prev_max)
+        late_us = np.where(late, prev_max - ts, 0)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "is_late": pa.array(late.astype(np.int64), pa.int64()),
+                "late_us": pa.array(late_us, pa.int64()),
+            },
+            schema=mid_schema,
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    per_event = key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+    return highcard_groupagg(
+        per_event,
+        ["user_id"],
+        [([], "count_all"), ("is_late", "sum"), ("late_us", "max")],
+        {"count_all": "n_events", "is_late_sum": "n_late",
+         "late_us_max": "max_late_us"},
+    )

@@ -634,3 +634,48 @@ def test_events_rolling_stats_matches_oracle(ray_session):
     want = _oracle(entrymod.oracle_sql()["events_rolling_stats"], tables=("events",))
     got = relational.events_rolling_stats(SF).to_pandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_late_event_stats_hand_semantics(ray_session, tmp_path):
+    """Planted out-of-order arrivals: event_id is arrival order; lateness is
+    measured against the user's running max ts over earlier arrivals."""
+    from near_duplicate_detection_ray.pipelines import relational
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [  # (event_id=arrival order, ts, user_id)
+        (0, base + 10 * s, 1),
+        (1, base + 5 * s, 1),    # late by 5s
+        (2, base + 20 * s, 1),
+        (3, base + 19 * s, 1),   # late by 1s
+        (4, base + 0 * s, 2),    # first arrival never late
+        (5, base + 1 * s, 2),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        relational.late_event_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == [4, 2]
+    assert got["n_late"].tolist() == [2, 0]
+    assert got["max_late_us"].tolist() == [5_000_000, 0]
+
+
+def test_late_event_stats_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines import relational
+
+    want = _oracle(entrymod.oracle_sql()["late_event_stats"], tables=("events",))
+    got = relational.late_event_stats(SF).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
