@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_docs": ann.semdedup_embeddings,              # rows-only (SemDeDup; NumPy-oracle pytest)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
+        "quantize_embeddings": ann.quantize_embeddings,        # SQL-checked (int8 scalar quantization)
+        "label_quality_join": ann.label_quality_join,          # SQL-checked (cross-table feature join)
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
         "media_feature_summary": multimodal.media_feature_summary,
         "media_chunks": multimodal.media_chunks,               # SQL-checked (M3 chunk plan)
@@ -1501,6 +1503,45 @@ def _oracle_sql_literal() -> dict[str, str]:
                          generate_subscripts(embedding, 1) AS dim
                   FROM embeddings)
             GROUP BY label, dim
+        """,
+        # int8 scalar quantization census: one global scale (127/max|x|), the
+        # identical floor(x*scale + 0.5) float chain per component.
+        "quantize_embeddings": """
+            WITH u AS (
+              SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ), m AS (
+              SELECT 127.0 / max(abs(x)) AS scale FROM u
+            )
+            SELECT vec_id,
+                   count(*) AS n_dims,
+                   CAST(min(floor(x * scale + 0.5)) AS BIGINT) AS min_code,
+                   CAST(max(floor(x * scale + 0.5)) AS BIGINT) AS max_code,
+                   CAST(sum(abs(CAST(floor(x * scale + 0.5) AS BIGINT)))
+                       AS BIGINT) AS sum_abs_code,
+                   any_value(scale) AS scale
+            FROM u, m
+            GROUP BY vec_id
+        """,
+        # label x document-quality rollup (vec_id == doc_id in this corpus);
+        # exact integer sums, one IEEE division for the mean.
+        "label_quality_join": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS ntok,
+                     n_chars
+              FROM documents
+            )
+            SELECT label,
+                   count(*) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(CAST(sum(ntok) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avg_tokens
+            FROM embeddings JOIN tok ON vec_id = doc_id
+            GROUP BY label
         """,
         # Gopher-style word-level repetition metrics; the engine computes the
         # identical 1.0 - (d * 1.0 / n) IEEE expressions, so hashes match.

@@ -943,3 +943,98 @@ def ann_ivf_index_topk(index_dir: str, sf_dir: str, n_queries: int = 10,
     topk = partials.groupby("query_id", sort=True).head(k).copy()
     topk["rank"] = topk.groupby("query_id").cumcount() + 1
     return rd.from_pandas(topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True))
+
+
+def quantize_embeddings(sf_dir: str):
+    """INT8 symmetric quantization census — the embedding-compression step of
+    vector-index pipelines (scalar-quantized IVF/HNSW storage): every
+    component maps to ``floor(x * 127/max_abs + 0.5)`` with ONE global scale
+    (corpus-wide max |x|), and each vector reports its code statistics.
+
+    Hash-exact by construction: the global max over doubles is
+    order-insensitive, the scale is a single IEEE division, and the per-code
+    expression is the identical float chain in numpy and SQL; all outputs
+    but the scale are exact integers.  Two pruned streaming passes (max
+    partials -> driver float; code pass) — the corpus never materializes.
+    Output: ``vec_id, n_dims, min_code, max_code, sum_abs_code, scale``.
+    """
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.float64())})
+        m = np.abs(_emb_matrix(batch)).max()
+        return pa.table({"m": pa.array([float(m)], pa.float64())})
+
+    max_rows = emb.map_batches(max_partial, batch_format="pyarrow").to_pandas()
+    max_abs = float(max_rows["m"].max())
+    scale = 127.0 / max_abs
+
+    def codes(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch)
+        code = np.floor(mat * scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "n_dims": pa.array(
+                    np.full(batch.num_rows, mat.shape[1], np.int64)
+                ),
+                "min_code": pa.array(code.min(axis=1), pa.int64()),
+                "max_code": pa.array(code.max(axis=1), pa.int64()),
+                "sum_abs_code": pa.array(
+                    np.abs(code).sum(axis=1), pa.int64()
+                ),
+                "scale": pa.array(
+                    np.full(batch.num_rows, scale, np.float64)
+                ),
+            }
+        )
+
+    return emb.map_batches(codes, batch_format="pyarrow")
+
+
+def label_quality_join(sf_dir: str, num_partitions: int = 8):
+    """Cross-table feature join: embeddings' ``label`` x documents' token
+    mass (``vec_id == doc_id`` in this corpus) — the label-conditioned
+    quality rollup a curation pipeline runs to decide which embedding
+    clusters carry low-quality text.  Hash join on the id, then a
+    low-cardinality label combine; the mean is exact-integer sums with one
+    IEEE division."""
+    from ..functions.groupagg import lowcard_groupagg
+    from ..sources.io import read_parquet_clean
+    from ..state.partitioning import materialize_clean
+
+    labels = _read_emb(sf_dir, ["vec_id", "label"])
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def tok(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=r"\S+"), pa.int64()
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "ntok": n, "n_chars": batch["n_chars"]}
+        )
+
+    joined = materialize_clean(labels).join(
+        materialize_clean(docs.map_batches(tok, batch_format="pyarrow")),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("vec_id",),
+        right_on=("doc_id",),
+    )
+    agg = lowcard_groupagg(
+        joined.select_columns(["label", "ntok", "n_chars"]),
+        ["label"],
+        [([], "count_all"), ("ntok", "sum"), ("n_chars", "sum")],
+        {"count_all": "n_docs", "ntok_sum": "sum_tokens",
+         "n_chars_sum": "sum_chars"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        st = t["sum_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("avg_tokens", pa.array(st / nd, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

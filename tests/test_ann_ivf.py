@@ -101,3 +101,45 @@ def test_ann_filtered_topk_respects_labels(ray_session):
     labels = con.execute("SELECT vec_id, label FROM embeddings").df().set_index("vec_id")["label"]
     assert (labels.loc[got["query_id"]].to_numpy()
             == labels.loc[got["neighbor_id"]].to_numpy()).all()
+
+
+def test_quantize_embeddings_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.ann import quantize_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["quantize_embeddings"]).df()
+    got = quantize_embeddings(sf).to_pandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("vec_id").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # int8 range: codes clamp within [-127, 127] by the symmetric scale
+    assert got["max_code"].max() <= 127 and got["min_code"].min() >= -127
+    assert (got["max_code"] == 127).any() or (got["min_code"] == -127).any()
+
+
+def test_label_quality_join_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.ann import label_quality_join
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = con.execute(entrymod.oracle_sql()["label_quality_join"]).df()
+    got = label_quality_join(sf).to_pandas()
+    got = got.sort_values("label").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("label").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
