@@ -970,7 +970,15 @@ def quantize_embeddings(sf_dir: str):
     max_abs = float(max_rows["m"].max())
     scale = 127.0 / max_abs
 
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("n_dims", pa.int64()),
+         ("min_code", pa.int64()), ("max_code", pa.int64()),
+         ("sum_abs_code", pa.int64()), ("scale", pa.float64())]
+    )
+
     def codes(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
         mat = _emb_matrix(batch)
         code = np.floor(mat * scale + 0.5).astype(np.int64)
         return pa.table(
@@ -1009,9 +1017,11 @@ def label_quality_join(sf_dir: str, num_partitions: int = 8):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     )
 
+    from .text_analysis import _TOKEN_PAT
+
     def tok(batch: pa.Table) -> pa.Table:
         n = pc.cast(
-            pc.count_substring_regex(batch["text"], pattern=r"\S+"), pa.int64()
+            pc.count_substring_regex(batch["text"], pattern=_TOKEN_PAT), pa.int64()
         )
         return pa.table(
             {"doc_id": batch["doc_id"], "ntok": n, "n_chars": batch["n_chars"]}

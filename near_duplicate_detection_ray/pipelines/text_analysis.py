@@ -1191,10 +1191,10 @@ def token_pmi_pairs(sf_dir: str, min_count: int = 5, k: int = 20):
             same = keep[1:] & keep[:-1] & (row_idx[1:] == row_idx[:-1])
             w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
             w2 = flat.slice(1).filter(pa.array(same))
-            grams = pc.binary_join_element_wise(w1, w2, "\x1f")
+            grams = pc.binary_join_element_wise(w1, w2, " ")
             bvc = pc.value_counts(grams)
             if len(bvc):
-                pair = pc.split_pattern(bvc.field("values"), pattern="\x1f")
+                pair = pc.split_pattern(bvc.field("values"), pattern=" ")
                 out_w.append(pc.list_element(pair, 0))
                 out_o.append(pc.list_element(pair, 1))
                 out_c.append(pc.cast(bvc.field("counts"), pa.int64()))
@@ -1251,12 +1251,11 @@ def token_pmi_pairs(sf_dir: str, min_count: int = 5, k: int = 20):
              "is_uni": t["is_uni"], "c_x": t["c_x"]}
         )
 
-    uni_again = parts.map_batches(
-        lambda t: t.filter(t["is_uni"]).append_column(
-            "c_x", pa.array(np.zeros(int(t.filter(t["is_uni"]).num_rows), np.int64))
-        ),
-        batch_format="pyarrow",
-    )
+    def _uni_retag(t: pa.Table) -> pa.Table:
+        f = t.filter(t["is_uni"])
+        return f.append_column("c_x", pa.array(np.zeros(f.num_rows, np.int64)))
+
+    uni_again = parts.map_batches(_uni_retag, batch_format="pyarrow")
     p2_in = p1.map_batches(swap, batch_format="pyarrow").union(uni_again)
 
     def block2(df: "pd.DataFrame") -> pa.Table:

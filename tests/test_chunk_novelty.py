@@ -263,3 +263,20 @@ def test_source_report_matches_oracle_sf0001(ray_session):
     want = want.sort_values("source").reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["n_dup_docs"] <= got["n_docs"]).all()
+
+
+def test_token_pmi_control_char_tokens(ray_session, tmp_path):
+    """Regression: tokens may contain any non-whitespace byte (e.g. \\x1f);
+    the bigram key join/split must not corrupt such pairs."""
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        token_pmi_pairs,
+    )
+
+    weird = "a\x1fb"
+    sf = _write_docs(tmp_path, [f"{weird} c " * 6])
+    got = token_pmi_pairs(sf, min_count=5, k=5).to_pandas()
+    grams = set(got["gram"])
+    assert f"{weird} c" in grams
+    # 12 tokens alternating ('a\x1fb', 'c') x 6 reps
+    row = got[got["gram"] == f"{weird} c"].iloc[0]
+    assert row["c_xy"] == 6 and row["c_x"] == 6 and row["c_y"] == 6
