@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": text_analysis.pack_sequences_docs,  # SQL-checked (global prefix-sum packing)
         "token_pmi_pairs": text_analysis.token_pmi_pairs,          # SQL-checked (collocation lift)
         "source_report": text_analysis.source_report,              # SQL-checked (per-domain census)
+        "quality_percentile_docs": text_analysis.quality_percentile_docs,  # SQL-checked (global CDF attach)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -1687,6 +1688,25 @@ def _oracle_sql_literal() -> dict[str, str]:
                    coalesce(n_self_bigrams, 0) AS n_self_bigrams,
                    coalesce(familiarity_w, 0) AS familiarity_w
             FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        # corpus-wide percent_rank over token counts (min-rank ties,
+        # (rank-1)/(N-1) single division) + 10th/90th percentile bands.
+        "quality_percentile_docs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   percent_rank() OVER (ORDER BY n_tokens) AS pct_rank,
+                   CASE WHEN percent_rank() OVER (ORDER BY n_tokens) < 0.1
+                            THEN 'low'
+                        WHEN percent_rank() OVER (ORDER BY n_tokens) < 0.9
+                            THEN 'mid'
+                        ELSE 'high' END AS quality_band
+            FROM tok
         """,
         # per-source report card; dup docs counted against corpus-wide md5
         # multiplicity (cross-source copies count).

@@ -1376,3 +1376,62 @@ def source_report(sf_dir: str):
          "ntok_sum": "sum_tokens", "n_chars_sum": "sum_chars",
          "is_dup_sum": "n_dup_docs"},
     )
+
+
+def quality_percentile_docs(sf_dir: str):
+    """Corpus-wide QUALITY PERCENTILE attach — the "drop the bottom X% by
+    quality" primitive of curation pipelines, here over token counts: every
+    doc gets its exact ``percent_rank`` (min-rank tie semantics,
+    ``(rank-1)/(N-1)`` — one IEEE division of integers) and a low/mid/high
+    band on the 10th/90th boundaries.
+
+    Two-phase distributed CDF: a domain-bounded token-count histogram (one
+    keyed combine over distinct counts — vocabulary-of-values sized, not
+    corpus sized) comes back to the driver as (value, n) rows, the
+    cumulative "docs strictly below" map broadcasts once, and one streamed
+    pass attaches ranks — the corpus itself never shuffles.
+    """
+    import ray
+
+    from ..functions.groupagg import highcard_groupagg
+
+    def tokrows(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=_TOKEN_PAT), pa.int64()
+        )
+        return pa.table({"doc_id": batch["doc_id"], "ntok": n})
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tokrows, batch_format="pyarrow"
+    )
+
+    hist = highcard_groupagg(
+        docs.map_batches(
+            lambda t: pa.table({"ntok": t["ntok"]}), batch_format="pyarrow"
+        ),
+        ["ntok"],
+        [([], "count_all")],
+        {"count_all": "n"},
+    ).to_pandas().sort_values("ntok")
+    n_total = int(hist["n"].sum())
+    below = np.concatenate([[0], np.cumsum(hist["n"].to_numpy())[:-1]])
+    lut = dict(zip(hist["ntok"].tolist(), below.astype(np.int64).tolist()))
+    lut_ref = ray.put(lut)
+    denom = float(max(n_total - 1, 1))
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        ntok = t["ntok"].to_numpy(zero_copy_only=False)
+        low = np.array([m[int(v)] for v in ntok], dtype=np.int64)
+        pr = low.astype(np.float64) / denom
+        band = np.where(pr < 0.1, "low", np.where(pr < 0.9, "mid", "high"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["ntok"],
+                "pct_rank": pa.array(pr, pa.float64()),
+                "quality_band": pa.array(band.tolist(), pa.string()),
+            }
+        )
+
+    return docs.map_batches(attach, batch_format="pyarrow")

@@ -280,3 +280,19 @@ def test_token_pmi_control_char_tokens(ray_session, tmp_path):
     # 12 tokens alternating ('a\x1fb', 'c') x 6 reps
     row = got[got["gram"] == f"{weird} c"].iloc[0]
     assert row["c_xy"] == 6 and row["c_x"] == 6 and row["c_y"] == 6
+
+
+def test_quality_percentile_matches_oracle_sf0001(ray_session):
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        quality_percentile_docs,
+    )
+
+    want = _oracle_docs("quality_percentile_docs")
+    got = quality_percentile_docs(SF).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # percent_rank bounds + monotonicity in n_tokens
+    assert got["pct_rank"].between(0.0, 1.0).all()
+    g = got.sort_values(["n_tokens", "pct_rank"])
+    assert (g["pct_rank"].diff().fillna(0) >= 0).all()
