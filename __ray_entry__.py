@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pmi_pairs": text_analysis.token_pmi_pairs,          # SQL-checked (collocation lift)
         "source_report": text_analysis.source_report,              # SQL-checked (per-domain census)
         "quality_percentile_docs": text_analysis.quality_percentile_docs,  # SQL-checked (global CDF attach)
+        "vocab_coverage": text_analysis.vocab_coverage,            # SQL-checked (head-vocab coverage curve)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -1688,6 +1689,37 @@ def _oracle_sql_literal() -> dict[str, str]:
                    coalesce(n_self_bigrams, 0) AS n_self_bigrams,
                    coalesce(familiarity_w, 0) AS familiarity_w
             FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        # head-vocab coverage: smallest rank whose cumulative frequency mass
+        # reaches 50/90/99% — exact integer boundary comparisons.
+        "vocab_coverage": r"""
+            WITH toks AS (
+              SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+              FROM documents
+            ), flat AS (
+              SELECT unnest(l) AS w FROM toks
+            ), uni AS (
+              SELECT w, count(*) AS c FROM flat GROUP BY w
+            ), ranked AS (
+              SELECT sum(c) OVER (ORDER BY c DESC, w ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                     row_number() OVER (ORDER BY c DESC, w ASC) AS r
+              FROM uni
+            ), tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS s, count(*) AS d FROM uni
+            )
+            SELECT s AS n_words,
+                   d AS n_distinct_words,
+                   CAST(min(r) FILTER (WHERE cum * 100 >= s * 50) AS BIGINT)
+                       AS v50,
+                   CAST(min(r) FILTER (WHERE cum * 100 >= s * 90) AS BIGINT)
+                       AS v90,
+                   CAST(min(r) FILTER (WHERE cum * 100 >= s * 99) AS BIGINT)
+                       AS v99
+            FROM ranked, tot
+            GROUP BY s, d
         """,
         # corpus-wide percent_rank over token counts (min-rank ties,
         # (rank-1)/(N-1) single division) + 10th/90th percentile bands.

@@ -85,6 +85,9 @@ def run_queries() -> dict[str, float]:
         "edit_distance_pairs",
         "dup_spans_docs",
         "dedup_best_docs",
+        "decontaminate_docs_fuzzy",
+        "token_pmi_pairs",
+        "pack_sequences_docs",
     ]
     out: dict[str, float] = {}
     for name in picks:

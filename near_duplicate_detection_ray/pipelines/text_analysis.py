@@ -1435,3 +1435,56 @@ def quality_percentile_docs(sf_dir: str):
         )
 
     return docs.map_batches(attach, batch_format="pyarrow")
+
+
+def vocab_coverage(sf_dir: str):
+    """Head-vocabulary COVERAGE curve — the tokenizer-budget question "how
+    many distinct words cover 50/90/99% of all token occurrences?".  All
+    boundaries are exact integer comparisons (cum*100 >= total*pct), so the
+    single output row hash-matches SQL.
+
+    Distributed part: per-block ``value_counts`` partials -> one
+    vocabulary-keyed combine (exchange bounded by vocabulary size, not
+    corpus size).  The ranked cumulative walk happens on the collected
+    vocabulary table — bounded by |vocab|, documented as the driver-side
+    term (the same bound ``top_ngrams_corpus`` rides); for 1e9+ vocabularies
+    the upgrade path is a distributed sort + prefix pass like
+    ``pack_sequences_docs``.
+    """
+    import ray.data as rd
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        if len(flat) == 0:
+            return pa.table(
+                {"w": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"w": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    totals = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+        .to_pandas()  # vocabulary-bounded
+    )
+    if totals.empty:
+        return rd.from_items(
+            [{"n_words": 0, "n_distinct_words": 0, "v50": 0, "v90": 0, "v99": 0}]
+        )
+    totals = totals.sort_values(["n", "w"], ascending=[False, True], kind="mergesort")
+    c = totals["n"].to_numpy()
+    cum = np.cumsum(c)
+    total = int(cum[-1])
+    out = {"n_words": total, "n_distinct_words": int(len(c))}
+    for pct in (50, 90, 99):
+        out[f"v{pct}"] = int(np.searchsorted(cum * 100, total * pct) + 1)
+    return rd.from_items([out])

@@ -296,3 +296,31 @@ def test_quality_percentile_matches_oracle_sf0001(ray_session):
     assert got["pct_rank"].between(0.0, 1.0).all()
     g = got.sort_values(["n_tokens", "pct_rank"])
     assert (g["pct_rank"].diff().fillna(0) >= 0).all()
+
+
+def test_vocab_coverage_hand_semantics(ray_session, tmp_path):
+    """Counts: a=4, b=2, c,d=1 each (8 tokens).  v50: a alone covers 4/8 =
+    50% -> rank 1; v90: a+b = 6/8 = 75% < 90%, +c = 7/8 = 87.5% < 90%,
+    +d = 100% -> rank 4."""
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        vocab_coverage,
+    )
+
+    sf = _write_docs(tmp_path, ["a a b c", "a a b d", ""])
+    got = vocab_coverage(sf).to_pandas().iloc[0]
+    assert got["n_words"] == 8 and got["n_distinct_words"] == 4
+    assert got["v50"] == 1 and got["v90"] == 4 and got["v99"] == 4
+
+
+def test_vocab_coverage_matches_oracle_sf0001(ray_session):
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        vocab_coverage,
+    )
+
+    want = _oracle_docs("vocab_coverage")
+    got = vocab_coverage(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    row = got.iloc[0]
+    assert row["v50"] <= row["v90"] <= row["v99"] <= row["n_distinct_words"]
