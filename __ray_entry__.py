@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
         "quantize_embeddings": ann.quantize_embeddings,        # SQL-checked (int8 scalar quantization)
+        "ann_pq_topk": ann.ann_pq_topk,                        # rows-only (PQ+ADC; full-refine==exact pinned in pytest)
         "label_quality_join": ann.label_quality_join,          # SQL-checked (cross-table feature join)
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
         "media_feature_summary": multimodal.media_feature_summary,

@@ -1048,3 +1048,137 @@ def label_quality_join(sf_dir: str, num_partitions: int = 8):
         return t.append_column("avg_tokens", pa.array(st / nd, pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _kmeans_plain(mat: np.ndarray, n_centroids: int, iters: int,
+                  seed: int) -> np.ndarray:
+    """Seeded EUCLIDEAN k-means (Lloyd) — the PQ sub-quantizer train step
+    (sub-vectors of L2-normalized rows are not themselves unit vectors, so
+    the spherical variant does not apply).  Deterministic; empty cells keep
+    their previous centroid."""
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(mat))
+    init = np.sort(rng.choice(len(mat), size=n_centroids, replace=False))
+    c = mat[init].copy()
+    for _ in range(iters):
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+        d = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(c))
+        live = counts > 0
+        c[live] = sums[live] / counts[live, None]
+    return c
+
+
+def ann_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m_sub: int = 8,
+                n_codes: int = 16, refine: int = 64, seed: int = 42,
+                kmeans_iters: int = 8, train_sample: int = 4096):
+    """PRODUCT-QUANTIZATION ANN (Jegou et al., public knowledge) with
+    asymmetric distance + exact refine — the memory-bound scale path of the
+    ANN family (8 bytes/vector here vs 256 for raw float32[64]):
+
+    1. TRAIN: the deterministic id-bounded sample (same discipline as
+       ``_train_quantizer``) is L2-normalized and split into ``m_sub``
+       subspaces; each gets a seeded EUCLIDEAN k-means codebook of
+       ``n_codes`` centroids.
+    2. SCAN: codebooks + queries broadcast once; every corpus block encodes
+       its vectors to (n, m_sub) codes with one distance matmul per
+       subspace, scores ALL queries against the block via per-query
+       lookup-table gathers (ADC: approx cosine = Σ_s LUT[s, code_s]), and
+       keeps only the ``refine`` best candidates per query, which are then
+       EXACTLY cosine-scored — per-block top-(k+1) partials, tiny merge.
+
+    ``refine`` >= block rows exactly-scores everything and equals
+    ``cosine_topk`` regardless of codebook quality (the deterministic
+    correctness pin, asserted in tests); bounded ``refine`` is the
+    approximate path with a recall pin.  Output schema matches
+    ``cosine_topk``: (query_id, rank, neighbor_id)."""
+    import ray
+
+    train = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < train_sample)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    t_mat = _normalize_rows(np.stack(train["embedding"].to_numpy()).astype(np.float64))
+    d = t_mat.shape[1]
+    assert d % m_sub == 0, "dims must split evenly into subspaces"
+    sub_d = d // m_sub
+    codebooks = np.stack(
+        [
+            _kmeans_plain(
+                t_mat[:, s * sub_d:(s + 1) * sub_d], n_codes, kmeans_iters,
+                seed + s,
+            )
+            for s in range(m_sub)
+        ]
+    )  # (m_sub, n_codes, sub_d)
+
+    queries_tbl = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries_tbl["vec_id"].to_numpy()
+    q_mat = np.stack(queries_tbl["embedding"].to_numpy()).astype(np.float64)
+    q_norm = _normalize_rows(q_mat)
+    # ADC lookup tables: LUT[q, s, c] = q_sub . codebook[s, c]
+    lut = np.einsum(
+        "qsd,scd->qsc", q_norm.reshape(len(q_norm), m_sub, sub_d), codebooks
+    )
+    state_ref = ray.put((q_ids, q_mat, lut, codebooks))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids, qm, lut_, cbs = ray.get(state_ref)
+        corpus = _emb_matrix(batch)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cn = _normalize_rows(corpus)
+        n, ms, nc = len(cn), cbs.shape[0], cbs.shape[1]
+        sd = cbs.shape[2]
+        sub = cn.reshape(n, ms, sd)
+        # encode: nearest codebook entry per subspace
+        codes = np.empty((n, ms), dtype=np.int64)
+        for s in range(ms):
+            dist = -2.0 * (sub[:, s, :] @ cbs[s].T) + (cbs[s] * cbs[s]).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(dist, axis=1)
+        # ADC approx score per (query, row): gather + sum over subspaces
+        out_q, out_n, out_s = [], [], []
+        r = min(refine, n)
+        for qi in range(len(ids)):
+            approx = lut_[qi][np.arange(ms)[None, :], codes].sum(axis=1)
+            cand = np.argpartition(-approx, r - 1)[:r] if r < n else np.arange(n)
+            scores, idx = cosine_topk_block(
+                qm[qi : qi + 1], corpus[cand], min(k + 1, len(cand))
+            )
+            cand_ids = vec_ids[cand]
+            for j in range(idx.shape[1]):
+                out_q.append(int(ids[qi]))
+                out_n.append(int(cand_ids[idx[0, j]]))
+                out_s.append(float(scores[0, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    out = topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)

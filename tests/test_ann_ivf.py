@@ -143,3 +143,32 @@ def test_label_quality_join_matches_oracle(ray_session):
     got = got.sort_values("label").reset_index(drop=True)[sorted(got.columns)]
     want = want.sort_values("label").reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pq_full_refine_equals_exact(ray_session):
+    """refine >= corpus size exactly-scores every row: PQ output must equal
+    the exact scan regardless of codebook quality."""
+    import pandas as pd
+
+    from near_duplicate_detection_ray.pipelines.ann import ann_pq_topk, cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = cosine_topk(sf).to_pandas().reset_index(drop=True)
+    pq_full = ann_pq_topk(sf, refine=10**9).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(pq_full, exact)
+
+
+def test_pq_bounded_refine_recall(ray_session):
+    """Bounded refine stays approximate but must keep high recall vs exact
+    on this corpus, and be deterministic across runs."""
+    from near_duplicate_detection_ray.pipelines.ann import ann_pq_topk, cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = cosine_topk(sf).to_pandas()
+    got = ann_pq_topk(sf, refine=64).to_pandas()
+    again = ann_pq_topk(sf, refine=64).to_pandas()
+    assert got.equals(again)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    g = set(zip(got["query_id"], got["neighbor_id"]))
+    recall = len(e & g) / len(e)
+    assert recall >= 0.8, f"PQ recall {recall} too low"
