@@ -151,6 +151,12 @@ def _decontaminate_docs_fuzzy(sf_dir: str):
     return decontaminate_docs_fuzzy(sf_dir)
 
 
+def _upsert_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import upsert_docs
+
+    return upsert_docs(sf_dir)
+
+
 def _contamination_report(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import contamination_report
 
@@ -292,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_report": _contamination_report,          # SQL-checked (overlap fractions)
         "decontaminate_docs_bloom": _decontaminate_docs_bloom,  # SQL-checked (Bloom-screened scale path)
         "decontaminate_docs_fuzzy": _decontaminate_docs_fuzzy,  # SQL-checked (MinHash/LSH cross-split)
+        "upsert_docs": _upsert_docs,                            # SQL-checked (MERGE last-writer-wins)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
         "strip_boilerplate_turns": _strip_boilerplate_turns,    # SQL-checked (turn boilerplate removal)
@@ -2088,6 +2095,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT doc_id, n_chars FROM split
             WHERE NOT is_eval
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        # MERGE/upsert: deterministic derived change set (hash buckets: <20
+        # updated bodies, <5 new ids at +10M), last-writer-wins on doc_id.
+        "upsert_docs": """
+            WITH upd AS (
+                SELECT doc_id, strlen(text) + 8 AS n_chars
+                FROM documents
+                WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 20
+            ), ins AS (
+                SELECT doc_id + 10000000 AS doc_id,
+                       strlen('NEW DOC ' || CAST(doc_id + 10000000 AS VARCHAR))
+                           AS n_chars
+                FROM documents
+                WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 5
+            ), changes AS (
+                SELECT * FROM upd UNION ALL SELECT * FROM ins
+            )
+            SELECT coalesce(c.doc_id, d.doc_id) AS doc_id,
+                   CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS version,
+                   CAST(coalesce(c.n_chars, strlen(d.text)) AS BIGINT)
+                       AS n_chars
+            FROM documents d FULL OUTER JOIN changes c ON d.doc_id = c.doc_id
         """,
         # fuzzy decontamination: drop train docs with exact 5-token-shingle
         # Jaccard >= 0.8 against any eval-split doc (same shingle derivation

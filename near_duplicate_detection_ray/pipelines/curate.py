@@ -553,3 +553,97 @@ def decontaminate_docs_fuzzy(sf_dir: str, pct: int = 10, tau: float | None = Non
         return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"]})
 
     return _read(["doc_id", "n_chars"]).map_batches(keep_clean, batch_format="pyarrow")
+
+
+def upsert_docs(sf_dir: str, upd_pct: int = 20, ins_pct: int = 5):
+    """MERGE / UPSERT (last-writer-wins) — the table-maintenance primitive of
+    an incremental corpus store (reference analogue: ``update_index``'s
+    refresh-changed + add-new semantics, ``ndd/server_ndd.py:227-257``).
+
+    The change set is derived deterministically from the corpus itself so
+    the SQL oracle can replay it exactly: docs in the ``upd_pct`` hash
+    bucket get an updated body (version 1), and a disjoint ``ins_pct``
+    bucket yields brand-new ids (base + 10_000_000).  The merge is ONE
+    doc_id-keyed hash partition over base ∪ changes with a vectorized
+    max-version-wins pick per id — no driver set, no join; at 100 TB the
+    changes stream through the same shuffle as the base.
+
+    Output: ``doc_id, version (0 kept / 1 upserted), n_chars`` of the
+    winning row."""
+    import pandas as pd
+
+    from ..sources.io import read_parquet_clean
+    from ..state.partitioning import key_partitioned
+
+    def _read(columns):
+        return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "version": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    def change_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = np.fromiter(
+            (md5_low64(str(int(d))) % 100 for d in ids), np.int64, len(ids)
+        )
+        upd = batch.filter(pa.array(bucket < upd_pct))
+        upd_chars = pc.add(
+            pc.cast(pc.utf8_length(upd["text"]), pa.int64()),
+            pa.scalar(len(" UPDATED"), pa.int64()),
+        )
+        ins_ids = ids[bucket < ins_pct] + 10_000_000
+        ins_chars = np.array(
+            [len(f"NEW DOC {i}") for i in ins_ids], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        pc.cast(upd["doc_id"], pa.int64()).combine_chunks(),
+                        pa.array(ins_ids, pa.int64()),
+                    ]
+                ),
+                "version": pa.array(
+                    np.ones(upd.num_rows + len(ins_ids), np.int64)
+                ),
+                "n_chars": pa.concat_arrays(
+                    [pc.cast(upd_chars, pa.int64()).combine_chunks(),
+                     pa.array(ins_chars, pa.int64())]
+                ),
+            }
+        )
+
+    from ..functions.hashing import md5_low64
+
+    base = _read(["doc_id", "text"]).map_batches(base_rows, batch_format="pyarrow")
+    changes = _read(["doc_id", "text"]).map_batches(
+        change_rows, batch_format="pyarrow"
+    )
+
+    def pick_winner(df: "pd.DataFrame") -> pa.Table:
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("version", pa.int64()),
+             ("n_chars", pa.int64())]
+        )
+        if df.empty:
+            return schema.empty_table()
+        df = df.sort_values(["doc_id", "version"], kind="mergesort")
+        win = df.groupby("doc_id", sort=False).tail(1)
+        return pa.table(
+            {
+                "doc_id": pa.array(win["doc_id"].to_numpy(), pa.int64()),
+                "version": pa.array(win["version"].to_numpy(), pa.int64()),
+                "n_chars": pa.array(win["n_chars"].to_numpy(), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return key_partitioned(base.union(changes), ["doc_id"]).map_batches(
+        pick_winner, batch_format="pandas", batch_size=None
+    )

@@ -111,3 +111,31 @@ def test_fuzzy_decontaminate_planted_leak(ray_session, tmp_path):
     # train_ids[0] leaked vs eval base; train_ids[1] is an exact copy of an
     # eval doc (jaccard 1.0) -> dropped; only the short clean doc survives
     assert sorted(got["doc_id"]) == [train_ids[2]]
+
+
+def test_upsert_docs_semantics(ray_session):
+    """Every base id appears exactly once; updated-bucket ids carry version 1
+    with the +8-char body; inserted ids are base+10M for the <5 bucket."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.functions.hashing import md5_low64
+    from near_duplicate_detection_ray.pipelines.curate import upsert_docs
+
+    got = upsert_docs(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(entrymod.oracle_sql()["upsert_docs"]).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    # structural invariants
+    assert got["doc_id"].is_unique
+    base = got[got["doc_id"] < 10_000_000]
+    ins = got[got["doc_id"] >= 10_000_000]
+    assert (ins["version"] == 1).all()
+    bucket = base["doc_id"].map(lambda d: md5_low64(str(int(d))) % 100)
+    assert ((base["version"] == 1) == (bucket < 20)).all()
