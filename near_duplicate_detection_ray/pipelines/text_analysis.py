@@ -1068,7 +1068,8 @@ def keyword_search_docs(sf_dir: str, terms: tuple = ("spark", "window", "hash"),
     return global_topk(scored, ["score", "doc_id"], [True, False], k)
 
 
-def pack_sequences_docs(sf_dir: str, seq_len: int = 512):
+def pack_sequences_docs(sf_dir: str, seq_len: int = 512,
+                        num_blocks: int | None = None):
     """Training-sequence PACKING plan (GPT-style concat-and-chunk): documents
     are concatenated in ``doc_id`` order and cut into fixed ``seq_len``-token
     training sequences; each doc reports its global token offset and the
@@ -1100,6 +1101,9 @@ def pack_sequences_docs(sf_dir: str, seq_len: int = 512):
     counts = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         count_block, batch_format="pyarrow"
     )
+    if num_blocks:  # test knob: force a true multi-block prefix (small
+        # inputs otherwise collapse to one sorted block)
+        counts = counts.repartition(num_blocks)
     sorted_mat = counts.sort("doc_id").materialize()
     refs = [
         ref

@@ -324,3 +324,25 @@ def test_vocab_coverage_matches_oracle_sf0001(ray_session):
     )
     row = got.iloc[0]
     assert row["v50"] <= row["v90"] <= row["v99"] <= row["n_distinct_words"]
+
+
+def test_pack_sequences_multiblock_prefix(ray_session):
+    """The cross-block prefix sum must be partition-invariant: forcing 7
+    blocks (several per-block offsets) yields the identical manifest."""
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        pack_sequences_docs,
+    )
+
+    one = (
+        pack_sequences_docs(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    many = (
+        pack_sequences_docs(SF, num_blocks=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
