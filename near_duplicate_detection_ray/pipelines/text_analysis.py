@@ -1418,15 +1418,16 @@ def quality_percentile_docs(sf_dir: str):
         {"count_all": "n"},
     ).to_pandas().sort_values("ntok")
     n_total = int(hist["n"].sum())
-    below = np.concatenate([[0], np.cumsum(hist["n"].to_numpy())[:-1]])
-    lut = dict(zip(hist["ntok"].tolist(), below.astype(np.int64).tolist()))
-    lut_ref = ray.put(lut)
+    below = np.concatenate([[0], np.cumsum(hist["n"].to_numpy())[:-1]]).astype(np.int64)
+    values = hist["ntok"].to_numpy().astype(np.int64)  # sorted ascending
+    lut_ref = ray.put((values, below))
     denom = float(max(n_total - 1, 1))
 
     def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(lut_ref)
+        values_, below_ = ray.get(lut_ref)
         ntok = t["ntok"].to_numpy(zero_copy_only=False)
-        low = np.array([m[int(v)] for v in ntok], dtype=np.int64)
+        # every ntok is present in the histogram: one vectorized searchsorted
+        low = below_[np.searchsorted(values_, ntok)]
         pr = low.astype(np.float64) / denom
         band = np.where(pr < 0.1, "low", np.where(pr < 0.9, "mid", "high"))
         return pa.table(
