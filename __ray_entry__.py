@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_pair_trade": relational.nation_pair_trade,          # Q7 shape (two-nation trade volume)
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
+        "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
         "heavy_hitter_users": relational.heavy_hitter_users,        # MG screen + exact confirm
         "value_histogram": relational.value_histogram,              # equal-width integer bins
         "event_value_mad": relational.event_value_mad,              # robust median/MAD stats

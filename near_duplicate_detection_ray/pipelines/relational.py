@@ -3249,3 +3249,65 @@ def late_event_stats(sf_dir: str):
         {"count_all": "n_events", "is_late_sum": "n_late",
          "late_us_max": "max_late_us"},
     )
+
+
+def event_type_counts_cms(sf_dir: str):
+    """Approximate per-key counts via a COUNT-MIN sketch (mergeable,
+    overestimate-only) — the fixed-memory alternative to an exact groupby
+    when the key domain is unbounded: every block folds its events into one
+    (4 x 2048) int64 table (64 KiB regardless of rows), tables merge by
+    addition in any tree shape, and only the tiny table + the probe keys
+    reach the driver.
+
+    Here the probe keys are the (low-cardinality) distinct event types so
+    the estimates can be pinned against exact counts in pytest
+    (est >= exact, est <= exact + eps*N at eps = e/width).  rows-only by
+    design — the estimate is approximate; the error bound, merge
+    invariance, and determinism are the pytest contract.
+    Output: ``event_type, est_n``."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_low64
+    from ..state.sketch import CMS_D, CMS_W, cms_merge, cms_query, cms_table
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"kind": pa.array([], pa.string()),
+                 "payload": pa.array([], pa.binary()),
+                 "key": pa.array([], pa.string())}
+            )
+        vc = pc.value_counts(t["event_type"].combine_chunks())
+        names = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        keys = np.array([md5_low64(s) for s in names], dtype=np.uint64)
+        table = cms_table(keys, counts)
+        return pa.table(
+            {
+                "kind": pa.array(["table"] + ["type"] * len(names), pa.string()),
+                "payload": pa.array(
+                    [table.tobytes()] + [b""] * len(names), pa.binary()
+                ),
+                "key": pa.array([""] + names, pa.string()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tables = [
+        np.frombuffer(p, dtype=np.int64).reshape(CMS_D, CMS_W)
+        for p in rows.loc[rows["kind"] == "table", "payload"]
+    ]
+    if not tables:
+        return rd.from_items([])
+    merged = cms_merge(tables)
+    types = sorted(set(rows.loc[rows["kind"] == "type", "key"]))
+    keys = np.array([md5_low64(s) for s in types], dtype=np.uint64)
+    ests = cms_query(merged, keys)
+    return rd.from_items(
+        [
+            {"event_type": t, "est_n": int(e)}
+            for t, e in zip(types, ests)
+        ]
+    )

@@ -153,3 +153,58 @@ def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]], k: int):
     summed = np.zeros(len(uniq), np.int64)
     np.add.at(summed, inv, cnts.astype(np.int64))
     return mg_reduce(uniq, summed, k)
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan, public literature) ----------
+# Mergeable approximate per-key counts: overestimates only, est <= true +
+# eps*N with eps = e/width at probability 1 - (1/e)^depth.  Rows use
+# deterministic double hashing of pre-hashed uint64 keys, so partial tables
+# built per block merge by plain addition in any order/tree shape.
+
+CMS_W = 2048
+CMS_D = 4
+
+_CMS_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_CMS_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _cms_rows(keys: np.ndarray, w: int, d: int) -> np.ndarray:
+    """(d, n) column indices via double hashing (h1 + r*h2 mod w) of uint64
+    keys — splitmix64-style mixing, no RNG, identical across processes."""
+    k = keys.astype(np.uint64)
+    h1 = (k * _CMS_MIX1) >> np.uint64(33)
+    h2 = ((k ^ (k >> np.uint64(29))) * _CMS_MIX2) >> np.uint64(31)
+    h2 = h2 | np.uint64(1)  # odd stride: full period mod any w
+    r = np.arange(d, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + r * h2[None, :]) % np.uint64(w)).astype(np.int64)
+
+
+def cms_table(keys: np.ndarray, counts: np.ndarray, w: int = CMS_W,
+              d: int = CMS_D) -> np.ndarray:
+    """Build a (d, w) int64 Count-Min table from uint64 keys + counts."""
+    table = np.zeros((d, w), dtype=np.int64)
+    if len(keys) == 0:
+        return table
+    idx = _cms_rows(keys, w, d)
+    c = np.asarray(counts, dtype=np.int64)
+    for r in range(d):
+        np.add.at(table[r], idx[r], c)
+    return table
+
+
+def cms_merge(parts: list[np.ndarray]) -> np.ndarray:
+    """Merge = elementwise sum (any order, any tree shape)."""
+    out = parts[0].copy()
+    for p in parts[1:]:
+        out += p
+    return out
+
+
+def cms_query(table: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates: min over rows — never underestimates."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    d, w = table.shape
+    idx = _cms_rows(keys, w, d)
+    ests = np.stack([table[r][idx[r]] for r in range(d)])
+    return ests.min(axis=0)

@@ -122,3 +122,61 @@ def test_mg_reduce_guarantee():
     u, c = np.unique(vals, return_counts=True)
     frequent = set(u[c > n / (k + 1)].tolist())
     assert frequent <= set(mv.tolist()), "guaranteed-frequent value dropped"
+
+
+def test_cms_bounds_and_merge_invariance():
+    """CMS never underestimates; with w=2048, eps*N slack is tiny for these
+    volumes.  Merging per-chunk tables in any order equals one-shot build."""
+    import numpy as np
+
+    from near_duplicate_detection_ray.state.sketch import (
+        CMS_W,
+        cms_merge,
+        cms_query,
+        cms_table,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=200, dtype=np.int64).astype(np.uint64)
+    counts = rng.integers(1, 50, size=200).astype(np.int64)
+    n_total = int(counts.sum())
+    one = cms_table(keys, counts)
+    # split into 7 chunks, merge in reversed order
+    parts = [
+        cms_table(keys[i::7], counts[i::7]) for i in range(7)
+    ]
+    merged = cms_merge(list(reversed(parts)))
+    assert (merged == one).all()
+    est = cms_query(merged, keys)
+    eps = np.e / CMS_W
+    assert (est >= counts).all()
+    assert (est <= counts + np.ceil(eps * n_total) + 1).all()
+
+
+def test_cms_query_matches_exact_counts(ray_session):
+    """Low-cardinality probe: every event type's estimate >= exact count and
+    within the eps*N overcount bound; deterministic across runs."""
+    import duckdb
+    import numpy as np
+
+    from near_duplicate_detection_ray.pipelines.relational import (
+        event_type_counts_cms,
+    )
+    from near_duplicate_detection_ray.state.sketch import CMS_W
+
+    sf = "/root/testdata/sf0.001"
+    got = event_type_counts_cms(sf).to_pandas().set_index("event_type")["est_n"]
+    again = event_type_counts_cms(sf).to_pandas().set_index("event_type")["est_n"]
+    assert got.equals(again)
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            f"SELECT event_type, count(*) FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    n_total = sum(exact.values())
+    eps = np.e / CMS_W
+    assert set(got.index) == set(exact)
+    for t, e in got.items():
+        assert e >= exact[t]
+        assert e <= exact[t] + int(np.ceil(eps * n_total)) + 1
