@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
+        "hourly_active_users": relational.hourly_active_users,      # SQL-checked (windowed distinct count)
         "heavy_hitter_users": relational.heavy_hitter_users,        # MG screen + exact confirm
         "value_histogram": relational.value_histogram,              # equal-width integer bins
         "event_value_mad": relational.event_value_mad,              # robust median/MAD stats
@@ -777,6 +778,13 @@ def _oracle_sql_literal() -> dict[str, str]:
                    > CAST((SELECT count(*) FROM events) AS DOUBLE) * 0.005
         """,
         # Q19 shape: hash join + disjunctive predicate groups, exact 1e-4 units
+        # distinct users per hour bucket (exact windowed count distinct)
+        "hourly_active_users": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            GROUP BY 1
+        """,
         # watermark diagnostic: event_id is arrival order; late = ts below the
         # user's running max over earlier arrivals; lateness in exact int us.
         "late_event_stats": """

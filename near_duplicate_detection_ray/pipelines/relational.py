@@ -3311,3 +3311,49 @@ def event_type_counts_cms(sf_dir: str):
             for t, e in zip(types, ests)
         ]
     )
+
+
+def hourly_active_users(sf_dir: str):
+    """Distinct-count-per-window (the DAU/MAU-style metric): unique users
+    per hour bucket.  Exact, with the pre-distinct combiner: every block
+    first collapses to its own distinct (hour, user) pairs (bounded by
+    actives, not events), ONE keyed shuffle on the pair collapses
+    cross-block repeats, and the per-hour count is a block-local group
+    size — no count-distinct shuffle of raw events."""
+    from ..functions.groupagg import highcard_groupagg
+    from ..state.partitioning import key_partitioned
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"hour": pa.array([], pa.timestamp("us")),
+                 "user_id": pa.array([], pa.int64())}
+            )
+        hours = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({"hour": hours, "user_id": batch["user_id"]})
+        return t.group_by(["hour", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+
+    def per_hour(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"hour": pa.array([], pa.timestamp("us")),
+                 "n_users": pa.array([], pa.int64())}
+            )
+        # one keyed partition on (hour, user): distinct pairs collapse here,
+        # then the per-hour distinct count is a local group size
+        d = batch.group_by(["hour", "user_id"]).aggregate([])
+        return d.group_by(["hour"]).aggregate([([], "count_all")]).rename_columns(
+            ["hour", "n_users"]
+        )
+
+    grouped = key_partitioned(pairs, ["hour", "user_id"]).map_batches(
+        per_hour, batch_format="pyarrow", batch_size=None
+    )
+    # (hour, user) partitions split one hour across blocks — re-sum per hour
+    return highcard_groupagg(
+        grouped, ["hour"], [("n_users", "sum")], {"n_users_sum": "n_users"}
+    )

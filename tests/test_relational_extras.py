@@ -679,3 +679,19 @@ def test_late_event_stats_matches_oracle(ray_session):
     want = _oracle(entrymod.oracle_sql()["late_event_stats"], tables=("events",))
     got = relational.late_event_stats(SF).to_pandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_hourly_active_users_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines import relational
+
+    want = _oracle(entrymod.oracle_sql()["hourly_active_users"], tables=("events",))
+    got = relational.hourly_active_users(SF).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+    # distinct users per hour can never exceed events per hour
+    ev = _oracle(
+        "SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1",
+        tables=("events",),
+    ).set_index("hour")["n"]
+    g = got.set_index("hour")["n_users"]
+    assert (g <= ev[g.index]).all()
