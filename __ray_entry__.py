@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_report": text_analysis.source_report,              # SQL-checked (per-domain census)
         "quality_percentile_docs": text_analysis.quality_percentile_docs,  # SQL-checked (global CDF attach)
         "vocab_coverage": text_analysis.vocab_coverage,            # SQL-checked (head-vocab coverage curve)
+        "bpe_merge_candidates": text_analysis.bpe_merge_candidates,  # SQL-checked (BPE first merges)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -1706,6 +1707,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                    coalesce(n_self_bigrams, 0) AS n_self_bigrams,
                    coalesce(familiarity_w, 0) AS familiarity_w
             FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        # BPE first-merge candidates: within-token adjacent character pairs
+        # (ASCII corpus: codepoints == bytes, same basis as media_chunk_dedup)
+        "bpe_merge_candidates": r"""
+            WITH toks AS (
+              SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+              FROM documents
+            ), flat AS (
+              SELECT unnest(l) AS w FROM toks
+            ), pairs AS (
+              SELECT substr(w, i, 2) AS pair
+              FROM flat CROSS JOIN unnest(range(1, len(w))) AS t(i)
+            )
+            SELECT pair, count(*) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair ASC
+            LIMIT 20
         """,
         # head-vocab coverage: smallest rank whose cumulative frequency mass
         # reaches 50/90/99% — exact integer boundary comparisons.

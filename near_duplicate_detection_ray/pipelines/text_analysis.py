@@ -1493,3 +1493,48 @@ def vocab_coverage(sf_dir: str):
     for pct in (50, 90, 99):
         out[f"v{pct}"] = int(np.searchsorted(cum * 100, total * pct) + 1)
     return rd.from_items([out])
+
+
+def bpe_merge_candidates(sf_dir: str, k: int = 20):
+    """Tokenizer induction, step one: the top-``k`` most frequent ADJACENT
+    CHARACTER pairs inside words — exactly the first merge candidates a BPE
+    trainer scores (Sennrich et al., public knowledge).
+
+    The combiner is a FIXED-SIZE count table (the sketch-free analogue of
+    ``event_type_counts_cms``): each block folds all its within-token byte
+    pairs into one 65,536-cell bincount (first byte * 256 + second byte) —
+    64 KiB per block regardless of rows — tables sum on the driver, and the
+    top-k reads straight off the table.  Fully vectorized: one joined-bytes
+    view + two shifted slices per batch, no per-token Python.  ASCII corpus
+    assumption (codepoints == bytes, validated by ``validate_docs``) —
+    the same basis ``media_chunk_dedup`` documents.
+    """
+    import ray.data as rd
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    def table_partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        norm = pc.replace_substring_regex(trimmed, pattern=r"\s+", replacement=" ")
+        joined = " ".join(norm.to_pylist()) if batch.num_rows else ""
+        b = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+        if len(b) < 2:
+            counts = np.zeros(65536, dtype=np.int64)
+        else:
+            first, second = b[:-1], b[1:]
+            ok = (first != 32) & (second != 32)  # exclude cross-token pairs
+            key = first[ok].astype(np.int64) * 256 + second[ok]
+            counts = np.bincount(key, minlength=65536).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
+
+    rows = docs.map_batches(table_partial, batch_format="pyarrow").to_pandas()
+    total = np.zeros(65536, dtype=np.int64)
+    for payload in rows["counts"]:
+        total += np.frombuffer(payload, dtype=np.int64)
+    nz = np.flatnonzero(total)
+    pairs = [chr(i // 256) + chr(i % 256) for i in nz]
+    import pandas as pd
+
+    df = pd.DataFrame({"pair": pairs, "n": total[nz]})
+    df = df.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort").head(k)
+    return rd.from_pandas(df.reset_index(drop=True))

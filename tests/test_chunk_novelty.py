@@ -346,3 +346,30 @@ def test_pack_sequences_multiblock_prefix(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_bpe_merge_candidates_hand_semantics(ray_session, tmp_path):
+    """'ab' appears inside 'abab' twice and 'ab' once = 3; cross-token pairs
+    ('b a' boundary inside 'ab ab') never count."""
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        bpe_merge_candidates,
+    )
+
+    sf = _write_docs(tmp_path, ["abab ab", "ba", ""])
+    got = bpe_merge_candidates(sf, k=10).to_pandas()
+    m = dict(zip(got["pair"], got["n"]))
+    assert m["ab"] == 3     # ab-ab (x2) + ab
+    assert m["ba"] == 2     # inside abab + the doc 'ba'
+    assert " a" not in m and "b " not in m
+
+
+def test_bpe_merge_candidates_matches_oracle_sf0001(ray_session):
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        bpe_merge_candidates,
+    )
+
+    want = _oracle_docs("bpe_merge_candidates")
+    got = bpe_merge_candidates(SF).to_pandas()
+    got = got.sort_values(["n", "pair"], ascending=[False, True]).reset_index(drop=True)
+    want = want.sort_values(["n", "pair"], ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False)
