@@ -11,6 +11,8 @@ with the read stage, so this costs nothing.
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 
 def read_parquet_clean(path, columns=None, **kwargs):
     """``ray.data.read_parquet`` with schema metadata stripped from every
@@ -169,3 +171,79 @@ def read_json_clean(path, **kwargs):
     return ds.map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
+
+
+def write_hive_partitions(ds, col: str, out_dir: str) -> list[str]:
+    """CATEGORICAL hive layout — the third storage-pruning layout next to
+    the hash cells of ``pipelines/ann.build_ivf_index`` and the range
+    zone-maps of :func:`write_range_partitions`: one ``col=value/``
+    directory per distinct key, written via ONE keyed hash partition (each
+    value's rows co-locate, then each block splits locally into its value
+    dirs — no per-value pass over the dataset).  A categorical predicate
+    then LISTS only matching directories; non-matching data is never
+    opened.  Returns the sorted partition values."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..state.partitioning import key_partitioned
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch, ctx=None):
+        import uuid
+
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({"value": pa.array([], pa.string())})
+        enc = batch[col].combine_chunks().dictionary_encode()
+        vals = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        written = []
+        for i, v in enumerate(vals):
+            part = batch.filter(pa.array(codes == i))
+            d = os.path.join(out_dir, f"{col}={v}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                part, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+            )
+            written.append(v)
+        return pa.table({"value": pa.array(written, pa.string())})
+
+    values = sorted(
+        set(
+            key_partitioned(ds, [col])
+            .map_batches(write_block, batch_format="pyarrow", batch_size=None)
+            .to_pandas()["value"]
+        )
+    )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump({"col": col, "values": values}, fh)
+    return values
+
+
+def read_hive_pruned(out_dir: str, values, columns=None):
+    """Read back a :func:`write_hive_partitions` layout for ``col IN
+    (values)``: only the matching ``col=value`` directories are listed or
+    opened.  Returns ``(dataset, n_dirs_read, n_dirs_total)``."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    all_vals = manifest["values"]
+    hit = [v for v in all_vals if v in set(values)]
+    if not hit:
+        return rd.from_items([]), 0, len(all_vals)
+    paths = [
+        os.path.join(out_dir, f"{manifest['col']}={v}", f)
+        for v in hit
+        for f in sorted(os.listdir(os.path.join(out_dir, f"{manifest['col']}={v}")))
+        if f.endswith(".parquet")
+    ]
+    return read_parquet_clean(paths, columns=columns), len(hit), len(all_vals)

@@ -104,3 +104,53 @@ def test_pruned_read_timestamp_column(ray_session, tmp_path):
     )
     assert got == want and len(got) > 0
     assert n_read < n_total
+
+
+def test_hive_layout_roundtrip_and_pruning(ray_session, tmp_path):
+    """write_hive_partitions + read_hive_pruned: selected languages come back
+    exactly, only matching directories are opened, and a rebuild does not
+    absorb stale partitions."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from near_duplicate_detection_ray.sources.io import (
+        read_hive_pruned,
+        read_parquet_clean,
+        write_hive_partitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "by_lang")
+    docs = read_parquet_clean(f"{sf}/documents.parquet",
+                              columns=["doc_id", "lang", "n_chars"])
+    values = write_hive_partitions(docs, "lang", out)
+    assert sorted(os.listdir(out)) == sorted(
+        [f"lang={v}" for v in values] + ["manifest.json"]
+    )
+
+    want = (
+        duckdb.sql(
+            f"SELECT doc_id, lang, n_chars FROM read_parquet('{sf}/documents.parquet') "
+            "WHERE lang IN ('en', 'de') ORDER BY doc_id"
+        ).df().reset_index(drop=True)
+    )
+    ds, n_read, n_total = read_hive_pruned(out, ["en", "de"])
+    assert n_read == 2 and n_total == len(values) and n_total > 2
+    got = (
+        ds.to_pandas()[["doc_id", "lang", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # miss: unknown value reads nothing
+    empty, n_read, _ = read_hive_pruned(out, ["zz"])
+    assert n_read == 0 and empty.count() == 0
+
+    # rebuild with a filtered dataset must drop stale partitions
+    en_only = docs.filter(lambda r: r["lang"] == "en")
+    values2 = write_hive_partitions(en_only, "lang", out)
+    assert values2 == ["en"]
+    assert sorted(os.listdir(out)) == ["lang=en", "manifest.json"]
