@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
         "hourly_active_users": relational.hourly_active_users,      # SQL-checked (windowed distinct count)
+        "late_shipment_priority": relational.late_shipment_priority,  # Q4 shape (fact-scale EXISTS)
         "heavy_hitter_users": relational.heavy_hitter_users,        # MG screen + exact confirm
         "value_histogram": relational.value_histogram,              # equal-width integer bins
         "event_value_mad": relational.event_value_mad,              # robust median/MAD stats
@@ -779,6 +780,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                    > CAST((SELECT count(*) FROM events) AS DOUBLE) * 0.005
         """,
         # Q19 shape: hash join + disjunctive predicate groups, exact 1e-4 units
+        # Q4 shape: quarter's orders with >=1 line shipped >90d after order
+        "late_shipment_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
         # distinct users per hour bucket (exact windowed count distinct)
         "hourly_active_users": """
             SELECT date_trunc('hour', ts) AS hour,

@@ -3357,3 +3357,62 @@ def hourly_active_users(sf_dir: str):
     return highcard_groupagg(
         grouped, ["hour"], [("n_users", "sum")], {"n_users_sum": "n_users"}
     )
+
+
+def late_shipment_priority(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q4 shape: order-priority census of one quarter's orders that
+    have AT LEAST ONE late line item (shipped > 90 days after the order
+    date) — the fact-scale EXISTS semi-join.  The windowed orders carry
+    (orderkey, date, priority) through a hash join with the pruned
+    lineitem side; the exists-filtered matches collapse to one row per
+    order via an orderkey-keyed partial (min priority — unique per order),
+    and the priority census is a low-cardinality combine."""
+    from ..functions.groupagg import highcard_groupagg, lowcard_groupagg
+    from ..state.partitioning import materialize_clean
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+
+    def window(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((od >= lo) & (od < hi)))
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(window, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    out_schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("n_orders", pa.int64())]
+    )
+    orders_m, li_m = materialize_clean(orders), materialize_clean(li)
+    if orders_m.count() == 0 or li_m.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    joined = li_m.join(
+        orders_m,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def late_only(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        late = sd > od + np.timedelta64(90, "D")
+        return t.select(["l_orderkey", "o_orderpriority"]).filter(pa.array(late))
+
+    late = joined.map_batches(late_only, batch_format="pyarrow")
+    per_order = highcard_groupagg(
+        late, ["l_orderkey"], [("o_orderpriority", "min")],
+        {"o_orderpriority_min": "o_orderpriority"},
+    )
+    return lowcard_groupagg(
+        per_order.select_columns(["o_orderpriority"]),
+        ["o_orderpriority"],
+        [([], "count_all")],
+        {"count_all": "n_orders"},
+    )

@@ -695,3 +695,16 @@ def test_hourly_active_users_matches_oracle(ray_session):
     ).set_index("hour")["n"]
     g = got.set_index("hour")["n_users"]
     assert (g <= ev[g.index]).all()
+
+
+def test_late_shipment_priority_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines import relational
+
+    want = _oracle(
+        entrymod.oracle_sql()["late_shipment_priority"],
+        tables=("orders", "lineitem"),
+    )
+    got = relational.late_shipment_priority(SF).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+    assert got["n_orders"].sum() > 0
