@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
         "hourly_active_users": relational.hourly_active_users,      # SQL-checked (windowed distinct count)
         "late_shipment_priority": relational.late_shipment_priority,  # Q4 shape (fact-scale EXISTS)
+        "user_event_runs": relational.user_event_runs,              # SQL-checked (gaps-and-islands RLE)
         "heavy_hitter_users": relational.heavy_hitter_users,        # MG screen + exact confirm
         "value_histogram": relational.value_histogram,              # equal-width integer bins
         "event_value_mad": relational.event_value_mad,              # robust median/MAD stats
@@ -780,6 +781,28 @@ def _oracle_sql_literal() -> dict[str, str]:
                    > CAST((SELECT count(*) FROM events) AS DOUBLE) * 0.005
         """,
         # Q19 shape: hash join + disjunctive predicate groups, exact 1e-4 units
+        # gaps-and-islands: consecutive identical event types per user on the
+        # (ts, event_id) order collapse into runs (row_number-difference).
+        "user_event_runs": """
+            WITH ordered AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS rn,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS rt
+              FROM events
+            ), runs AS (
+              SELECT user_id, event_type, rn - rt AS grp,
+                     count(*) AS run_len, min(rn) AS first_rn
+              FROM ordered GROUP BY user_id, event_type, rn - rt
+            )
+            SELECT user_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY first_rn) AS BIGINT) AS run_idx,
+                   event_type,
+                   run_len
+            FROM runs
+        """,
         # Q4 shape: quarter's orders with >=1 line shipped >90d after order
         "late_shipment_priority": """
             SELECT o_orderpriority, count(*) AS n_orders

@@ -3416,3 +3416,62 @@ def late_shipment_priority(sf_dir: str, num_partitions: int = 8):
         [([], "count_all")],
         {"count_all": "n_orders"},
     )
+
+
+def user_event_runs(sf_dir: str):
+    """GAPS-AND-ISLANDS: collapse each user's consecutive identical event
+    types (on the deterministic (ts, event_id) order) into runs — the
+    run-length compression / "islands" pattern (SQL: the classic
+    row_number-difference grouping).  One user-keyed partition + a
+    vectorized boundary mask; run indices and lengths are exact integers.
+    Output: ``user_id, run_idx (1-based), event_type, run_len``."""
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("run_idx", pa.int64()),
+         ("event_type", pa.string()), ("run_len", pa.int64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        et = t["event_type"].combine_chunks()
+        order = np.lexsort((eid, ts.astype(np.int64), uid))
+        uid = uid[order]
+        codes = (
+            et.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        )
+        n = len(uid)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_run = new_user.copy()
+        new_run[1:] |= codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(starts, n))
+        # 1-based run index within user: cumulative runs minus runs before
+        # the user's first run
+        run_seq = np.cumsum(new_run)            # global run number (1-based)
+        # map each run to its user's first global run number
+        first_of_user = np.maximum.accumulate(
+            np.where(new_user[starts], run_seq[starts], 0)
+        )
+        run_idx = run_seq[starts] - first_of_user + 1
+        et_sorted = et.take(pa.array(order.astype(np.int64)))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "run_idx": pa.array(run_idx, pa.int64()),
+                "event_type": et_sorted.take(pa.array(starts.astype(np.int64))),
+                "run_len": pa.array(run_lens, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )

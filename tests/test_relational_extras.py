@@ -708,3 +708,52 @@ def test_late_shipment_priority_matches_oracle(ray_session):
     got = relational.late_shipment_priority(SF).to_pandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
     assert got["n_orders"].sum() > 0
+
+
+def test_user_event_runs_hand_semantics(ray_session, tmp_path):
+    from near_duplicate_detection_ray.pipelines import relational
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [  # (event_id, ts, user_id, type)
+        (0, base + 0 * s, 1, "a"),
+        (1, base + 1 * s, 1, "a"),
+        (2, base + 2 * s, 1, "b"),
+        (3, base + 3 * s, 1, "a"),   # 'a' again -> NEW run, not merged
+        (4, base + 0 * s, 2, "b"),
+        (5, base + 1 * s, 2, "b"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        relational.user_event_runs(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "run_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(
+        zip(got["user_id"], got["run_idx"], got["event_type"], got["run_len"])
+    ) == [(1, 1, "a", 2), (1, 2, "b", 1), (1, 3, "a", 1), (2, 1, "b", 2)]
+
+
+def test_user_event_runs_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines import relational
+
+    want = _oracle(entrymod.oracle_sql()["user_event_runs"], tables=("events",))
+    got = relational.user_event_runs(SF).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+    # run lengths per user sum to the user's event count
+    ev = _oracle("SELECT user_id, count(*) AS n FROM events GROUP BY 1",
+                 tables=("events",)).set_index("user_id")["n"]
+    s = got.groupby("user_id")["run_len"].sum()
+    assert (s == ev[s.index]).all()
