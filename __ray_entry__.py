@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users": relational.hourly_active_users,      # SQL-checked (windowed distinct count)
         "late_shipment_priority": relational.late_shipment_priority,  # Q4 shape (fact-scale EXISTS)
         "user_event_runs": relational.user_event_runs,              # SQL-checked (gaps-and-islands RLE)
+        "key_skew_report": relational.key_skew_report,              # SQL-checked (shuffle-skew diagnostic)
         "heavy_hitter_users": relational.heavy_hitter_users,        # MG screen + exact confirm
         "value_histogram": relational.value_histogram,              # equal-width integer bins
         "event_value_mad": relational.event_value_mad,              # robust median/MAD stats
@@ -781,6 +782,21 @@ def _oracle_sql_literal() -> dict[str, str]:
                    > CAST((SELECT count(*) FROM events) AS DOUBLE) * 0.005
         """,
         # Q19 shape: hash join + disjunctive predicate groups, exact 1e-4 units
+        # shuffle-skew diagnostic over per-user counts; quantile_disc rule on
+        # the count-of-counts distribution, heaviest key by (count, key).
+        "key_skew_report": """
+            WITH c AS (
+              SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1
+            )
+            SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   CAST(max(n) AS BIGINT) AS max_count,
+                   (SELECT k FROM c ORDER BY n DESC, k ASC LIMIT 1)
+                       AS top_key,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_count,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_count
+            FROM c
+        """,
         # gaps-and-islands: consecutive identical event types per user on the
         # (ts, event_id) order collapse into runs (row_number-difference).
         "user_event_runs": """

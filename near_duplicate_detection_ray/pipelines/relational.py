@@ -3475,3 +3475,65 @@ def user_event_runs(sf_dir: str):
     return key_partitioned(ds, ["user_id"]).map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def key_skew_report(sf_dir: str, table: str = "events", key: str = "user_id"):
+    """Shuffle-SKEW diagnostic — the pre-flight check a 100-TB pipeline runs
+    before keying a shuffle on a column: per-key count distribution (max /
+    p50 / p99 of counts), total keys, and the heaviest key.  Heavy-key
+    output is what drives salting decisions (SURVEY §4 skew row; the LSH
+    bucket cap is the in-pipeline version of this check).
+
+    Shape: one key-keyed combine (bounded by distinct keys) -> a tiny
+    count-of-counts histogram (domain = distinct count VALUES) walked on the
+    driver with the pinned ``quantile_disc`` rule; the heaviest key rides
+    bounded per-block top-1 partials.  Output single row: ``n_rows, n_keys,
+    max_count, top_key, p50_count, p99_count``."""
+    import math
+
+    import ray.data as rd
+
+    from ..functions.groupagg import global_topk, highcard_groupagg
+
+    counts = highcard_groupagg(
+        _read(sf_dir, table, [key]),
+        [key],
+        [([], "count_all")],
+        {"count_all": "n"},
+    )
+
+    def cc_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"c": pa.array([], pa.int64()), "m": pa.array([], pa.int64())}
+            )
+        u, m = np.unique(t["n"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"c": pa.array(u, pa.int64()), "m": pa.array(m, pa.int64())}
+        )
+
+    hist = (
+        highcard_groupagg(
+            counts.map_batches(cc_partial, batch_format="pyarrow"),
+            ["c"], [("m", "sum")], {"m_sum": "m"},
+        )
+        .to_pandas()
+        .sort_values("c")
+    )
+    top = global_topk(counts, ["n", key], [True, False], 1).to_pandas()
+
+    c = hist["c"].to_numpy()
+    m = hist["m"].to_numpy()
+    cum = np.cumsum(m)
+    n_keys = int(cum[-1])
+    n_rows = int((c * m).sum())
+    out = {
+        "n_rows": n_rows,
+        "n_keys": n_keys,
+        "max_count": int(c[-1]),
+        "top_key": int(top[key].iloc[0]),
+        # the pinned quantile_disc rule: element at rank max(1, ceil(q*N))
+        "p50_count": int(c[np.searchsorted(cum, max(1, math.ceil(0.5 * n_keys)))]),
+        "p99_count": int(c[np.searchsorted(cum, max(1, math.ceil(0.99 * n_keys)))]),
+    }
+    return rd.from_items([out])

@@ -757,3 +757,37 @@ def test_user_event_runs_matches_oracle(ray_session):
                  tables=("events",)).set_index("user_id")["n"]
     s = got.groupby("user_id")["run_len"].sum()
     assert (s == ev[s.index]).all()
+
+
+def test_key_skew_report_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines import relational
+
+    want = _oracle(entrymod.oracle_sql()["key_skew_report"], tables=("events",))
+    got = relational.key_skew_report(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(want), check_dtype=False
+    )
+    row = got.iloc[0]
+    assert row["p50_count"] <= row["p99_count"] <= row["max_count"]
+
+
+def test_key_skew_report_planted_hot_key(ray_session, tmp_path):
+    """A planted hot key must surface as top_key with the right max_count."""
+    from near_duplicate_detection_ray.pipelines import relational
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    uid = [7] * 50 + [1, 2, 3, 4, 5]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array([base] * len(uid), pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = relational.key_skew_report(str(tmp_path)).to_pandas().iloc[0]
+    assert got["top_key"] == 7 and got["max_count"] == 50
+    assert got["n_keys"] == 6 and got["n_rows"] == 55
+    assert got["p50_count"] == 1 and got["p99_count"] == 50
