@@ -2178,15 +2178,16 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         # MERGE/upsert: deterministic derived change set (hash buckets: <20
-        # updated bodies, <5 new ids at +10M), last-writer-wins on doc_id.
+        # updated bodies, <5 new NEGATIVE ids -(id+1), collision-free),
+        # last-writer-wins on doc_id.
         "upsert_docs": """
             WITH upd AS (
                 SELECT doc_id, strlen(text) + 8 AS n_chars
                 FROM documents
                 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 20
             ), ins AS (
-                SELECT doc_id + 10000000 AS doc_id,
-                       strlen('NEW DOC ' || CAST(doc_id + 10000000 AS VARCHAR))
+                SELECT -(doc_id + 1) AS doc_id,
+                       strlen('NEW DOC ' || CAST(-(doc_id + 1) AS VARCHAR))
                            AS n_chars
                 FROM documents
                 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 5

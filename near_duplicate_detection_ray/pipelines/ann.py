@@ -1132,7 +1132,14 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m_sub: int = 8,
     )
     state_ref = ray.put((q_ids, q_mat, lut, codebooks))
 
+    pq_schema = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+         ("score", pa.float64())]
+    )
+
     def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pq_schema.empty_table()
         ids, qm, lut_, cbs = ray.get(state_ref)
         corpus = _emb_matrix(batch)
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)

@@ -563,7 +563,8 @@ def upsert_docs(sf_dir: str, upd_pct: int = 20, ins_pct: int = 5):
     The change set is derived deterministically from the corpus itself so
     the SQL oracle can replay it exactly: docs in the ``upd_pct`` hash
     bucket get an updated body (version 1), and a disjoint ``ins_pct``
-    bucket yields brand-new ids (base + 10_000_000).  The merge is ONE
+    bucket yields brand-new NEGATIVE ids (-(id+1), disjoint from every
+    non-negative base id).  The merge is ONE
     doc_id-keyed hash partition over base ∪ changes with a vectorized
     max-version-wins pick per id — no driver set, no join; at 100 TB the
     changes stream through the same shuffle as the base.
@@ -578,52 +579,58 @@ def upsert_docs(sf_dir: str, upd_pct: int = 20, ins_pct: int = 5):
     def _read(columns):
         return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
-    def base_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "version": pa.array(np.zeros(batch.num_rows, np.int64)),
-                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
-            }
-        )
+    from ..functions.hashing import md5_low64
 
-    def change_rows(batch: pa.Table) -> pa.Table:
+    def base_and_change_rows(batch: pa.Table) -> pa.Table:
+        """ONE text scan emits the base rows and this batch's derived change
+        rows together (review fix: two independent pipelines read and
+        decoded the text column twice)."""
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        base_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
         bucket = np.fromiter(
             (md5_low64(str(int(d))) % 100 for d in ids), np.int64, len(ids)
         )
-        upd = batch.filter(pa.array(bucket < upd_pct))
-        upd_chars = pc.add(
-            pc.cast(pc.utf8_length(upd["text"]), pa.int64()),
-            pa.scalar(len(" UPDATED"), pa.int64()),
+        upd_mask = bucket < upd_pct
+        upd_ids = ids[upd_mask]
+        upd_chars = base_chars.to_numpy(zero_copy_only=False)[upd_mask] + len(
+            " UPDATED"
         )
-        ins_ids = ids[bucket < ins_pct] + 10_000_000
+        # inserted ids are NEGATIVE (-(id+1)) — provably disjoint from any
+        # non-negative base/update id, so no change row can collide with
+        # another (review fix: +10M offsets could collide at large id
+        # ranges, making the winner nondeterministic vs the oracle)
+        ins_ids = -(ids[bucket < ins_pct] + 1)
         ins_chars = np.array(
             [len(f"NEW DOC {i}") for i in ins_ids], dtype=np.int64
         )
+        n_change = len(upd_ids) + len(ins_ids)
         return pa.table(
             {
                 "doc_id": pa.concat_arrays(
                     [
-                        pc.cast(upd["doc_id"], pa.int64()).combine_chunks(),
+                        pc.cast(batch["doc_id"], pa.int64()).combine_chunks(),
+                        pa.array(upd_ids, pa.int64()),
                         pa.array(ins_ids, pa.int64()),
                     ]
                 ),
                 "version": pa.array(
-                    np.ones(upd.num_rows + len(ins_ids), np.int64)
+                    np.concatenate(
+                        [np.zeros(batch.num_rows, np.int64),
+                         np.ones(n_change, np.int64)]
+                    )
                 ),
                 "n_chars": pa.concat_arrays(
-                    [pc.cast(upd_chars, pa.int64()).combine_chunks(),
-                     pa.array(ins_chars, pa.int64())]
+                    [
+                        base_chars.combine_chunks(),
+                        pa.array(upd_chars, pa.int64()),
+                        pa.array(ins_chars, pa.int64()),
+                    ]
                 ),
             }
         )
 
-    from ..functions.hashing import md5_low64
-
-    base = _read(["doc_id", "text"]).map_batches(base_rows, batch_format="pyarrow")
-    changes = _read(["doc_id", "text"]).map_batches(
-        change_rows, batch_format="pyarrow"
+    merged_in = _read(["doc_id", "text"]).map_batches(
+        base_and_change_rows, batch_format="pyarrow"
     )
 
     def pick_winner(df: "pd.DataFrame") -> pa.Table:
@@ -644,6 +651,6 @@ def upsert_docs(sf_dir: str, upd_pct: int = 20, ins_pct: int = 5):
             schema=schema,
         )
 
-    return key_partitioned(base.union(changes), ["doc_id"]).map_batches(
+    return key_partitioned(merged_in, ["doc_id"]).map_batches(
         pick_winner, batch_format="pandas", batch_size=None
     )

@@ -3495,12 +3495,21 @@ def key_skew_report(sf_dir: str, table: str = "events", key: str = "user_id"):
 
     from ..functions.groupagg import global_topk, highcard_groupagg
 
-    counts = highcard_groupagg(
-        _read(sf_dir, table, [key]),
-        [key],
-        [([], "count_all")],
-        {"count_all": "n"},
+    from ..state.partitioning import materialize_clean
+
+    # materialize once: both the histogram branch and the top-1 branch
+    # consume this (review fix: a lazy dataset re-executes the events scan
+    # and keyed shuffle per consumer)
+    counts = materialize_clean(
+        highcard_groupagg(
+            _read(sf_dir, table, [key]),
+            [key],
+            [([], "count_all")],
+            {"count_all": "n"},
+        )
     )
+    if counts.count() == 0:
+        return rd.from_items([])
 
     def cc_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

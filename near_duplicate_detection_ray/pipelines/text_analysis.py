@@ -1405,8 +1405,14 @@ def quality_percentile_docs(sf_dir: str):
         )
         return pa.table({"doc_id": batch["doc_id"], "ntok": n})
 
-    docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        tokrows, batch_format="pyarrow"
+    from ..state.partitioning import materialize_clean
+
+    # the tiny (doc_id, ntok) table feeds BOTH the histogram and the attach
+    # pass — materialize it once so the text scan + tokenize run once
+    docs = materialize_clean(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tokrows, batch_format="pyarrow"
+        )
     )
 
     hist = highcard_groupagg(

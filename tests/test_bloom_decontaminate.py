@@ -115,7 +115,7 @@ def test_fuzzy_decontaminate_planted_leak(ray_session, tmp_path):
 
 def test_upsert_docs_semantics(ray_session):
     """Every base id appears exactly once; updated-bucket ids carry version 1
-    with the +8-char body; inserted ids are base+10M for the <5 bucket."""
+    with the +8-char body; inserted ids are -(id+1) for the <5 bucket."""
     import duckdb
 
     import __ray_entry__ as entrymod
@@ -134,8 +134,8 @@ def test_upsert_docs_semantics(ray_session):
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
     # structural invariants
     assert got["doc_id"].is_unique
-    base = got[got["doc_id"] < 10_000_000]
-    ins = got[got["doc_id"] >= 10_000_000]
-    assert (ins["version"] == 1).all()
+    base = got[got["doc_id"] >= 0]
+    ins = got[got["doc_id"] < 0]
+    assert (ins["version"] == 1).all() and len(ins) > 0
     bucket = base["doc_id"].map(lambda d: md5_low64(str(int(d))) % 100)
     assert ((base["version"] == 1) == (bucket < 20)).all()
