@@ -17,7 +17,9 @@ def test_inventory_consistency():
     assert rows_only == [
         "ann_ivf_topk",            # approximate ANN (recall pytest-pinned)
         "ann_lsh_topk",            # approximate ANN (recall pytest-pinned)
+        "ann_pq_topk",             # PQ/ADC ANN (full-refine equality + recall pinned)
         "distinct_stats_hll",      # HLL sketch (merge determinism + error pinned)
+        "event_type_counts_cms",   # Count-Min sketch (overestimate/eps/merge pinned)
         "event_value_quantiles_sketch",  # mergeable sketch (error pytest-pinned)
         "media_cdc_dedup",         # rolling-hash CDC boundaries (NumPy-oracle pytest)
         "semdedup_docs",           # k-means-bounded semantic dedup (NumPy-oracle pytest)
