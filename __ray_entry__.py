@@ -241,6 +241,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": relational.disjunctive_revenue,      # Q19 shape (hash join + OR groups)
         "returned_customer_revenue": relational.returned_customer_revenue,  # Q10 shape (fact-fact-dim chain)
         "nation_pair_trade": relational.nation_pair_trade,          # Q7 shape (two-nation trade volume)
+        "nation_market_share": relational.nation_market_share,      # Q8 shape (per-year revenue share)
+        "blame_suppliers": relational.blame_suppliers,               # Q21 shape (sole-late-supplier census)
+        "events_hopping_counts": relational.events_hopping_counts,   # hopping/sliding window aggregate
+        "qty_discount_spearman": relational.qty_discount_spearman,    # Spearman rank corr (joint histogram)
+        "knn_classify": ann.knn_classify,                             # kNN majority-vote classification
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -915,6 +920,107 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
                 OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
             GROUP BY 1, 2, 3
+        """,
+        # Q8 shape: per-year revenue share of one supplier nation within a
+        # region's customer orders; exact 1e-4 sums, one IEEE division.
+        "nation_market_share": """
+            WITH ord AS (
+              SELECT o_orderkey,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate <  TIMESTAMP '2001-01-01'
+            ), li AS (
+              SELECT l_orderkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         AS cents4,
+                     (n_name = 'NATION_7') AS is_target
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+            )
+            SELECT o_year,
+                   CAST(sum(CASE WHEN is_target THEN cents4 ELSE 0 END)
+                       AS BIGINT) AS nation_rev_c4,
+                   CAST(sum(cents4) AS BIGINT) AS total_rev_c4,
+                   CAST(sum(CASE WHEN is_target THEN cents4 ELSE 0 END)
+                       AS DOUBLE) / CAST(sum(cents4) AS DOUBLE) AS mkt_share
+            FROM li JOIN ord ON l_orderkey = o_orderkey
+            GROUP BY o_year
+        """,
+        # Q21 shape: suppliers who were the only late supplier on a
+        # multi-supplier order (late = shipped > 90 days after order date).
+        "blame_suppliers": """
+            WITH pair AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY l_orderkey, l_suppkey
+            ), per_order AS (
+              SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+              FROM pair GROUP BY l_orderkey
+            )
+            SELECT CAST(pair.l_suppkey AS BIGINT) AS s_suppkey,
+                   s_name,
+                   count(*) AS numwait
+            FROM pair
+            JOIN per_order ON pair.l_orderkey = per_order.l_orderkey
+            JOIN supplier  ON pair.l_suppkey = s_suppkey
+            WHERE per_order.n_supp > 1 AND per_order.n_late = 1
+              AND pair.late = 1
+            GROUP BY pair.l_suppkey, s_name
+            ORDER BY numwait DESC, s_suppkey ASC
+            LIMIT 20
+        """,
+        # hopping windows: 60-min windows every 15 min; each event lands in 4
+        # windows (epoch-aligned), exact integer cents, one IEEE mean chain.
+        "events_hopping_counts": """
+            WITH fan AS (
+              SELECT ts - (epoch_us(ts) % 900000000) * INTERVAL 1 MICROSECOND
+                         - k.k * INTERVAL 15 MINUTE AS window_start,
+                     CAST(round(value * 100) AS BIGINT) AS value_c
+              FROM events, (VALUES (0), (1), (2), (3)) k(k)
+            )
+            SELECT window_start,
+                   count(*) AS n_events,
+                   CAST(sum(value_c) AS BIGINT) AS value_c,
+                   (CAST(sum(value_c) AS DOUBLE) / 100.0) / count(*)
+                       AS avg_value
+            FROM fan
+            GROUP BY window_start
+        """,
+        # Spearman rank correlation: tie-averaged ranks doubled to stay
+        # integral (2*min_rank + cnt - 1), HUGEINT sufficient sums, one
+        # IEEE division/sqrt chain — identical to the engine's
+        # joint-histogram derivation.
+        "qty_discount_spearman": """
+            WITH r AS (
+              SELECT 2 * rank() OVER (ORDER BY l_quantity)
+                         + count(*) OVER (PARTITION BY l_quantity) - 1 AS rx,
+                     2 * rank() OVER (ORDER BY l_discount)
+                         + count(*) OVER (PARTITION BY l_discount) - 1 AS ry
+              FROM lineitem
+            ), s AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     sum(CAST(rx AS HUGEINT)) AS sx,
+                     sum(CAST(ry AS HUGEINT)) AS sy,
+                     sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+                     sum(CAST(ry AS HUGEINT) * ry) AS syy,
+                     sum(CAST(rx AS HUGEINT) * ry) AS sxy
+              FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS spearman
+            FROM s
         """,
         "disjunctive_revenue": """
             SELECT CAST(COALESCE(sum(
@@ -2568,6 +2674,37 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM sims
             )
             SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        """,
+        # kNN majority-vote classification: 5 nearest labeled vectors per
+        # query (labeled pool = vec_id >= 10), vote ties (votes DESC, label
+        # ASC); rank ORDER only, stable under last-ULP score differences.
+        "knn_classify": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       CAST(c.label AS BIGINT) AS nlabel,
+                       list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])
+                       ) AS score
+                FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+                WHERE q.vec_id < 10
+            ), ranked AS (
+                SELECT query_id, nlabel,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id ASC
+                       ) AS rank
+                FROM sims
+            ), votes AS (
+                SELECT query_id, nlabel AS pred_label, count(*) AS n_votes
+                FROM ranked WHERE rank <= 5
+                GROUP BY query_id, nlabel
+            )
+            SELECT query_id, pred_label, n_votes FROM votes
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY n_votes DESC, pred_label ASC
+            ) = 1
         """,
         "ann_cosine_topk": """
             WITH sims AS (

@@ -1189,3 +1189,85 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m_sub: int = 8,
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def knn_classify(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """k-NN MAJORITY-VOTE classification: predict each query vector's label
+    from the ``k`` nearest labeled vectors (cosine), the nearest-prototype
+    classify semantics of the reference's AR-class argmin
+    (``extract_aspect_ratio.py:60-69``) generalized from 8 fixed prototypes
+    to the whole labeled corpus.
+
+    Queries are the first ``n_queries`` vec_ids (broadcast once via
+    ``ray.put``); the labeled pool (everything else) STREAMS in blocks, each
+    emitting bounded per-block top-k partials with neighbor labels attached —
+    the driver merge touches <= n_queries * k * n_blocks rows.  The majority
+    vote ties break (votes DESC, label ASC); prediction requires only rank
+    ORDER, which is stable under last-ULP score differences, so the output
+    hash-matches the SQL window-function oracle.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.similarity import cosine_topk_block
+
+    queries_tbl = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries_tbl["vec_id"].to_numpy()
+    q_mat = np.stack(queries_tbl["embedding"].to_numpy()).astype(np.float64)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids, qm = ray.get(q_ref)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = vec_ids >= n_queries
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "nlabel": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        corpus = _emb_matrix(batch)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scores, idx = cosine_topk_block(qm, corpus, k)
+        nq, kk = idx.shape
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(ids, kk).astype(np.int64), pa.int64()),
+                "neighbor_id": pa.array(vec_ids[idx].ravel().astype(np.int64), pa.int64()),
+                "nlabel": pa.array(labels[idx].ravel(), pa.int64()),
+                "score": pa.array(scores.ravel(), pa.float64()),
+            }
+        )
+
+    partials = (
+        _read_emb(sf_dir, ["vec_id", "embedding", "label"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", sort=True).head(k)
+    votes = (
+        topk.groupby(["query_id", "nlabel"], sort=True)
+        .size()
+        .reset_index(name="n_votes")
+        .sort_values(["query_id", "n_votes", "nlabel"],
+                     ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(1)
+    )
+    out = votes.rename(columns={"nlabel": "pred_label"}).reset_index(drop=True)
+    out["pred_label"] = out["pred_label"].astype("int64")
+    out["n_votes"] = out["n_votes"].astype("int64")
+    return rd.from_pandas(out[["query_id", "pred_label", "n_votes"]])

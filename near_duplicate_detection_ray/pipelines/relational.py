@@ -3546,3 +3546,396 @@ def key_skew_report(sf_dir: str, table: str = "events", key: str = "user_id"):
         "p99_count": int(c[np.searchsorted(cum, max(1, math.ceil(0.99 * n_keys)))]),
     }
     return rd.from_items([out])
+
+
+def nation_market_share(sf_dir: str, region: str = "ASIA", nation: str = "NATION_7",
+                        lo_year: int = 1995, hi_year: int = 2001,
+                        num_partitions: int = 8):
+    """TPC-H Q8 shape — MARKET SHARE: for each order year, the fraction of a
+    region's customer-order revenue supplied by one target nation.
+
+    Both fact sides shrink before the single orderkey shuffle (the Q7
+    discipline, cf. :func:`nation_pair_trade`): orders is year-windowed and
+    reduced to (orderkey, year) through a customer hash join pre-filtered to
+    the region's nations; lineitem reduces to (orderkey, cents4, target
+    cents4) with the supplier->nation dim applied as a broadcast lookup.
+    Revenue folds as exact integer 1e-4 units via per-block partials; the
+    only floating-point step is the final share division, the identical
+    IEEE expression in SQL (``CAST(num AS DOUBLE) / CAST(den AS DOUBLE)``),
+    so the whole output hash-matches DuckDB.
+
+    Reference parity: the reference's only "share" computation is the
+    ranked-distance normalization at the query edge; this operator carries
+    the grouped-conditional-ratio semantics (A1/A2 family, SURVEY §2.5).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.groupagg import lowcard_groupagg
+    from ..state.partitioning import materialize_clean
+
+    lo = np.datetime64(f"{lo_year}-01-01", "us")
+    hi = np.datetime64(f"{hi_year}-01-01", "us")
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region_keys = set(
+        reg.loc[reg["r_name"] == region, "r_regionkey"].to_numpy().tolist()
+    )
+    region_nations = pa.array(
+        nat.loc[nat["n_regionkey"].isin(region_keys), "n_nationkey"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    target_nk = set(
+        nat.loc[nat["n_name"] == nation, "n_nationkey"].to_numpy().tolist()
+    )
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_is_target = np.zeros(int(supplier["s_suppkey"].max()) + 1, dtype=bool)
+    s_is_target[
+        supplier.loc[supplier["s_nationkey"].isin(target_nk), "s_suppkey"].to_numpy()
+    ] = True
+    target_ref = ray.put(s_is_target)
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                        value_set=region_nations)
+        return t.select(["c_custkey"]).filter(keep)
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_side, batch_format="pyarrow"
+    )
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((od >= lo) & (od < hi)))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_side, batch_format="pyarrow")
+
+    def li_side(t: pa.Table) -> pa.Table:
+        mask = ray.get(target_ref)
+        is_t = mask[t["l_suppkey"].to_numpy(zero_copy_only=False)]
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        cents4 = price_c * (100 - disc_c)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "cents4": pa.array(cents4, pa.int64()),
+                "target_c4": pa.array(np.where(is_t, cents4, 0), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [("o_year", pa.int64()), ("nation_rev_c4", pa.int64()),
+         ("total_rev_c4", pa.int64()), ("mkt_share", pa.float64())]
+    )
+    cust_m = materialize_clean(customer)
+    ord_m = materialize_clean(orders)
+    if cust_m.count() == 0 or ord_m.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    ord_reg = ord_m.join(
+        cust_m,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    ord_reg_m = materialize_clean(ord_reg.select_columns(["o_orderkey", "o_year"]))
+    li_m = materialize_clean(li)
+    if ord_reg_m.count() == 0 or li_m.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    joined = li_m.join(
+        ord_reg_m,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    sums = lowcard_groupagg(
+        joined.select_columns(["o_year", "cents4", "target_c4"]),
+        ["o_year"],
+        [("target_c4", "sum"), ("cents4", "sum")],
+        {"target_c4_sum": "nation_rev_c4", "cents4_sum": "total_rev_c4"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        num = t["nation_rev_c4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        den = t["total_rev_c4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        share = num.astype(np.float64) / den.astype(np.float64)
+        return pa.table(
+            {
+                "o_year": pc.cast(t["o_year"], pa.int64()),
+                "nation_rev_c4": pa.array(num, pa.int64()),
+                "total_rev_c4": pa.array(den, pa.int64()),
+                "mkt_share": pa.array(share, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def blame_suppliers(sf_dir: str, late_days: int = 90, k: int = 20,
+                    num_partitions: int = 8):
+    """TPC-H Q21 shape — SOLE-BLAME census: suppliers who were the ONLY late
+    supplier on a multi-supplier order (late = shipped > ``late_days`` after
+    the order date), ranked by how many orders they alone delayed.
+
+    The composed EXISTS + NOT-EXISTS correlated subqueries become ONE
+    orderkey-keyed aggregation: lineitem joins the (orderkey, orderdate)
+    side, collapses to per-(order, supplier) ``any_late`` partials, then a
+    per-order combine counts suppliers and late suppliers — the blame filter
+    ``n_supp > 1 AND n_late_supp == 1 AND late(s)`` is a vectorized mask, and
+    the final per-supplier census is a low-cardinality combine + bounded
+    top-k.  No correlated per-row probing anywhere.
+
+    Reference parity: the "exactly one offender per group" selection mirrors
+    the reference's first-hit-per-(shot, video) dedup walk
+    (``server_ndd.py:127-142``) inverted to a group-quantified predicate.
+    """
+    import ray.data as rd
+
+    from ..functions.groupagg import global_topk, lowcard_groupagg
+    from ..state.partitioning import key_partitioned, materialize_clean
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    out_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+         ("numwait", pa.int64())]
+    )
+    ord_m, li_m = materialize_clean(orders), materialize_clean(li)
+    if ord_m.count() == 0 or li_m.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    joined = li_m.join(
+        ord_m,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    late_us = np.timedelta64(late_days, "D").astype("timedelta64[us]")
+
+    # map-side combine: per-(order, supplier) any_late partial per block —
+    # shuffle volume shrinks from one row per line item to one per pair
+    def per_pair_partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        rows = pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "late": pa.array((sd > od + late_us).astype(np.int64), pa.int64()),
+            }
+        )
+        part = rows.group_by(["l_orderkey", "l_suppkey"]).aggregate([("late", "max")])
+        return part.rename_columns(["l_orderkey", "l_suppkey", "late"])
+
+    pair_late = joined.map_batches(per_pair_partial, batch_format="pyarrow")
+
+    # ONE orderkey shuffle; combine pair partials and apply the blame mask
+    # inside the same block (every row of an order is co-located)
+    def blame_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
+        t = t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("late", "max")])
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        late = t["late_max"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        ok, sk, late = ok[order], sk[order], late[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        counts = np.diff(np.r_[starts, ok.size])
+        n_late = np.add.reduceat(late, starts)
+        grp = np.repeat(np.arange(starts.size), counts)
+        keep = (counts[grp] > 1) & (n_late[grp] == 1) & (late == 1)
+        return pa.table({"s_suppkey": pa.array(sk[keep], pa.int64())})
+
+    blamed = key_partitioned(
+        pair_late, ["l_orderkey"], num_partitions=num_partitions
+    ).map_batches(blame_block, batch_format="pyarrow", batch_size=None)
+
+    census = lowcard_groupagg(
+        blamed, ["s_suppkey"], [([], "count_all")], {"count_all": "numwait"}
+    )
+    cm = materialize_clean(census)
+    if cm.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    top = global_topk(cm, ["numwait", "s_suppkey"], [True, False], k)
+
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sname = dict(zip(supplier["s_suppkey"].tolist(), supplier["s_name"].tolist()))
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        names = pa.array([sname.get(int(s)) for s in sk], pa.string())
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_name": names,
+                "numwait": pc.cast(t["numwait"], pa.int64()),
+            }
+        )
+
+    return top.map_batches(attach_name, batch_format="pyarrow")
+
+
+def events_hopping_counts(sf_dir: str, win_min: int = 60, hop_min: int = 15):
+    """HOPPING (sliding) window aggregate, SURVEY §2.9: event counts and value
+    sums per 60-minute window hopping every 15 minutes — each event fans out
+    to ``win/hop`` overlapping windows.
+
+    The fan-out is one vectorized ``np.repeat``/tile per batch (no per-row
+    Python), after which window starts are a LOW-cardinality key (bounded by
+    the covered time range / hop), so the combiner pattern collapses each
+    block map-side and one tiny merge finishes — per-event shuffle volume is
+    zero.  Value sums fold as exact integer cents; the mean is the identical
+    IEEE division chain ``(sum/100.0)/n`` in SQL, so the output hash-matches.
+
+    Windows are epoch-aligned: ``window_start = floor(epoch_us / hop) * hop -
+    k * hop`` for ``k in [0, win/hop)``, matching the SQL derivation
+    ``ts - (epoch_us(ts) % hop_us) * INTERVAL 1 MICROSECOND - k * hop``.
+    """
+    from ..functions.groupagg import lowcard_groupagg
+
+    assert win_min % hop_min == 0
+    n_hops = win_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        us = ts.astype(np.int64)
+        base = (us // hop_us) * hop_us
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        starts = np.repeat(base, n_hops) - np.tile(
+            np.arange(n_hops, dtype=np.int64) * hop_us, us.size
+        )
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    starts.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "value_c": pa.array(np.repeat(cents, n_hops), pa.int64()),
+            }
+        )
+
+    agg = lowcard_groupagg(
+        ds.map_batches(fan_out, batch_format="pyarrow"),
+        ["window_start"],
+        [([], "count_all"), ("value_c", "sum")],
+        {"count_all": "n_events", "value_c_sum": "value_c"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = t["value_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = (vc / 100.0) / n
+        return pa.table(
+            {
+                "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+                "n_events": pa.array(n, pa.int64()),
+                "value_c": pa.array(vc, pa.int64()),
+                "avg_value": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def qty_discount_spearman(sf_dir: str):
+    """SPEARMAN rank correlation between ``l_quantity`` and ``l_discount`` —
+    the rank-based (outlier-robust) counterpart of :func:`qty_discount_corr`.
+
+    Global average ranks normally need a full sort; both columns here have
+    TINY bounded domains (50 quantities x 11 discount cents), so the exact
+    joint histogram is sufficient: per-block vectorized bincount partials
+    over packed (q, d) cells, one combiner merge (<= 550 rows), and every
+    sufficient sum derives from the tiny histogram with ARBITRARY-PRECISION
+    Python ints on the driver (tie-averaged rank x2 stays integral:
+    ``rank2(v) = 2*cum_below(v) + cnt(v) + 1``).  No shuffle, no sort, no
+    overflow at any scale.  The only floating-point steps are the final
+    casts + one division/sqrt chain — the identical IEEE expression the SQL
+    oracle computes from window-function ranks, so the output hash-matches.
+    """
+    import math
+
+    import ray.data as rd
+
+    from ..functions.groupagg import lowcard_groupagg
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        q = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        packed = q * 1000 + d
+        u, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    hist = (
+        lowcard_groupagg(
+            ds.map_batches(cells, batch_format="pyarrow"),
+            ["cell"], [("cnt", "sum")], {"cnt_sum": "cnt"},
+        )
+        .to_pandas()
+    )
+    if hist.empty:
+        return rd.from_items([])
+    cell = hist["cell"].to_numpy()
+    cnt = hist["cnt"].to_numpy()
+    q, d = cell // 1000, cell % 1000
+
+    def rank2_map(vals, counts):
+        """value -> 2x tie-averaged global rank, exact ints."""
+        order = np.argsort(vals, kind="stable")
+        v, c = vals[order], counts[order]
+        # collapse duplicate values (cells share q across d)
+        uv, start = np.unique(v, return_index=True)
+        uc = np.add.reduceat(c, start)
+        cum_below = np.concatenate(([0], np.cumsum(uc)[:-1]))
+        r2 = 2 * cum_below + uc + 1
+        return dict(zip(uv.tolist(), r2.tolist()))
+
+    qmap = rank2_map(q, cnt)
+    dmap = rank2_map(d, cnt)
+    n = int(cnt.sum())
+    sx = sy = sxx = syy = sxy = 0
+    for qi, di, ci in zip(q.tolist(), d.tolist(), cnt.tolist()):
+        rx, ry, c = qmap[qi], dmap[di], int(ci)
+        sx += rx * c
+        sy += ry * c
+        sxx += rx * rx * c
+        syy += ry * ry * c
+        sxy += rx * ry * c
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    spearman = num / den
+    return rd.from_items([{"n_rows": n, "spearman": spearman}])
