@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_counts": relational.events_hopping_counts,   # hopping/sliding window aggregate
         "qty_discount_spearman": relational.qty_discount_spearman,    # Spearman rank corr (joint histogram)
         "knn_classify": ann.knn_classify,                             # kNN majority-vote classification
+        "click_attribution": relational.click_attribution,            # stream-stream windowed join
+        "dup_triangles": docs_dedup.dup_triangles,                    # dup-graph triangle census
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -285,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": text_analysis.chunk_docs,                # SQL-checked (RAG token windows)
         "bigram_novelty_docs": text_analysis.bigram_novelty_docs,  # SQL-checked (cross-doc gram novelty)
         "keyword_search_docs": text_analysis.keyword_search_docs,  # SQL-checked (ranked lexical search)
+        "keyword_search_indexed": text_analysis.keyword_search_indexed,  # SQL-checked (inverted-index twin)
         "pack_sequences_docs": text_analysis.pack_sequences_docs,  # SQL-checked (global prefix-sum packing)
         "token_pmi_pairs": text_analysis.token_pmi_pairs,          # SQL-checked (collocation lift)
         "source_report": text_analysis.source_report,              # SQL-checked (per-domain census)
@@ -994,6 +997,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS avg_value
             FROM fan
             GROUP BY window_start
+        """,
+        # stream-stream windowed join: clicks attributed to each purchase
+        # within the trailing 30-minute window (p.ts - 30min, p.ts].
+        "click_attribution": """
+            SELECT p.event_id, p.user_id,
+                   CAST(count(c.event_id) AS BIGINT) AS n_clicks_30m
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts > p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id
         """,
         # Spearman rank correlation: tie-averaged ranks doubled to stay
         # integral (2*min_rank + cnt - 1), HUGEINT sufficient sums, one
@@ -2053,6 +2068,43 @@ def _oracle_sql_literal() -> dict[str, str]:
             ORDER BY score DESC, doc_id ASC
             LIMIT 10
         """,
+        "keyword_search_indexed": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+              FROM documents
+            ), tf AS (
+              SELECT doc_id,
+                     len(list_filter(l, x -> x = 'spark'))  AS tf1,
+                     len(list_filter(l, x -> x = 'window')) AS tf2,
+                     len(list_filter(l, x -> x = 'hash'))   AS tf3
+              FROM toks
+            ), df AS (
+              SELECT count(*) FILTER (WHERE tf1 > 0) AS r1,
+                     count(*) FILTER (WHERE tf2 > 0) AS r2,
+                     count(*) FILTER (WHERE tf3 > 0) AS r3,
+                     count(*) AS n
+              FROM tf
+            ), eff AS (
+              SELECT CASE WHEN r1 = 0 THEN 1 ELSE r1 END AS d1,
+                     CASE WHEN r2 = 0 THEN 1 ELSE r2 END AS d2,
+                     CASE WHEN r3 = 0 THEN 1 ELSE r3 END AS d3,
+                     n
+              FROM df
+            )
+            SELECT doc_id,
+                   CAST(tf1 > 0 AS BIGINT) + CAST(tf2 > 0 AS BIGINT)
+                       + CAST(tf3 > 0 AS BIGINT) AS n_hit_terms,
+                   CAST(tf1 * n * d2 * d3
+                      + tf2 * n * d1 * d3
+                      + tf3 * n * d1 * d2 AS DOUBLE)
+                       / CAST(d1 * d2 * d3 AS DOUBLE) AS score
+            FROM tf, eff
+            WHERE tf1 + tf2 + tf3 > 0
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
         "length_class_docs": """
             SELECT doc_id,
                    CASE WHEN n_chars <= 175 THEN 'short'
@@ -2101,6 +2153,43 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        # triangle census of the same brute-force near-dup pair graph:
+        # wedges from lower-endpoint adjacency, closure via a third join
+        "dup_triangles": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT a, b
+                FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            )
+            SELECT (SELECT count(*) FROM p) AS n_edges,
+                   (SELECT count(*) FROM p e1
+                    JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b) AS n_wedges,
+                   (SELECT count(*) FROM p e1
+                    JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b
+                    JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
         """,
         # degree histogram of the same brute-force near-dup pair graph
         "dup_pair_degrees": """

@@ -1122,3 +1122,90 @@ def span_coverage_stats(sf_dir: str, w: int = 8):
                 [rem / total if total else 0.0], pa.float64()),
         }
     ))
+
+
+def dup_triangles(sf_dir: str, cfg: NDDConfig | None = None,
+                  num_partitions: int = 8):
+    """TRIANGLE CENSUS of the verified near-dup pair graph — the standard
+    distributed graph-analytics kernel (node-iterator): how many edges,
+    open wedges and closed triangles the duplicate graph contains (triangle
+    density distinguishes tight clique-like dup clusters from sparse
+    chains, a diagnostic the cluster-size histogram can't see).
+
+    Counts each triangle ONCE at its smallest vertex: with edges kept as
+    ``a < b``, the wedges generated from each node's lower-endpoint
+    adjacency ``(x, y), (x, z) -> (y, z)`` cover every triangle exactly
+    once.  Wedge generation is a per-group ``triu_indices`` fan-out inside
+    one a-keyed partition (wedge volume is Σ deg²/2 — bounded here because
+    verified dup clusters are small; a degree cap would salt giant stars);
+    closure testing is a distributed two-column hash join against the edge
+    set, never a driver set.  Output: one row ``n_edges, n_wedges,
+    n_triangles``.
+    """
+    import ray.data as rd
+
+    from ..state.partitioning import key_partitioned, materialize_clean
+
+    pairs = materialize_clean(
+        near_dup_pairs_docs(sf_dir, cfg).select_columns(["a", "b"])
+    )
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return rd.from_items([{"n_edges": 0, "n_wedges": 0, "n_triangles": 0}])
+
+    def wedge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
+            )
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], a.size]
+        xs, ys = [], []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2:
+                continue
+            i, j = np.triu_indices(d, k=1)
+            nb = b[s:e]  # sorted ascending -> x < y
+            xs.append(nb[i])
+            ys.append(nb[j])
+        if not xs:
+            return pa.table(
+                {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate(xs).astype(np.int64), pa.int64()),
+                "y": pa.array(np.concatenate(ys).astype(np.int64), pa.int64()),
+            }
+        )
+
+    wedges = materialize_clean(
+        key_partitioned(pairs, ["a"], num_partitions=num_partitions).map_batches(
+            wedge_block, batch_format="pyarrow", batch_size=None
+        )
+    )
+    n_wedges = wedges.count()
+    if n_wedges == 0:
+        return rd.from_items(
+            [{"n_edges": int(n_edges), "n_wedges": 0, "n_triangles": 0}]
+        )
+    closed = wedges.join(
+        pairs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("x", "y"),
+        right_on=("a", "b"),
+    )
+    n_tri = closed.count()
+    return rd.from_items(
+        [{
+            "n_edges": int(n_edges),
+            "n_wedges": int(n_wedges),
+            "n_triangles": int(n_tri),
+        }]
+    )

@@ -3939,3 +3939,67 @@ def qty_discount_spearman(sf_dir: str):
     den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
     spearman = num / den
     return rd.from_items([{"n_rows": n, "spearman": spearman}])
+
+
+def click_attribution(sf_dir: str, window_minutes: int = 30):
+    """STREAM-STREAM WINDOWED JOIN (§2.9): for every ``purchase`` event, the
+    number of the same user's ``click`` events in the trailing
+    ``window_minutes`` window ``(p.ts - w, p.ts]`` — the attribution join of
+    event analytics, and the interval-join family member (J1) where BOTH
+    sides are fact streams.
+
+    No self-join shuffle: the pruned two-type stream takes ONE user-keyed
+    hash partition, then the banded-key kernel of :func:`events_trailing_1h`
+    (user-rank band wider than the window, two global ``np.searchsorted``
+    calls, one click-indicator prefix sum) counts window clicks for all
+    purchases at once — per-row work is O(log n) with zero Python loops.
+    """
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    window_us = np.int64(window_minutes) * 60 * 1_000_000
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("n_clicks_30m", pa.int64())]
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rank = pd.factorize(df["user_id"], sort=False)[0].astype(np.int64)
+        tmin = ts.min()
+        span = (ts.max() - tmin) + window_us + 1
+        key = rank * span + (ts - tmin)
+        left = np.searchsorted(key, key - window_us, side="right")
+        right = np.searchsorted(key, key, side="right")
+        is_click = (df["event_type"].to_numpy() == "click").astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(is_click)))
+        n_clicks = csum[right] - csum[left]
+        is_purchase = df["event_type"].to_numpy() == "purchase"
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    df["event_id"].to_numpy()[is_purchase], pa.int64()
+                ),
+                "user_id": pa.array(
+                    df["user_id"].to_numpy()[is_purchase], pa.int64()
+                ),
+                "n_clicks_30m": pa.array(n_clicks[is_purchase], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    parts = key_partitioned(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(prune, batch_format="pyarrow"),
+        ["user_id"],
+    )
+    return parts.map_batches(block, batch_format="pandas", batch_size=None)

@@ -1544,3 +1544,221 @@ def bpe_merge_candidates(sf_dir: str, k: int = 20):
     df = pd.DataFrame({"pair": pairs, "n": total[nz]})
     df = df.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort").head(k)
     return rd.from_pandas(df.reset_index(drop=True))
+
+
+def build_term_index(sf_dir: str, index_dir: str, n_buckets: int = 64) -> dict:
+    """PERSISTED INVERTED INDEX: (term, doc_id, tf) postings written as
+    parquet partitioned by ``bucket = blake2b64(term) % n_buckets`` (hive
+    layout ``postings/bucket=N/``) — the lexical-search counterpart of the
+    storage-pruning family (:func:`~..pipelines.ann.build_ivf_index` hash
+    cells, ``sources/io`` range zone-maps and hive categories).  A query for
+    ``|terms|`` terms lists and reads ONLY those terms' bucket directories:
+    at 100 TB the scan cost drops from the whole corpus to
+    ``~|terms|/n_buckets`` of the postings at the STORAGE layer.
+
+    Tokenization matches :func:`keyword_search_docs` exactly (whitespace
+    split of trimmed text); per-(doc, term) tf is block-local because each
+    document is one row.  Layout: ``{index_dir}/postings/bucket=N/*.parquet``
+    (term, doc_id, tf, bucket_v) + ``manifest.json`` (n_docs for the idf
+    numerator, n_buckets, buckets_written).  Returns the manifest dict.
+
+    Reference parity: the build/refresh of the server's in-memory feature
+    index (``ndd/server_ndd.py:244-265``) as a persisted, partition-pruned
+    artifact instead of a resident matrix.
+    """
+    import json
+    import os
+    import shutil
+
+    from ..functions.hashing import TokenHasher
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    class PostingsBuilder:
+        def __init__(self):
+            self.hasher = TokenHasher()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            empty = pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                    "bucket_v": pa.array([], pa.int32()),
+                }
+            )
+            if n == 0:
+                return empty
+            trimmed = pc.utf8_trim_whitespace(batch["text"])
+            toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+            row_idx, _ = _token_row_index(toks, n)
+            flat = pc.list_flatten(toks).combine_chunks()
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            tbl = pa.table(
+                {
+                    "term": flat,
+                    "doc_id": pa.array(doc_ids[row_idx], pa.int64()),
+                }
+            ).filter(pc.not_equal(flat, pa.scalar("")))
+            if tbl.num_rows == 0:
+                return empty
+            agg = tbl.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+            terms_py = agg["term"].to_pylist()
+            # hash only the block's (already unique-per-doc) terms; the
+            # TokenHasher cache amortizes blake2b across the actor lifetime
+            h = self.hasher.hash_tokens(terms_py)
+            bucket = (h % np.uint64(n_buckets)).astype(np.int32)
+            return pa.table(
+                {
+                    "term": agg["term"],
+                    "doc_id": pc.cast(agg["doc_id"], pa.int64()),
+                    "tf": pc.cast(agg["count_all"], pa.int64()),
+                    "bucket": pa.array(bucket, pa.int32()),
+                    "bucket_v": pa.array(bucket, pa.int32()),
+                }
+            )
+
+    post_dir = os.path.join(index_dir, "postings")
+    # a rebuild must not mix stale buckets with new ones (write_parquet
+    # appends UUID-named files)
+    if os.path.isdir(post_dir):
+        shutil.rmtree(post_dir)
+    os.makedirs(post_dir, exist_ok=True)
+    docs.map_batches(
+        PostingsBuilder, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    ).write_parquet(post_dir, partition_cols=["bucket"])
+    manifest = {
+        "n_docs": int(n_docs),
+        "n_buckets": int(n_buckets),
+        "buckets_written": sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(post_dir)
+            if d.startswith("bucket=")
+        ),
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def keyword_search_indexed(sf_dir: str, terms: tuple = ("spark", "window", "hash"),
+                           k: int = 10, index_dir: str | None = None,
+                           n_buckets: int = 64, _stats: dict | None = None):
+    """Ranked lexical search over a :func:`build_term_index` artifact —
+    OUTPUT-IDENTICAL to the streaming :func:`keyword_search_docs` (same
+    exact-rational tf-idf, same tie order, SAME DuckDB oracle), but the scan
+    touches only the query terms' bucket directories: un-probed partitions
+    are never listed, opened, or shipped.
+
+    The index is (re)built when missing; pass ``index_dir`` to reuse a
+    prebuilt artifact across queries.  ``_stats`` (tests) receives
+    ``probed_buckets`` / ``total_buckets``.
+    """
+    import json
+    import os
+
+    from ..functions.groupagg import global_topk
+    from ..functions.hashing import hash_token
+    from ..state.partitioning import key_partitioned, materialize_clean
+
+    terms = list(terms)
+    if index_dir is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        index_dir = f"/tmp/ndd_term_index/{safe}_{n_buckets}"
+    man_path = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(man_path):
+        build_term_index(sf_dir, index_dir, n_buckets=n_buckets)
+    with open(man_path) as f:
+        man = json.load(f)
+    n_docs = int(man["n_docs"])
+
+    want = sorted({hash_token(t) % man["n_buckets"] for t in terms})
+    written = set(man["buckets_written"])
+    bucket_dirs = [
+        os.path.join(index_dir, "postings", f"bucket={b}")
+        for b in want
+        if b in written
+    ]
+    paths = [
+        os.path.join(d, f)
+        for d in bucket_dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if _stats is not None:
+        _stats["probed_buckets"] = len(bucket_dirs)
+        _stats["total_buckets"] = len(man["buckets_written"])
+
+    import ray.data as rd
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_hit_terms", pa.int64()),
+         ("score", pa.float64())]
+    )
+    if not paths:
+        return rd.from_arrow(out_schema.empty_table())
+
+    term_set = pa.array(terms, pa.string())
+
+    def hits_only(t: pa.Table) -> pa.Table:
+        return t.select(["term", "doc_id", "tf"]).filter(
+            pc.is_in(t["term"], value_set=term_set)
+        )
+
+    postings = materialize_clean(
+        rd.read_parquet(paths).map_batches(hits_only, batch_format="pyarrow")
+    )
+    if postings.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    # per-term document frequencies: one tiny partial row per block
+    def df_partial(t: pa.Table) -> pa.Table:
+        tm = t["term"]
+        return pa.table(
+            {
+                f"c{i + 1}": pa.array(
+                    [int(pc.sum(pc.cast(pc.equal(tm, pa.scalar(term)),
+                                        pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                )
+                for i, term in enumerate(terms)
+            }
+        )
+
+    df_rows = postings.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    dfs = [int(df_rows[f"c{i + 1}"].sum()) for i in range(len(terms))]
+    eff = np.array([d if d > 0 else 1 for d in dfs], dtype=np.int64)
+    den = int(np.prod(eff))
+    coef = {t: int(n_docs * (den // e)) for t, e in zip(terms, eff)}
+
+    def score_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num_row = np.zeros(t.num_rows, dtype=np.int64)
+        for term in terms:
+            m = pc.equal(t["term"], pa.scalar(term)).to_numpy(zero_copy_only=False)
+            num_row[m] = tf[m] * coef[term]
+        part = pa.table(
+            {"doc_id": t["doc_id"], "num": pa.array(num_row, pa.int64())}
+        ).group_by(["doc_id"]).aggregate([("num", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": pc.cast(part["doc_id"], pa.int64()),
+                "n_hit_terms": pc.cast(part["count_all"], pa.int64()),
+                "score": pa.array(
+                    part["num_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+                    / float(den),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    # a doc's postings for different terms live in different buckets —
+    # co-locate by doc before the pivot
+    scored = key_partitioned(postings, ["doc_id"]).map_batches(
+        score_block, batch_format="pyarrow", batch_size=None
+    )
+    return global_topk(scored, ["score", "doc_id"], [True, False], k)
