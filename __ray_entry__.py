@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": ann.knn_classify,                             # kNN majority-vote classification
         "click_attribution": relational.click_attribution,            # stream-stream windowed join
         "dup_triangles": docs_dedup.dup_triangles,                    # dup-graph triangle census
+        "event_type_cooccurrence": relational.event_type_cooccurrence,  # itemset-2 co-occurrence (bitmask)
+        "profile_tables": relational.profile_tables,                  # data-quality profiling census
+        "lang_confusion": text_analysis.lang_confusion,               # declared-vs-predicted lang census
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -997,6 +1000,60 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS avg_value
             FROM fan
             GROUP BY window_start
+        """,
+        # profiling census: exact row/null counts per column; numeric bounds
+        # are exact value picks (CAST to DOUBLE), non-numeric carry NULLs
+        "profile_tables": """
+            SELECT 'documents' AS table_name, 'doc_id' AS col_name,
+                   count(*) AS n_rows, count(*) - count(doc_id) AS n_null,
+                   CAST(min(doc_id) AS DOUBLE) AS min_num,
+                   CAST(max(doc_id) AS DOUBLE) AS max_num
+            FROM documents
+            UNION ALL
+            SELECT 'documents', 'text', count(*), count(*) - count(text),
+                   NULL, NULL FROM documents
+            UNION ALL
+            SELECT 'documents', 'lang', count(*), count(*) - count(lang),
+                   NULL, NULL FROM documents
+            UNION ALL
+            SELECT 'documents', 'source', count(*), count(*) - count(source),
+                   NULL, NULL FROM documents
+            UNION ALL
+            SELECT 'documents', 'n_chars', count(*),
+                   count(*) - count(n_chars),
+                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE)
+            FROM documents
+            UNION ALL
+            SELECT 'events', 'event_id', count(*),
+                   count(*) - count(event_id),
+                   CAST(min(event_id) AS DOUBLE), CAST(max(event_id) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'events', 'ts', count(*), count(*) - count(ts),
+                   NULL, NULL FROM events
+            UNION ALL
+            SELECT 'events', 'user_id', count(*), count(*) - count(user_id),
+                   CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'events', 'event_type', count(*),
+                   count(*) - count(event_type), NULL, NULL FROM events
+            UNION ALL
+            SELECT 'events', 'value', count(*), count(*) - count(value),
+                   CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'events', 'props', count(*), count(*) - count(props),
+                   NULL, NULL FROM events
+        """,
+        # itemset-2 co-occurrence: users who performed both event types
+        "event_type_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         # stream-stream windowed join: clicks attributed to each purchase
         # within the trailing 30-minute window (p.ts - 30min, p.ts].
@@ -2622,6 +2679,13 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM r WHERE rank <= 20
         """,
         "lang_id_docs": _lang_id_sql(),
+        # declared-vs-predicted language confusion matrix (same lang-ID CTE)
+        "lang_confusion": f"""
+            SELECT d.lang, lp.lang_pred, count(*) AS n_docs
+            FROM documents d
+            JOIN ({_lang_id_sql()}) lp ON lp.doc_id = d.doc_id
+            GROUP BY d.lang, lp.lang_pred
+        """,
         # SimHash basis is md5_low64(shingle string) == DuckDB
         # md5_number_lower, so SQL recomputes the exact 64-bit signature via a
         # per-bit majority vote, then joins pairs on bit_count(xor) <= radius.

@@ -4003,3 +4003,139 @@ def click_attribution(sf_dir: str, window_minutes: int = 30):
         ["user_id"],
     )
     return parts.map_batches(block, batch_format="pandas", batch_size=None)
+
+
+def event_type_cooccurrence(sf_dir: str):
+    """CO-OCCURRENCE MINING: for every unordered pair of event types, how
+    many users performed BOTH — the frequent-itemset (market-basket) kernel
+    at itemset size 2.
+
+    The naive plan is a distinct + self-join + pair shuffle; with a tiny
+    type vocabulary the whole computation collapses into a BITMASK
+    HISTOGRAM: one user-keyed partition dedups (user, type) pairs and folds
+    each user into a <=32-bit presence mask, blocks emit bounded mask
+    histograms (<= 2^|types| cells), and every pair count is a driver-side
+    sum over the tiny histogram — per-user data never leaves its partition
+    and the pair fan-out never materializes.  Types are bit-ordered
+    lexicographically so pair emission matches SQL's ``a.event_type <
+    b.event_type`` join order.
+    """
+    import ray.data as rd
+
+    from ..state.partitioning import key_partitioned
+
+    # tiny global vocabulary, lexicographic bit order
+    types = sorted(
+        _read(sf_dir, "events", ["event_type"])
+        .unique("event_type")
+    )
+    bit = {t: i for i, t in enumerate(types)}
+    n_types = len(types)
+    if n_types == 0:
+        return rd.from_items([])
+
+    type_arr = pa.array(types, pa.string())
+
+    def mask_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"mask": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        code = pc.index_in(t["event_type"], value_set=type_arr).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(uid, kind="stable")
+        uid, code = uid[order], code[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        grp = np.repeat(np.arange(starts.size), np.diff(np.r_[starts, uid.size]))
+        masks = np.zeros(starts.size, dtype=np.int64)
+        np.bitwise_or.at(masks, grp, np.int64(1) << code.astype(np.int64))
+        u, cnt = np.unique(masks, return_counts=True)
+        return pa.table(
+            {"mask": pa.array(u, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    hist = (
+        key_partitioned(_read(sf_dir, "events", ["user_id", "event_type"]),
+                        ["user_id"])
+        .map_batches(mask_hist, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    agg = hist.groupby("mask")["n"].sum()
+    rows = []
+    for i in range(n_types):
+        for j in range(i + 1, n_types):
+            need = (1 << i) | (1 << j)
+            n = int(agg[(agg.index.to_numpy() & need) == need].sum())
+            if n:
+                rows.append(
+                    {"type_a": types[i], "type_b": types[j], "n_users": n}
+                )
+    return rd.from_items(rows)
+
+
+def profile_tables(sf_dir: str, tables: tuple = ("documents", "events")):
+    """DATA-QUALITY PROFILING census (input-validation family M2/M14): one
+    row per (table, column) with exact row/null counts and, for numeric
+    columns, the global min/max — the pre-flight schema probe a pipeline
+    runs before committing 100 TB of compute to malformed input.
+
+    Per-block Arrow partials (null_count off the validity bitmap, one
+    ``pc.min_max`` per numeric column — no Python per row), combined by the
+    low-cardinality pattern keyed on (table, column).  min/max are exact
+    PICKS of existing values (no arithmetic), so the doubles hash-match SQL
+    bit-for-bit; non-numeric columns carry NULL bounds on both sides.
+    """
+    import ray.data as rd
+
+    from ..functions.groupagg import lowcard_groupagg
+
+    partial_schema = pa.schema(
+        [("table_name", pa.string()), ("col_name", pa.string()),
+         ("n_rows", pa.int64()), ("n_null", pa.int64()),
+         ("min_num", pa.float64()), ("max_num", pa.float64())]
+    )
+
+    def make_profiler(tname: str):
+        def profile_block(batch: pa.Table) -> pa.Table:
+            rows = {k: [] for k in
+                    ("table_name", "col_name", "n_rows", "n_null",
+                     "min_num", "max_num")}
+            for name in batch.column_names:
+                col = batch[name]
+                rows["table_name"].append(tname)
+                rows["col_name"].append(name)
+                rows["n_rows"].append(batch.num_rows)
+                rows["n_null"].append(col.null_count)
+                if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                    mm = pc.min_max(col)
+                    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                    rows["min_num"].append(
+                        float(mn) if mn is not None else None
+                    )
+                    rows["max_num"].append(
+                        float(mx) if mx is not None else None
+                    )
+                else:
+                    rows["min_num"].append(None)
+                    rows["max_num"].append(None)
+            return pa.table(rows, schema=partial_schema)
+
+        return profile_block
+
+    parts = None
+    for tname in tables:
+        p = _read(sf_dir, tname).map_batches(
+            make_profiler(tname), batch_format="pyarrow"
+        )
+        parts = p if parts is None else parts.union(p)
+
+    return lowcard_groupagg(
+        parts,
+        ["table_name", "col_name"],
+        [("n_rows", "sum"), ("n_null", "sum"),
+         ("min_num", "min"), ("max_num", "max")],
+        {"n_rows_sum": "n_rows", "n_null_sum": "n_null",
+         "min_num_min": "min_num", "max_num_max": "max_num"},
+    )

@@ -1762,3 +1762,35 @@ def keyword_search_indexed(sf_dir: str, terms: tuple = ("spark", "window", "hash
         score_block, batch_format="pyarrow", batch_size=None
     )
     return global_topk(scored, ["score", "doc_id"], [True, False], k)
+
+
+def lang_confusion(sf_dir: str):
+    """LABEL-QUALITY CONFUSION MATRIX: declared ``lang`` metadata crossed
+    with the stopword-voting prediction of :func:`lang_id_docs` — the
+    standard audit of a metadata column against a content-derived signal
+    (disagreement cells flag mislabeled or code-switched sources before a
+    language filter drops good data).
+
+    One batch map attaches the vectorized prediction next to the declared
+    label (no join — both live on the same row), then the (lang, pred) cell
+    counts fold via the low-cardinality combiner.  Output:
+    ``lang, lang_pred, n_docs``.
+    """
+    from ..functions.groupagg import lowcard_groupagg
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pred = _lang_pred_arr(batch["text"], batch.num_rows)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "lang_pred": pa.array(pred.tolist(), pa.string()),
+            }
+        )
+
+    cells = _read_docs(sf_dir, ["lang", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    return lowcard_groupagg(
+        cells, ["lang", "lang_pred"], [([], "count_all")],
+        {"count_all": "n_docs"},
+    )
