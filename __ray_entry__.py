@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": relational.event_type_cooccurrence,  # itemset-2 co-occurrence (bitmask)
         "profile_tables": relational.profile_tables,                  # data-quality profiling census
         "lang_confusion": text_analysis.lang_confusion,               # declared-vs-predicted lang census
+        "part_best_supplier": relational.part_best_supplier,          # Q2 shape (argmax over derived bridge)
+        "monthly_revenue_growth": relational.monthly_revenue_growth,  # lag-over-aggregate MoM series
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -1000,6 +1002,41 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS avg_value
             FROM fan
             GROUP BY window_start
+        """,
+        # Q2 shape: best (max acctbal) shipping supplier per large part; the
+        # part-supplier bridge derives from lineitem (no partsupp table)
+        "part_best_supplier": """
+            WITH bridge AS (
+              SELECT DISTINCT l_partkey AS p_partkey, l_suppkey AS s_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_size >= 40
+            ), best AS (
+              SELECT b.p_partkey, b.s_suppkey, s_name, s_acctbal,
+                     row_number() OVER (
+                         PARTITION BY b.p_partkey
+                         ORDER BY s_acctbal DESC, b.s_suppkey ASC
+                     ) AS rn
+              FROM bridge b JOIN supplier ON b.s_suppkey = supplier.s_suppkey
+            )
+            SELECT p_partkey, s_suppkey, s_name, s_acctbal
+            FROM best WHERE rn = 1
+            ORDER BY s_acctbal DESC, p_partkey ASC
+            LIMIT 25
+        """,
+        # lag-over-aggregate: monthly shipped revenue + MoM relative change
+        "monthly_revenue_growth": """
+            WITH m AS (
+              SELECT date_trunc('month', l_shipdate) AS month,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         AS BIGINT) AS rev_c4
+              FROM lineitem GROUP BY 1
+            )
+            SELECT month, rev_c4,
+                   CAST(rev_c4 - lag(rev_c4) OVER (ORDER BY month) AS DOUBLE)
+                       / CAST(lag(rev_c4) OVER (ORDER BY month) AS DOUBLE)
+                       AS mom_growth
+            FROM m
         """,
         # profiling census: exact row/null counts per column; numeric bounds
         # are exact value picks (CAST to DOUBLE), non-numeric carry NULLs

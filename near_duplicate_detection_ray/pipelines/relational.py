@@ -4139,3 +4139,148 @@ def profile_tables(sf_dir: str, tables: tuple = ("documents", "events")):
         {"n_rows_sum": "n_rows", "n_null_sum": "n_null",
          "min_num_min": "min_num", "max_num_max": "max_num"},
     )
+
+
+def part_best_supplier(sf_dir: str, size_min: int = 40, num_partitions: int = 8,
+                       k: int = 25):
+    """TPC-H Q2 shape — BEST SUPPLIER PER PART: for every large part
+    (``p_size >= size_min``), the shipping supplier with the highest account
+    balance (ties to the smaller suppkey).  The reference dataset has no
+    partsupp table, so the part-supplier BRIDGE is derived from lineitem as
+    the distinct (partkey, suppkey) pairs — the fact-derived-dimension
+    pattern.
+
+    Plan: lineitem reduces map-side to per-block distinct pairs with the
+    part-size filter applied as a broadcast bitmask BEFORE the shuffle, the
+    supplier dim attaches (s_acctbal, s_name) via a second broadcast lookup,
+    and the per-part argmax folds in one partkey-keyed partition (no join
+    of fact-scale rows against either dim).  Bounded top-k output ordered by
+    (s_acctbal DESC, p_partkey ASC).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.groupagg import global_topk
+    from ..state.partitioning import key_partitioned
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_size"]).to_pandas()
+    big = np.zeros(int(part["p_partkey"].max()) + 1, dtype=bool)
+    big[part.loc[part["p_size"] >= size_min, "p_partkey"].to_numpy()] = True
+    big_ref = ray.put(big)
+
+    supplier = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"]
+    ).to_pandas()
+    n_supp = int(supplier["s_suppkey"].max()) + 1
+    bal = np.full(n_supp, np.nan)
+    bal[supplier["s_suppkey"].to_numpy()] = supplier["s_acctbal"].to_numpy()
+    names = np.empty(n_supp, dtype=object)
+    names[supplier["s_suppkey"].to_numpy()] = supplier["s_name"].to_numpy()
+    supp_ref = ray.put((bal, names))
+
+    def bridge(t: pa.Table) -> pa.Table:
+        mask = ray.get(big_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        keep = mask[pk]
+        pk, sk = pk[keep], sk[keep]
+        if pk.size == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "s_suppkey": pa.array([], pa.int64()),
+                }
+            )
+        # map-side distinct: shuffle volume = unique pairs per block; the
+        # pack multiplier is block-local so no global suppkey bound is assumed
+        mult = np.int64(sk.max()) + 1
+        u = np.unique(pk.astype(np.int64) * mult + sk)
+        return pa.table(
+            {
+                "p_partkey": pa.array(u // mult, pa.int64()),
+                "s_suppkey": pa.array(u % mult, pa.int64()),
+            }
+        )
+
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        bridge, batch_format="pyarrow"
+    )
+
+    def best_block(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("p_partkey", pa.int64()), ("s_suppkey", pa.int64()),
+             ("s_name", pa.string()), ("s_acctbal", pa.float64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        bal_arr, name_arr = ray.get(supp_ref)
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        b = bal_arr[sk]
+        # argmax per part: sort by (part, -bal, suppkey), keep first per part
+        order = np.lexsort((sk, -b, pk))
+        pk, sk, b = pk[order], sk[order], b[order]
+        first = np.r_[True, pk[1:] != pk[:-1]]
+        pk, sk, b = pk[first], sk[first], b[first]
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk, pa.int64()),
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "s_name": pa.array(name_arr[sk].tolist(), pa.string()),
+                "s_acctbal": pa.array(b, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    best = key_partitioned(
+        pairs, ["p_partkey"], num_partitions=num_partitions
+    ).map_batches(best_block, batch_format="pyarrow", batch_size=None)
+    return global_topk(best, ["s_acctbal", "p_partkey"], [True, False], k)
+
+
+def monthly_revenue_growth(sf_dir: str):
+    """MONTH-OVER-MONTH GROWTH: shipped revenue per calendar month plus the
+    relative change vs the previous month — the lag-over-aggregate time
+    series every dashboard layer asks of an engine.
+
+    Revenue folds as exact integer 1e-4 units via the combiner pattern
+    (months are low-cardinality); the growth ratio is computed on the TINY
+    aggregated series driver-side with the identical IEEE expression the SQL
+    window ``lag`` produces (``CAST(cur - prev AS DOUBLE) / CAST(prev AS
+    DOUBLE)``; first month NULL on both sides).
+    """
+    import ray.data as rd
+
+    from ..functions.groupagg import lowcard_groupagg
+
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["l_shipdate"], unit="month")
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"month": month, "c4": pa.array(price_c * (100 - disc_c), pa.int64())}
+        )
+
+    series = (
+        lowcard_groupagg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["month"], [("c4", "sum")], {"c4_sum": "rev_c4"},
+        )
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    cur = series["rev_c4"].to_numpy().astype(np.int64)
+    prev = np.roll(cur, 1).astype(np.float64)
+    growth = (cur - np.roll(cur, 1)).astype(np.float64) / prev
+    if len(growth):
+        growth[0] = np.nan
+    series["mom_growth"] = growth
+    series["month"] = series["month"].astype("datetime64[us]")
+    return rd.from_pandas(series[["month", "rev_c4", "mom_growth"]])

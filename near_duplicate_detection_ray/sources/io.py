@@ -247,3 +247,44 @@ def read_hive_pruned(out_dir: str, values, columns=None):
         if f.endswith(".parquet")
     ]
     return read_parquet_clean(paths, columns=columns), len(hit), len(all_vals)
+
+
+def compact_parquet_dir(src_dir: str, dst_dir: str,
+                        target_rows_per_file: int = 1_000_000) -> dict:
+    """SMALL-FILE COMPACTION (table maintenance): rewrite a directory of
+    many small parquet files into files of ~``target_rows_per_file`` rows.
+
+    The small-files problem dominates real 100-TB lake operations — every
+    file costs a listing round-trip, a footer read and a task, so a stage
+    that wrote one file per tiny partition (checkpoint shards, hive
+    leaves, incremental appends) degrades every later scan.  Compaction
+    here is a streaming Ray Data job, not a driver concat: read ->
+    ``repartition(target_num_blocks)`` -> write, so it scales to
+    arbitrarily large tables and preserves rows exactly (asserted by the
+    round-trip test; row ORDER is not part of the parquet-directory
+    contract).  Writes to a temp dir and renames LAST, mirroring the
+    crash-safe atomicity of ``stages/checkpoint.py``.
+
+    Returns {files_before, files_after, rows}.
+    """
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    files_before = sum(
+        1 for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )
+    ds = read_parquet_clean(src_dir)
+    rows = ds.count()
+    n_blocks = max(1, -(-rows // target_rows_per_file))  # ceil
+    tmp_dir = dst_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    ds.repartition(n_blocks).write_parquet(tmp_dir)
+    os.rename(tmp_dir, dst_dir)
+    files_after = sum(
+        1 for f in os.listdir(dst_dir) if f.endswith(".parquet")
+    )
+    return {"files_before": files_before, "files_after": files_after,
+            "rows": rows}
