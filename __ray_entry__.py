@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": text_analysis.lang_confusion,               # declared-vs-predicted lang census
         "part_best_supplier": relational.part_best_supplier,          # Q2 shape (argmax over derived bridge)
         "monthly_revenue_growth": relational.monthly_revenue_growth,  # lag-over-aggregate MoM series
+        "weekday_hour_heatmap": relational.weekday_hour_heatmap,      # 7x24 temporal seasonality cells
+        "user_features": relational.user_features,                    # per-user ML feature assembly
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -1002,6 +1004,35 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS avg_value
             FROM fan
             GROUP BY window_start
+        """,
+        # 7x24 temporal seasonality: ISO weekday x hour cells, exact cents
+        "weekday_hour_heatmap": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_c
+            FROM events
+            GROUP BY 1, 2
+        """,
+        # per-user behavioral feature table: exact cents/dates, one IEEE
+        # division chain for the mean
+        "user_features": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                       AS n_active_days,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_c,
+                   (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0) / count(*) AS avg_value,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts,
+                   CAST(date_diff('day', CAST(min(ts) AS DATE),
+                                  CAST(max(ts) AS DATE)) AS BIGINT)
+                       AS tenure_days
+            FROM events
+            GROUP BY user_id
         """,
         # Q2 shape: best (max acctbal) shipping supplier per large part; the
         # part-supplier bridge derives from lineitem (no partsupp table)

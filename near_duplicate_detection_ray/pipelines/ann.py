@@ -301,6 +301,9 @@ def embedding_dup_pairs_lsh(
     at low thresholds (e.g. the 0.4 SQL contract) sign-LSH buckets cannot
     separate pairs from background and ``method='exact'`` is the right tool.
     """
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
     import ray.data as rd
 
@@ -1001,13 +1004,16 @@ def quantize_embeddings(sf_dir: str):
     return emb.map_batches(codes, batch_format="pyarrow")
 
 
-def label_quality_join(sf_dir: str, num_partitions: int = 8):
+def label_quality_join(sf_dir: str, num_partitions: int | None = None):
     """Cross-table feature join: embeddings' ``label`` x documents' token
     mass (``vec_id == doc_id`` in this corpus) — the label-conditioned
     quality rollup a curation pipeline runs to decide which embedding
     clusters carry low-quality text.  Hash join on the id, then a
     low-cardinality label combine; the mean is exact-integer sums with one
     IEEE division."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     from ..functions.groupagg import lowcard_groupagg
     from ..sources.io import read_parquet_clean
     from ..state.partitioning import materialize_clean

@@ -1125,7 +1125,7 @@ def span_coverage_stats(sf_dir: str, w: int = 8):
 
 
 def dup_triangles(sf_dir: str, cfg: NDDConfig | None = None,
-                  num_partitions: int = 8):
+                  num_partitions: int | None = None):
     """TRIANGLE CENSUS of the verified near-dup pair graph — the standard
     distributed graph-analytics kernel (node-iterator): how many edges,
     open wedges and closed triangles the duplicate graph contains (triangle
@@ -1142,6 +1142,9 @@ def dup_triangles(sf_dir: str, cfg: NDDConfig | None = None,
     set, never a driver set.  Output: one row ``n_edges, n_wedges,
     n_triangles``.
     """
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray.data as rd
 
     from ..state.partitioning import key_partitioned, materialize_clean

@@ -134,10 +134,13 @@ def order_priority_counts(sf_dir: str):
     )
 
 
-def nation_revenue(sf_dir: str, num_partitions: int = 8):
+def nation_revenue(sf_dir: str, num_partitions: int | None = None):
     """Revenue per nation: orders JOIN customer (hash join on the large keys)
     with the tiny nation table BROADCAST via ray.put (J3 — no shuffle for the
     small side); final rollup via map-side combine."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
 
     nmap_ref = _nation_lut_ref(sf_dir)
@@ -167,9 +170,12 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8):
     return _round_floats(agg, ["revenue"], 4)
 
 
-def shipped_within_90d(sf_dir: str, num_partitions: int = 8):
+def shipped_within_90d(sf_dir: str, num_partitions: int | None = None):
     """Keyed interval join (J1 analogue): lineitems shipped within
     [o_orderdate, o_orderdate + 90 days), counted per order status."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     joined = items.join(
@@ -442,7 +448,7 @@ def events_trailing_1h(sf_dir: str, window_minutes: int = 60):
 
 def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                       cutoff: str = "1995-03-15", k: int = 10,
-                      num_partitions: int = 8):
+                      num_partitions: int | None = None):
     """TPC-H Q3 shape: top-k unshipped-revenue orders for a market segment —
     a 3-relation chain exercising broadcast semi-join + hash join + keyed
     group-agg + global sort/limit in one pipeline.
@@ -455,6 +461,9 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     order differs between engines, integer sums are exact — the SQL oracle
     sums the identical casts.  Ties are broken (revenue desc, o_orderdate
     asc, l_orderkey asc), so top-k is deterministic."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
 
     cutoff_d = np.datetime64(cutoff)
@@ -530,7 +539,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
 
 def large_quantity_orders(sf_dir: str, threshold: int = 300, k: int = 10,
-                          num_partitions: int = 8):
+                          num_partitions: int | None = None):
     """TPC-H Q18 shape: orders whose total line quantity exceeds ``threshold``,
     with customer attribution — the HAVING-filter + join-back pattern (an
     aggregate produces the key set that then drives two hash joins).
@@ -540,6 +549,9 @@ def large_quantity_orders(sf_dir: str, threshold: int = 300, k: int = 10,
     post-HAVING key set is tiny (~0.1% of orders at threshold 300), so the
     join chain runs at small ``num_partitions``; a materialize_clean barrier
     scrubs the sparse-join empty-block footgun between the two joins."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     from ..functions.groupagg import highcard_groupagg
     from ..state.partitioning import materialize_clean
 
@@ -756,7 +768,7 @@ def event_value_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
     )
 
 
-def nation_yearly_rollup(sf_dir: str, num_partitions: int = 8):
+def nation_yearly_rollup(sf_dir: str, num_partitions: int | None = None):
     """ROLLUP aggregate (nation, order-year) -> per-nation subtotal -> grand
     total, as one base aggregation plus two derived re-aggregations of the
     TINY base result unioned together — the multi-level-agg composition
@@ -764,6 +776,9 @@ def nation_yearly_rollup(sf_dir: str, num_partitions: int = 8):
     instead of SQL ROLLUP NULLs so hashing is dtype-stable.  Revenue is
     summed in integer cents: re-aggregating rounded floats would drift at
     the last ULP, integers re-aggregate exactly at every level."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
 
     nmap_ref = _nation_lut_ref(sf_dir)
@@ -828,12 +843,15 @@ def nation_yearly_rollup(sf_dir: str, num_partitions: int = 8):
     )
 
 
-def brand_revenue(sf_dir: str, num_partitions: int = 8):
+def brand_revenue(sf_dir: str, num_partitions: int | None = None):
     """Revenue per part brand: lineitem JOIN part — the MEDIUM-dimension
     case where the dimension (part, ~SF x 200k rows) is too large to
     broadcast, so it takes a real hash join, followed by the combiner
     rollup onto the small brand key.  Revenue in integer 1e-4 units
     (price-cents x (100 - discount-cents)) so both engines sum exactly."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     items = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
     parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     joined = items.join(
@@ -866,13 +884,16 @@ def brand_revenue(sf_dir: str, num_partitions: int = 8):
     )
 
 
-def region_revenue(sf_dir: str, num_partitions: int = 8):
+def region_revenue(sf_dir: str, num_partitions: int | None = None):
     """TPC-H Q5 family: revenue per region — a TWO-LEVEL broadcast snowflake
     (nation -> region both tiny: one composed customer-key -> region-name
     lookup shipped via ray.put) over the orders JOIN customer hash join.
     Exercises the last otherwise-unused table (region) and the snowflake-
     dimension-collapse pattern: pre-join the dimension chain driver-side,
     broadcast the collapsed map once."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
@@ -1180,6 +1201,9 @@ def customer_order_histogram(sf_dir: str, num_partitions: int | None = None):
     scalars (total customers - customers with orders) — the zero-fill side
     of a left join costs two counts instead of shuffling the whole customer
     table."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray.data as rd
 
     from ..functions.groupagg import highcard_groupagg
@@ -1229,6 +1253,9 @@ def brand_supplier_counts(sf_dir: str, num_partitions: int | None = None):
     counts-per-brand rollup via the map-side combiner.  The brand arrives
     by hash join with part (the medium dimension, same as
     ``brand_revenue``)."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     from ..functions.groupagg import highcard_groupagg
 
     items = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
@@ -1827,7 +1854,7 @@ _Q19_GROUPS = [  # (brand, size_hi, qty_lo, qty_hi) disjunctive predicate groups
 ]
 
 
-def disjunctive_revenue(sf_dir: str, num_partitions: int = 8):
+def disjunctive_revenue(sf_dir: str, num_partitions: int | None = None):
     """TPC-H Q19 shape: revenue under OR'd multi-table predicate groups —
     the query exercising a REAL distributed hash join (lineitem x part on
     partkey; at scale both sides are large, so no broadcast) plus a
@@ -1838,6 +1865,9 @@ def disjunctive_revenue(sf_dir: str, num_partitions: int = 8):
     quantity envelope.  Revenue accumulates in exact integer 1e-4 units
     (price cents x (100 - discount cents)) so both engines sum identically
     in any order."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray.data as rd
 
     from ..state.partitioning import materialize_clean
@@ -2225,7 +2255,7 @@ def distinct_stats_hll(sf_dir: str):
 
 
 def small_order_revenue(sf_dir: str, brand: str = "Brand#23",
-                        max_size: int = 15, num_partitions: int = 8):
+                        max_size: int = 15, num_partitions: int | None = None):
     """TPC-H Q17 shape — the correlated-subquery / aggregate-join-back
     pattern: revenue of lineitems whose quantity is below 20% of their
     part's average quantity, for one brand's small parts.
@@ -2240,6 +2270,9 @@ def small_order_revenue(sf_dir: str, brand: str = "Brand#23",
     ``5*q*cnt < sum_qty`` is ``q < 0.2*avg`` with no float-boundary risk —
     the SQL oracle compares the identical integers) and combines per-block
     (count, revenue-cents) partials into one row."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
 
     from ..state.partitioning import distinct_values_ref, materialize_clean, semi_filter
@@ -2617,12 +2650,15 @@ def user_event_types(sf_dir: str):
     )
 
 
-def promo_revenue(sf_dir: str, year: int = 1997, num_partitions: int = 8):
+def promo_revenue(sf_dir: str, year: int = 1997, num_partitions: int | None = None):
     """TPC-H Q14 shape — GLOBAL conditional-aggregate RATIO: the share of
     ``year``'s shipped revenue coming from PROMO-type parts.  Same medium-dim
     hash join as :func:`brand_revenue`; the two revenue sums are exact
     integer 1e-4 units folded by per-block partials, and only the FINAL
     ratio is floating point — one IEEE division, identical in SQL."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     items = _read(
         sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
@@ -2696,6 +2732,9 @@ def top_supplier(sf_dir: str, year: int = 1997, num_partitions: int | None = Non
     one vectorized equality filter, and the supplier names attached by a
     filter-pushdown read of the dimension (winner keys are the tie count —
     broadcast-trivial)."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
 
     from ..functions.groupagg import highcard_groupagg
@@ -2907,7 +2946,7 @@ def global_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
     return rd.from_items([out])
 
 
-def returned_customer_revenue(sf_dir: str, k: int = 20, num_partitions: int = 8):
+def returned_customer_revenue(sf_dir: str, k: int = 20, num_partitions: int | None = None):
     """TPC-H Q10 shape: top customers by revenue LOST to returned items in a
     quarter.  The classic fact-fact-dim chain: lineitem (filtered to
     returnflag='R', reduced to (orderkey, cents) BEFORE the shuffle) hash-
@@ -2916,6 +2955,9 @@ def returned_customer_revenue(sf_dir: str, k: int = 20, num_partitions: int = 8)
     the small per-customer result joins the customer dim, nation names ride
     a broadcast lookup, and the top-k is bounded per-block partials — no
     full sort, no driver loop.  Revenue in exact integer 1e-4 units."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
 
     from ..functions.groupagg import global_topk, highcard_groupagg
@@ -3013,7 +3055,7 @@ def returned_customer_revenue(sf_dir: str, k: int = 20, num_partitions: int = 8)
 
 
 def nation_pair_trade(sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2",
-                      num_partitions: int = 8):
+                      num_partitions: int | None = None):
     """TPC-H Q7 shape: shipped trade volume between two nations by year and
     direction.  Both fact sides shrink BEFORE the orderkey shuffle: lineitem
     is date-filtered and reduced to (orderkey, supp_nation, year, cents)
@@ -3021,6 +3063,9 @@ def nation_pair_trade(sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2",
     carries cust_nation from a customer hash join pre-filtered to the two
     nations.  The final (supp, cust, year) aggregate is low-cardinality —
     Arrow combine partials, one tiny merge."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
 
     from ..functions.groupagg import lowcard_groupagg
@@ -3359,7 +3404,7 @@ def hourly_active_users(sf_dir: str):
     )
 
 
-def late_shipment_priority(sf_dir: str, num_partitions: int = 8):
+def late_shipment_priority(sf_dir: str, num_partitions: int | None = None):
     """TPC-H Q4 shape: order-priority census of one quarter's orders that
     have AT LEAST ONE late line item (shipped > 90 days after the order
     date) — the fact-scale EXISTS semi-join.  The windowed orders carry
@@ -3367,6 +3412,9 @@ def late_shipment_priority(sf_dir: str, num_partitions: int = 8):
     lineitem side; the exists-filtered matches collapse to one row per
     order via an orderkey-keyed partial (min priority — unique per order),
     and the priority census is a low-cardinality combine."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     from ..functions.groupagg import highcard_groupagg, lowcard_groupagg
     from ..state.partitioning import materialize_clean
 
@@ -3550,7 +3598,7 @@ def key_skew_report(sf_dir: str, table: str = "events", key: str = "user_id"):
 
 def nation_market_share(sf_dir: str, region: str = "ASIA", nation: str = "NATION_7",
                         lo_year: int = 1995, hi_year: int = 2001,
-                        num_partitions: int = 8):
+                        num_partitions: int | None = None):
     """TPC-H Q8 shape — MARKET SHARE: for each order year, the fraction of a
     region's customer-order revenue supplied by one target nation.
 
@@ -3568,6 +3616,9 @@ def nation_market_share(sf_dir: str, region: str = "ASIA", nation: str = "NATION
     ranked-distance normalization at the query edge; this operator carries
     the grouped-conditional-ratio semantics (A1/A2 family, SURVEY §2.5).
     """
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
     import ray.data as rd
 
@@ -3694,7 +3745,7 @@ def nation_market_share(sf_dir: str, region: str = "ASIA", nation: str = "NATION
 
 
 def blame_suppliers(sf_dir: str, late_days: int = 90, k: int = 20,
-                    num_partitions: int = 8):
+                    num_partitions: int | None = None):
     """TPC-H Q21 shape — SOLE-BLAME census: suppliers who were the ONLY late
     supplier on a multi-supplier order (late = shipped > ``late_days`` after
     the order date), ranked by how many orders they alone delayed.
@@ -3711,6 +3762,9 @@ def blame_suppliers(sf_dir: str, late_days: int = 90, k: int = 20,
     the reference's first-hit-per-(shot, video) dedup walk
     (``server_ndd.py:127-142``) inverted to a group-quantified predicate.
     """
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray.data as rd
 
     from ..functions.groupagg import global_topk, lowcard_groupagg
@@ -4141,7 +4195,7 @@ def profile_tables(sf_dir: str, tables: tuple = ("documents", "events")):
     )
 
 
-def part_best_supplier(sf_dir: str, size_min: int = 40, num_partitions: int = 8,
+def part_best_supplier(sf_dir: str, size_min: int = 40, num_partitions: int | None = None,
                        k: int = 25):
     """TPC-H Q2 shape — BEST SUPPLIER PER PART: for every large part
     (``p_size >= size_min``), the shipping supplier with the highest account
@@ -4157,6 +4211,9 @@ def part_best_supplier(sf_dir: str, size_min: int = 40, num_partitions: int = 8,
     of fact-scale rows against either dim).  Bounded top-k output ordered by
     (s_acctbal DESC, p_partkey ASC).
     """
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
     import ray.data as rd
 
@@ -4284,3 +4341,105 @@ def monthly_revenue_growth(sf_dir: str):
     series["mom_growth"] = growth
     series["month"] = series["month"].astype("datetime64[us]")
     return rd.from_pandas(series[["month", "rev_c4", "mom_growth"]])
+
+
+def weekday_hour_heatmap(sf_dir: str):
+    """TEMPORAL SEASONALITY heat map: event counts and exact-cent value sums
+    per (ISO weekday, hour-of-day) cell — the 7x24 activity profile used to
+    spot load seasonality.  Cell domain is fixed (168), so the combiner
+    pattern collapses everything map-side; ``pc.day_of_week`` (Monday=0) is
+    shifted +1 to match SQL ``isodow``.
+    """
+    from ..functions.groupagg import lowcard_groupagg
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t["ts"]), 1)  # ISO: Monday=1
+        hour = pc.hour(t["ts"])
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "isodow": pc.cast(dow, pa.int64()),
+                "hour": pc.cast(hour, pa.int64()),
+                "value_c": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return lowcard_groupagg(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["isodow", "hour"],
+        [([], "count_all"), ("value_c", "sum")],
+        {"count_all": "n_events", "value_c_sum": "value_c"},
+    )
+
+
+def user_features(sf_dir: str):
+    """ML FEATURE ASSEMBLY: one row per user with the standard behavioral
+    features a churn/LTV model trains on — event count, distinct active
+    days, exact-cent value sum, mean value (single IEEE division), first/
+    last activity, and tenure in days (exact int64 date arithmetic).
+
+    ONE user-keyed hash partition; every feature folds inside the block
+    with Arrow/NumPy kernels (count, min/max, bincount-free day distinct
+    via per-user sorted runs).  The feature-table pattern is the engine's
+    answer to "prepare the training matrix" — downstream samplers/joins
+    consume it columnar.
+    """
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("n_active_days", pa.int64()), ("value_c", pa.int64()),
+         ("avg_value", pa.float64()), ("first_ts", pa.timestamp("us")),
+         ("last_ts", pa.timestamp("us")), ("tenure_days", pa.int64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        us = ts.astype(np.int64)
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        day = us // np.int64(86_400_000_000)
+        order = np.lexsort((day, uid))
+        uid_s, us_s, day_s, cents_s = uid[order], us[order], day[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])
+        ends = np.r_[starts[1:], uid_s.size]
+        n = ends - starts
+        vsum = np.add.reduceat(cents_s, starts)
+        # distinct days: day changes within each user's sorted run
+        day_change = np.r_[True, day_s[1:] != day_s[:-1]]
+        day_change[starts] = True
+        cum = np.concatenate(([0], np.cumsum(day_change)))
+        n_days = cum[ends] - cum[starts]
+        first_us = np.minimum.reduceat(us_s, starts)
+        last_us = np.maximum.reduceat(us_s, starts)
+        tenure = last_us // np.int64(86_400_000_000) - first_us // np.int64(
+            86_400_000_000
+        )
+        avg = (vsum / 100.0) / n
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "n_active_days": pa.array(n_days, pa.int64()),
+                "value_c": pa.array(vsum, pa.int64()),
+                "avg_value": pa.array(avg, pa.float64()),
+                "first_ts": pa.array(first_us.astype("datetime64[us]"),
+                                     pa.timestamp("us")),
+                "last_ts": pa.array(last_us.astype("datetime64[us]"),
+                                    pa.timestamp("us")),
+                "tenure_days": pa.array(tenure, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return key_partitioned(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]), ["user_id"]
+    ).map_batches(block, batch_format="pyarrow", batch_size=None)

@@ -288,3 +288,74 @@ def compact_parquet_dir(src_dir: str, dst_dir: str,
     )
     return {"files_before": files_before, "files_after": files_after,
             "rows": rows}
+
+
+def read_parquet_evolved(paths, columns=None):
+    """SCHEMA-EVOLUTION reader: read a set of parquet files/directories whose
+    schemas differ by ADDED columns (the normal lake evolution: later
+    writers append fields) into one Dataset with the UNIFIED schema —
+    missing columns materialize as typed nulls.
+
+    Plain ``read_parquet`` of heterogeneous files either fails or silently
+    downgrades; this reader lists every footer ONCE on the driver (cheap
+    metadata fetches), unifies field types by first-writer-wins (a field
+    changing TYPE across files is a real conflict and raises), then reads
+    each file group and pads to the unified schema inside the fused map —
+    no row materializes on the driver.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {paths}")
+
+    unified: dict[str, pa.DataType] = {}
+    for f in files:
+        schema = pq.read_schema(f)
+        for field in schema:
+            if field.name in unified:
+                if unified[field.name] != field.type:
+                    raise TypeError(
+                        f"schema conflict on '{field.name}': "
+                        f"{unified[field.name]} vs {field.type} in {f}"
+                    )
+            else:
+                unified[field.name] = field.type
+    if columns is not None:
+        unified = {c: unified[c] for c in columns}
+    target = pa.schema(list(unified.items()))
+
+    def pad(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = []
+        for field in target:
+            if field.name in t.column_names:
+                cols.append(pc.cast(t[field.name], field.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, field.type))
+        return pa.table(dict(zip(target.names, cols)), schema=target)
+
+    # group files by their own schema so each read is homogeneous
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple(sorted(pq.read_schema(f).names))
+        groups.setdefault(key, []).append(f)
+    out = None
+    for grp in groups.values():
+        ds = rd.read_parquet(grp).map_batches(pad, batch_format="pyarrow")
+        out = ds if out is None else out.union(ds)
+    return out

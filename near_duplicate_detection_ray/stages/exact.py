@@ -39,6 +39,9 @@ def _rep_block(df: pd.DataFrame) -> pa.Table:
 
 def exact_rep_map(conversations, num_partitions: int | None = None):
     """conversations -> (conv_id, rep_id): one keyed shuffle on fingerprint."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     parts = key_partitioned(
         conversations.select_columns(["conv_id", "fingerprint"]),
         ["fingerprint"],
@@ -47,9 +50,12 @@ def exact_rep_map(conversations, num_partitions: int | None = None):
     return parts.map_batches(_rep_block, batch_format="pandas", batch_size=None)
 
 
-def representatives(conversations, rep_map, num_partitions: int = 8):
+def representatives(conversations, rep_map, num_partitions: int | None = None):
     """Filter conversations to fingerprint representatives (conv_id == rep_id)
     via a hash join on conv_id."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     reps_only = rep_map.map_batches(
         lambda t: t.filter(pc.equal(t["conv_id"], t["rep_id"])).select(["conv_id"]),
         batch_format="pyarrow",
@@ -71,6 +77,9 @@ def annotate_reps(conversations, num_partitions: int | None = None):
 
     both as cheap narrow ops over this single dataset — replaces the previous
     exact_rep_map + hash-join flow (one fewer shuffle, one fewer join)."""
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import pandas as pd
 
     schema = pa.schema(

@@ -198,7 +198,7 @@ def substring_pairs(
     conversations,
     cfg: NDDConfig | None = None,
     concurrency=None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """signatures + conversations -> confirmed substring dup pairs.
 
@@ -210,6 +210,9 @@ def substring_pairs(
     chaining 4 joins in one graph over-subscribes aggregator actors on small
     clusters, and the survivor set is tiny by construction.
     """
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     import ray
 
     cfg = cfg or NDDConfig()

@@ -76,7 +76,7 @@ class Verifier:
         return out.filter(pa.array(dup | subc))
 
 
-def attach_signatures(pairs, signatures, num_partitions: int = 16,
+def attach_signatures(pairs, signatures, num_partitions: int | None = None,
                       semi_filter_max_ids: int = 5_000_000):
     """Join (a, b) pairs to both endpoints' shingle sets + simhash via two
     hash-partitioned joins.
@@ -92,8 +92,12 @@ def attach_signatures(pairs, signatures, num_partitions: int = 16,
     array, vectorized probes; false positives are dropped by the inner join.
     """
     from ..state.bloom import bloom_filter, build_bloom
-    from ..state.partitioning import endpoint_stats, semi_filter
+    from ..state.partitioning import default_partitions, endpoint_stats, semi_filter
 
+    if num_partitions is None:
+        # one partition per cluster CPU, never the single-box constant a
+        # 256-node cluster would serialize on
+        num_partitions = default_partitions()
     side = signatures.select_columns(["conv_id", "shingles", "simhash"])
     ids_ref, n_ids, key_counts = endpoint_stats(
         pairs, ["a", "b"], max_values=semi_filter_max_ids
@@ -143,12 +147,15 @@ def attach_signatures(pairs, signatures, num_partitions: int = 16,
 
 
 def verify_pairs(pairs, signatures, cfg: NDDConfig | None = None, concurrency=None,
-                 num_partitions: int = 8):
+                 num_partitions: int | None = None):
     """candidate pairs + signatures -> dup_pairs Dataset (jaccard >= tau).
 
     Autoscaling (1, N) actor pool — min=1 so the stage can always make
     progress next to the join's aggregator actors on small clusters.
     """
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
     if concurrency is None:
         import ray
 
