@@ -139,6 +139,15 @@ def _tool_usage(sf_dir: str):
     return tool_usage(transcripts_from_documents(sf_dir))
 
 
+def _role_transitions(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import role_transitions
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return role_transitions(transcripts_from_documents(sf_dir))
+
+
 def _decontaminate_docs_bloom(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import decontaminate_docs_bloom
 
@@ -321,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs_fuzzy": _decontaminate_docs_fuzzy,  # SQL-checked (MinHash/LSH cross-split)
         "upsert_docs": _upsert_docs,                            # SQL-checked (MERGE last-writer-wins)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
+        "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
         "strip_boilerplate_turns": _strip_boilerplate_turns,    # SQL-checked (turn boilerplate removal)
         "conversation_stats": _conversation_stats,              # SQL-checked (per-conv profile)
@@ -2610,6 +2620,31 @@ def _oracle_sql_literal() -> dict[str, str]:
         # per-(role, tool) usage census over the derived transcripts; the
         # role/tool derivation mirrors sources/transcripts constants
         # (empty-doc conversations contribute one empty user turn)
+        # dialogue-structure census: consecutive-turn role transitions per
+        # conversation (same turn derivation + role labeling as tool_usage)
+        "role_transitions": "WITH " + _TURN_CTES + """
+            , turn_all AS (
+                SELECT conv_id, tix FROM turns
+                UNION ALL
+                SELECT conv_id, 0
+                FROM variants WHERE NOT has_tokens
+            ), ordered AS (
+                SELECT conv_id, tix,
+                       CASE WHEN tix % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role
+                FROM turn_all
+            ), trans AS (
+                SELECT conv_id, role AS role_from,
+                       lead(role) OVER (PARTITION BY conv_id
+                           ORDER BY tix) AS role_to
+                FROM ordered
+            )
+            SELECT role_from, role_to,
+                   count(*) AS n_transitions,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM trans WHERE role_to IS NOT NULL
+            GROUP BY role_from, role_to
+        """,
         "tool_usage": "WITH " + _TURN_CTES + """
             , turn_all AS (
                 SELECT conv_id, doc_id, tix, n_tok FROM turns

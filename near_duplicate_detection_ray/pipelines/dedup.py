@@ -339,3 +339,77 @@ def conversation_stats(transcripts, num_partitions: int | None = None):
     return key_partitioned(
         ds.map_batches(prep, batch_format="pyarrow"), ["conv_id"], num_partitions
     ).map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def role_transitions(transcripts, num_partitions: int | None = None):
+    """ROLE-TRANSITION census over a transcripts table: for every ordered
+    pair of consecutive turns within a conversation (stable ``(conv_id,
+    turn_idx)`` order — the input_hint invariant), count the corpus-wide
+    transitions and the distinct conversations containing each — the
+    dialogue-structure profile (who follows whom) a conversation-data audit
+    starts from, and the transcript-native sibling of
+    ``relational.event_transitions``.
+
+    ONE conv-keyed partition; the block kernel lexsorts by (conv, turn),
+    masks conversation boundaries, and emits bounded (role_from, role_to,
+    conv) partials — per-conv distinct inside the block, low-cardinality
+    combine outside.  Output: ``role_from, role_to, n_transitions, n_convs``.
+    """
+    import numpy as np
+
+    from ..functions.groupagg import lowcard_groupagg
+    from ..state.partitioning import key_partitioned
+
+    ds = transcripts.select_columns(["conv_id", "turn_idx", "role"])
+
+    def block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("role_from", pa.string()), ("role_to", pa.string()),
+             ("n_transitions", pa.int64()), ("n_conv_part", pa.int64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tix = t["turn_idx"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tix, conv))
+        conv, role = conv[order], role[order]
+        same = conv[1:] == conv[:-1]
+        if not same.any():
+            return schema.empty_table()
+        frm, to = role[:-1][same], role[1:][same]
+        cid = conv[1:][same]
+        part = pa.table(
+            {
+                "role_from": pa.array(frm, pa.string()),
+                "role_to": pa.array(to, pa.string()),
+                "conv_id": pa.array(cid, pa.string()),
+            }
+        )
+        g = part.group_by(["role_from", "role_to", "conv_id"]).aggregate(
+            [([], "count_all")]
+        )
+        # within one conv-keyed block: per-(from,to) transition totals and
+        # per-conv presence collapse to bounded rows
+        g2 = g.group_by(["role_from", "role_to"]).aggregate(
+            [("count_all", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "role_from": g2["role_from"],
+                "role_to": g2["role_to"],
+                "n_transitions": pc.cast(g2["count_all_sum"], pa.int64()),
+                "n_conv_part": pc.cast(g2["count_all"], pa.int64()),
+            },
+            schema=schema,
+        )
+
+    parts = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+    return lowcard_groupagg(
+        parts,
+        ["role_from", "role_to"],
+        [("n_transitions", "sum"), ("n_conv_part", "sum")],
+        {"n_transitions_sum": "n_transitions", "n_conv_part_sum": "n_convs"},
+    )
