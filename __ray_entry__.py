@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_novelty_docs": text_analysis.bigram_novelty_docs,  # SQL-checked (cross-doc gram novelty)
         "keyword_search_docs": text_analysis.keyword_search_docs,  # SQL-checked (ranked lexical search)
         "keyword_search_indexed": text_analysis.keyword_search_indexed,  # SQL-checked (inverted-index twin)
+        "checksum_docs": text_analysis.checksum_docs,               # SQL-checked (anti-entropy checksum)
         "pack_sequences_docs": text_analysis.pack_sequences_docs,  # SQL-checked (global prefix-sum packing)
         "token_pmi_pairs": text_analysis.token_pmi_pairs,          # SQL-checked (collocation lift)
         "source_report": text_analysis.source_report,              # SQL-checked (per-domain census)
@@ -2782,6 +2783,14 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM r WHERE rank <= 20
         """,
         "lang_id_docs": _lang_id_sql(),
+        # order-insensitive 63-bit content checksum (anti-entropy)
+        "checksum_docs": """
+            SELECT count(*) AS n_rows,
+                   CAST(bit_xor(md5_number_lower(text)
+                       & CAST(9223372036854775807 AS UBIGINT)) AS BIGINT)
+                       AS checksum63
+            FROM documents
+        """,
         # declared-vs-predicted language confusion matrix (same lang-ID CTE)
         "lang_confusion": f"""
             SELECT d.lang, lp.lang_pred, count(*) AS n_docs

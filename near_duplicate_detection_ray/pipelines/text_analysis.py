@@ -1794,3 +1794,47 @@ def lang_confusion(sf_dir: str):
         cells, ["lang", "lang_pred"], [([], "count_all")],
         {"count_all": "n_docs"},
     )
+
+
+def checksum_docs(sf_dir: str):
+    """ORDER-INSENSITIVE TABLE CHECKSUM (anti-entropy): one row with the
+    exact row count and the 63-bit XOR of every document's content hash —
+    the cheap equality certificate two replicas / two pipeline stages
+    exchange to prove a 100-TB table survived a copy, a compaction or a
+    re-partition bit-for-bit, without moving any data.
+
+    XOR is commutative/associative, so per-block partials combine in any
+    order (repartition-invariant by construction); the per-doc hash is the
+    same ``md5_low64`` the SimHash basis uses (reference parity: the
+    client's upload md5, ``ndd/client_flask.py:98-103``), masked to 63 bits
+    so both engines stay in signed-int64 range.  SQL recomputes it with
+    ``bit_xor(md5_number_lower(text) & (2^63 - 1))``.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import md5_low64
+
+    MASK = (1 << 63) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = 0
+        for s in batch["text"].to_pylist():
+            x ^= md5_low64(s) & MASK
+        return pa.table(
+            {
+                "x": pa.array([x], pa.int64()),
+                "n": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cksum = 0
+    for v in parts["x"].tolist():
+        cksum ^= int(v)
+    return rd.from_items(
+        [{"n_rows": int(parts["n"].sum()), "checksum63": cksum}]
+    )
