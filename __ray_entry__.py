@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search_docs": text_analysis.keyword_search_docs,  # SQL-checked (ranked lexical search)
         "keyword_search_indexed": text_analysis.keyword_search_indexed,  # SQL-checked (inverted-index twin)
         "checksum_docs": text_analysis.checksum_docs,               # SQL-checked (anti-entropy checksum)
+        "encode_docs": text_analysis.encode_docs,                   # SQL-checked (vocab-id encoding)
         "pack_sequences_docs": text_analysis.pack_sequences_docs,  # SQL-checked (global prefix-sum packing)
         "token_pmi_pairs": text_analysis.token_pmi_pairs,          # SQL-checked (collocation lift)
         "source_report": text_analysis.source_report,              # SQL-checked (per-domain census)
@@ -2783,6 +2784,37 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM r WHERE rank <= 20
         """,
         "lang_id_docs": _lang_id_sql(),
+        # tokenizer apply: top-512 frequency vocab (count DESC, token ASC),
+        # per-doc space-joined id sequence, OOV -> 0, '' for blank docs
+        "encode_docs": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS l
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, u.i, l[u.i] AS tok
+              FROM base, UNNEST([i for i in range(1, len(l) + 1)]) AS u(i)
+            ), vocab AS (
+              SELECT tok, id FROM (
+                SELECT tok,
+                       row_number() OVER (ORDER BY cnt DESC, tok ASC) AS id
+                FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+              ) WHERE id <= 512
+            ), enc AS (
+              SELECT t.doc_id,
+                     count(*) AS n_tok,
+                     string_agg(CAST(coalesce(v.id, 0) AS VARCHAR), ' '
+                                ORDER BY t.i) AS ids
+              FROM toks t LEFT JOIN vocab v USING (tok)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(e.n_tok, 0) AS n_tok,
+                   coalesce(e.ids, '') AS ids
+            FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+        """,
         # order-insensitive 63-bit content checksum (anti-entropy)
         "checksum_docs": """
             SELECT count(*) AS n_rows,

@@ -1838,3 +1838,71 @@ def checksum_docs(sf_dir: str):
     return rd.from_items(
         [{"n_rows": int(parts["n"].sum()), "checksum63": cksum}]
     )
+
+
+def encode_docs(sf_dir: str, vocab_size: int = 512):
+    """TOKENIZER APPLY: build a top-``vocab_size`` frequency vocabulary
+    (rank by count DESC, token ASC — deterministic ties) and re-emit every
+    document as its space-joined token-id sequence (OOV -> 0) — the
+    vocabulary-encode step between corpus prep and sequence packing
+    (:func:`pack_sequences_docs` counts tokens; this materializes the ids).
+
+    Two scale-shaped passes: (1) vocabulary = per-block token-count
+    partials -> one token-keyed combine -> bounded ``global_topk`` (the
+    corpus never ships raw tokens twice); (2) encoding broadcasts the tiny
+    id table once and runs ONE vectorized ``pc.index_in`` per batch; the
+    id string rebuilds through Arrow list offsets + ``binary_join_element_
+    wise`` — no Python per row.  Output: ``doc_id, n_tok, ids`` (ids = ''
+    for blank docs).
+    """
+    import ray
+
+    from ..functions.groupagg import global_topk, highcard_groupagg
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        tbl = pa.table({"tok": flat}).filter(pc.not_equal(flat, pa.scalar("")))
+        agg = tbl.group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "cnt"])
+
+    counts = highcard_groupagg(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        ["tok"], [("cnt", "sum")], {"cnt_sum": "cnt"},
+    )
+    vocab = (
+        global_topk(counts, ["cnt", "tok"], [True, False], vocab_size)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # id = 1-based frequency rank; OOV encodes as 0
+    vocab_arr = pa.array(vocab["tok"].tolist(), pa.string())
+    vocab_ref = ray.put(vocab_arr)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        varr = ray.get(vocab_ref)
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+").combine_chunks()
+        flat = pc.list_flatten(toks)
+        idx = pc.index_in(flat, value_set=varr)
+        ids = pc.add(pc.fill_null(pc.cast(idx, pa.int64()), -1), 1)
+        ids_str = pc.cast(ids, pa.string())
+        if isinstance(ids_str, pa.ChunkedArray):
+            ids_str = ids_str.combine_chunks()
+        offsets = toks.offsets
+        id_list = pa.ListArray.from_arrays(offsets, ids_str)
+        joined = pc.binary_join(id_list, pa.scalar(" "))
+        n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
+        blank = pc.equal(trimmed, pa.scalar(""))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": pc.if_else(blank, pa.scalar(0, pa.int64()), n_tok),
+                "ids": pc.if_else(blank, pa.scalar("", pa.string()), joined),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pyarrow")
