@@ -359,3 +359,149 @@ def read_parquet_evolved(paths, columns=None):
         ds = rd.read_parquet(grp).map_batches(pad, batch_format="pyarrow")
         out = ds if out is None else out.union(ds)
     return out
+
+
+def write_bucketed(ds, key: str, out_dir: str, n_buckets: int = 16) -> dict:
+    """BUCKETED TABLE LAYOUT: hash-partition ``ds`` on ``key`` into
+    ``n_buckets`` stable buckets and write one ``bucket=N/`` directory per
+    bucket — the classic co-partitioned storage optimization: two tables
+    bucketed the same way join bucket-by-bucket with NO shuffle at read
+    time (:func:`bucketed_join`), because equal keys provably share a
+    bucket number.
+
+    The bucket function is ``splitmix64(key) % n_buckets`` (seeded, never
+    Python's salted hash), applied vectorized per batch; the write is ONE
+    keyed repartition + block-local splits.  Returns a manifest dict
+    (also persisted) recording key, n_buckets and per-bucket row counts —
+    :func:`bucketed_join` refuses layouts whose (key, n_buckets) disagree.
+    """
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import splitmix64
+    from ..state.partitioning import key_partitioned
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def write_block(batch: pa.Table, ctx=None) -> pa.Table:
+        import uuid
+
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        out_b, out_n = [], []
+        bcol = batch["__bucket"].to_numpy(zero_copy_only=False)
+        for b in np.unique(bcol):
+            sub = batch.filter(pa.array(bcol == b)).drop_columns(["__bucket"])
+            d = os.path.join(out_dir, f"bucket={int(b)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, os.path.join(d, f"{uuid.uuid4().hex}.parquet"))
+            out_b.append(int(b))
+            out_n.append(sub.num_rows)
+        return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                         "rows": pa.array(out_n, pa.int64())})
+
+    stats = (
+        key_partitioned(
+            ds.map_batches(add_bucket, batch_format="pyarrow"), ["__bucket"],
+            num_partitions=n_buckets,
+        )
+        .map_batches(write_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    per_bucket = stats.groupby("bucket")["rows"].sum().to_dict()
+    manifest = {
+        "key": key,
+        "n_buckets": n_buckets,
+        "rows": int(stats["rows"].sum()),
+        "buckets": {str(k): int(v) for k, v in sorted(per_bucket.items())},
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def bucketed_join(left_dir: str, right_dir: str, key: str,
+                  right_suffix: str = "_r"):
+    """SHUFFLE-FREE JOIN of two :func:`write_bucketed` layouts on their
+    shared bucket key: one Ray task per bucket opens ONLY that bucket's
+    files from both layouts and joins them block-locally with Arrow — no
+    all-to-all exchange, no driver materialization.  At 100 TB this turns
+    the join's network cost from O(both tables) into zero (the price was
+    paid once at layout time, amortized over every subsequent join).
+
+    Both manifests must agree on (key, n_buckets); raises otherwise.
+    """
+    import glob
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    with open(os.path.join(left_dir, "manifest.json")) as f:
+        ml = json.load(f)
+    with open(os.path.join(right_dir, "manifest.json")) as f:
+        mr = json.load(f)
+    if (ml["key"], ml["n_buckets"]) != (mr["key"], mr["n_buckets"]):
+        raise ValueError(
+            f"bucket layouts disagree: {ml['key']}/{ml['n_buckets']} vs "
+            f"{mr['key']}/{mr['n_buckets']}"
+        )
+    n_buckets = ml["n_buckets"]
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        tables = []
+        for b in batch["id"].to_pylist():
+            lf = sorted(glob.glob(os.path.join(left_dir, f"bucket={b}", "*.parquet")))
+            rf = sorted(glob.glob(os.path.join(right_dir, f"bucket={b}", "*.parquet")))
+            if not lf or not rf:
+                continue
+            lt = pa.concat_tables([pq.read_table(f) for f in lf])
+            rt = pa.concat_tables([pq.read_table(f) for f in rf])
+            # rename right's non-key overlaps (Arrow join rejects collisions)
+            overlap = (set(lt.column_names) & set(rt.column_names)) - {key}
+            if overlap:
+                rt = rt.rename_columns(
+                    [c + right_suffix if c in overlap else c
+                     for c in rt.column_names]
+                )
+            tables.append(
+                lt.replace_schema_metadata(None).join(
+                    rt.replace_schema_metadata(None), keys=key,
+                    join_type="inner",
+                )
+            )
+        if not tables:
+            return None
+        out = pa.concat_tables(tables, promote_options="permissive")
+        return out
+
+    def join_or_empty(batch: pa.Table) -> pa.Table:
+        out = join_bucket(batch)
+        if out is None or out.num_rows == 0:
+            # schema-stable empties are resolved lazily: emit nothing
+            return pa.table({})
+        return out
+
+    ids = rd.range(n_buckets).map_batches(
+        lambda t: pa.table({"id": pc.cast(t["id"], pa.int64())}),
+        batch_format="pyarrow",
+    ).repartition(n_buckets)
+    joined = ids.map_batches(join_or_empty, batch_format="pyarrow",
+                             batch_size=None)
+    return joined
