@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_growth": relational.monthly_revenue_growth,  # lag-over-aggregate MoM series
         "weekday_hour_heatmap": relational.weekday_hour_heatmap,      # 7x24 temporal seasonality cells
         "user_features": relational.user_features,                    # per-user ML feature assembly
+        "order_line_share": relational.order_line_share,              # percent-of-total window
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -1016,6 +1017,25 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS avg_value
             FROM fan
             GROUP BY window_start
+        """,
+        # percent-of-total window: each line's share of its order's revenue
+        "order_line_share": """
+            WITH c AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         AS line_c4
+              FROM lineitem
+            )
+            SELECT l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   line_c4,
+                   CAST(sum(line_c4) OVER (PARTITION BY l_orderkey)
+                       AS BIGINT) AS order_c4,
+                   CAST(line_c4 AS DOUBLE)
+                       / CAST(sum(line_c4) OVER (PARTITION BY l_orderkey)
+                              AS DOUBLE) AS line_share
+            FROM c
         """,
         # 7x24 temporal seasonality: ISO weekday x hour cells, exact cents
         "weekday_hour_heatmap": """

@@ -4443,3 +4443,63 @@ def user_features(sf_dir: str):
     return key_partitioned(
         _read(sf_dir, "events", ["user_id", "ts", "value"]), ["user_id"]
     ).map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def order_line_share(sf_dir: str, num_partitions: int | None = None):
+    """WINDOWED PERCENT-OF-TOTAL: every line item's share of its order's
+    revenue — the ``sum() OVER (PARTITION BY ...)`` denominator window,
+    the one window shape (aggregate-as-denominator) the rank/lag/rolling
+    family here didn't yet cover.
+
+    ONE orderkey-keyed partition; the block kernel sorts by (order, line),
+    folds exact 1e-4-unit line revenues, broadcasts each order's total back
+    with ``np.repeat`` — no join, no second pass.  The share is the
+    identical IEEE division ``CAST(line_c4 AS DOUBLE) / CAST(order_c4 AS
+    DOUBLE)`` in SQL, so the full fact-scale output hash-matches.
+    """
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_linenumber", pa.int64()),
+         ("line_c4", pa.int64()), ("order_c4", pa.int64()),
+         ("line_share", pa.float64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        c4 = price_c * (100 - disc_c)
+        order = np.lexsort((ln, ok))
+        ok, ln, c4 = ok[order], ln[order], c4[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        totals = np.add.reduceat(c4, starts)
+        counts = np.diff(np.r_[starts, ok.size])
+        tot_row = np.repeat(totals, counts)
+        share = c4.astype(np.float64) / tot_row.astype(np.float64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_linenumber": pa.array(ln.astype(np.int64), pa.int64()),
+                "line_c4": pa.array(c4, pa.int64()),
+                "order_c4": pa.array(tot_row, pa.int64()),
+                "line_share": pa.array(share, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return key_partitioned(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]),
+        ["l_orderkey"], num_partitions,
+    ).map_batches(block, batch_format="pyarrow", batch_size=None)

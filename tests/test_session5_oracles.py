@@ -30,6 +30,10 @@ NEW_QUERIES = [
     "monthly_revenue_growth",
     "weekday_hour_heatmap",
     "user_features",
+    "role_transitions",
+    "checksum_docs",
+    "encode_docs",
+    "order_line_share",
 ]
 
 
