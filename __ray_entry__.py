@@ -166,6 +166,12 @@ def _upsert_docs(sf_dir: str):
     return upsert_docs(sf_dir)
 
 
+def _upsert_diff(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import upsert_diff
+
+    return upsert_diff(sf_dir)
+
+
 def _contamination_report(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import contamination_report
 
@@ -332,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs_bloom": _decontaminate_docs_bloom,  # SQL-checked (Bloom-screened scale path)
         "decontaminate_docs_fuzzy": _decontaminate_docs_fuzzy,  # SQL-checked (MinHash/LSH cross-split)
         "upsert_docs": _upsert_docs,                            # SQL-checked (MERGE last-writer-wins)
+        "upsert_diff": _upsert_diff,                            # SQL-checked (table-diff census)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
@@ -2551,6 +2558,39 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(coalesce(c.n_chars, strlen(d.text)) AS BIGINT)
                        AS n_chars
             FROM documents d FULL OUTER JOIN changes c ON d.doc_id = c.doc_id
+        """,
+        # table-diff census of the upsert merge vs the base (byte lengths):
+        # updated bodies grow by 8 bytes -> changed; new negative ids -> added
+        "upsert_diff": """
+            WITH upd AS (
+                SELECT doc_id, strlen(text) + 8 AS n_bytes
+                FROM documents
+                WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 20
+            ), ins AS (
+                SELECT -(doc_id + 1) AS doc_id,
+                       strlen('NEW DOC ' || CAST(-(doc_id + 1) AS VARCHAR))
+                           AS n_bytes
+                FROM documents
+                WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 5
+            ), changes AS (
+                SELECT * FROM upd UNION ALL SELECT * FROM ins
+            ), merged AS (
+                SELECT coalesce(c.doc_id, d.doc_id) AS doc_id,
+                       coalesce(c.n_bytes, strlen(d.text)) AS n_bytes
+                FROM documents d FULL OUTER JOIN changes c
+                  ON d.doc_id = c.doc_id
+            ), diff AS (
+                SELECT CASE
+                         WHEN d.doc_id IS NULL THEN 'added'
+                         WHEN m.doc_id IS NULL THEN 'removed'
+                         WHEN strlen(d.text) <> m.n_bytes THEN 'changed'
+                         ELSE 'unchanged'
+                       END AS change_type
+                FROM documents d FULL OUTER JOIN merged m
+                  ON d.doc_id = m.doc_id
+            )
+            SELECT change_type, count(*) AS n_docs
+            FROM diff GROUP BY change_type
         """,
         # fuzzy decontamination: drop train docs with exact 5-token-shingle
         # Jaccard >= 0.8 against any eval-split doc (same shingle derivation

@@ -654,3 +654,107 @@ def upsert_docs(sf_dir: str, upd_pct: int = 20, ins_pct: int = 5):
     return key_partitioned(merged_in, ["doc_id"]).map_batches(
         pick_winner, batch_format="pandas", batch_size=None
     )
+
+
+def table_diff(ds_a, ds_b, key: str, value_col: str,
+               num_partitions: int | None = None):
+    """GENERIC TABLE DIFF (data versioning): classify every key across two
+    dataset versions as ``added`` (only in B), ``removed`` (only in A),
+    ``changed`` (both, ``value_col`` differs) or ``unchanged`` — the audit
+    an incremental store runs after a merge/compaction to prove what
+    actually moved.
+
+    Both sides are tagged and UNIONED through one ``key``-keyed hash
+    partition (the diff of 100-TB tables costs exactly one co-shuffle);
+    the block kernel lexsorts (key, side) and classifies each key run
+    vectorized.  Returns a Dataset of ``(key, change_type)`` rows.
+    """
+    from ..state.partitioning import key_partitioned
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": pc.cast(t[key], pa.int64()),
+                    "v": pc.cast(t[value_col], pa.int64()),
+                    "side": pa.array(
+                        np.full(t.num_rows, side, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    both = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+    out_schema = pa.schema([("key", pa.int64()), ("change_type", pa.string())])
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        k = t["k"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, k))
+        k, v, side = k[order], v[order], side[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        counts = np.diff(np.r_[starts, k.size])
+        # per key: sides present and value equality (keys are unique per side)
+        has_a = side[starts] == 0
+        ends = starts + counts - 1
+        has_b = side[ends] == 1
+        changed = (counts == 2) & (v[starts] != v[ends])
+        cls = np.where(
+            counts == 2,
+            np.where(changed, "changed", "unchanged"),
+            np.where(has_b & ~has_a, "added", "removed"),
+        )
+        return pa.table(
+            {"key": pa.array(k[starts], pa.int64()),
+             "change_type": pa.array(cls.tolist(), pa.string())},
+            schema=out_schema,
+        )
+
+    return key_partitioned(both, ["k"], num_partitions).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def upsert_diff(sf_dir: str, upd_pct: int = 20, ins_pct: int = 5):
+    """Census of :func:`table_diff` between the base ``documents`` table and
+    the :func:`upsert_docs` merge output (byte-length as the compared
+    value): how many ids were added / changed / unchanged by the merge —
+    ``removed`` is structurally absent (upsert never deletes) and so absent
+    from the output on both sides.  Output: ``change_type, n_docs``."""
+    from ..functions.groupagg import lowcard_groupagg
+    from ..sources.io import read_parquet_clean
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pc.cast(pc.binary_length(t["text"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    merged = upsert_docs(sf_dir, upd_pct=upd_pct, ins_pct=ins_pct).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_bytes": pc.cast(t["n_chars"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    diff = table_diff(base, merged, "doc_id", "n_bytes")
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["change_type"])
+
+    # n_chars of updated docs grows by 8, inserted docs are new ids, so
+    # 'changed'/'added'/'unchanged' fall straight out of the value compare
+    return lowcard_groupagg(
+        diff.map_batches(strip, batch_format="pyarrow"),
+        ["change_type"], [([], "count_all")], {"count_all": "n_docs"},
+    )

@@ -34,6 +34,7 @@ NEW_QUERIES = [
     "checksum_docs",
     "encode_docs",
     "order_line_share",
+    "upsert_diff",
 ]
 
 
