@@ -1,0 +1,80 @@
+"""Skew-salted join: identical output to a plain hash join on a corpus with
+one pathologically hot key, and hot-key detection finds exactly that key."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+sys.path.insert(0, "/root/repo")
+
+
+def _tables():
+    rng = np.random.default_rng(7)
+    # fact: 5000 rows, key 1 holds 60% (the straggler partition)
+    keys = np.where(rng.random(5000) < 0.6, 1, rng.integers(2, 50, 5000))
+    fact = pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "x": pa.array(rng.integers(0, 1000, 5000), pa.int64()),
+        }
+    )
+    build = pa.table(
+        {
+            "bk": pa.array(np.arange(1, 50), pa.int64()),
+            "label": pa.array([f"lab{v}" for v in range(1, 50)], pa.string()),
+        }
+    )
+    return fact, build
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_hot_key_detection(ray_session):
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.stages.skewjoin import hot_keys
+
+    fact, _ = _tables()
+    ds = rd.from_arrow(fact)
+    assert hot_keys(ds, "k", threshold=1000) == [1]
+    assert hot_keys(ds, "k", threshold=10_000) == []
+
+
+def test_salted_join_equals_plain_join(ray_session):
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.stages.skewjoin import salted_join
+
+    fact, build = _tables()
+    got = salted_join(
+        rd.from_arrow(fact), rd.from_arrow(build), "k", right_key="bk",
+        hot_threshold=1000, n_salt=4, num_partitions=4,
+    ).to_pandas()
+
+    want = (
+        rd.from_arrow(fact)
+        .join(
+            rd.from_arrow(build), join_type="inner", num_partitions=4,
+            on=("k",), right_on=("bk",),
+        )
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_no_hot_keys_is_plain_join(ray_session):
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.stages.skewjoin import salted_join
+
+    fact, build = _tables()
+    got = salted_join(
+        rd.from_arrow(fact), rd.from_arrow(build), "k", right_key="bk",
+        hot_threshold=10_000, n_salt=4, num_partitions=4,
+    ).to_pandas()
+    assert len(got) == 5000  # every fact key 1..49 matches build
