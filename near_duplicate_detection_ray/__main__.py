@@ -132,6 +132,32 @@ def cmd_update(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Small-file compaction (streaming read -> repartition -> write)."""
+    import ray
+
+    from .sources.io import compact_parquet_dir
+
+    _init_ray()
+    stats = compact_parquet_dir(args.src, args.dst,
+                                target_rows_per_file=args.target_rows)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
+def cmd_checksum(args: argparse.Namespace) -> int:
+    """Order-insensitive table checksum (anti-entropy certificate)."""
+    import ray
+
+    from .sources.io import parquet_checksum
+
+    _init_ray()
+    print(json.dumps(parquet_checksum(args.input, args.col)))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="near_duplicate_detection_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -164,6 +190,17 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--store", required=True, help="signature store root dir")
     pu.add_argument("--buckets", type=int, default=64)
     pu.set_defaults(fn=cmd_update)
+
+    pc_ = sub.add_parser("compact", help="compact small parquet files")
+    pc_.add_argument("--src", required=True)
+    pc_.add_argument("--dst", required=True)
+    pc_.add_argument("--target-rows", type=int, default=1_000_000)
+    pc_.set_defaults(fn=cmd_compact)
+
+    pk = sub.add_parser("checksum", help="order-insensitive content checksum")
+    pk.add_argument("--input", required=True, help="parquet path/dir")
+    pk.add_argument("--col", required=True, help="string column to hash")
+    pk.set_defaults(fn=cmd_checksum)
 
     args = p.parse_args(argv)
     return args.fn(args)

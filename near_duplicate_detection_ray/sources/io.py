@@ -505,3 +505,34 @@ def bucketed_join(left_dir: str, right_dir: str, key: str,
     joined = ids.map_batches(join_or_empty, batch_format="pyarrow",
                              batch_size=None)
     return joined
+
+
+def parquet_checksum(path, col: str) -> dict:
+    """Order-insensitive 63-bit content checksum of one string column of a
+    parquet table (see ``pipelines/text_analysis.checksum_docs`` for the
+    derivation and SQL parity): per-block XOR partials of masked
+    ``md5_low64`` values, combined on the driver.  Returns
+    ``{"n_rows", "checksum63"}`` — equal checksums certify equal row
+    multisets across copies / compactions / re-partitions."""
+    from ..functions.hashing import md5_low64
+
+    MASK = (1 << 63) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = 0
+        for s in batch[col].to_pylist():
+            x ^= md5_low64(s) & MASK
+        return pa.table(
+            {"x": pa.array([x], pa.int64()),
+             "n": pa.array([batch.num_rows], pa.int64())}
+        )
+
+    parts = (
+        read_parquet_clean(path, columns=[col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cksum = 0
+    for v in parts["x"].tolist():
+        cksum ^= int(v)
+    return {"n_rows": int(parts["n"].sum()), "checksum63": cksum}
