@@ -78,3 +78,47 @@ def test_no_hot_keys_is_plain_join(ray_session):
         hot_threshold=10_000, n_salt=4, num_partitions=4,
     ).to_pandas()
     assert len(got) == 5000  # every fact key 1..49 matches build
+
+
+def test_table_diff_randomized(ray_session):
+    """table_diff vs a pandas-computed expectation over random versions."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.pipelines.curate import table_diff
+
+    rng = np.random.default_rng(11)
+    base_keys = np.arange(0, 400)
+    removed = set(rng.choice(base_keys, 40, replace=False).tolist())
+    changed = set(
+        rng.choice([k for k in base_keys if k not in removed], 60,
+                   replace=False).tolist()
+    )
+    added = set(range(1000, 1030))
+
+    a = pa.table(
+        {
+            "id": pa.array(base_keys, pa.int64()),
+            "v": pa.array(base_keys * 10, pa.int64()),
+        }
+    )
+    b_keys = [k for k in base_keys if k not in removed] + sorted(added)
+    b_vals = [k * 10 + (7 if k in changed else 0) for k in b_keys]
+    b = pa.table(
+        {
+            "id": pa.array(b_keys, pa.int64()),
+            "v": pa.array(b_vals, pa.int64()),
+        }
+    )
+    out = (
+        table_diff(rd.from_arrow(a), rd.from_arrow(b), "id", "v",
+                   num_partitions=4)
+        .to_pandas()
+        .set_index("key")["change_type"]
+    )
+    for k in base_keys:
+        want = ("removed" if k in removed
+                else "changed" if k in changed else "unchanged")
+        assert out[k] == want, (k, out[k], want)
+    for k in added:
+        assert out[k] == "added"
+    assert len(out) == len(base_keys) + len(added)
