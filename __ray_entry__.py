@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": ann.knn_classify,                             # kNN majority-vote classification
         "click_attribution": relational.click_attribution,            # stream-stream windowed join
         "dup_triangles": docs_dedup.dup_triangles,                    # dup-graph triangle census
+        "dup_kcore": docs_dedup.dup_kcore,                            # rows-only (k-core peeling; NumPy-oracle pytest)
         "event_type_cooccurrence": relational.event_type_cooccurrence,  # itemset-2 co-occurrence (bitmask)
         "profile_tables": relational.profile_tables,                  # data-quality profiling census
         "lang_confusion": text_analysis.lang_confusion,               # declared-vs-predicted lang census

@@ -1212,3 +1212,16 @@ def dup_triangles(sf_dir: str, cfg: NDDConfig | None = None,
             "n_triangles": int(n_tri),
         }]
     )
+
+
+def dup_kcore(sf_dir: str, cfg: NDDConfig | None = None):
+    """Core numbers of the verified near-dup pair graph — the density grade
+    of each duplicated document's neighborhood (see
+    ``stages/cluster.kcore_decomposition``; a k-clique of templated docs is
+    a (k-1)-core, a drift chain is a 1-core).  Iterative peeling fixpoint —
+    non-SQL-expressible, pinned against the NumPy peeling oracle in
+    tests/test_kcore.py.  Returns ``node, core``."""
+    from ..stages.cluster import kcore_decomposition
+
+    pairs = near_dup_pairs_docs(sf_dir, cfg).select_columns(["a", "b"])
+    return kcore_decomposition(pairs)

@@ -233,3 +233,89 @@ def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):
     return key_partitioned(cur.union(tagged_nodes), ["u"]).map_batches(
         resolve_block, batch_format="pandas", batch_size=None
     )
+
+
+def kcore_decomposition(edges, max_rounds: int = 100):
+    """K-CORE DECOMPOSITION by iterative peeling: assign every vertex of the
+    (a, b) edge Dataset its core number — the largest k such that the vertex
+    survives repeatedly deleting all vertices of degree < k.  Core numbers
+    grade dup-graph density finer than components (a 10-clique is a 9-core;
+    a chain is a 1-core), flagging template-explosion neighborhoods that
+    union-find alone cannot see.
+
+    Distributed shape per peel round: degrees = one vectorized per-block
+    count partial + tiny combine (degree table rows = surviving vertices,
+    never edges); survivors broadcast as a ``pc.is_in`` mask that filters
+    the edge Dataset — edges stream through every round, the driver only
+    ever holds per-vertex degree partials.  Rounds are bounded by the
+    degeneracy (<= max core), not the vertex count.  Returns a Dataset
+    ``(node, core)``.
+
+    Non-SQL-expressible (iterative fixpoint per k); pinned against a
+    from-scratch NumPy peeling oracle in tests/test_kcore.py.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..state.partitioning import materialize_clean
+
+    edges = materialize_clean(edges)
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.schema([("node", pa.int64()), ("core", pa.int64())]).empty_table()
+        )
+
+    def degree_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        nodes = np.concatenate(
+            [t["a"].to_numpy(zero_copy_only=False),
+             t["b"].to_numpy(zero_copy_only=False)]
+        ).astype(np.int64)
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "d": pa.array(c, pa.int64())}
+        )
+
+    def degrees(es) -> "pd.DataFrame":
+        parts = es.map_batches(degree_partial, batch_format="pyarrow").to_pandas()
+        return parts.groupby("node")["d"].sum()
+
+    core: dict[int, int] = {}
+    cur = edges
+    k = 1
+    for _ in range(max_rounds):
+        deg = degrees(cur)
+        if deg.empty:
+            break
+        # peel everything below k until stable, then k is done
+        low = deg[deg < k]
+        if low.empty:
+            # all survivors have degree >= k: record provisional core k
+            for n in deg.index:
+                core[int(n)] = k
+            k += 1
+            continue
+        survivors = pa.array(deg[deg >= k].index.to_numpy(np.int64), pa.int64())
+        surv_ref = ray.put(survivors)
+
+        def keep(t: pa.Table, _s=surv_ref) -> pa.Table:
+            s = ray.get(_s)
+            m = pc.and_(
+                pc.is_in(pc.cast(t["a"], pa.int64()), value_set=s),
+                pc.is_in(pc.cast(t["b"], pa.int64()), value_set=s),
+            )
+            return t.filter(m)
+
+        cur = materialize_clean(cur.map_batches(keep, batch_format="pyarrow"))
+        if cur.count() == 0:
+            break
+
+    rows = [{"node": n, "core": c} for n, c in sorted(core.items())]
+    return rd.from_items(rows) if rows else rd.from_arrow(
+        pa.schema([("node", pa.int64()), ("core", pa.int64())]).empty_table()
+    )

@@ -19,6 +19,7 @@ def test_inventory_consistency():
         "ann_lsh_topk",            # approximate ANN (recall pytest-pinned)
         "ann_pq_topk",             # PQ/ADC ANN (full-refine equality + recall pinned)
         "distinct_stats_hll",      # HLL sketch (merge determinism + error pinned)
+        "dup_kcore",               # iterative k-core peeling (NumPy-oracle pytest)
         "event_type_counts_cms",   # Count-Min sketch (overestimate/eps/merge pinned)
         "event_value_quantiles_sketch",  # mergeable sketch (error pytest-pinned)
         "media_cdc_dedup",         # rolling-hash CDC boundaries (NumPy-oracle pytest)
