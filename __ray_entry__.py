@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_hour_heatmap": relational.weekday_hour_heatmap,      # 7x24 temporal seasonality cells
         "user_features": relational.user_features,                    # per-user ML feature assembly
         "order_line_share": relational.order_line_share,              # percent-of-total window
+        "shipping_delay_histogram": relational.shipping_delay_histogram,  # fulfillment-latency census
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -1025,6 +1026,15 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS avg_value
             FROM fan
             GROUP BY window_start
+        """,
+        # fulfillment latency: exact day diff histogram over the orderkey join
+        "shipping_delay_histogram": """
+            SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) AS BIGINT)
+                       AS delay_days,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
         """,
         # percent-of-total window: each line's share of its order's revenue
         "order_line_share": """

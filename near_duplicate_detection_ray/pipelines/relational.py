@@ -4503,3 +4503,53 @@ def order_line_share(sf_dir: str, num_partitions: int | None = None):
               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]),
         ["l_orderkey"], num_partitions,
     ).map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def shipping_delay_histogram(sf_dir: str, num_partitions: int | None = None):
+    """FULFILLMENT-LATENCY distribution: exact day-difference between each
+    line item's ship date and its order's date, as an integer histogram —
+    the operational-latency census (how long orders wait) over a fact-fact
+    join.  One orderkey hash join (order side pruned to two columns), then
+    the bounded-domain day diff folds via the combiner pattern; day
+    arithmetic is exact int64 on both sides (``date_diff('day', ...)``).
+    """
+    if num_partitions is None:
+        from ..state.partitioning import default_partitions
+        num_partitions = default_partitions()
+    import ray.data as rd
+
+    from ..functions.groupagg import lowcard_groupagg
+    from ..state.partitioning import materialize_clean
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    out_schema = pa.schema([("delay_days", pa.int64()), ("n_items", pa.int64())])
+    ord_m, li_m = materialize_clean(orders), materialize_clean(li)
+    if ord_m.count() == 0 or li_m.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    joined = li_m.join(
+        ord_m,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    DAY = np.int64(86_400_000_000)
+
+    def diff(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table(
+            {"delay_days": pa.array(sd // DAY - od // DAY, pa.int64())}
+        )
+
+    return lowcard_groupagg(
+        joined.map_batches(diff, batch_format="pyarrow"),
+        ["delay_days"], [([], "count_all")], {"count_all": "n_items"},
+    )

@@ -35,6 +35,7 @@ NEW_QUERIES = [
     "encode_docs",
     "order_line_share",
     "upsert_diff",
+    "shipping_delay_histogram",
 ]
 
 
