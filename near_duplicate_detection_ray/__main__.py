@@ -132,6 +132,14 @@ def cmd_update(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_report(args: argparse.Namespace) -> int:
+    """Print the per-stage checkpoint manifest report (pure metadata)."""
+    from .stages.checkpoint import pipeline_report
+
+    print(json.dumps(pipeline_report(args.checkpoints), indent=2))
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Small-file compaction (streaming read -> repartition -> write)."""
     import ray
@@ -190,6 +198,10 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--store", required=True, help="signature store root dir")
     pu.add_argument("--buckets", type=int, default=64)
     pu.set_defaults(fn=cmd_update)
+
+    prr = sub.add_parser("report", help="per-stage checkpoint manifest report")
+    prr.add_argument("--checkpoints", required=True)
+    prr.set_defaults(fn=cmd_report)
 
     pc_ = sub.add_parser("compact", help="compact small parquet files")
     pc_.add_argument("--src", required=True)

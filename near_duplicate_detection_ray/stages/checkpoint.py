@@ -245,3 +245,33 @@ def checkpointed_near_dup_pipeline(
         "clusters": clusters,
         "checkpointer": ckpt,
     }
+
+
+def pipeline_report(root: str) -> list[dict]:
+    """OBSERVABILITY: read every stage's ``_MANIFEST.json`` under ``root``
+    into one report — per-stage row counts, partition counts, wall seconds,
+    lineage hashes and upstream edges — the at-a-glance answer to "what did
+    the last run compute, what did it skip, and where did the time go"
+    (the reference answers this by eyeballing ``.done`` files per video
+    dir).  Pure metadata: never opens a data file.  Returns a list of
+    dicts sorted by stage name; the CLI ``report`` command prints it."""
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        mpath = os.path.join(root, name, MANIFEST_NAME)
+        if not os.path.exists(mpath):
+            continue
+        with open(mpath) as f:
+            m = json.load(f)
+        out.append(
+            {
+                "stage": m.get("stage", name),
+                "rows": m.get("row_count"),
+                "partitions": len(m.get("partitions", [])),
+                "wall_seconds": m.get("metrics", {}).get("wall_seconds"),
+                "stage_hash": m.get("stage_hash", "")[:12],
+                "upstream": sorted(m.get("upstream", {})),
+            }
+        )
+    return out

@@ -64,3 +64,31 @@ def test_compaction_overwrites_stale_target(ray_session, tmp_path):
     names = os.listdir(dst)
     assert "stale.parquet" not in names
     assert _sorted_df(dst).shape == (40, 2)
+
+
+def test_pipeline_report(ray_session, tmp_path):
+    """run the checkpointed flagship at tiny scale, then read the report."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.config import NDDConfig
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        checkpointed_near_dup_pipeline,
+    )
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+    from near_duplicate_detection_ray.stages.checkpoint import pipeline_report
+
+    root = str(tmp_path / "ckpt")
+    transcripts = transcripts_from_documents("/root/testdata/sf0.001")
+    checkpointed_near_dup_pipeline(
+        transcripts, root, NDDConfig(), input_token="sf0.001"
+    )
+    rep = pipeline_report(root)
+    assert rep, "no manifests found"
+    by_stage = {r["stage"]: r for r in rep}
+    assert "signatures" in by_stage or len(by_stage) >= 3
+    for r in rep:
+        assert r["rows"] is None or r["rows"] >= 0
+        assert r["partitions"] >= 1
+        assert isinstance(r["upstream"], list)
