@@ -2552,12 +2552,12 @@ def _oracle_sql_literal() -> dict[str, str]:
         # last-writer-wins on doc_id.
         "upsert_docs": """
             WITH upd AS (
-                SELECT doc_id, strlen(text) + 8 AS n_chars
+                SELECT doc_id, length(text) + 8 AS n_chars
                 FROM documents
                 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 20
             ), ins AS (
                 SELECT -(doc_id + 1) AS doc_id,
-                       strlen('NEW DOC ' || CAST(-(doc_id + 1) AS VARCHAR))
+                       length('NEW DOC ' || CAST(-(doc_id + 1) AS VARCHAR))
                            AS n_chars
                 FROM documents
                 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 5
@@ -2566,7 +2566,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT coalesce(c.doc_id, d.doc_id) AS doc_id,
                    CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS version,
-                   CAST(coalesce(c.n_chars, strlen(d.text)) AS BIGINT)
+                   CAST(coalesce(c.n_chars, length(d.text)) AS BIGINT)
                        AS n_chars
             FROM documents d FULL OUTER JOIN changes c ON d.doc_id = c.doc_id
         """,
@@ -2574,12 +2574,12 @@ def _oracle_sql_literal() -> dict[str, str]:
         # updated bodies grow by 8 bytes -> changed; new negative ids -> added
         "upsert_diff": """
             WITH upd AS (
-                SELECT doc_id, strlen(text) + 8 AS n_bytes
+                SELECT doc_id, length(text) + 8 AS n_bytes
                 FROM documents
                 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 20
             ), ins AS (
                 SELECT -(doc_id + 1) AS doc_id,
-                       strlen('NEW DOC ' || CAST(-(doc_id + 1) AS VARCHAR))
+                       length('NEW DOC ' || CAST(-(doc_id + 1) AS VARCHAR))
                            AS n_bytes
                 FROM documents
                 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 5
@@ -2587,14 +2587,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT * FROM upd UNION ALL SELECT * FROM ins
             ), merged AS (
                 SELECT coalesce(c.doc_id, d.doc_id) AS doc_id,
-                       coalesce(c.n_bytes, strlen(d.text)) AS n_bytes
+                       coalesce(c.n_bytes, length(d.text)) AS n_bytes
                 FROM documents d FULL OUTER JOIN changes c
                   ON d.doc_id = c.doc_id
             ), diff AS (
                 SELECT CASE
                          WHEN d.doc_id IS NULL THEN 'added'
                          WHEN m.doc_id IS NULL THEN 'removed'
-                         WHEN strlen(d.text) <> m.n_bytes THEN 'changed'
+                         WHEN length(d.text) <> m.n_bytes THEN 'changed'
                          ELSE 'unchanged'
                        END AS change_type
                 FROM documents d FULL OUTER JOIN merged m

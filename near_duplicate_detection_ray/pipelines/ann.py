@@ -301,9 +301,8 @@ def embedding_dup_pairs_lsh(
     at low thresholds (e.g. the 0.4 SQL contract) sign-LSH buckets cannot
     separate pairs from background and ``method='exact'`` is the right tool.
     """
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
     import ray.data as rd
 
@@ -795,6 +794,30 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
     )
 
 
+def _ivf_assign_batch(cents_ref):
+    """Shared cell-assignment kernel for index BUILD and UPSERT — one
+    definition so the two paths can never drift (probed-read equality
+    depends on upserted vectors landing in the same cells a rebuild would
+    choose)."""
+    import ray
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        cl = np.argmax(
+            _normalize_rows(_emb_matrix(batch)) @ cents.T, axis=1
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "cell": pa.array(cl, pa.int32()),
+                "cell_v": pa.array(cl, pa.int32()),
+            }
+        )
+
+    return assign
+
+
 def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 64,
                     seed: int = 42, kmeans_iters: int = 8,
                     train_sample: int = 4096) -> dict:
@@ -818,23 +841,8 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 64,
     centroids = _train_quantizer(sf_dir, n_centroids, kmeans_iters, seed,
                                  train_sample)
     cents_ref = ray.put(centroids)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        cents = ray.get(cents_ref)
-        cl = np.argmax(
-            _normalize_rows(_emb_matrix(batch)) @ cents.T, axis=1
-        ).astype(np.int32)
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"],
-                "embedding": batch["embedding"],
-                "cell": pa.array(cl, pa.int32()),
-                "cell_v": pa.array(cl, pa.int32()),
-            }
-        )
-
     ds = _read_emb(sf_dir, ["vec_id", "embedding"]).map_batches(
-        assign, batch_format="pyarrow"
+        _ivf_assign_batch(cents_ref), batch_format="pyarrow"
     )
     vec_dir = os.path.join(index_dir, "vectors")
     # a rebuild must not mix stale cells with new ones: write_parquet APPENDS
@@ -1011,9 +1019,8 @@ def label_quality_join(sf_dir: str, num_partitions: int | None = None):
     clusters carry low-quality text.  Hash join on the id, then a
     low-cardinality label combine; the mean is exact-integer sums with one
     IEEE division."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     from ..functions.groupagg import lowcard_groupagg
     from ..sources.io import read_parquet_clean
     from ..state.partitioning import materialize_clean
@@ -1306,24 +1313,10 @@ def ivf_index_upsert(index_dir: str, vectors) -> dict:
     ]
     ivf_index_delete(index_dir, ids, _refresh_manifest=False)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        cents = ray.get(cents_ref)
-        cl = np.argmax(
-            _normalize_rows(_emb_matrix(batch)) @ cents.T, axis=1
-        ).astype(np.int32)
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"],
-                "embedding": batch["embedding"],
-                "cell": pa.array(cl, pa.int32()),
-                "cell_v": pa.array(cl, pa.int32()),
-            }
-        )
-
     vec_dir = os.path.join(index_dir, "vectors")
-    vectors.map_batches(assign, batch_format="pyarrow").write_parquet(
-        vec_dir, partition_cols=["cell"]
-    )
+    vectors.map_batches(
+        _ivf_assign_batch(cents_ref), batch_format="pyarrow"
+    ).write_parquet(vec_dir, partition_cols=["cell"])
     return _refresh_ivf_manifest(index_dir)
 
 
@@ -1338,16 +1331,21 @@ def ivf_index_delete(index_dir: str, vec_ids, _refresh_manifest: bool = True):
 
     import pyarrow.parquet as pq
 
-    want = set(int(v) for v in vec_ids)
+    want = np.asarray(sorted(set(int(v) for v in vec_ids)), dtype=np.int64)
     vec_dir = os.path.join(index_dir, "vectors")
     removed = 0
     for f in glob.glob(os.path.join(vec_dir, "cell=*", "*.parquet")):
-        t = pq.read_table(f)
-        mask = np.isin(
-            t["vec_id"].to_numpy(zero_copy_only=False), list(want)
+        # membership test against the id COLUMN only — the embedding payload
+        # (the bulk of the file) is read back solely for files that actually
+        # rewrite (review fix: full-file reads contradicted the touched-IO
+        # claim)
+        ids = pq.read_table(f, columns=["vec_id"])["vec_id"].to_numpy(
+            zero_copy_only=False
         )
+        mask = np.isin(ids, want)
         if not mask.any():
             continue
+        t = pq.read_table(f)
         keep = t.filter(pa.array(~mask))
         removed += int(mask.sum())
         if keep.num_rows:

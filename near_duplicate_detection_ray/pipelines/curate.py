@@ -700,10 +700,19 @@ def table_diff(ds_a, ds_b, key: str, value_col: str,
         k, v, side = k[order], v[order], side[order]
         starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
         counts = np.diff(np.r_[starts, k.size])
-        # per key: sides present and value equality (keys are unique per side)
         has_a = side[starts] == 0
         ends = starts + counts - 1
         has_b = side[ends] == 1
+        # the classification below assumes each key appears AT MOST ONCE per
+        # side; duplicated keys would silently misclassify, so fail loudly
+        # (review fix) — dedup the inputs first if versions can repeat keys
+        bad = (counts > 2) | ((counts == 2) & (side[starts] == side[ends]))
+        if bad.any():
+            dupk = k[starts][bad][:5].tolist()
+            raise ValueError(
+                "table_diff requires unique keys per side; duplicated keys "
+                f"found (first few: {dupk})"
+            )
         changed = (counts == 2) & (v[starts] != v[ends])
         cls = np.where(
             counts == 2,
@@ -730,13 +739,17 @@ def upsert_diff(sf_dir: str, upd_pct: int = 20, ins_pct: int = 5):
     from ..functions.groupagg import lowcard_groupagg
     from ..sources.io import read_parquet_clean
 
+    # CHARACTER lengths on both sides: upsert_docs emits n_chars =
+    # utf8_length (and the SQL oracle uses length()), so the base side must
+    # count characters too — binary_length would misclassify any non-ASCII
+    # doc as 'changed' (review fix)
     base = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
         lambda t: pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_bytes": pc.cast(pc.binary_length(t["text"]), pa.int64()),
+                "n_bytes": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
             }
         ),
         batch_format="pyarrow",

@@ -1142,9 +1142,8 @@ def dup_triangles(sf_dir: str, cfg: NDDConfig | None = None,
     set, never a driver set.  Output: one row ``n_edges, n_wedges,
     n_triangles``.
     """
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray.data as rd
 
     from ..state.partitioning import key_partitioned, materialize_clean

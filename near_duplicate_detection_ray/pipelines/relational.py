@@ -138,9 +138,8 @@ def nation_revenue(sf_dir: str, num_partitions: int | None = None):
     """Revenue per nation: orders JOIN customer (hash join on the large keys)
     with the tiny nation table BROADCAST via ray.put (J3 — no shuffle for the
     small side); final rollup via map-side combine."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
 
     nmap_ref = _nation_lut_ref(sf_dir)
@@ -173,9 +172,8 @@ def nation_revenue(sf_dir: str, num_partitions: int | None = None):
 def shipped_within_90d(sf_dir: str, num_partitions: int | None = None):
     """Keyed interval join (J1 analogue): lineitems shipped within
     [o_orderdate, o_orderdate + 90 days), counted per order status."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     joined = items.join(
@@ -461,9 +459,8 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     order differs between engines, integer sums are exact — the SQL oracle
     sums the identical casts.  Ties are broken (revenue desc, o_orderdate
     asc, l_orderkey asc), so top-k is deterministic."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
 
     cutoff_d = np.datetime64(cutoff)
@@ -549,9 +546,8 @@ def large_quantity_orders(sf_dir: str, threshold: int = 300, k: int = 10,
     post-HAVING key set is tiny (~0.1% of orders at threshold 300), so the
     join chain runs at small ``num_partitions``; a materialize_clean barrier
     scrubs the sparse-join empty-block footgun between the two joins."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     from ..functions.groupagg import highcard_groupagg
     from ..state.partitioning import materialize_clean
 
@@ -776,9 +772,8 @@ def nation_yearly_rollup(sf_dir: str, num_partitions: int | None = None):
     instead of SQL ROLLUP NULLs so hashing is dtype-stable.  Revenue is
     summed in integer cents: re-aggregating rounded floats would drift at
     the last ULP, integers re-aggregate exactly at every level."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
 
     nmap_ref = _nation_lut_ref(sf_dir)
@@ -849,9 +844,8 @@ def brand_revenue(sf_dir: str, num_partitions: int | None = None):
     broadcast, so it takes a real hash join, followed by the combiner
     rollup onto the small brand key.  Revenue in integer 1e-4 units
     (price-cents x (100 - discount-cents)) so both engines sum exactly."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     items = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
     parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     joined = items.join(
@@ -891,9 +885,8 @@ def region_revenue(sf_dir: str, num_partitions: int | None = None):
     Exercises the last otherwise-unused table (region) and the snowflake-
     dimension-collapse pattern: pre-join the dimension chain driver-side,
     broadcast the collapsed map once."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
@@ -1201,9 +1194,8 @@ def customer_order_histogram(sf_dir: str, num_partitions: int | None = None):
     scalars (total customers - customers with orders) — the zero-fill side
     of a left join costs two counts instead of shuffling the whole customer
     table."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray.data as rd
 
     from ..functions.groupagg import highcard_groupagg
@@ -1253,9 +1245,8 @@ def brand_supplier_counts(sf_dir: str, num_partitions: int | None = None):
     counts-per-brand rollup via the map-side combiner.  The brand arrives
     by hash join with part (the medium dimension, same as
     ``brand_revenue``)."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     from ..functions.groupagg import highcard_groupagg
 
     items = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
@@ -1865,9 +1856,8 @@ def disjunctive_revenue(sf_dir: str, num_partitions: int | None = None):
     quantity envelope.  Revenue accumulates in exact integer 1e-4 units
     (price cents x (100 - discount cents)) so both engines sum identically
     in any order."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray.data as rd
 
     from ..state.partitioning import materialize_clean
@@ -2270,9 +2260,8 @@ def small_order_revenue(sf_dir: str, brand: str = "Brand#23",
     ``5*q*cnt < sum_qty`` is ``q < 0.2*avg`` with no float-boundary risk —
     the SQL oracle compares the identical integers) and combines per-block
     (count, revenue-cents) partials into one row."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
 
     from ..state.partitioning import distinct_values_ref, materialize_clean, semi_filter
@@ -2656,9 +2645,8 @@ def promo_revenue(sf_dir: str, year: int = 1997, num_partitions: int | None = No
     hash join as :func:`brand_revenue`; the two revenue sums are exact
     integer 1e-4 units folded by per-block partials, and only the FINAL
     ratio is floating point — one IEEE division, identical in SQL."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     items = _read(
         sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
@@ -2732,9 +2720,8 @@ def top_supplier(sf_dir: str, year: int = 1997, num_partitions: int | None = Non
     one vectorized equality filter, and the supplier names attached by a
     filter-pushdown read of the dimension (winner keys are the tie count —
     broadcast-trivial)."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
 
     from ..functions.groupagg import highcard_groupagg
@@ -2955,9 +2942,8 @@ def returned_customer_revenue(sf_dir: str, k: int = 20, num_partitions: int | No
     the small per-customer result joins the customer dim, nation names ride
     a broadcast lookup, and the top-k is bounded per-block partials — no
     full sort, no driver loop.  Revenue in exact integer 1e-4 units."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
 
     from ..functions.groupagg import global_topk, highcard_groupagg
@@ -3063,9 +3049,8 @@ def nation_pair_trade(sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2",
     carries cust_nation from a customer hash join pre-filtered to the two
     nations.  The final (supp, cust, year) aggregate is low-cardinality —
     Arrow combine partials, one tiny merge."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
 
     from ..functions.groupagg import lowcard_groupagg
@@ -3412,9 +3397,8 @@ def late_shipment_priority(sf_dir: str, num_partitions: int | None = None):
     lineitem side; the exists-filtered matches collapse to one row per
     order via an orderkey-keyed partial (min priority — unique per order),
     and the priority census is a low-cardinality combine."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     from ..functions.groupagg import highcard_groupagg, lowcard_groupagg
     from ..state.partitioning import materialize_clean
 
@@ -3616,9 +3600,8 @@ def nation_market_share(sf_dir: str, region: str = "ASIA", nation: str = "NATION
     ranked-distance normalization at the query edge; this operator carries
     the grouped-conditional-ratio semantics (A1/A2 family, SURVEY §2.5).
     """
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
     import ray.data as rd
 
@@ -3762,9 +3745,8 @@ def blame_suppliers(sf_dir: str, late_days: int = 90, k: int = 20,
     the reference's first-hit-per-(shot, video) dedup walk
     (``server_ndd.py:127-142``) inverted to a group-quantified predicate.
     """
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray.data as rd
 
     from ..functions.groupagg import global_topk, lowcard_groupagg
@@ -4211,9 +4193,8 @@ def part_best_supplier(sf_dir: str, size_min: int = 40, num_partitions: int | No
     of fact-scale rows against either dim).  Bounded top-k output ordered by
     (s_acctbal DESC, p_partkey ASC).
     """
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
     import ray.data as rd
 
@@ -4457,9 +4438,8 @@ def order_line_share(sf_dir: str, num_partitions: int | None = None):
     identical IEEE division ``CAST(line_c4 AS DOUBLE) / CAST(order_c4 AS
     DOUBLE)`` in SQL, so the full fact-scale output hash-matches.
     """
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     from ..state.partitioning import key_partitioned
 
     out_schema = pa.schema(
@@ -4513,9 +4493,8 @@ def shipping_delay_histogram(sf_dir: str, num_partitions: int | None = None):
     the bounded-domain day diff folds via the combiner pattern; day
     arithmetic is exact int64 on both sides (``date_diff('day', ...)``).
     """
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray.data as rd
 
     from ..functions.groupagg import lowcard_groupagg

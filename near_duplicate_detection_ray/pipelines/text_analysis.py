@@ -1633,6 +1633,7 @@ def build_term_index(sf_dir: str, index_dir: str, n_buckets: int = 64) -> dict:
     manifest = {
         "n_docs": int(n_docs),
         "n_buckets": int(n_buckets),
+        "corpus_fingerprint": _corpus_fingerprint(sf_dir),
         "buckets_written": sorted(
             int(d.split("=", 1)[1]) for d in os.listdir(post_dir)
             if d.startswith("bucket=")
@@ -1641,6 +1642,22 @@ def build_term_index(sf_dir: str, index_dir: str, n_buckets: int = 64) -> dict:
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap source-identity token for index staleness checks: path + size +
+    mtime of the documents parquet (a content digest would re-read the
+    corpus the index exists to avoid)."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        raw = f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        raw = os.path.abspath(path)
+    return hashlib.md5(raw.encode()).hexdigest()
 
 
 def keyword_search_indexed(sf_dir: str, terms: tuple = ("spark", "window", "hash"),
@@ -1668,7 +1685,17 @@ def keyword_search_indexed(sf_dir: str, terms: tuple = ("spark", "window", "hash
         safe = sf_dir.strip("/").replace("/", "_")
         index_dir = f"/tmp/ndd_term_index/{safe}_{n_buckets}"
     man_path = os.path.join(index_dir, "manifest.json")
-    if not os.path.exists(man_path):
+    stale = True
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        stale = (
+            man.get("corpus_fingerprint") != _corpus_fingerprint(sf_dir)
+            or man.get("n_buckets") != n_buckets
+        )
+    if stale:
+        # missing OR built from different data/config: rebuild — a cached
+        # index must never silently serve results for a changed corpus
         build_term_index(sf_dir, index_dir, n_buckets=n_buckets)
     with open(man_path) as f:
         man = json.load(f)
@@ -1803,41 +1830,15 @@ def checksum_docs(sf_dir: str):
     exchange to prove a 100-TB table survived a copy, a compaction or a
     re-partition bit-for-bit, without moving any data.
 
-    XOR is commutative/associative, so per-block partials combine in any
-    order (repartition-invariant by construction); the per-doc hash is the
-    same ``md5_low64`` the SimHash basis uses (reference parity: the
-    client's upload md5, ``ndd/client_flask.py:98-103``), masked to 63 bits
-    so both engines stay in signed-int64 range.  SQL recomputes it with
-    ``bit_xor(md5_number_lower(text) & (2^63 - 1))``.
+    Thin wrapper over ``sources/io.parquet_checksum`` (the single home of
+    the md5/mask derivation; SQL parity documented there — the oracle
+    recomputes via ``bit_xor(md5_number_lower(text) & (2^63 - 1))``).
     """
     import ray.data as rd
 
-    from ..functions.hashing import md5_low64
+    from ..sources.io import parquet_checksum
 
-    MASK = (1 << 63) - 1
-
-    def partial(batch: pa.Table) -> pa.Table:
-        x = 0
-        for s in batch["text"].to_pylist():
-            x ^= md5_low64(s) & MASK
-        return pa.table(
-            {
-                "x": pa.array([x], pa.int64()),
-                "n": pa.array([batch.num_rows], pa.int64()),
-            }
-        )
-
-    parts = (
-        _read_docs(sf_dir, ["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
-    )
-    cksum = 0
-    for v in parts["x"].tolist():
-        cksum ^= int(v)
-    return rd.from_items(
-        [{"n_rows": int(parts["n"].sum()), "checksum63": cksum}]
-    )
+    return rd.from_items([parquet_checksum(f"{sf_dir}/documents.parquet", "text")])
 
 
 def encode_docs(sf_dir: str, vocab_size: int = 512):

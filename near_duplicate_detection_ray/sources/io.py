@@ -272,6 +272,13 @@ def compact_parquet_dir(src_dir: str, dst_dir: str,
 
     import ray.data as rd
 
+    if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
+        # the lazy read would re-execute over files this function deletes
+        raise ValueError(
+            "compact_parquet_dir: src and dst must differ (in-place "
+            "compaction would destroy the source mid-write); compact to a "
+            "sibling dir and swap afterwards"
+        )
     files_before = sum(
         1 for f in os.listdir(src_dir) if f.endswith(".parquet")
     )
@@ -280,8 +287,11 @@ def compact_parquet_dir(src_dir: str, dst_dir: str,
     n_blocks = max(1, -(-rows // target_rows_per_file))  # ceil
     tmp_dir = dst_dir.rstrip("/") + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    shutil.rmtree(dst_dir, ignore_errors=True)
+    # write the FULL new copy first; only then touch the destination — a
+    # crash mid-write leaves the previous destination intact (rename-last
+    # atomicity, same discipline as stages/checkpoint.py)
     ds.repartition(n_blocks).write_parquet(tmp_dir)
+    shutil.rmtree(dst_dir, ignore_errors=True)
     os.rename(tmp_dir, dst_dir)
     files_after = sum(
         1 for f in os.listdir(dst_dir) if f.endswith(".parquet")

@@ -235,7 +235,7 @@ def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):
     )
 
 
-def kcore_decomposition(edges, max_rounds: int = 100):
+def kcore_decomposition(edges, max_rounds: int = 10_000):
     """K-CORE DECOMPOSITION by iterative peeling: assign every vertex of the
     (a, b) edge Dataset its core number — the largest k such that the vertex
     survives repeatedly deleting all vertices of degree < k.  Core numbers
@@ -247,9 +247,11 @@ def kcore_decomposition(edges, max_rounds: int = 100):
     count partial + tiny combine (degree table rows = surviving vertices,
     never edges); survivors broadcast as a ``pc.is_in`` mask that filters
     the edge Dataset — edges stream through every round, the driver only
-    ever holds per-vertex degree partials.  Rounds are bounded by the
-    degeneracy (<= max core), not the vertex count.  Returns a Dataset
-    ``(node, core)``.
+    ever holds per-vertex degree partials.  Each round peels ONE cascade
+    wave, so the round count is bounded by the total number of peel waves
+    (a long chain peels two vertices per wave) — exhausting ``max_rounds``
+    before the fixpoint raises rather than returning silently-low core
+    numbers (review fix).  Returns a Dataset ``(node, core)``.
 
     Non-SQL-expressible (iterative fixpoint per k); pinned against a
     from-scratch NumPy peeling oracle in tests/test_kcore.py.
@@ -315,6 +317,14 @@ def kcore_decomposition(edges, max_rounds: int = 100):
         if cur.count() == 0:
             break
 
+    else:
+        deg = degrees(cur)
+        if not deg.empty:
+            raise RuntimeError(
+                f"kcore_decomposition did not converge in {max_rounds} "
+                f"rounds ({len(deg)} vertices still active at k={k}); "
+                "raise max_rounds"
+            )
     rows = [{"node": n, "core": c} for n, c in sorted(core.items())]
     return rd.from_items(rows) if rows else rd.from_arrow(
         pa.schema([("node", pa.int64()), ("core", pa.int64())]).empty_table()

@@ -39,9 +39,8 @@ def _rep_block(df: pd.DataFrame) -> pa.Table:
 
 def exact_rep_map(conversations, num_partitions: int | None = None):
     """conversations -> (conv_id, rep_id): one keyed shuffle on fingerprint."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     parts = key_partitioned(
         conversations.select_columns(["conv_id", "fingerprint"]),
         ["fingerprint"],
@@ -53,9 +52,8 @@ def exact_rep_map(conversations, num_partitions: int | None = None):
 def representatives(conversations, rep_map, num_partitions: int | None = None):
     """Filter conversations to fingerprint representatives (conv_id == rep_id)
     via a hash join on conv_id."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     reps_only = rep_map.map_batches(
         lambda t: t.filter(pc.equal(t["conv_id"], t["rep_id"])).select(["conv_id"]),
         batch_format="pyarrow",
@@ -77,9 +75,8 @@ def annotate_reps(conversations, num_partitions: int | None = None):
 
     both as cheap narrow ops over this single dataset — replaces the previous
     exact_rep_map + hash-join flow (one fewer shuffle, one fewer join)."""
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import pandas as pd
 
     schema = pa.schema(

@@ -23,35 +23,35 @@ import pyarrow.compute as pc
 
 
 def hot_keys(ds, key: str, threshold: int) -> list:
-    """Keys whose total row count exceeds ``threshold``: per-block count
-    partials (map-side combine) -> one tiny driver merge.  The partial table
-    is at most (distinct keys per block) rows — for a genuinely hot key
-    that's ~1 row per block, never the data itself."""
+    """Keys whose total row count exceeds ``threshold`` — EXACT: per-block
+    count partials (map-side combine, <= distinct-keys-per-block rows each),
+    then ONE keyed combine over the partials and a filter; only the
+    surviving hot keys (a handful by construction) reach the driver.  The
+    partial shuffle is skew-proof: a hot key contributes at most one row
+    per block to its combine partition.  Key values keep their native
+    Arrow type (ints, strings, binaries all work)."""
+    from ..functions.groupagg import highcard_groupagg
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
-            return pa.table(
-                {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
-            )
+            return None
         g = t.select([key]).group_by([key]).aggregate([([], "count_all")])
-        # keep only plausibly-hot partials: a key hot overall must have at
-        # least threshold / n_blocks rows in SOME block; keeping everything
-        # is also correct but ships the whole key set for high-cardinality
-        # keys.  We keep counts >= 2 as a pragmatic floor.
-        keep = pc.greater_equal(g["count_all"], pa.scalar(2))
-        g = g.filter(keep)
-        return pa.table(
-            {
-                "k": pc.cast(g[key], pa.int64()),
-                "n": pc.cast(g["count_all"], pa.int64()),
-            }
-        )
+        return g.rename_columns([key, "n"])
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return []
-    totals = parts.groupby("k")["n"].sum()
-    return sorted(int(k) for k in totals[totals > threshold].index)
+    def partial_or_empty(t: pa.Table) -> pa.Table:
+        out = partial(t)
+        if out is None:
+            return pa.table(
+                {key: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        return out
+
+    counts = highcard_groupagg(
+        ds.map_batches(partial_or_empty, batch_format="pyarrow"),
+        [key], [("n", "sum")], {"n_sum": "n"},
+    )
+    hot = counts.filter(lambda row: row["n"] > threshold).to_pandas()
+    return sorted(hot[key].tolist()) if not hot.empty else []
 
 
 def salted_join(fact, build, key: str, right_key: str | None = None,
@@ -77,30 +77,38 @@ def salted_join(fact, build, key: str, right_key: str | None = None,
 
     fact = materialize_clean(fact)
     hot = hot_keys(fact, key, hot_threshold)
-    hot_arr = pa.array(hot, pa.int64())
-    hot_ref = ray.put(hot_arr)
+    hot_ref = ray.put(hot)
+
+    def _hot_set(t: pa.Table, col: str):
+        vals = ray.get(hot_ref)
+        if not vals:
+            return None
+        return pa.array(vals, type=t[col].type)
 
     def salt_fact(t: pa.Table) -> pa.Table:
-        k = pc.cast(t[key], pa.int64())
-        is_hot = pc.is_in(k, value_set=ray.get(hot_ref)).to_numpy(
-            zero_copy_only=False
-        )
-        # per-row deterministic spread: hash the row position + key so hot
-        # rows fan out uniformly; cold rows keep salt 0
-        kk = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+        hs = _hot_set(t, key)
+        if hs is None:
+            salt = np.zeros(t.num_rows, dtype=np.int64)
+            return t.append_column("__salt", pa.array(salt, pa.int64()))
+        is_hot = pc.is_in(t[key], value_set=hs).to_numpy(zero_copy_only=False)
+        # per-row deterministic spread: row position hashed so hot rows fan
+        # out uniformly regardless of key type; cold rows keep salt 0
         rowpos = np.arange(t.num_rows, dtype=np.uint64)
-        salt = (splitmix64(kk * np.uint64(0x9E3779B97F4A7C15) + rowpos)
-                % np.uint64(n_salt)).astype(np.int64)
+        salt = (splitmix64(rowpos) % np.uint64(n_salt)).astype(np.int64)
         salt[~is_hot] = 0
         return t.append_column("__salt", pa.array(salt, pa.int64()))
 
     def replicate_build(t: pa.Table) -> pa.Table:
-        k = pc.cast(t[right_key], pa.int64())
-        is_hot = pc.is_in(k, value_set=ray.get(hot_ref)).to_numpy(
+        hs = _hot_set(t, right_key)
+        if hs is None:
+            return t.append_column(
+                "__salt", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            )
+        is_hot = pc.is_in(t[right_key], value_set=hs).to_numpy(
             zero_copy_only=False
         )
         cold = t.filter(pa.array(~is_hot)).append_column(
-            "__salt", pa.array(np.zeros((~is_hot).sum(), np.int64), pa.int64())
+            "__salt", pa.array(np.zeros(int((~is_hot).sum()), np.int64), pa.int64())
         )
         hot_rows = t.filter(pa.array(is_hot))
         if hot_rows.num_rows == 0:

@@ -210,9 +210,8 @@ def substring_pairs(
     chaining 4 joins in one graph over-subscribes aggregator actors on small
     clusters, and the survivor set is tiny by construction.
     """
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     import ray
 
     cfg = cfg or NDDConfig()

@@ -153,9 +153,8 @@ def verify_pairs(pairs, signatures, cfg: NDDConfig | None = None, concurrency=No
     Autoscaling (1, N) actor pool — min=1 so the stage can always make
     progress next to the join's aggregator actors on small clusters.
     """
-    if num_partitions is None:
-        from ..state.partitioning import default_partitions
-        num_partitions = default_partitions()
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
     if concurrency is None:
         import ray
 

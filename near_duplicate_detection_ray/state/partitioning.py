@@ -49,6 +49,13 @@ def default_partitions(scale: int = 1, floor: int = 4) -> int:
     return max(floor, cpus * scale)
 
 
+def resolve_partitions(num_partitions: int | None) -> int:
+    """``num_partitions or default_partitions()`` as one shared helper —
+    operator signatures default to ``None`` so shuffle width follows the
+    cluster instead of a hardcoded constant."""
+    return num_partitions or default_partitions()
+
+
 def key_partitioned(ds, keys: list[str], num_partitions: int | None = None):
     """Hash-partition ``ds`` so every distinct key tuple lands in exactly one
     block; follow with ``map_batches(fn, batch_size=None)`` for vectorized

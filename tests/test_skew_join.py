@@ -122,3 +122,43 @@ def test_table_diff_randomized(ray_session):
     for k in added:
         assert out[k] == "added"
     assert len(out) == len(base_keys) + len(added)
+
+
+def test_salted_join_string_keys(ray_session):
+    """string keys (the 'boilerplate fingerprint' case) work end to end."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.stages.skewjoin import salted_join
+
+    rng = np.random.default_rng(5)
+    keys = np.where(rng.random(2000) < 0.7, "HOT", rng.integers(0, 9, 2000).astype(str))
+    fact = pa.table({"k": pa.array(keys.tolist(), pa.string()),
+                     "x": pa.array(np.arange(2000), pa.int64())})
+    build = pa.table({"bk": pa.array(["HOT"] + [str(i) for i in range(9)], pa.string()),
+                      "label": pa.array([f"l{i}" for i in range(10)], pa.string())})
+    got = salted_join(
+        rd.from_arrow(fact), rd.from_arrow(build), "k", right_key="bk",
+        hot_threshold=500, n_salt=4, num_partitions=4,
+    ).to_pandas()
+    want = (
+        rd.from_arrow(fact)
+        .join(rd.from_arrow(build), join_type="inner", num_partitions=4,
+              on=("k",), right_on=("bk",))
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_table_diff_rejects_duplicate_keys(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.pipelines.curate import table_diff
+
+    a = pa.table({"id": pa.array([1, 1, 2], pa.int64()),
+                  "v": pa.array([10, 11, 20], pa.int64())})
+    b = pa.table({"id": pa.array([2], pa.int64()),
+                  "v": pa.array([20], pa.int64())})
+    with pytest.raises(Exception, match="unique keys"):
+        table_diff(rd.from_arrow(a), rd.from_arrow(b), "id", "v",
+                   num_partitions=2).to_pandas()
