@@ -132,6 +132,50 @@ def cmd_update(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_exec(args: argparse.Namespace) -> int:
+    """Run any registered driver-contract query by name over an sf_dir and
+    write the result as parquet (or print row count with --dry-run) — every
+    operator in ``queries()`` becomes user-invocable from the CLI."""
+    import importlib.util
+    import os
+
+    import ray
+
+    entry_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__ray_entry__.py",
+    )
+    spec = importlib.util.spec_from_file_location("__ray_entry__", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    _init_ray()
+    qs = entry.queries()
+    if args.query not in qs:
+        print(json.dumps({"error": f"unknown query {args.query!r}",
+                          "available": sorted(qs)}))
+        return 2
+    res = qs[args.query](args.sf_dir)
+    if not hasattr(res, "write_parquet"):
+        # a few queries return pandas DataFrames / Arrow tables directly
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        if isinstance(res, pd.DataFrame):
+            res = rd.from_pandas(res)
+        elif isinstance(res, pa.Table):
+            res = rd.from_arrow(res)
+    if args.dry_run or args.output is None:
+        n = res.count() if hasattr(res, "count") else len(res)
+        print(json.dumps({"query": args.query, "rows": int(n)}))
+    else:
+        res.write_parquet(args.output)
+        print(json.dumps({"query": args.query, "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_report(args: argparse.Namespace) -> int:
     """Print the per-stage checkpoint manifest report (pure metadata)."""
     from .stages.checkpoint import pipeline_report
@@ -198,6 +242,13 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--store", required=True, help="signature store root dir")
     pu.add_argument("--buckets", type=int, default=64)
     pu.set_defaults(fn=cmd_update)
+
+    pe = sub.add_parser("exec", help="run a registered query over an sf_dir")
+    pe.add_argument("--query", required=True)
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pe.add_argument("--output", default=None, help="parquet output dir")
+    pe.add_argument("--dry-run", action="store_true")
+    pe.set_defaults(fn=cmd_exec)
 
     prr = sub.add_parser("report", help="per-stage checkpoint manifest report")
     prr.add_argument("--checkpoints", required=True)
