@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_features": relational.user_features,                    # per-user ML feature assembly
         "order_line_share": relational.order_line_share,              # percent-of-total window
         "shipping_delay_histogram": relational.shipping_delay_histogram,  # fulfillment-latency census
+        "revenue_concentration": relational.revenue_concentration,    # top-k customer revenue share
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -1026,6 +1027,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS avg_value
             FROM fan
             GROUP BY window_start
+        """,
+        # Pareto census: top-10 customers' share of total revenue (exact
+        # cents, one IEEE division)
+        "revenue_concentration": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS rev_c
+              FROM orders GROUP BY o_custkey
+            ), top AS (
+              SELECT rev_c FROM per_cust
+              ORDER BY rev_c DESC, o_custkey ASC LIMIT 10
+            )
+            SELECT CAST((SELECT sum(rev_c) FROM top) AS BIGINT)
+                       AS topk_rev_c,
+                   CAST((SELECT sum(rev_c) FROM per_cust) AS BIGINT)
+                       AS total_rev_c,
+                   CAST((SELECT sum(rev_c) FROM top) AS DOUBLE)
+                       / CAST((SELECT sum(rev_c) FROM per_cust) AS DOUBLE)
+                       AS topk_share
         """,
         # fulfillment latency: exact day diff histogram over the orderkey join
         "shipping_delay_histogram": """

@@ -4532,3 +4532,61 @@ def shipping_delay_histogram(sf_dir: str, num_partitions: int | None = None):
         joined.map_batches(diff, batch_format="pyarrow"),
         ["delay_days"], [([], "count_all")], {"count_all": "n_items"},
     )
+
+
+def revenue_concentration(sf_dir: str, k: int = 10):
+    """REVENUE CONCENTRATION: the share of total revenue held by the top-``k``
+    customers — the Pareto/concentration census (how dependent is the
+    business on its biggest accounts).  Per-customer exact 1e-4-unit revenue
+    folds through one custkey-keyed combine; the top-k rides bounded
+    per-block partials; total revenue is a one-row combiner sum.  Output is
+    a single row (top-k cents, total cents, one IEEE division) — identical
+    expression in SQL.
+    """
+    import ray.data as rd
+
+    from ..functions.groupagg import global_topk, highcard_groupagg, lowcard_groupagg
+    from ..state.partitioning import materialize_clean
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+             "c": pa.array(c, pa.int64())}
+        )
+
+    per_cust = materialize_clean(
+        highcard_groupagg(
+            orders.map_batches(cents, batch_format="pyarrow"),
+            ["o_custkey"], [("c", "sum")], {"c_sum": "rev_c"},
+        )
+    )
+    if per_cust.count() == 0:
+        return rd.from_items([])
+    top = global_topk(per_cust, ["rev_c", "o_custkey"], [True, False], k).to_pandas()
+    total = int(
+        lowcard_groupagg(
+            per_cust.map_batches(
+                lambda t: pa.table(
+                    {"g": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                     "rev_c": t["rev_c"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["g"], [("rev_c", "sum")], {"rev_c_sum": "s"},
+        )
+        .to_pandas()["s"]
+        .iloc[0]
+    )
+    topk_c = int(top["rev_c"].sum())
+    return rd.from_items(
+        [{
+            "topk_rev_c": topk_c,
+            "total_rev_c": total,
+            "topk_share": float(topk_c) / float(total),
+        }]
+    )

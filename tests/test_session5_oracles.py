@@ -36,6 +36,7 @@ NEW_QUERIES = [
     "order_line_share",
     "upsert_diff",
     "shipping_delay_histogram",
+    "revenue_concentration",
 ]
 
 
