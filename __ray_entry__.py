@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_line_share": relational.order_line_share,              # percent-of-total window
         "shipping_delay_histogram": relational.shipping_delay_histogram,  # fulfillment-latency census
         "revenue_concentration": relational.revenue_concentration,    # top-k customer revenue share
+        "order_status_census": relational.order_status_census,         # status x priority totals
+        "hourly_error_rate": relational.hourly_error_rate,             # per-hour conditional ratio
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -1027,6 +1029,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS avg_value
             FROM fan
             GROUP BY window_start
+        """,
+        # status x priority census with exact-cent totals
+        "order_status_census": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS total_c
+            FROM orders GROUP BY 1, 2
+        """,
+        # per-hour error rate: two exact counts, one IEEE division per row
+        "hourly_error_rate": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')
+                       AS BIGINT) AS n_errors,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')
+                       AS DOUBLE) / CAST(count(*) AS DOUBLE) AS error_rate
+            FROM events GROUP BY 1
         """,
         # Pareto census: top-10 customers' share of total revenue (exact
         # cents, one IEEE division)

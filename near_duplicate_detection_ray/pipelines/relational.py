@@ -4590,3 +4590,69 @@ def revenue_concentration(sf_dir: str, k: int = 10):
             "topk_share": float(topk_c) / float(total),
         }]
     )
+
+
+def order_status_census(sf_dir: str):
+    """Status x priority census of the orders fact with exact-cent value
+    totals — the low-cardinality two-key combine over columns
+    (``o_orderstatus``) no other query exercises."""
+    from ..functions.groupagg import lowcard_groupagg
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    return lowcard_groupagg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        [([], "count_all"), ("c", "sum")],
+        {"count_all": "n_orders", "c_sum": "total_c"},
+    )
+
+
+def hourly_error_rate(sf_dir: str):
+    """Per-hour ERROR-RATE series: error events over total events per hour
+    bucket — the conditional-ratio-per-group shape (a per-row IEEE division
+    over two exact integer combiner sums), the SLO dashboard primitive."""
+    from ..functions.groupagg import lowcard_groupagg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        err = pc.cast(
+            pc.equal(t["event_type"], pa.scalar("error")), pa.int64()
+        )
+        return pa.table({"hour": hour, "err": err})
+
+    agg = lowcard_groupagg(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["hour"], [([], "count_all"), ("err", "sum")],
+        {"count_all": "n_events", "err_sum": "n_errors"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t["n_errors"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "hour": pc.cast(t["hour"], pa.timestamp("us")),
+                "n_events": pa.array(n, pa.int64()),
+                "n_errors": pa.array(e, pa.int64()),
+                "error_rate": pa.array(
+                    e.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -37,6 +37,8 @@ NEW_QUERIES = [
     "upsert_diff",
     "shipping_delay_histogram",
     "revenue_concentration",
+    "order_status_census",
+    "hourly_error_rate",
 ]
 
 
