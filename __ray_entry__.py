@@ -166,6 +166,12 @@ def _upsert_docs(sf_dir: str):
     return upsert_docs(sf_dir)
 
 
+def _split_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import split_docs
+
+    return split_docs(sf_dir)
+
+
 def _upsert_diff(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import upsert_diff
 
@@ -344,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs_fuzzy": _decontaminate_docs_fuzzy,  # SQL-checked (MinHash/LSH cross-split)
         "upsert_docs": _upsert_docs,                            # SQL-checked (MERGE last-writer-wins)
         "upsert_diff": _upsert_diff,                            # SQL-checked (table-diff census)
+        "split_docs": _split_docs,                              # SQL-checked (3-way hash split)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
@@ -2610,6 +2617,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(coalesce(c.n_chars, length(d.text)) AS BIGINT)
                        AS n_chars
             FROM documents d FULL OUTER JOIN changes c ON d.doc_id = c.doc_id
+        """,
+        # deterministic 3-way split by content-independent id hash
+        "split_docs": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80
+                        THEN 'train'
+                        WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         # table-diff census of the upsert merge vs the base (byte lengths):
         # updated bodies grow by 8 bytes -> changed; new negative ids -> added

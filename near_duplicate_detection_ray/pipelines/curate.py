@@ -771,3 +771,41 @@ def upsert_diff(sf_dir: str, upd_pct: int = 20, ins_pct: int = 5):
         diff.map_batches(strip, batch_format="pyarrow"),
         ["change_type"], [([], "count_all")], {"count_all": "n_docs"},
     )
+
+
+def split_docs(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
+    """DETERMINISTIC 3-WAY SPLIT manifest: every doc labeled train / val /
+    test by its content-independent id hash (``md5_low64(id) % 100`` —
+    the same family as the decontamination eval split, so split membership
+    is stable across runs, machines and partitionings).  Output:
+    ``doc_id, split`` — the assignment table every downstream trainer
+    joins against."""
+    import ray.data as rd
+
+    from ..sources.io import read_parquet_clean
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pct = np.fromiter(
+            (_md5_pct(int(d)) for d in ids), np.int64, len(ids)
+        )
+        split = np.where(
+            pct < train_pct, "train",
+            np.where(pct < train_pct + val_pct, "val", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
+def _md5_pct(doc_id: int) -> int:
+    from ..functions.hashing import md5_low64
+
+    return md5_low64(str(doc_id)) % 100

@@ -39,6 +39,7 @@ NEW_QUERIES = [
     "revenue_concentration",
     "order_status_census",
     "hourly_error_rate",
+    "split_docs",
 ]
 
 
