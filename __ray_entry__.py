@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_concentration": relational.revenue_concentration,    # top-k customer revenue share
         "order_status_census": relational.order_status_census,         # status x priority totals
         "hourly_error_rate": relational.hourly_error_rate,             # per-hour conditional ratio
+        "winsorize_events": relational.winsorize_events,               # p01/p99 clipping transform
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -1036,6 +1037,25 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS avg_value
             FROM fan
             GROUP BY window_start
+        """,
+        # winsorization: clip to quantile_disc [p01, p99], exact cents
+        "winsorize_events": """
+            WITH b AS (
+              SELECT CAST(round(quantile_disc(value, 0.01) * 100) AS BIGINT)
+                         AS lo_c,
+                     CAST(round(quantile_disc(value, 0.99) * 100) AS BIGINT)
+                         AS hi_c
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS value_c,
+                   least(greatest(CAST(round(value * 100) AS BIGINT), lo_c),
+                         hi_c) AS clipped_c,
+                   CAST(least(greatest(CAST(round(value * 100) AS BIGINT),
+                                       lo_c), hi_c)
+                        <> CAST(round(value * 100) AS BIGINT) AS BIGINT)
+                       AS was_clipped
+            FROM events, b
         """,
         # status x priority census with exact-cent totals
         "order_status_census": """

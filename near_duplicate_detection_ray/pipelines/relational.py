@@ -4656,3 +4656,57 @@ def hourly_error_rate(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def winsorize_events(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99):
+    """WINSORIZATION (robust preprocessing transform): clip every event's
+    value to the corpus-wide [p01, p99] order statistics — outliers saturate
+    instead of distorting downstream models.
+
+    Two streaming passes: (1) the domain-bounded cent histogram of
+    :func:`global_value_quantiles` yields the exact quantile_disc bounds
+    (lower element at ceil(q*n) — identical to DuckDB), broadcast as two
+    ints; (2) the clip is one vectorized ``np.clip`` on exact cents.
+    Output: ``event_id, value_c, clipped_c, was_clipped``.
+    """
+    import math
+
+    from ..functions.groupagg import highcard_groupagg
+
+    def hist_block(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table(
+            {"c": pa.array(u, pa.int64()), "n": pa.array(n, pa.int64())}
+        )
+
+    hist = highcard_groupagg(
+        _read(sf_dir, "events", ["value"]).map_batches(
+            hist_block, batch_format="pyarrow"
+        ),
+        ["c"], [("n", "sum")], {"n_sum": "n"},
+    )
+    df = hist.to_pandas().sort_values("c").reset_index(drop=True)
+    cum = df["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    cents = df["c"].to_numpy()
+    lo_c = int(cents[np.searchsorted(cum, max(1, math.ceil(lo_q * total)))])
+    hi_c = int(cents[np.searchsorted(cum, max(1, math.ceil(hi_q * total)))])
+
+    def clip(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        clipped = np.clip(c, lo_c, hi_c)
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "value_c": pa.array(c, pa.int64()),
+                "clipped_c": pa.array(clipped, pa.int64()),
+                "was_clipped": pa.array(
+                    (clipped != c).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        clip, batch_format="pyarrow"
+    )

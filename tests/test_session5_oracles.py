@@ -40,6 +40,7 @@ NEW_QUERIES = [
     "order_status_census",
     "hourly_error_rate",
     "split_docs",
+    "winsorize_events",
 ]
 
 
