@@ -67,6 +67,15 @@ def _cluster_size_histogram(sf_dir: str):
     )
 
 
+def _dup_pair_turn_overlap(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import dup_pair_turn_overlap
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return dup_pair_turn_overlap(transcripts_from_documents(sf_dir))
+
+
 def _ndd_dup_pairs(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -378,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndd_clusters": _ndd_clusters,
         "cluster_size_histogram": _cluster_size_histogram,
         "ndd_dup_pairs": _ndd_dup_pairs,
+        "dup_pair_turn_overlap": _dup_pair_turn_overlap,        # SQL-checked (per-pair turn overlap)
         "ndd_conversations": _assemble_transcripts,
     }
 
@@ -3072,6 +3082,37 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(n_tok AS INTEGER) AS n_tokens,
                    md5(doc_text) AS fingerprint
             FROM conv
+        """,
+        # per-dup-pair TURN overlap: distinct shared turn texts of the two
+        # conversations (same turn derivation as tool_usage, same pair set
+        # as ndd_dup_pairs); overlap = i / min(|A|, |B|), one IEEE division
+        "dup_pair_turn_overlap": "WITH " + _CONV_CTES + _REP_PAIR_CTES + """
+            , pairs AS (SELECT a, b FROM rjacc WHERE jaccard >= 0.8),
+            turnsx AS (
+                SELECT conv_id,
+                       string_agg(CASE WHEN is_m AND (i % 29 = 0)
+                                       THEN 'tok' || doc_id
+                                       ELSE tok END, ' ' ORDER BY i)
+                           AS turn_text
+                FROM exploded GROUP BY conv_id, doc_id, (i - 1) // 30
+            ), tset AS (SELECT DISTINCT conv_id, turn_text FROM turnsx),
+            sizes AS (SELECT conv_id, count(*) AS n FROM tset GROUP BY 1),
+            inter AS (
+                SELECT p.a, p.b, count(*) AS i
+                FROM pairs p
+                JOIN tset x ON x.conv_id = p.a
+                JOIN tset y ON y.conv_id = p.b AND y.turn_text = x.turn_text
+                GROUP BY p.a, p.b
+            )
+            SELECT p.a, p.b,
+                   CAST(coalesce(i.i, 0) AS BIGINT) AS n_shared_turns,
+                   sa.n AS n_turns_a, sb.n AS n_turns_b,
+                   CAST(coalesce(i.i, 0) AS DOUBLE)
+                       / CAST(least(sa.n, sb.n) AS DOUBLE) AS turn_overlap
+            FROM pairs p
+            JOIN sizes sa ON p.a = sa.conv_id
+            JOIN sizes sb ON p.b = sb.conv_id
+            LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
         """,
         "ndd_dup_pairs": "WITH " + _CONV_CTES + _REP_PAIR_CTES + """
             SELECT a, b, round(jaccard, 6) AS jaccard, 'minhash' AS method

@@ -413,3 +413,129 @@ def role_transitions(transcripts, num_partitions: int | None = None):
         [("n_transitions", "sum"), ("n_conv_part", "sum")],
         {"n_transitions_sum": "n_transitions", "n_conv_part_sum": "n_convs"},
     )
+
+
+def dup_pair_turn_overlap(transcripts, cfg: NDDConfig | None = None,
+                          num_partitions: int | None = None):
+    """DUP-PAIR DIAGNOSTICS at TURN granularity: for every flagship
+    (minhash-confirmed) dup pair, the number of exactly-shared distinct
+    turn texts and the overlap fraction ``|A ∩ B| / min(|A|, |B|)`` — the
+    per-pair explanation of WHERE the duplication lives (whole-transcript
+    copies score 1.0; paraphrased near-dups score low despite high shingle
+    Jaccard).
+
+    Shape: the flagship pipeline yields the bounded pair set; turn texts
+    hash to 64-bit ids and collapse to per-conversation packed SETS inside
+    one conv-keyed partition, semi-filtered to pair endpoints FIRST
+    (``pc.is_in`` off-driver set — turns of unpaired conversations never
+    shuffle); two hash joins attach both endpoints' sets and the
+    intersection sizes come from the same zero-copy lexsort kernel the
+    Verifier uses (``functions/similarity.batch_set_stats_arrow``).
+    Output: ``a, b, n_shared_turns, n_turns_a, n_turns_b, turn_overlap``.
+    """
+    import numpy as np
+
+    from ..functions.hashing import md5_low64
+    from ..functions.similarity import batch_set_stats_arrow
+    from ..state.partitioning import (
+        distinct_values_ref,
+        key_partitioned,
+        materialize_clean,
+        resolve_partitions,
+        semi_filter,
+    )
+
+    num_partitions = resolve_partitions(num_partitions)
+    res = near_dup_pipeline(transcripts, cfg, include_substring=False)
+    pairs = materialize_clean(
+        res["dup_pairs"]
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["method"], "minhash")).select(["a", "b"]),
+            batch_format="pyarrow",
+        )
+    )
+    out_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()),
+         ("n_shared_turns", pa.int64()), ("n_turns_a", pa.int64()),
+         ("n_turns_b", pa.int64()), ("turn_overlap", pa.float64())]
+    )
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+    ids_ref, _n = distinct_values_ref(pairs, ["a", "b"])
+
+    def turn_hashes(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (md5_low64(s) for s in t["text"].to_pylist()), np.uint64, t.num_rows
+        )
+        return pa.table(
+            {"conv_id": t["conv_id"],
+             "h": pa.array(h.view(np.int64), pa.int64())}
+        )
+
+    turns = semi_filter(
+        transcripts.select_columns(["conv_id", "text"]).map_batches(
+            turn_hashes, batch_format="pyarrow"
+        ),
+        "conv_id",
+        ids_ref,
+    )
+
+    def pack_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "tset": pa.array([], pa.binary())}
+            )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((h, conv))
+        conv, h = conv[order], h[order]
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        blobs, names = [], []
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < starts.size else conv.size
+            blobs.append(np.unique(h[s:e]).tobytes())
+            names.append(conv[s])
+        return pa.table(
+            {"conv_id": pa.array(names, pa.string()),
+             "tset": pa.array(blobs, pa.binary())}
+        )
+
+    tsets = materialize_clean(
+        key_partitioned(turns, ["conv_id"], num_partitions).map_batches(
+            pack_block, batch_format="pyarrow", batch_size=None
+        )
+    )
+    j = pairs.join(
+        tsets, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("conv_id",), right_suffix="_a",
+    ).rename_columns({"tset": "tset_a"})
+    j = materialize_clean(j)
+    j = j.join(
+        tsets, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("conv_id",), right_suffix="_b",
+    ).rename_columns({"tset": "tset_b"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        inter, na, nb = batch_set_stats_arrow(t["tset_a"], t["tset_b"])
+        mn = np.minimum(na, nb)
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "n_shared_turns": pa.array(inter.astype(np.int64), pa.int64()),
+                "n_turns_a": pa.array(na.astype(np.int64), pa.int64()),
+                "n_turns_b": pa.array(nb.astype(np.int64), pa.int64()),
+                "turn_overlap": pa.array(
+                    inter.astype(np.float64) / mn.astype(np.float64),
+                    pa.float64(),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -41,6 +41,7 @@ NEW_QUERIES = [
     "hourly_error_rate",
     "split_docs",
     "winsorize_events",
+    "dup_pair_turn_overlap",
 ]
 
 
