@@ -1546,6 +1546,60 @@ def bpe_merge_candidates(sf_dir: str, k: int = 20):
     return rd.from_pandas(df.reset_index(drop=True))
 
 
+class _PostingsBuilder:
+    """Actor-pool postings tokenizer shared by the full index build and
+    incremental :func:`term_index_upsert` (ONE tokenization definition, so
+    maintained indexes stay bit-compatible with rebuilds)."""
+
+    def __init__(self, n_buckets: int):
+        from ..functions.hashing import TokenHasher
+
+        self.n_buckets = n_buckets
+        self.hasher = TokenHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+                "bucket_v": pa.array([], pa.int32()),
+            }
+        )
+        if n == 0:
+            return empty
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        row_idx, _ = _token_row_index(toks, n)
+        flat = pc.list_flatten(toks).combine_chunks()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tbl = pa.table(
+            {
+                "term": flat,
+                "doc_id": pa.array(doc_ids[row_idx], pa.int64()),
+            }
+        ).filter(pc.not_equal(flat, pa.scalar("")))
+        if tbl.num_rows == 0:
+            return empty
+        agg = tbl.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+        terms_py = agg["term"].to_pylist()
+        # hash only the block's (already unique-per-doc) terms; the
+        # TokenHasher cache amortizes blake2b across the actor lifetime
+        h = self.hasher.hash_tokens(terms_py)
+        bucket = (h % np.uint64(self.n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "term": agg["term"],
+                "doc_id": pc.cast(agg["doc_id"], pa.int64()),
+                "tf": pc.cast(agg["count_all"], pa.int64()),
+                "bucket": pa.array(bucket, pa.int32()),
+                "bucket_v": pa.array(bucket, pa.int32()),
+            }
+        )
+
+
 def build_term_index(sf_dir: str, index_dir: str, n_buckets: int = 64) -> dict:
     """PERSISTED INVERTED INDEX: (term, doc_id, tf) postings written as
     parquet partitioned by ``bucket = blake2b64(term) % n_buckets`` (hive
@@ -1570,56 +1624,15 @@ def build_term_index(sf_dir: str, index_dir: str, n_buckets: int = 64) -> dict:
     import os
     import shutil
 
-    from ..functions.hashing import TokenHasher
-
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n_docs = docs.count()
-
-    class PostingsBuilder:
-        def __init__(self):
-            self.hasher = TokenHasher()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            empty = pa.table(
-                {
-                    "term": pa.array([], pa.string()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "tf": pa.array([], pa.int64()),
-                    "bucket": pa.array([], pa.int32()),
-                    "bucket_v": pa.array([], pa.int32()),
-                }
-            )
-            if n == 0:
-                return empty
-            trimmed = pc.utf8_trim_whitespace(batch["text"])
-            toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
-            row_idx, _ = _token_row_index(toks, n)
-            flat = pc.list_flatten(toks).combine_chunks()
-            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            tbl = pa.table(
-                {
-                    "term": flat,
-                    "doc_id": pa.array(doc_ids[row_idx], pa.int64()),
-                }
-            ).filter(pc.not_equal(flat, pa.scalar("")))
-            if tbl.num_rows == 0:
-                return empty
-            agg = tbl.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
-            terms_py = agg["term"].to_pylist()
-            # hash only the block's (already unique-per-doc) terms; the
-            # TokenHasher cache amortizes blake2b across the actor lifetime
-            h = self.hasher.hash_tokens(terms_py)
-            bucket = (h % np.uint64(n_buckets)).astype(np.int32)
-            return pa.table(
-                {
-                    "term": agg["term"],
-                    "doc_id": pc.cast(agg["doc_id"], pa.int64()),
-                    "tf": pc.cast(agg["count_all"], pa.int64()),
-                    "bucket": pa.array(bucket, pa.int32()),
-                    "bucket_v": pa.array(bucket, pa.int32()),
-                }
-            )
+    all_ids = [
+        int(v)
+        for b in docs.select_columns(["doc_id"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        for v in b["doc_id"].to_pylist()
+    ]
 
     post_dir = os.path.join(index_dir, "postings")
     # a rebuild must not mix stale buckets with new ones (write_parquet
@@ -1628,8 +1641,10 @@ def build_term_index(sf_dir: str, index_dir: str, n_buckets: int = 64) -> dict:
         shutil.rmtree(post_dir)
     os.makedirs(post_dir, exist_ok=True)
     docs.map_batches(
-        PostingsBuilder, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+        _PostingsBuilder, fn_constructor_kwargs={"n_buckets": n_buckets},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
     ).write_parquet(post_dir, partition_cols=["bucket"])
+    _write_term_index_registry(index_dir, all_ids)
     manifest = {
         "n_docs": int(n_docs),
         "n_buckets": int(n_buckets),
@@ -1681,6 +1696,7 @@ def keyword_search_indexed(sf_dir: str, terms: tuple = ("spark", "window", "hash
     from ..state.partitioning import key_partitioned, materialize_clean
 
     terms = list(terms)
+    auto_dir = index_dir is None
     if index_dir is None:
         safe = sf_dir.strip("/").replace("/", "_")
         index_dir = f"/tmp/ndd_term_index/{safe}_{n_buckets}"
@@ -1689,10 +1705,17 @@ def keyword_search_indexed(sf_dir: str, terms: tuple = ("spark", "window", "hash
     if os.path.exists(man_path):
         with open(man_path) as f:
             man = json.load(f)
-        stale = (
-            man.get("corpus_fingerprint") != _corpus_fingerprint(sf_dir)
-            or man.get("n_buckets") != n_buckets
-        )
+        if auto_dir:
+            # the /tmp cache must never silently serve a changed corpus
+            stale = (
+                man.get("corpus_fingerprint") != _corpus_fingerprint(sf_dir)
+                or man.get("n_buckets") != n_buckets
+            )
+        else:
+            # an explicit index_dir is the caller's artifact (possibly
+            # incrementally maintained via term_index_upsert/delete whose
+            # fingerprint is intentionally source-detached) — trust it
+            stale = man.get("n_buckets") != n_buckets
     if stale:
         # missing OR built from different data/config: rebuild — a cached
         # index must never silently serve results for a changed corpus
@@ -1907,3 +1930,128 @@ def encode_docs(sf_dir: str, vocab_size: int = 512):
         )
 
     return docs.map_batches(encode, batch_format="pyarrow")
+
+
+def _term_index_registry(index_dir: str):
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, "doc_ids.parquet")
+    if not os.path.exists(path):
+        return None
+    return pq.read_table(path)["doc_id"].to_numpy(zero_copy_only=False)
+
+
+def _write_term_index_registry(index_dir: str, ids) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    ids = np.unique(np.asarray(ids, dtype=np.int64))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64())}),
+        os.path.join(index_dir, "doc_ids.parquet"),
+    )
+
+
+def term_index_delete(index_dir: str, doc_ids, _refresh: bool = True) -> int:
+    """Evict documents from a persisted inverted index (D4 parity, the
+    vanished-video eviction of ``ndd/server_ndd.py:246-261``): every bucket
+    file's ``doc_id`` column is membership-tested (column-pruned read) and
+    only files that actually contain evicted postings rewrite.  The doc-id
+    REGISTRY (``doc_ids.parquet`` sidecar) keeps ``n_docs`` — the idf
+    numerator — exact across maintenance.  Returns postings removed."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    want = np.unique(np.asarray([int(d) for d in doc_ids], dtype=np.int64))
+    post_dir = os.path.join(index_dir, "postings")
+    removed = 0
+    for f in glob.glob(os.path.join(post_dir, "bucket=*", "*.parquet")):
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(
+            zero_copy_only=False
+        )
+        mask = np.isin(ids, want)
+        if not mask.any():
+            continue
+        t = pq.read_table(f)
+        keep = t.filter(pa.array(~mask))
+        removed += int(mask.sum())
+        if keep.num_rows:
+            pq.write_table(keep, f)
+        else:
+            os.remove(f)
+    for d in glob.glob(os.path.join(post_dir, "bucket=*")):
+        if not os.listdir(d):
+            os.rmdir(d)
+    if _refresh:
+        reg = _term_index_registry(index_dir)
+        if reg is not None:
+            _write_term_index_registry(index_dir, reg[~np.isin(reg, want)])
+        _refresh_term_index_manifest(index_dir)
+    return removed
+
+
+def term_index_upsert(index_dir: str, docs) -> dict:
+    """Incrementally ingest (doc_id, text) rows into a persisted inverted
+    index (T3 parity, ``update_index``'s refresh-changed + add-new,
+    ``ndd/server_ndd.py:227-257``): incoming ids are evicted first
+    (last-writer-wins), postings append through the same PostingsBuilder
+    actor pool the full build uses (one shared tokenization — index
+    equality with a rebuild is pinned in tests), and the registry/manifest
+    refresh keeps ``n_docs`` exact.  Returns the refreshed manifest."""
+    import os
+
+    ids = [
+        int(v)
+        for b in docs.select_columns(["doc_id"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        for v in b["doc_id"].to_pylist()
+    ]
+    term_index_delete(index_dir, ids, _refresh=False)
+
+    import json
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    post_dir = os.path.join(index_dir, "postings")
+    docs.map_batches(
+        _PostingsBuilder,
+        fn_constructor_kwargs={"n_buckets": man["n_buckets"]},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    ).write_parquet(post_dir, partition_cols=["bucket"])
+
+    reg = _term_index_registry(index_dir)
+    merged = np.concatenate(
+        [reg if reg is not None else np.array([], np.int64),
+         np.asarray(ids, np.int64)]
+    )
+    _write_term_index_registry(index_dir, merged)
+    return _refresh_term_index_manifest(index_dir)
+
+
+def _refresh_term_index_manifest(index_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    post_dir = os.path.join(index_dir, "postings")
+    man["buckets_written"] = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(post_dir)
+        if d.startswith("bucket=") and os.listdir(os.path.join(post_dir, d))
+    )
+    reg = _term_index_registry(index_dir)
+    if reg is not None:
+        man["n_docs"] = int(len(reg))
+    # maintenance invalidates the whole-corpus fingerprint on purpose: the
+    # index no longer mirrors any single source file
+    man["corpus_fingerprint"] = f"maintained:{man['n_docs']}"
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    return man
