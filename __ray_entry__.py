@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_census": relational.order_status_census,         # status x priority totals
         "hourly_error_rate": relational.hourly_error_rate,             # per-hour conditional ratio
         "winsorize_events": relational.winsorize_events,               # p01/p99 clipping transform
+        "brand_weighted_price": relational.brand_weighted_price,       # weighted-average aggregate
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -1047,6 +1048,20 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS avg_value
             FROM fan
             GROUP BY window_start
+        """,
+        # weighted average per brand: exact qty x cents products, one IEEE
+        # division chain
+        "brand_weighted_price": """
+            SELECT p_brand,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS total_qty,
+                   (CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0)
+                       / CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                              AS DOUBLE) AS wavg_price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         # winsorization: clip to quantile_disc [p01, p99], exact cents
         "winsorize_events": """

@@ -149,6 +149,10 @@ def cmd_exec(args: argparse.Namespace) -> int:
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
 
+    if args.list:
+        qs = entry.queries()
+        print(json.dumps({"queries": sorted(qs)}))
+        return 0
     _init_ray()
     qs = entry.queries()
     if args.query not in qs:
@@ -244,7 +248,8 @@ def main(argv: list[str] | None = None) -> int:
     pu.set_defaults(fn=cmd_update)
 
     pe = sub.add_parser("exec", help="run a registered query over an sf_dir")
-    pe.add_argument("--query", required=True)
+    pe.add_argument("--query", default=None)
+    pe.add_argument("--list", action="store_true", help="list query names")
     pe.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pe.add_argument("--output", default=None, help="parquet output dir")
     pe.add_argument("--dry-run", action="store_true")

@@ -4710,3 +4710,59 @@ def winsorize_events(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99):
     return _read(sf_dir, "events", ["event_id", "value"]).map_batches(
         clip, batch_format="pyarrow"
     )
+
+
+def brand_weighted_price(sf_dir: str):
+    """WEIGHTED AVERAGE per group: the quantity-weighted mean unit price per
+    part brand — the ``sum(w*x)/sum(w)`` aggregate family (plain means
+    ignore lot sizes).  Broadcast brand dim, exact integer products
+    (qty x cents) folded by the combiner pattern, one IEEE division chain
+    per group — identical in SQL.
+    """
+    import ray
+
+    from ..functions.groupagg import lowcard_groupagg
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brands = np.empty(int(part["p_partkey"].max()) + 1, dtype=object)
+    brands[part["p_partkey"].to_numpy()] = part["p_brand"].to_numpy()
+    bref = ray.put(brands)
+
+    def cells(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)[t["l_partkey"].to_numpy(zero_copy_only=False)]
+        qty = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": pa.array(b.tolist(), pa.string()),
+                "w": pa.array(qty, pa.int64()),
+                "wx": pa.array(qty * price_c, pa.int64()),
+            }
+        )
+
+    agg = lowcard_groupagg(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+            cells, batch_format="pyarrow"
+        ),
+        ["p_brand"], [("w", "sum"), ("wx", "sum")],
+        {"w_sum": "total_qty", "wx_sum": "wx_c"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t["total_qty"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wx = t["wx_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = (wx / 100.0) / w
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "total_qty": pa.array(w, pa.int64()),
+                "wavg_price": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -42,6 +42,7 @@ NEW_QUERIES = [
     "split_docs",
     "winsorize_events",
     "dup_pair_turn_overlap",
+    "brand_weighted_price",
 ]
 
 
