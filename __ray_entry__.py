@@ -157,6 +157,15 @@ def _role_transitions(sf_dir: str):
     return role_transitions(transcripts_from_documents(sf_dir))
 
 
+def _turn_length_stats(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import turn_length_stats
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return turn_length_stats(transcripts_from_documents(sf_dir))
+
+
 def _decontaminate_docs_bloom(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import decontaminate_docs_bloom
 
@@ -293,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_error_rate": relational.hourly_error_rate,             # per-hour conditional ratio
         "winsorize_events": relational.winsorize_events,               # p01/p99 clipping transform
         "brand_weighted_price": relational.brand_weighted_price,       # weighted-average aggregate
+        "forecast_revenue_q6": relational.forecast_revenue_q6,         # TPC-H Q6 shape (scan+filter+global agg)
+        "user_event_entropy": relational.user_event_entropy,           # per-user Shannon entropy
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -328,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_docs": text_analysis.redact_docs,              # SQL-checked (PII scrub, RE2 parity)
         "stratified_sample_docs": text_analysis.stratified_sample_docs,  # SQL-checked (per-stratum hash top-k)
         "top_terms_docs": text_analysis.top_terms_docs,        # SQL-checked (TF-IDF top-k, exact rational score)
+        "unigram_logprob_docs": text_analysis.unigram_logprob_docs,  # SQL-checked (unigram-LM quality score)
+        "bottomk_sample_docs": text_analysis.bottomk_sample_docs,    # SQL-checked (fixed-size hash bottom-k sample)
         "normalize_docs": text_analysis.normalize_docs,        # SQL-checked (M5 canonical normalization)
         "chunk_docs": text_analysis.chunk_docs,                # SQL-checked (RAG token windows)
         "bigram_novelty_docs": text_analysis.bigram_novelty_docs,  # SQL-checked (cross-doc gram novelty)
@@ -364,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": _split_docs,                              # SQL-checked (3-way hash split)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
+        "turn_length_stats": _turn_length_stats,                # SQL-checked (per-role turn-length census)
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
         "strip_boilerplate_turns": _strip_boilerplate_turns,    # SQL-checked (turn boilerplate removal)
         "conversation_stats": _conversation_stats,              # SQL-checked (per-conv profile)
@@ -1062,6 +1076,34 @@ def _oracle_sql_literal() -> dict[str, str]:
                               AS DOUBLE) AS wavg_price
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        # TPC-H Q6 shape: scan + filter + global exact-integer aggregate
+        "forecast_revenue_q6": """
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                       AS BIGINT) AS revenue_c4,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        # per-user Shannon entropy over event-type counts; H computed in the
+        # same algebraic form as the engine (ln n - sum(c ln c)/n)
+        "user_event_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   count(*) AS n_types,
+                   ln(CAST(sum(c) AS DOUBLE))
+                       - sum(c * ln(CAST(c AS DOUBLE)))
+                         / CAST(sum(c) AS DOUBLE) AS entropy
+            FROM c GROUP BY user_id
         """,
         # winsorization: clip to quantile_disc [p01, p99], exact cents
         "winsorize_events": """
@@ -2821,6 +2863,23 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM trans WHERE role_to IS NOT NULL
             GROUP BY role_from, role_to
         """,
+        # per-role turn-length census (same turn derivation + role labeling
+        # as role_transitions; empty-doc conversations contribute one empty
+        # user turn)
+        "turn_length_stats": "WITH " + _TURN_CTES + """
+            , turn_all AS (
+                SELECT conv_id, tix, n_tok FROM turns
+                UNION ALL
+                SELECT conv_id, 0, 0 FROM variants WHERE NOT has_tokens
+            )
+            SELECT CASE WHEN tix % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   count(*) AS n_turns,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(max(n_tok) AS BIGINT) AS max_turn_tokens,
+                   CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_turn_tokens
+            FROM turn_all GROUP BY 1
+        """,
         "tool_usage": "WITH " + _TURN_CTES + """
             , turn_all AS (
                 SELECT conv_id, doc_id, tix, n_tok FROM turns
@@ -2940,6 +2999,34 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
             FROM ranked WHERE rank <= 3
+        """,
+        # corpus unigram-LM doc scoring: avg ln p(token) with p = c / N over
+        # the corpus's own unigram counts (same algebraic form as the engine:
+        # sum(tf*ln c)/n - ln N; 9-sig-digit gate absorbs summation order)
+        "unigram_logprob_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                GROUP BY doc_id, term
+            ), cnt AS (
+                SELECT term, sum(tf) AS c FROM tf GROUP BY term
+            ), tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf)
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   sum(tf * ln(CAST(c AS DOUBLE))) / sum(tf)
+                       - ln((SELECT n FROM tot)) AS avg_logprob
+            FROM tf JOIN cnt USING (term)
+            GROUP BY doc_id
+        """,
+        # fixed-size deterministic sample: k smallest md5 hashes corpus-wide
+        # (md5_number_lower == engine md5_low64, doc_id tiebreak)
+        "bottomk_sample_docs": """
+            SELECT doc_id, lang, n_chars, source
+            FROM documents
+            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 25
         """,
         # balanced per-stratum sample: k smallest md5 hashes per lang,
         # (hash, doc_id) ascending — md5_number_lower == engine md5_low64

@@ -539,3 +539,50 @@ def dup_pair_turn_overlap(transcripts, cfg: NDDConfig | None = None,
         )
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def turn_length_stats(transcripts, num_partitions: int | None = None):
+    """Per-ROLE turn-length census over a transcripts table: turn count,
+    token total, longest turn and mean turn length for each speaker role —
+    the dialogue-balance profile (is the assistant monologuing?) read before
+    tuning turn-level filters.  Pure map-side combine: roles are
+    low-cardinality, so per-block partials (count/sum/max per role) fold
+    through ``lowcard_groupagg`` with NO keyed shuffle of the fact rows;
+    only the final mean is floating point (one IEEE division, same as SQL).
+    Output: ``role, n_turns, n_tokens, max_turn_tokens, avg_turn_tokens``."""
+    from ..functions.groupagg import lowcard_groupagg
+
+    ds = transcripts.select_columns(["role", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "role": t["role"],
+                "n_tok": pa.array(_turn_token_counts(t), pa.int64()),
+            }
+        )
+
+    agg = lowcard_groupagg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["role"],
+        [("n_tok", "sum"), ("n_tok", "max"), ([], "count_all")],
+        {"n_tok_sum": "n_tokens", "n_tok_max": "max_turn_tokens",
+         "count_all": "n_turns"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n_turns = t["n_turns"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "role": t["role"],
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "max_turn_tokens": pc.cast(t["max_turn_tokens"], pa.int64()),
+                "avg_turn_tokens": pa.array(n_tok / n_turns, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

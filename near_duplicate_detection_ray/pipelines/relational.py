@@ -4766,3 +4766,119 @@ def brand_weighted_price(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def forecast_revenue_q6(sf_dir: str, year: int = 1997, disc_c2: int = 6,
+                        qty_lt: int = 24):
+    """TPC-H Q6 shape — the pure SCAN + FILTER + GLOBAL AGG probe: revenue
+    delta from discounts in ``year`` for small orders (discount within
+    ±1 cent of ``disc_c2``, quantity < ``qty_lt``).  No join, no shuffle:
+    per-block exact-integer partials (price and discount in cents, revenue
+    in 1e-4 units) folded on the driver — the cheapest possible operator
+    shape, and the storage-pruning showcase (4 of 11 lineitem columns
+    leave the scan)."""
+    import ray.data as rd
+
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        price = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (
+            (sd >= lo) & (sd < hi)
+            & (disc >= disc_c2 - 1) & (disc <= disc_c2 + 1)
+            & (qty < qty_lt)
+        )
+        rev = price[keep] * disc[keep]
+        return pa.table(
+            {
+                "rev_c4": pa.array([int(rev.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    sums = items.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return rd.from_items(
+        [
+            {
+                "revenue_c4": int(sums["rev_c4"].sum()),
+                "n_items": int(sums["n"].sum()),
+            }
+        ]
+    )
+
+
+def user_event_entropy(sf_dir: str, num_partitions: int | None = None):
+    """Per-user SHANNON ENTROPY of the event-type distribution — the
+    behavioral-diversity score a bot/spam filter thresholds on (uniform
+    users score ln(n_types); single-action bots score 0).
+
+    Map-side combine first: per-block (user, event_type) counts collapse
+    the fact table to bounded partials BEFORE the one user-keyed shuffle;
+    the final block computes H = ln(n) - sum(c*ln c)/n from exact integer
+    counts per user (same algebraic form as the SQL oracle so the float
+    matches at the 9-significant-digit gate)."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    parts = key_partitioned(
+        events.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], num_partitions,
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("user_id", pa.int64()), ("n_events", pa.int64()),
+             ("n_types", pa.int64()), ("entropy", pa.float64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "c": t["c"].to_numpy(zero_copy_only=False),
+            }
+        )
+        # blocks may still hold partials of the same (user, type) from
+        # different map blocks: combine exactly before the entropy
+        cc = df.groupby(["user_id", "event_type"], sort=False)["c"].sum()
+        per = cc.groupby(level=0, sort=False)
+        n = per.sum()
+        clnc = (cc * np.log(cc)).groupby(level=0, sort=False).sum()
+        ent = np.log(n) - clnc / n
+        return pa.table(
+            {
+                "user_id": pa.array(n.index.to_numpy(), pa.int64()),
+                "n_events": pa.array(n.to_numpy(), pa.int64()),
+                "n_types": pa.array(per.size().to_numpy(), pa.int64()),
+                "entropy": pa.array(ent.to_numpy(), pa.float64()),
+            },
+            schema=schema,
+        )
+
+    return parts.map_batches(block, batch_format="pyarrow", batch_size=None)

@@ -2055,3 +2055,148 @@ def _refresh_term_index_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(man, f)
     return man
+
+
+def unigram_logprob_docs(sf_dir: str):
+    """Corpus UNIGRAM-LM document scoring — the classic perplexity-style
+    quality filter (a doc of globally-common tokens scores near 0; rare-token
+    noise scores very negative): ``avg_logprob = mean_t ln(count(t) / N)``
+    over the corpus's own unigram distribution.
+
+    Two keyed stages, no driver vocabulary: (1) per-block (doc, term, tf)
+    partials (C-level pandas groupby over the flattened Arrow token lists);
+    (2) ONE term-keyed partition where each term's global count is the local
+    sum — every (doc, term) row picks up ``tf * ln(c)`` right there; (3) ONE
+    doc-keyed partition sums the contributions.  The global token total N is
+    an integer fold over the bounded per-doc table (materialized — it is the
+    output-sized table, not the corpus), so only ``- ln N`` shifts the score
+    at the end.  Output: ``doc_id, n_tokens, avg_logprob`` for every non-empty
+    doc; same algebraic form as the SQL oracle (sum(tf*ln c)/n - ln N)."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tf_block(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(pc.utf8_trim_whitespace(batch["text"]), pa.scalar(""))
+        )
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+        )
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        row_idx, _ = _token_row_index(toks, batch.num_rows)
+        d = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[row_idx],
+                "term": pc.list_flatten(toks).to_pandas(),
+            }
+        )
+        out = d.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(out["term"].tolist(), pa.string()),
+                "tf": pa.array(out["tf"].to_numpy(), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    def attach_contrib(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "tf": pd.Series([], dtype=np.int64),
+                 "contrib": pd.Series([], dtype=np.float64)}
+            )
+        df = df.copy()
+        c = df.groupby("term", sort=False)["tf"].transform("sum")
+        df["contrib"] = df["tf"].to_numpy() * np.log(c.to_numpy().astype(np.float64))
+        return df[["doc_id", "tf", "contrib"]]
+
+    per_doc_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("s", pa.float64())]
+    )
+
+    def per_doc(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return per_doc_schema.empty_table()
+        g = df.groupby("doc_id", sort=False).agg(
+            n_tokens=("tf", "sum"), s=("contrib", "sum")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy(), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(), pa.float64()),
+            },
+            schema=per_doc_schema,
+        )
+
+    tf = docs.map_batches(tf_block, batch_format="pyarrow")
+    contrib = key_partitioned(tf, ["term"]).map_batches(
+        attach_contrib, batch_format="pandas", batch_size=None
+    )
+    doc_tbl = key_partitioned(contrib, ["doc_id"]).map_batches(
+        per_doc, batch_format="pandas", batch_size=None
+    ).materialize()
+    n_total = int(doc_tbl.sum("n_tokens") or 0)
+    ln_n = float(np.log(n_total)) if n_total else 0.0
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "avg_logprob": pa.array(s / n - ln_n, pa.float64()),
+            }
+        )
+
+    return doc_tbl.map_batches(finish, batch_format="pyarrow")
+
+
+def bottomk_sample_docs(sf_dir: str, k: int = 25):
+    """Deterministic UNIFORM bottom-k sample — the fixed-SIZE sibling of the
+    fixed-RATE ``sample_docs``: keep the ``k`` docs with the smallest
+    ``md5_low64(str(doc_id))`` (doc_id tiebreak).  Hash-ordered, so the
+    selected set is independent of partitioning and parallelism, stable
+    under corpus APPEND ONLY up to the usual bottom-k churn (each new doc
+    evicts at most one), and mergeable: per-block local bottom-k partials
+    (bounded k rows each) fold to the global answer — the top-k-sketch
+    pattern, never a global sort.  SQL parity via DuckDB
+    ``md5_number_lower`` (bit-identical basis, hashing.py)."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_low64
+
+    docs = _read_docs(sf_dir, ["doc_id", "lang", "n_chars", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("sample_key", pa.array([], pa.uint64()))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.fromiter(
+            (md5_low64(str(int(d))) for d in ids), np.uint64, len(ids)
+        )
+        order = np.lexsort((ids, keys))[:k]
+        return t.take(pa.array(order)).append_column(
+            "sample_key", pa.array(keys[order], pa.uint64())
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["sample_key", "doc_id"], kind="mergesort").head(k)
+    return pa.table(
+        {
+            "doc_id": pa.array(parts["doc_id"].to_numpy(), pa.int64()),
+            "lang": pa.array(parts["lang"].tolist(), pa.string()),
+            "n_chars": pa.array(parts["n_chars"].to_numpy(), pa.int64()),
+            "source": pa.array(parts["source"].tolist(), pa.string()),
+        }
+    )
