@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pmi_pairs": text_analysis.token_pmi_pairs,          # SQL-checked (collocation lift)
         "source_report": text_analysis.source_report,              # SQL-checked (per-domain census)
         "quality_percentile_docs": text_analysis.quality_percentile_docs,  # SQL-checked (global CDF attach)
+        "lexical_diversity_docs": text_analysis.lexical_diversity_docs,  # SQL-checked (type-token ratio)
+        "sentence_stats_docs": text_analysis.sentence_stats_docs,        # SQL-checked (sentence-shape census)
+        "source_length_deciles": text_analysis.source_length_deciles,    # SQL-checked (per-source order stats)
         "vocab_coverage": text_analysis.vocab_coverage,            # SQL-checked (head-vocab coverage curve)
         "bpe_merge_candidates": text_analysis.bpe_merge_candidates,  # SQL-checked (BPE first merges)
         # --- dedup family over documents ---
@@ -389,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_docs": ann.semdedup_embeddings,              # rows-only (SemDeDup; NumPy-oracle pytest)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
+        "label_coherence": ann.label_coherence,                # SQL-checked (cluster-tightness census)
         "quantize_embeddings": ann.quantize_embeddings,        # SQL-checked (int8 scalar quantization)
         "ann_pq_topk": ann.ann_pq_topk,                        # rows-only (PQ+ADC; full-refine==exact pinned in pytest)
         "label_quality_join": ann.label_quality_join,          # SQL-checked (cross-table feature join)
@@ -1100,9 +1104,9 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT user_id,
                    CAST(sum(c) AS BIGINT) AS n_events,
                    count(*) AS n_types,
-                   ln(CAST(sum(c) AS DOUBLE))
+                   round(ln(CAST(sum(c) AS DOUBLE))
                        - sum(c * ln(CAST(c AS DOUBLE)))
-                         / CAST(sum(c) AS DOUBLE) AS entropy
+                         / CAST(sum(c) AS DOUBLE), 8) AS entropy
             FROM c GROUP BY user_id
         """,
         # winsorization: clip to quantile_disc [p01, p99], exact cents
@@ -2007,6 +2011,58 @@ def _oracle_sql_literal() -> dict[str, str]:
                          generate_subscripts(embedding, 1) AS dim
                   FROM embeddings)
             GROUP BY label, dim
+        """,
+        # per-label cluster tightness: norm of the mean vector (== mean
+        # member-to-centroid cosine for unit-norm embeddings)
+        "label_coherence": """
+            WITH u AS (
+                SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ), m AS (
+                SELECT label, dim, avg(x) AS m FROM u GROUP BY label, dim
+            ), n AS (
+                SELECT label, count(*) AS n_vectors FROM embeddings
+                GROUP BY label
+            )
+            SELECT CAST(m.label AS BIGINT) AS label,
+                   CAST(n.n_vectors AS BIGINT) AS n_vectors,
+                   sqrt(sum(m.m * m.m)) AS coherence
+            FROM m JOIN n ON m.label = n.label
+            GROUP BY m.label, n.n_vectors
+        """,
+        # type-token ratio (lexical diversity) per non-empty doc
+        "lexical_diversity_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT term) AS n_distinct_tokens,
+                   CAST(count(DISTINCT term) AS DOUBLE) / count(*) AS ttr
+            FROM toks GROUP BY doc_id
+        """,
+        # sentence-shape census: terminal-punctuation runs (RE2 both sides)
+        "sentence_stats_docs": """
+            SELECT doc_id, n_chars,
+                   len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+                   CAST(n_chars AS DOUBLE)
+                       / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS avg_sentence_chars
+            FROM documents
+        """,
+        # per-source doc-length deciles, quantile_disc (rank ceil(q*n))
+        "source_length_deciles": """
+            WITH q AS (
+                SELECT source,
+                       quantile_disc(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                               0.6, 0.7, 0.8, 0.9]) AS qs
+                FROM documents GROUP BY source
+            )
+            SELECT source, CAST(unnest(range(1, 10)) AS BIGINT) AS decile,
+                   CAST(unnest(qs) AS BIGINT) AS n_chars
+            FROM q
         """,
         # int8 scalar quantization census: one global scale (127/max|x|), the
         # identical floor(x*scale + 0.5) float chain per component.
@@ -3015,8 +3071,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT term, sum(tf) AS c FROM tf GROUP BY term
             ), tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf)
             SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-                   sum(tf * ln(CAST(c AS DOUBLE))) / sum(tf)
-                       - ln((SELECT n FROM tot)) AS avg_logprob
+                   round(sum(tf * ln(CAST(c AS DOUBLE))) / sum(tf)
+                       - ln((SELECT n FROM tot)), 8) AS avg_logprob
             FROM tf JOIN cnt USING (term)
             GROUP BY doc_id
         """,

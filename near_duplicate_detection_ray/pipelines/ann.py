@@ -1375,3 +1375,64 @@ def _refresh_ivf_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def label_coherence(sf_dir: str):
+    """Per-label SEMANTIC COHERENCE census — for unit-norm embeddings the
+    mean member-to-centroid cosine equals the NORM OF THE MEAN VECTOR
+    (cos(x_i, m/|m|) averaged = |m|), so one number per label says how tight
+    the cluster is (1.0 = identical vectors, ~0 = isotropic noise).  The
+    curation use: labels with low coherence are mislabeled/noisy buckets.
+
+    Same bounded combiner as :func:`label_centroids`: per-block per-label
+    (sum-vector, count) partials — labels x (dims+1) rows per block (the
+    member count rides along as a dim-0 row), never row volume — one tiny
+    grouped sum, then the norm over the bounded final table.  Output:
+    ``label, n_vectors, coherence``."""
+    import pandas as pd
+
+    from ..functions.groupagg import lowcard_groupagg
+
+    ds = _read_emb(sf_dir, ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("label", pa.int64()), ("dim", pa.int64()), ("s", pa.float64())]
+        )
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        mat = _emb_matrix(batch)  # (n, d) float64
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = mat.shape[1]
+        sums = np.zeros((len(uniq), d + 1))
+        np.add.at(sums[:, 1:], inv, mat)
+        # dim 0 carries the member count (sums exactly like the others)
+        sums[:, 0] = np.bincount(inv, minlength=len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d + 1), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d + 1), len(uniq)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+            },
+            schema=schema,
+        )
+
+    agg = lowcard_groupagg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], [("s", "sum")], {"s_sum": "s"},
+    )
+    df = agg.to_pandas()
+    out = []
+    for label, g in df.groupby("label", sort=True):
+        g = g.sort_values("dim")
+        n = int(round(g["s"].to_numpy()[0]))
+        m = g["s"].to_numpy()[1:] / n
+        out.append(
+            {"label": int(label), "n_vectors": n,
+             "coherence": float(np.sqrt((m * m).sum()))}
+        )
+    return pa.Table.from_pandas(
+        pd.DataFrame(out, columns=["label", "n_vectors", "coherence"]),
+        preserve_index=False,
+    )

@@ -4870,7 +4870,9 @@ def user_event_entropy(sf_dir: str, num_partitions: int | None = None):
         per = cc.groupby(level=0, sort=False)
         n = per.sum()
         clnc = (cc * np.log(cc)).groupby(level=0, sort=False).sum()
-        ent = np.log(n) - clnc / n
+        # rounded to 8 decimals on BOTH sides: last-ulp summation noise
+        # must not flip the order-insensitive hash's row sort on ties
+        ent = np.round(np.log(n) - clnc / n, 8)
         return pa.table(
             {
                 "user_id": pa.array(n.index.to_numpy(), pa.int64()),

@@ -2155,7 +2155,10 @@ def unigram_logprob_docs(sf_dir: str):
             {
                 "doc_id": t["doc_id"],
                 "n_tokens": t["n_tokens"],
-                "avg_logprob": pa.array(s / n - ln_n, pa.float64()),
+                # rounded to 8 decimals on BOTH sides: exact-dup docs have
+                # identical token multisets, so last-ulp summation noise
+                # would otherwise flip the hash's row sort on their ties
+                "avg_logprob": pa.array(np.round(s / n - ln_n, 8), pa.float64()),
             }
         )
 
@@ -2199,4 +2202,140 @@ def bottomk_sample_docs(sf_dir: str, k: int = 25):
             "n_chars": pa.array(parts["n_chars"].to_numpy(), pa.int64()),
             "source": pa.array(parts["source"].tolist(), pa.string()),
         }
+    )
+
+
+def lexical_diversity_docs(sf_dir: str):
+    """Type-token ratio per document — the classic lexical-diversity quality
+    signal (template/spam text repeats a tiny vocabulary; TTR near 1 means
+    every token is fresh).  One vectorized block pass: whitespace tokens per
+    row from the Arrow list offsets, per-row distinct via ONE pandas
+    drop_duplicates over (row, token) — docs never straddle blocks at the
+    read, so no shuffle at all.  Output: ``doc_id, n_tokens,
+    n_distinct_tokens, ttr`` (one IEEE division) for non-empty docs."""
+    import pandas as pd
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("n_distinct_tokens", pa.int64()), ("ttr", pa.float64())]
+    )
+
+    def block(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(pc.utf8_trim_whitespace(batch["text"]), pa.scalar(""))
+        )
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        row_idx, lens = _token_row_index(toks, batch.num_rows)
+        d = pd.DataFrame(
+            {"row": row_idx, "term": pc.list_flatten(toks).to_pandas()}
+        )
+        distinct = (
+            d.drop_duplicates().groupby("row", sort=True).size()
+        )
+        n_tok = lens.astype(np.int64)
+        n_dist = np.zeros(batch.num_rows, dtype=np.int64)
+        n_dist[distinct.index.to_numpy()] = distinct.to_numpy()
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct_tokens": pa.array(n_dist, pa.int64()),
+                "ttr": pa.array(n_dist / n_tok, pa.float64()),
+            },
+            schema=schema,
+        )
+
+    return docs.map_batches(block, batch_format="pyarrow")
+
+
+_SENT_END_PAT = r"[.!?]+"
+
+
+def sentence_stats_docs(sf_dir: str):
+    """Sentence-shape census per document: terminal-punctuation runs
+    (``[.!?]+``, RE2 on both sides) approximate sentence ends — a doc with
+    zero enders and 10k chars is a list/table dump, not prose; mean chars
+    per sentence separates telegraphic from run-on text.  Fully vectorized:
+    one ``pc.count_substring_regex`` + arithmetic.  Output: ``doc_id,
+    n_chars, n_sentences, avg_sentence_chars`` (chars / max(enders, 1))."""
+    docs = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def block(batch: pa.Table) -> pa.Table:
+        ends = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=_SENT_END_PAT),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        n_chars = pc.cast(batch["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        denom = np.maximum(ends, 1)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_sentences": pa.array(ends, pa.int64()),
+                "avg_sentence_chars": pa.array(n_chars / denom, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(block, batch_format="pyarrow")
+
+
+def source_length_deciles(sf_dir: str):
+    """Per-source DOC-LENGTH DECILES (exact order statistics, DuckDB
+    ``quantile_disc`` semantics: the element at 1-based rank ceil(q*n)) —
+    the corpus-mix diagnostic read before setting length filters per source.
+
+    ONE source-keyed partition (bounded partials would not help: quantiles
+    need the values), then an in-block sort + rank pick — each source's
+    lengths sit in one block, the partition key is low-cardinality but the
+    per-block work is O(n log n) vectorized numpy.  Skewed sources are fine:
+    a block holds one source's int64 lengths only.  Output: ``source,
+    decile (1..9), n_chars``."""
+    import math
+
+    from ..state.partitioning import key_partitioned
+
+    docs = _read_docs(sf_dir, ["source", "n_chars"])
+
+    schema = pa.schema(
+        [("source", pa.string()), ("decile", pa.int64()),
+         ("n_chars", pa.int64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        rows = []
+        for src, g in df.groupby("source", sort=True):
+            v = np.sort(g["n_chars"].to_numpy())
+            n = len(v)
+            for d in range(1, 10):
+                rank = max(1, math.ceil(d / 10 * n))
+                rows.append((src, d, int(v[rank - 1])))
+        return pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "decile": pa.array([r[1] for r in rows], pa.int64()),
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return key_partitioned(docs, ["source"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
     )

@@ -56,11 +56,22 @@ def resolve_partitions(num_partitions: int | None) -> int:
     return num_partitions or default_partitions()
 
 
+def _strip_schema_metadata(t):
+    """Drop table-level schema metadata.  Pandas-format stages attach a
+    ``pandas`` metadata DICT to the converted Arrow schema; Ray 2.49's
+    hash-shuffle aggregators then fail to hash block schemas for dedup and
+    flood the log with ``Failed to hash the schemas ... unhashable type:
+    'dict'`` (and lose the dedup fast path).  This map fuses with the
+    upstream stage, so the strip is free."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def key_partitioned(ds, keys: list[str], num_partitions: int | None = None):
     """Hash-partition ``ds`` so every distinct key tuple lands in exactly one
     block; follow with ``map_batches(fn, batch_size=None)`` for vectorized
     per-key logic."""
     enable_hash_shuffle()
+    ds = ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
     return ds.repartition(num_partitions or default_partitions(), keys=keys)
 
 

@@ -20,6 +20,10 @@ NEW_QUERIES = [
     "unigram_logprob_docs",
     "bottomk_sample_docs",
     "turn_length_stats",
+    "label_coherence",
+    "lexical_diversity_docs",
+    "sentence_stats_docs",
+    "source_length_deciles",
 ]
 
 
