@@ -166,6 +166,15 @@ def _turn_length_stats(sf_dir: str):
     return turn_length_stats(transcripts_from_documents(sf_dir))
 
 
+def _conv_depth_histogram(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import conv_depth_histogram
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return conv_depth_histogram(transcripts_from_documents(sf_dir))
+
+
 def _decontaminate_docs_bloom(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import decontaminate_docs_bloom
 
@@ -304,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_weighted_price": relational.brand_weighted_price,       # weighted-average aggregate
         "forecast_revenue_q6": relational.forecast_revenue_q6,         # TPC-H Q6 shape (scan+filter+global agg)
         "user_event_entropy": relational.user_event_entropy,           # per-user Shannon entropy
+        "orders_cohort_retention": relational.orders_cohort_retention,  # month-cohort retention matrix
+        "supplier_distinct_parts": relational.supplier_distinct_parts,  # fact-scale grouped COUNT(DISTINCT)
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -353,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_report": text_analysis.source_report,              # SQL-checked (per-domain census)
         "quality_percentile_docs": text_analysis.quality_percentile_docs,  # SQL-checked (global CDF attach)
         "lexical_diversity_docs": text_analysis.lexical_diversity_docs,  # SQL-checked (type-token ratio)
+        "source_mixing_weights": text_analysis.source_mixing_weights,    # SQL-checked (temperature mixing plan)
         "sentence_stats_docs": text_analysis.sentence_stats_docs,        # SQL-checked (sentence-shape census)
         "source_length_deciles": text_analysis.source_length_deciles,    # SQL-checked (per-source order stats)
         "vocab_coverage": text_analysis.vocab_coverage,            # SQL-checked (head-vocab coverage curve)
@@ -381,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "turn_length_stats": _turn_length_stats,                # SQL-checked (per-role turn-length census)
+        "conv_depth_histogram": _conv_depth_histogram,          # SQL-checked (turns-per-conv histogram)
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
         "strip_boilerplate_turns": _strip_boilerplate_turns,    # SQL-checked (turn boilerplate removal)
         "conversation_stats": _conversation_stats,              # SQL-checked (per-conv profile)
@@ -1093,6 +1106,33 @@ def _oracle_sql_literal() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        # month-cohort retention: customers by first-order month, counted in
+        # every later month they reorder (offset 0 = cohort size)
+        "orders_cohort_retention": """
+            WITH o AS (
+                SELECT o_custkey,
+                       date_trunc('month', o_orderdate) AS month
+                FROM orders
+            ), f AS (
+                SELECT o_custkey, min(month) AS cohort FROM o
+                GROUP BY o_custkey
+            ), p AS (
+                SELECT DISTINCT o.o_custkey, f.cohort,
+                       datediff('month', f.cohort, o.month) AS month_offset
+                FROM o JOIN f USING (o_custkey)
+            )
+            SELECT CAST(cohort AS TIMESTAMP) AS cohort_month,
+                   CAST(month_offset AS BIGINT) AS month_offset,
+                   count(*) AS n_customers
+            FROM p GROUP BY cohort, month_offset
+        """,
+        # fact-scale grouped COUNT(DISTINCT): parts ever shipped per supplier
+        "supplier_distinct_parts": """
+            SELECT l_suppkey AS s_suppkey,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY l_suppkey
         """,
         # per-user Shannon entropy over event-type counts; H computed in the
         # same algebraic form as the engine (ln n - sum(c ln c)/n)
@@ -2031,6 +2071,25 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM m JOIN n ON m.label = n.label
             GROUP BY m.label, n.n_vectors
         """,
+        # temperature-weighted source mixing plan: w_i = n_i^a / sum n_j^a
+        # (pow on both sides; rounded so summation-order ulps cannot flip
+        # the hash's row sort)
+        "source_mixing_weights": """
+            WITH c AS (
+                SELECT source, count(*) AS n_docs FROM documents
+                GROUP BY source
+            ), t AS (
+                SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+                       sum(pow(CAST(n_docs AS DOUBLE), 0.5)) AS z
+                FROM c
+            )
+            SELECT source, n_docs,
+                   round(pow(CAST(n_docs AS DOUBLE), 0.5)
+                         / (SELECT z FROM t), 8) AS weight,
+                   round(pow(CAST(n_docs AS DOUBLE), 0.5) / (SELECT z FROM t)
+                         * (SELECT total FROM t), 6) AS expected_docs
+            FROM c
+        """,
         # type-token ratio (lexical diversity) per non-empty doc
         "lexical_diversity_docs": r"""
             WITH toks AS (
@@ -2935,6 +2994,21 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(max(n_tok) AS BIGINT) AS max_turn_tokens,
                    CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_turn_tokens
             FROM turn_all GROUP BY 1
+        """,
+        # turns-per-conversation histogram (same turn derivation; empty-doc
+        # conversations contribute one empty turn)
+        "conv_depth_histogram": "WITH " + _TURN_CTES + """
+            , turn_all AS (
+                SELECT conv_id, tix FROM turns
+                UNION ALL
+                SELECT conv_id, 0 FROM variants WHERE NOT has_tokens
+            ), per AS (
+                SELECT conv_id, count(*) AS n_turns FROM turn_all
+                GROUP BY conv_id
+            )
+            SELECT CAST(n_turns AS BIGINT) AS n_turns,
+                   count(*) AS n_convs
+            FROM per GROUP BY n_turns
         """,
         "tool_usage": "WITH " + _TURN_CTES + """
             , turn_all AS (

@@ -586,3 +586,30 @@ def turn_length_stats(transcripts, num_partitions: int | None = None):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def conv_depth_histogram(transcripts, num_partitions: int | None = None):
+    """Histogram of CONVERSATION DEPTH (turns per conversation) — the shape
+    census behind context-length budgeting: how much of the corpus is
+    single-exchange vs long-tail dialogue.  Rides :func:`conversation_stats`
+    (one conv-keyed partition), then a bounded per-block histogram partial
+    folds through the small combiner.  Output: ``n_turns, n_convs``."""
+    from ..functions.groupagg import lowcard_groupagg
+
+    stats = conversation_stats(transcripts, num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["n_turns"]).group_by(["n_turns"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "n_turns": pc.cast(g["n_turns"], pa.int64()),
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return lowcard_groupagg(
+        stats.map_batches(partial, batch_format="pyarrow"),
+        ["n_turns"], [("n", "sum")], {"n_sum": "n_convs"},
+    )

@@ -4884,3 +4884,140 @@ def user_event_entropy(sf_dir: str, num_partitions: int | None = None):
         )
 
     return parts.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def orders_cohort_retention(sf_dir: str, num_partitions: int | None = None):
+    """CUSTOMER COHORT-RETENTION matrix over orders — the classic
+    month-cohort census: customers grouped by FIRST-order month, counted as
+    retained in every later month they order again.  Output: ``cohort_month,
+    month_offset, n_customers`` (offset 0 row = cohort size).
+
+    Shape: one customer-keyed partition; the per-block kernel derives each
+    customer's first month and distinct (customer, offset) pairs with
+    C-level pandas ops; the bounded (cohort, offset) partials fold through
+    the small combiner.  The fact table is pruned to two columns at the
+    read and never shuffled twice."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        month = d.astype("datetime64[M]").astype(np.int64)  # months since epoch
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "month": pa.array(month, pa.int64()),
+            }
+        )
+
+    parts = key_partitioned(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"], num_partitions,
+    )
+
+    schema = pa.schema(
+        [("cohort", pa.int64()), ("offset", pa.int64()), ("n", pa.int64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "cust": t["o_custkey"].to_numpy(zero_copy_only=False),
+                "month": t["month"].to_numpy(zero_copy_only=False),
+            }
+        )
+        first = df.groupby("cust", sort=False)["month"].transform("min")
+        df["cohort"] = first
+        df["offset"] = df["month"] - first
+        pairs = df[["cust", "cohort", "offset"]].drop_duplicates()
+        g = pairs.groupby(["cohort", "offset"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table(
+            {
+                "cohort": pa.array(idx["cohort"].to_numpy(), pa.int64()),
+                "offset": pa.array(idx["offset"].to_numpy(), pa.int64()),
+                "n": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    agg = lowcard_groupagg(
+        parts.map_batches(block, batch_format="pyarrow", batch_size=None),
+        ["cohort", "offset"], [("n", "sum")], {"n_sum": "n_customers"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # months-since-epoch back to a first-of-month date for readability
+        m = t["cohort"].to_numpy(zero_copy_only=False)
+        dates = m.astype("datetime64[M]").astype("datetime64[us]")
+        return pa.table(
+            {
+                "cohort_month": pa.array(dates),
+                "month_offset": pc.cast(t["offset"], pa.int64()),
+                "n_customers": pc.cast(t["n_customers"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def supplier_distinct_parts(sf_dir: str, num_partitions: int | None = None):
+    """FACT-SCALE grouped COUNT(DISTINCT): distinct parts ever shipped per
+    supplier — the Q16-family primitive at lineitem scale rather than over a
+    dimension.  Per-block (suppkey, partkey) dedup FIRST (bounded partials:
+    repeat purchases collapse map-side), ONE supplier-keyed partition, then
+    an in-block pandas nunique.  Output: ``s_suppkey, n_parts, n_lines``."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    items = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_suppkey", "l_partkey"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "l_suppkey": pc.cast(g["l_suppkey"], pa.int64()),
+                "l_partkey": pc.cast(g["l_partkey"], pa.int64()),
+                "n_lines": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    parts = key_partitioned(
+        items.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"], num_partitions,
+    )
+
+    schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("n_parts", pa.int64()),
+         ("n_lines", pa.int64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "s": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "p": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "n": t["n_lines"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("s", sort=False).agg(
+            n_parts=("p", "nunique"), n_lines=("n", "sum")
+        )
+        return pa.table(
+            {
+                "s_suppkey": pa.array(g.index.to_numpy(), pa.int64()),
+                "n_parts": pa.array(g["n_parts"].to_numpy(), pa.int64()),
+                "n_lines": pa.array(g["n_lines"].to_numpy(), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return parts.map_batches(block, batch_format="pyarrow", batch_size=None)

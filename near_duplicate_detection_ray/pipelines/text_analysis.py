@@ -2339,3 +2339,42 @@ def source_length_deciles(sf_dir: str):
     return key_partitioned(docs, ["source"]).map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def source_mixing_weights(sf_dir: str, alpha: float = 0.5):
+    """TEMPERATURE-WEIGHTED data-mixing plan — the standard LLM-corpus
+    recipe for upweighting small high-quality sources: source ``i`` with
+    ``n_i`` docs samples with probability ``n_i^alpha / sum_j n_j^alpha``
+    (alpha=1 is natural mixing, alpha=0 uniform).  Per-source counts fold
+    through bounded partials (one row per source per block); the weight
+    arithmetic runs on the bounded final table.  Output: ``source, n_docs,
+    weight, expected_docs`` (weight * corpus size, the per-source quota a
+    sampler enforces)."""
+    import pandas as pd
+
+    from ..functions.groupagg import lowcard_groupagg
+
+    docs = _read_docs(sf_dir, ["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"source": g["source"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = lowcard_groupagg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"], [("n", "sum")], {"n_sum": "n_docs"},
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    n = counts["n_docs"].to_numpy().astype(np.float64)
+    total = float(n.sum())
+    pw = np.power(n, alpha)
+    w = pw / pw.sum()
+    return pa.table(
+        {
+            "source": pa.array(counts["source"].tolist(), pa.string()),
+            "n_docs": pa.array(counts["n_docs"].to_numpy(), pa.int64()),
+            "weight": pa.array(np.round(w, 8), pa.float64()),
+            "expected_docs": pa.array(np.round(w * total, 6), pa.float64()),
+        }
+    )

@@ -24,6 +24,10 @@ NEW_QUERIES = [
     "lexical_diversity_docs",
     "sentence_stats_docs",
     "source_length_deciles",
+    "source_mixing_weights",
+    "orders_cohort_retention",
+    "supplier_distinct_parts",
+    "conv_depth_histogram",
 ]
 
 
