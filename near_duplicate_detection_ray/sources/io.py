@@ -546,3 +546,128 @@ def parquet_checksum(path, col: str) -> dict:
     for v in parts["x"].tolist():
         cksum ^= int(v)
     return {"n_rows": int(parts["n"].sum()), "checksum63": cksum}
+
+
+def _morton_spread_bits(v: "np.ndarray") -> "np.ndarray":
+    """Spread each of the low 32 bits of ``v`` to even positions (uint64)."""
+    import numpy as np
+
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def write_zorder(ds, cols: list[str], out_dir: str, bits: int = 21) -> dict:
+    """Z-ORDER (Morton-interleaved) layout over TWO numeric columns — the
+    multi-dimensional member of the layout family (hash buckets / range
+    zone-map / hive dirs): one sort by the interleaved key clusters rows so
+    per-file [min, max] footers are TIGHT IN BOTH columns at once, and a
+    2-D predicate prunes files that neither a range- nor a hive-layout on a
+    single column could skip.
+
+    Each column is linearly rank-scaled into ``bits``-bit space from its
+    global [min, max] (scaling only orders rows — exactness is irrelevant),
+    then bit-interleaved into one uint64 ``_z`` key; ONE amortized
+    all-to-all (the sort) pays for every future pruned read.  The manifest
+    records per-file [min, max] of BOTH columns from the parquet footers.
+    Returns ``{"cols", "files": [{"file", "mins", "maxs", "rows"}]}``."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    assert len(cols) == 2, "z-order layout interleaves exactly two columns"
+    lo = [float(ds.min(c)) for c in cols]
+    hi = [float(ds.max(c)) for c in cols]
+    span = [max(h - l, 1e-300) for l, h in zip(lo, hi)]
+    scale = float(2**bits - 1)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        parts = []
+        for i, c in enumerate(cols):
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            q = np.floor((v - lo[i]) / span[i] * scale).astype(np.uint64)
+            parts.append(_morton_spread_bits(q))
+        z = parts[0] | (parts[1] << np.uint64(1))
+        return t.append_column("_z", pa.array(z, pa.uint64()))
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(add_key, batch_format="pyarrow").sort("_z").write_parquet(
+        out_dir
+    )
+    files = []
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out_dir, f)).metadata
+        schema = md.schema.to_arrow_schema()
+        mins, maxs, rows = {}, {}, 0
+        for rg in range(md.num_row_groups):
+            rows += md.row_group(rg).num_rows
+            for c in cols:
+                st = md.row_group(rg).column(schema.get_field_index(c)).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mins[c] = st.min if c not in mins else min(mins[c], st.min)
+                maxs[c] = st.max if c not in maxs else max(maxs[c], st.max)
+        files.append(
+            {"file": f, "mins": mins, "maxs": maxs, "rows": rows}
+        )
+    manifest = {"cols": cols, "files": files}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, default=str)
+    return manifest
+
+
+def read_zorder_pruned(out_dir: str, ranges: dict, columns=None):
+    """Read back a :func:`write_zorder` layout for a conjunction of
+    per-column range predicates ``{col: (lo, hi)}``: open ONLY files whose
+    2-D zone maps overlap EVERY predicate, apply the exact residual filter.
+    Returns ``(dataset, n_files_read, n_files_total)``."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        man = json.load(fh)
+
+    def keeps(e) -> bool:
+        for c, (lo, hi) in ranges.items():
+            if c not in e["mins"]:
+                continue  # no stats: conservative keep
+            if float(e["maxs"][c]) < lo or float(e["mins"][c]) > hi:
+                return False
+        return True
+
+    kept = [e["file"] for e in man["files"] if keeps(e)]
+    n_total = len(man["files"])
+    if not kept:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(
+            os.path.join(out_dir, man["files"][0]["file"])
+        ).remove_metadata()
+        return rd.from_arrow(schema.empty_table()), 0, n_total
+    ds = read_parquet_clean(
+        [os.path.join(out_dir, f) for f in kept], columns=columns
+    )
+
+    def residual(t):
+        mask = None
+        for c, (lo, hi) in ranges.items():
+            m = pc.and_(pc.greater_equal(t[c], lo), pc.less_equal(t[c], hi))
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask)
+
+    return ds.map_batches(residual, batch_format="pyarrow"), len(kept), n_total
