@@ -372,6 +372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
+        "dedup_rate_by_source": docs_dedup.dedup_rate_by_source,  # SQL-checked (per-source dup census)
+        "prefix_dup_docs": docs_dedup.prefix_dup_docs,          # SQL-checked (template detection)
+        "cross_source_dup_pairs": docs_dedup.cross_source_dup_pairs,  # SQL-checked (provenance leakage)
         "dup_pair_degrees": docs_dedup.dup_pair_degrees,        # SQL-checked (dup-graph degrees)
         "span_coverage_stats": docs_dedup.span_coverage_stats,  # SQL-checked (duplication mass)
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
@@ -2578,6 +2581,67 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        # per-source exact-dup rate (md5 content groups)
+        "dedup_rate_by_source": """
+            WITH d AS (SELECT source, md5(text) AS fp FROM documents),
+            c AS (
+                SELECT source, count(*) AS n_docs,
+                       count(DISTINCT fp) AS n_distinct
+                FROM d GROUP BY source
+            )
+            SELECT source, n_docs, n_distinct,
+                   1.0 - CAST(n_distinct AS DOUBLE) / n_docs AS dup_rate
+            FROM c
+        """,
+        # shared-prefix template groups (first 10 whitespace tokens)
+        "prefix_dup_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ), p AS (
+                SELECT doc_id, array_to_string(t[1:10], ' ') AS prefix
+                FROM toks
+            )
+            SELECT prefix, count(*) AS n_docs, min(doc_id) AS rep_id
+            FROM p GROUP BY prefix HAVING count(*) > 1
+        """,
+        # cross-source near-dup pairs: the brute-force near-dup CTE (same as
+        # near_dup_pairs_docs) joined back to both endpoints' sources
+        "cross_source_dup_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), nd AS (
+                SELECT a, b,
+                       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+                FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            )
+            SELECT nd.a, nd.b, da.source AS source_a, db.source AS source_b,
+                   nd.jaccard
+            FROM nd JOIN documents da ON nd.a = da.doc_id
+                    JOIN documents db ON nd.b = db.doc_id
+            WHERE da.source <> db.source
         """,
         # triangle census of the same brute-force near-dup pair graph:
         # wedges from lower-endpoint adjacency, closure via a third join

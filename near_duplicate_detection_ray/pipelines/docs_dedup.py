@@ -1224,3 +1224,153 @@ def dup_kcore(sf_dir: str, cfg: NDDConfig | None = None):
 
     pairs = near_dup_pairs_docs(sf_dir, cfg).select_columns(["a", "b"])
     return kcore_decomposition(pairs)
+
+
+def dedup_rate_by_source(sf_dir: str):
+    """Per-source EXACT-DUP rate census — the provenance-quality scoreboard
+    a curation run reads first: which sources ship redundant content.
+    Distinct content per source via md5 fingerprints (matching SQL
+    ``md5(text)``), two-level: ONE fingerprint-keyed shuffle of (source,
+    fingerprint) rows collapses copies, then a bounded per-source combine.
+    Output: ``source, n_docs, n_distinct, dup_rate`` (one IEEE division)."""
+    import hashlib
+
+    from ..functions.groupagg import highcard_groupagg, lowcard_groupagg
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"source": batch["source"], "fingerprint": pa.array(fps, pa.string())}
+        )
+
+    distinct = highcard_groupagg(
+        _read_docs(sf_dir, ["source", "text"]).map_batches(
+            fp, batch_format="pyarrow"
+        ),
+        ["source", "fingerprint"],
+        [([], "count_all")],
+        {"count_all": "n_copies"},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source"]).aggregate(
+            [("n_copies", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": pc.cast(g["n_copies_sum"], pa.int64()),
+                "n_distinct": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg = lowcard_groupagg(
+        distinct.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        [("n_docs", "sum"), ("n_distinct", "sum")],
+        {"n_docs_sum": "n_docs", "n_distinct_sum": "n_distinct"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["n_distinct"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_distinct": pc.cast(t["n_distinct"], pa.int64()),
+                "dup_rate": pa.array(1.0 - d / n, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def prefix_dup_docs(sf_dir: str, n_tokens: int = 10):
+    """TEMPLATE DETECTION: groups of documents sharing an identical
+    ``n_tokens``-token PREFIX (raw text, whitespace tokens) — near-dup
+    misses these when the bodies diverge, yet shared preambles are exactly
+    what boilerplate-strip needs to know about.  ONE prefix-keyed shuffle
+    (the prefix string is the key — bounded by construction), block-local
+    count + min; only groups with >= 2 docs survive.  Output: ``prefix,
+    n_docs, rep_id``."""
+    from ..functions.groupagg import highcard_groupagg
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(pc.utf8_trim_whitespace(batch["text"]), pa.scalar(""))
+        )
+        if batch.num_rows == 0:
+            return pa.table(
+                {"prefix": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        head = pc.binary_join(pc.list_slice(toks, 0, n_tokens), " ")
+        return pa.table(
+            {"prefix": head, "doc_id": pc.cast(batch["doc_id"], pa.int64())}
+        )
+
+    grouped = highcard_groupagg(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            prefix, batch_format="pyarrow"
+        ),
+        ["prefix"],
+        [("doc_id", "min"), ([], "count_all")],
+        {"doc_id_min": "rep_id", "count_all": "n_docs"},
+    )
+    return grouped.map_batches(
+        lambda t: t.filter(pc.greater(t["n_docs"], 1)), batch_format="pyarrow"
+    )
+
+
+def cross_source_dup_pairs(sf_dir: str, cfg: NDDConfig | None = None):
+    """PROVENANCE-LEAKAGE census: near-dup pairs whose endpoints come from
+    DIFFERENT sources — the cross-domain contamination signal (mirror sites,
+    syndicated content) that per-source dedup cannot see.
+
+    Rides the flagship machinery: :func:`near_dup_pairs_docs` pairs (bounded
+    output), then the doc->source attachment via the verify-stage discipline
+    — docs are SEMI-FILTERED to pair endpoints off-driver before the two
+    hash joins, so the full documents table is never shuffled.  Output:
+    ``a, b, source_a, source_b, jaccard`` with ``source_a <> source_b``."""
+    from ..state.partitioning import (
+        endpoint_stats,
+        materialize_clean,
+        semi_filter,
+    )
+
+    pairs = materialize_clean(near_dup_pairs_docs(sf_dir, cfg))
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()),
+                 ("source_a", pa.string()), ("source_b", pa.string()),
+                 ("jaccard", pa.float64())]
+            ).empty_table()
+        )
+    docs = _read_docs(sf_dir, ["doc_id", "source"])
+    ids_ref, _n, _counts = endpoint_stats(pairs, ["a", "b"])
+    side = semi_filter(docs, "doc_id", ids_ref)
+    j = pairs.join(
+        side, join_type="inner", num_partitions=8,
+        on=("a",), right_on=("doc_id",),
+    ).rename_columns({"source": "source_a"})
+    j = materialize_clean(j)
+    j = j.join(
+        side, join_type="inner", num_partitions=8,
+        on=("b",), right_on=("doc_id",),
+    ).rename_columns({"source": "source_b"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["source_a"], t["source_b"]))
+        return t.select(["a", "b", "source_a", "source_b", "jaccard"])
+
+    return j.map_batches(finish, batch_format="pyarrow")

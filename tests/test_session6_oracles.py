@@ -28,6 +28,9 @@ NEW_QUERIES = [
     "orders_cohort_retention",
     "supplier_distinct_parts",
     "conv_depth_histogram",
+    "dedup_rate_by_source",
+    "prefix_dup_docs",
+    "cross_source_dup_pairs",
 ]
 
 
