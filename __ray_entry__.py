@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": relational.user_event_entropy,           # per-user Shannon entropy
         "orders_cohort_retention": relational.orders_cohort_retention,  # month-cohort retention matrix
         "supplier_distinct_parts": relational.supplier_distinct_parts,  # fact-scale grouped COUNT(DISTINCT)
+        "customer_spend_deciles": relational.customer_spend_deciles,    # deciles of per-customer aggregates
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
         "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
@@ -365,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile_docs": text_analysis.quality_percentile_docs,  # SQL-checked (global CDF attach)
         "lexical_diversity_docs": text_analysis.lexical_diversity_docs,  # SQL-checked (type-token ratio)
         "source_mixing_weights": text_analysis.source_mixing_weights,    # SQL-checked (temperature mixing plan)
+        "token_length_histogram": text_analysis.token_length_histogram,  # SQL-checked (tokenizer-design census)
         "sentence_stats_docs": text_analysis.sentence_stats_docs,        # SQL-checked (sentence-shape census)
         "source_length_deciles": text_analysis.source_length_deciles,    # SQL-checked (per-source order stats)
         "vocab_coverage": text_analysis.vocab_coverage,            # SQL-checked (head-vocab coverage curve)
@@ -1129,6 +1131,22 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(month_offset AS BIGINT) AS month_offset,
                    count(*) AS n_customers
             FROM p GROUP BY cohort, month_offset
+        """,
+        # deciles of per-customer lifetime spend (exact cents, quantile_disc)
+        "customer_spend_deciles": """
+            WITH s AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS spend_c
+                FROM orders GROUP BY o_custkey
+            ), q AS (
+                SELECT quantile_disc(spend_c, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                               0.6, 0.7, 0.8, 0.9]) AS qs
+                FROM s
+            )
+            SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS decile,
+                   CAST(unnest(qs) AS BIGINT) AS spend_c
+            FROM q
         """,
         # fact-scale grouped COUNT(DISTINCT): parts ever shipped per supplier
         "supplier_distinct_parts": """
@@ -2092,6 +2110,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(pow(CAST(n_docs AS DOUBLE), 0.5) / (SELECT z FROM t)
                          * (SELECT total FROM t), 6) AS expected_docs
             FROM c
+        """,
+        # corpus histogram of whitespace-token character lengths
+        "token_length_histogram": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT CAST(length(term) AS BIGINT) AS token_len,
+                   count(*) AS n_tokens
+            FROM toks GROUP BY 1
         """,
         # type-token ratio (lexical diversity) per non-empty doc
         "lexical_diversity_docs": r"""

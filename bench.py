@@ -88,6 +88,8 @@ def run_queries() -> dict[str, float]:
         "decontaminate_docs_fuzzy",
         "token_pmi_pairs",
         "pack_sequences_docs",
+        "unigram_logprob_docs",
+        "cross_source_dup_pairs",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -5021,3 +5021,60 @@ def supplier_distinct_parts(sf_dir: str, num_partitions: int | None = None):
         )
 
     return parts.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def customer_spend_deciles(sf_dir: str, num_partitions: int | None = None):
+    """Deciles OF AGGREGATES: exact global order statistics over PER-CUSTOMER
+    lifetime spend — the two-level shape (aggregate, then rank the
+    aggregates) behind every "top-decile customers" cut.  Spend folds to
+    exact cents via the keyed-shuffle group sum; the decile bounds come from
+    the domain-bounded cent histogram (the :func:`winsorize_events`
+    discipline — a merge of per-block value histograms, never a global
+    sort), picked at DuckDB ``quantile_disc`` rank ceil(q*n).  Output:
+    ``decile (1..9), spend_c`` in cents."""
+    import math
+
+    from ..functions.groupagg import highcard_groupagg
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+             "spend_c": pa.array(cents, pa.int64())}
+        )
+
+    per_cust = highcard_groupagg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"], [("spend_c", "sum")], {"spend_c_sum": "spend_c"},
+        num_partitions=num_partitions,
+    )
+
+    def hist_block(t: pa.Table) -> pa.Table:
+        u, n = np.unique(
+            t["spend_c"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"c": pa.array(u, pa.int64()), "n": pa.array(n, pa.int64())}
+        )
+
+    hist = highcard_groupagg(
+        per_cust.map_batches(hist_block, batch_format="pyarrow"),
+        ["c"], [("n", "sum")], {"n_sum": "n"},
+    ).to_pandas().sort_values("c").reset_index(drop=True)
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    cents = hist["c"].to_numpy()
+    rows = []
+    for d in range(1, 10):
+        rank = max(1, math.ceil(d / 10 * total))
+        rows.append((d, int(cents[np.searchsorted(cum, rank)])))
+    return pa.table(
+        {
+            "decile": pa.array([r[0] for r in rows], pa.int64()),
+            "spend_c": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

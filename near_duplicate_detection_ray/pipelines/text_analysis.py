@@ -2378,3 +2378,41 @@ def source_mixing_weights(sf_dir: str, alpha: float = 0.5):
             "expected_docs": pa.array(np.round(w * total, 6), pa.float64()),
         }
     )
+
+
+def token_length_histogram(sf_dir: str):
+    """Corpus-wide histogram of whitespace-token CHARACTER lengths — the
+    tokenizer-design census (length-1 spikes mean split artifacts; a heavy
+    20+ tail means URLs/base64 junk).  Token lengths come straight off the
+    Arrow list offsets (``utf8_length`` on the flattened tokens), fold as
+    bounded per-block histogram partials, and finish in the small combiner.
+    Output: ``token_len, n_tokens``."""
+    from ..functions.groupagg import lowcard_groupagg
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(pc.utf8_trim_whitespace(batch["text"]), pa.scalar(""))
+        )
+        if batch.num_rows == 0:
+            return pa.table(
+                {"token_len": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+            )
+        )
+        lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+        u, n = np.unique(lens, return_counts=True)
+        return pa.table(
+            {"token_len": pa.array(u.astype(np.int64), pa.int64()),
+             "n": pa.array(n, pa.int64())}
+        )
+
+    return lowcard_groupagg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["token_len"], [("n", "sum")], {"n_sum": "n_tokens"},
+    )

@@ -31,6 +31,8 @@ NEW_QUERIES = [
     "dedup_rate_by_source",
     "prefix_dup_docs",
     "cross_source_dup_pairs",
+    "customer_spend_deciles",
+    "token_length_histogram",
 ]
 
 
