@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": relational.value_histogram,              # equal-width integer bins
         "event_value_mad": relational.event_value_mad,              # robust median/MAD stats
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
+        "debounce_events": relational.debounce_events,         # lag-window streaming dedup
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
         "promo_revenue": relational.promo_revenue,             # TPC-H Q14 shape (global ratio)
@@ -367,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity_docs": text_analysis.lexical_diversity_docs,  # SQL-checked (type-token ratio)
         "source_mixing_weights": text_analysis.source_mixing_weights,    # SQL-checked (temperature mixing plan)
         "token_length_histogram": text_analysis.token_length_histogram,  # SQL-checked (tokenizer-design census)
+        "zipf_slope_corpus": text_analysis.zipf_slope_corpus,  # SQL-checked (rank-frequency OLS fit)
+        "doc_length_gini": text_analysis.doc_length_gini,      # SQL-checked (length-inequality census)
         "sentence_stats_docs": text_analysis.sentence_stats_docs,        # SQL-checked (sentence-shape census)
         "source_length_deciles": text_analysis.source_length_deciles,    # SQL-checked (per-source order stats)
         "vocab_coverage": text_analysis.vocab_coverage,            # SQL-checked (head-vocab coverage curve)
@@ -1527,6 +1530,23 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM g WHERE gap IS NOT NULL
             GROUP BY user_id
         """,
+        # lag-window debounce: drop an event when the previous same
+        # (user_id, event_type) event is within 60 s of it
+        "debounce_events": """
+            WITH s AS (
+                SELECT event_type,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id)) AS gap_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN gap_us IS NOT NULL
+                                      AND gap_us <= 60 * 1000000
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+            FROM s GROUP BY event_type
+        """,
         # funnel progression over the SAME ordered sequence, identical RE2
         # subsequence patterns on both sides (no event type is a substring of
         # another, so the plain patterns are exact)
@@ -2120,6 +2140,38 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT CAST(length(term) AS BIGINT) AS token_len,
                    count(*) AS n_tokens
             FROM toks GROUP BY 1
+        """,
+        # Zipf fit: OLS of ln(count) on ln(rank) over the top-1000 unigrams
+        "zipf_slope_corpus": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            ), counts AS (
+                SELECT term, count(*) AS n FROM toks GROUP BY term
+            ), ranked AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS r
+                FROM counts ORDER BY n DESC, term ASC LIMIT 1000
+            )
+            SELECT round(regr_slope(ln(n), ln(r)), 6) AS slope,
+                   round(regr_intercept(ln(n), ln(r)), 6) AS intercept,
+                   round(regr_r2(ln(n), ln(r)), 6) AS r2,
+                   CAST(count(*) AS BIGINT) AS n_terms
+            FROM ranked
+        """,
+        # Gini coefficient of doc lengths via the sorted-rank identity
+        "doc_length_gini": """
+            WITH s AS (
+                SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars) AS i,
+                       count(*) OVER () AS n,
+                       sum(n_chars) OVER () AS tot
+                FROM documents
+            )
+            SELECT round(sum((2.0 * i - n - 1) * n_chars)
+                         / (1.0 * any_value(n) * any_value(tot)), 6) AS gini,
+                   CAST(any_value(n) AS BIGINT) AS n_docs,
+                   round(1.0 * any_value(tot) / any_value(n), 6) AS mean_len
+            FROM s
         """,
         # type-token ratio (lexical diversity) per non-empty doc
         "lexical_diversity_docs": r"""

@@ -5078,3 +5078,65 @@ def customer_spend_deciles(sf_dir: str, num_partitions: int | None = None):
             "spend_c": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+def debounce_events(sf_dir: str, window_s: int = 60):
+    """Streaming DEBOUNCE dedup: an event is KEPT unless the previous event
+    with the same ``(user_id, event_type)`` key is within ``window_s``
+    seconds — the telemetry retry/double-fire suppressor every event
+    pipeline runs before sessionization.  Same lag-window discipline as
+    :func:`user_event_gaps`: one keyed hash-partition on user_id (the
+    coarser key keeps all of a user's types co-located for free), then a
+    fully vectorized block kernel — one mergesort over (user, type, ts,
+    event_id), one ``np.diff`` masked at key boundaries.  Output per
+    event_type: ``event_type, n_total, n_kept``."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("n_total", pa.int64()),
+         ("n_kept", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.diff(ts)
+        same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        drop = np.zeros(len(df), dtype=bool)
+        drop[1:] = same & (gap <= window_s * 1_000_000)
+        out = (
+            pd.DataFrame({"event_type": et, "kept": ~drop})
+            .groupby("event_type", sort=True)["kept"]
+            .agg(n_total="size", n_kept="sum")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_total": pa.array(out["n_total"].to_numpy(), pa.int64()),
+                "n_kept": pa.array(
+                    out["n_kept"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    from ..functions.groupagg import lowcard_groupagg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    parts = key_partitioned(ds, ["user_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )
+    return lowcard_groupagg(
+        parts, ["event_type"],
+        [("n_total", "sum"), ("n_kept", "sum")],
+        {"n_total_sum": "n_total", "n_kept_sum": "n_kept"},
+    )

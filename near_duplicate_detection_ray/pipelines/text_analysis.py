@@ -2416,3 +2416,103 @@ def token_length_histogram(sf_dir: str):
         docs.map_batches(partial, batch_format="pyarrow"),
         ["token_len"], [("n", "sum")], {"n_sum": "n_tokens"},
     )
+
+
+def zipf_slope_corpus(sf_dir: str, k: int = 1000):
+    """Zipf rank-frequency fit over the corpus unigram distribution: OLS of
+    ``ln(count)`` on ``ln(rank)`` for the top-``k`` terms (rank order =
+    count desc, term asc).  A healthy natural-language corpus fits a slope
+    near -1; template/boilerplate-heavy data flattens the head.  The
+    distributed part is the two-level unigram count (per-block
+    ``value_counts`` combiner, then the vocabulary-sized groupby) and the
+    bounded :func:`global_topk` head; the k-row regression itself is driver
+    math.  Output one row: ``slope, intercept, r2, n_terms``."""
+    from ..functions.groupagg import global_topk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        text = pc.utf8_trim_whitespace(batch["text"])
+        batch = batch.filter(pc.not_equal(text, pa.scalar("")))
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+            )
+        )
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {"term": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    parts = _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    totals = parts.groupby("term").sum("n").rename_columns({"sum(n)": "n"})
+    head = global_topk(totals, ["n", "term"], [True, False], k).to_pandas()
+    # head arrives globally sorted by (n desc, term asc) == rank order
+    y = np.log(head["n"].to_numpy().astype(np.float64))
+    x = np.log(np.arange(1, len(y) + 1, dtype=np.float64))
+    xm, ym = x.mean(), y.mean()
+    sxx = float(((x - xm) ** 2).sum())
+    sxy = float(((x - xm) * (y - ym)).sum())
+    syy = float(((y - ym) ** 2).sum())
+    slope = sxy / sxx
+    intercept = ym - slope * xm
+    r2 = (sxy * sxy) / (sxx * syy) if syy > 0 else 1.0
+    return pa.table(
+        {
+            "slope": pa.array([round(slope, 6)], pa.float64()),
+            "intercept": pa.array([round(intercept, 6)], pa.float64()),
+            "r2": pa.array([round(r2, 6)], pa.float64()),
+            "n_terms": pa.array([len(y)], pa.int64()),
+        }
+    )
+
+
+def doc_length_gini(sf_dir: str):
+    """Gini coefficient of the document-length distribution (`n_chars`) —
+    the data-balance census behind "is my corpus a few giant docs plus
+    dust?".  Uses the sorted-rank identity
+    ``G = sum_i (2i - n - 1) x_(i) / (n * sum x)`` computed EXACTLY from the
+    bounded length histogram: per-block ``np.unique`` partials fold to one
+    vocabulary-of-lengths table, and the rank sums per equal-value run are
+    closed-form (no global sort of the table, tie-invariant).  The final
+    arithmetic runs in Python ints on the tiny histogram, so no overflow at
+    any scale.  Output one row: ``gini, n_docs, mean_len``."""
+    from ..functions.groupagg import lowcard_groupagg
+
+    docs = _read_docs(sf_dir, ["n_chars"])
+
+    def hist_block(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {"len": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
+    hist = lowcard_groupagg(
+        docs.map_batches(hist_block, batch_format="pyarrow"),
+        ["len"], [("n", "sum")], {"n_sum": "n"},
+    ).to_pandas().sort_values("len").reset_index(drop=True)
+    lens = [int(v) for v in hist["len"]]
+    cnts = [int(v) for v in hist["n"]]
+    n = sum(cnts)
+    tot = sum(x * c for x, c in zip(lens, cnts))
+    num = 0
+    start = 1  # 1-based rank of the first item in the current run
+    for x, c in zip(lens, cnts):
+        # sum_{i=start}^{start+c-1} (2i - n - 1) == 2*(c*start + c*(c-1)/2) - c*(n+1)
+        num += (2 * (c * start + c * (c - 1) // 2) - c * (n + 1)) * x
+        start += c
+    gini = num / (n * tot) if n and tot else 0.0
+    return pa.table(
+        {
+            "gini": pa.array([round(gini, 6)], pa.float64()),
+            "n_docs": pa.array([n], pa.int64()),
+            "mean_len": pa.array([round(tot / n, 6)], pa.float64()),
+        }
+    )
