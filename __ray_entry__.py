@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_mad": relational.event_value_mad,              # robust median/MAD stats
         "user_event_gaps": relational.user_event_gaps,         # lag-family gap stats
         "debounce_events": relational.debounce_events,         # lag-window streaming dedup
+        "fk_violations": relational.fk_violations,             # referential-integrity audit
         "lapsed_customers": relational.lapsed_customers,       # EXCEPT set-op semi-join
         "user_event_types": relational.user_event_types,       # grouped collect-set
         "promo_revenue": relational.promo_revenue,             # TPC-H Q14 shape (global ratio)
@@ -1529,6 +1530,44 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(gap) AS BIGINT) AS sum_gap_us
             FROM g WHERE gap IS NOT NULL
             GROUP BY user_id
+        """,
+        # referential-integrity audit: orphan fact rows per FK edge
+        "fk_violations": """
+            SELECT 'lineitem' AS fact, 'l_orderkey' AS fk,
+                   (SELECT count(*) FROM lineitem) AS n_rows,
+                   (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                        ON l.l_orderkey = o.o_orderkey
+                    WHERE o.o_orderkey IS NULL) AS n_orphans
+            UNION ALL
+            SELECT 'lineitem', 'l_partkey',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem l LEFT JOIN part p
+                        ON l.l_partkey = p.p_partkey
+                    WHERE p.p_partkey IS NULL)
+            UNION ALL
+            SELECT 'lineitem', 'l_suppkey',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+                        ON l.l_suppkey = s.s_suppkey
+                    WHERE s.s_suppkey IS NULL)
+            UNION ALL
+            SELECT 'orders', 'o_custkey',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders o LEFT JOIN customer c
+                        ON o.o_custkey = c.c_custkey
+                    WHERE c.c_custkey IS NULL)
+            UNION ALL
+            SELECT 'customer', 'c_nationkey',
+                   (SELECT count(*) FROM customer),
+                   (SELECT count(*) FROM customer c LEFT JOIN nation n
+                        ON c.c_nationkey = n.n_nationkey
+                    WHERE n.n_nationkey IS NULL)
+            UNION ALL
+            SELECT 'supplier', 's_nationkey',
+                   (SELECT count(*) FROM supplier),
+                   (SELECT count(*) FROM supplier s LEFT JOIN nation n
+                        ON s.s_nationkey = n.n_nationkey
+                    WHERE n.n_nationkey IS NULL)
         """,
         # lag-window debounce: drop an event when the previous same
         # (user_id, event_type) event is within 60 s of it

@@ -1340,6 +1340,7 @@ def cross_source_dup_pairs(sf_dir: str, cfg: NDDConfig | None = None):
     hash joins, so the full documents table is never shuffled.  Output:
     ``a, b, source_a, source_b, jaccard`` with ``source_a <> source_b``."""
     from ..state.partitioning import (
+        default_partitions,
         endpoint_stats,
         materialize_clean,
         semi_filter,
@@ -1358,14 +1359,16 @@ def cross_source_dup_pairs(sf_dir: str, cfg: NDDConfig | None = None):
         )
     docs = _read_docs(sf_dir, ["doc_id", "source"])
     ids_ref, _n, _counts = endpoint_stats(pairs, ["a", "b"])
-    side = semi_filter(docs, "doc_id", ids_ref)
+    # materialize the endpoint-bounded side ONCE — it feeds BOTH joins, and a
+    # lazy Dataset re-executes its whole read+filter graph per consumer
+    side = materialize_clean(semi_filter(docs, "doc_id", ids_ref))
     j = pairs.join(
-        side, join_type="inner", num_partitions=8,
+        side, join_type="inner", num_partitions=default_partitions(),
         on=("a",), right_on=("doc_id",),
     ).rename_columns({"source": "source_a"})
     j = materialize_clean(j)
     j = j.join(
-        side, join_type="inner", num_partitions=8,
+        side, join_type="inner", num_partitions=default_partitions(),
         on=("b",), right_on=("doc_id",),
     ).rename_columns({"source": "source_b"})
 

@@ -5140,3 +5140,59 @@ def debounce_events(sf_dir: str, window_s: int = 60):
         [("n_total", "sum"), ("n_kept", "sum")],
         {"n_total_sum": "n_total", "n_kept_sum": "n_kept"},
     )
+
+
+def fk_violations(sf_dir: str):
+    """Referential-integrity AUDIT over the star schema in one pass per fact
+    table: counts of fact rows whose foreign key has no parent row — the
+    pre-flight data-quality gate every warehouse load runs.  Each parent key
+    set is built OFF-DRIVER (``distinct_values_ref`` tree merge, dimension-
+    sized) and applied as one inverted ``pc.is_in`` per fact block with
+    per-block partial counts; the fact tables stream, nothing shuffles.
+    Output: ``fact, fk, n_rows, n_orphans``."""
+    import ray
+
+    from ..functions.groupagg import lowcard_groupagg
+    from ..state.partitioning import distinct_values_ref
+
+    checks = [
+        # (fact table, fk column, parent table, parent key)
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+
+    partials = []
+    for fact, fk, parent, pk in checks:
+        ids_ref, _n = distinct_values_ref(_read(sf_dir, parent, [pk]), [pk])
+
+        def count_block(t: pa.Table, _fact=fact, _fk=fk, _ids=ids_ref) -> pa.Table:
+            ids = ray.get(_ids) if isinstance(_ids, ray.ObjectRef) else _ids
+            ok = pc.is_in(t[_fk], value_set=ids)
+            n_orph = int(t.num_rows - pc.sum(pc.cast(ok, pa.int64())).as_py())
+            return pa.table(
+                {
+                    "fact": pa.array([_fact], pa.string()),
+                    "fk": pa.array([_fk], pa.string()),
+                    "n_rows": pa.array([t.num_rows], pa.int64()),
+                    "n_orphans": pa.array([n_orph], pa.int64()),
+                }
+            )
+
+        partials.append(
+            _read(sf_dir, fact, [fk]).map_batches(
+                count_block, batch_format="pyarrow"
+            )
+        )
+
+    uni = partials[0]
+    for p in partials[1:]:
+        uni = uni.union(p)
+    return lowcard_groupagg(
+        uni, ["fact", "fk"],
+        [("n_rows", "sum"), ("n_orphans", "sum")],
+        {"n_rows_sum": "n_rows", "n_orphans_sum": "n_orphans"},
+    )

@@ -18,6 +18,7 @@ NEW_QUERIES = [
     "zipf_slope_corpus",
     "doc_length_gini",
     "debounce_events",
+    "fk_violations",
 ]
 
 
