@@ -199,6 +199,12 @@ def _split_docs(sf_dir: str):
     return split_docs(sf_dir)
 
 
+def _epoch_shuffle_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import epoch_shuffle_docs
+
+    return epoch_shuffle_docs(sf_dir)
+
+
 def _upsert_diff(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import upsert_diff
 
@@ -336,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": relational.event_transitions,     # sequence-bigram transition counts
         "session_conversion": relational.session_conversion,   # sessionization x funnel composition
         "global_value_quantiles": relational.global_value_quantiles,  # exact corpus-wide order stats (histogram select)
+        "skyline_orders": relational.skyline_orders,           # SQL-checked (Pareto front; local-skyline partials)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -399,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_docs": _upsert_docs,                            # SQL-checked (MERGE last-writer-wins)
         "upsert_diff": _upsert_diff,                            # SQL-checked (table-diff census)
         "split_docs": _split_docs,                              # SQL-checked (3-way hash split)
+        "epoch_shuffle_docs": _epoch_shuffle_docs,              # SQL-checked (global shuffle rank, no global sort)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "turn_length_stats": _turn_length_stats,                # SQL-checked (per-role turn-length census)
@@ -1568,6 +1576,29 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (SELECT count(*) FROM supplier s LEFT JOIN nation n
                         ON s.s_nationkey = n.n_nationkey
                     WHERE n.n_nationkey IS NULL)
+        """,
+        # Pareto front on (o_totalprice, o_orderdate): dominated = another
+        # order >= on both axes with > on at least one
+        "skyline_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o2
+                WHERE o2.o_totalprice >= o.o_totalprice
+                  AND o2.o_orderdate  >= o.o_orderdate
+                  AND (o2.o_totalprice > o.o_totalprice
+                       OR o2.o_orderdate > o.o_orderdate)
+            )
+        """,
+        # deterministic epoch shuffle: exact rank under the affine
+        # permutation key (48271*doc_id + 11) mod (2^31-1); keys are
+        # distinct, so the order is total
+        "epoch_shuffle_docs": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY (48271 * doc_id + 11) % 2147483647
+                   ) - 1 AS BIGINT) AS pos
+            FROM documents
         """,
         # lag-window debounce: drop an event when the previous same
         # (user_id, event_type) event is within 60 s of it

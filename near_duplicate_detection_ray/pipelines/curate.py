@@ -809,3 +809,87 @@ def _md5_pct(doc_id: int) -> int:
     from ..functions.hashing import md5_low64
 
     return md5_low64(str(doc_id)) % 100
+
+
+def epoch_shuffle_docs(sf_dir: str, seed_a: int = 48271, seed_b: int = 11):
+    """Deterministic GLOBAL TRAINING-ORDER SHUFFLE — the "epoch permutation"
+    every training-data consumer needs: each doc gets its exact position in a
+    seeded pseudo-random total order, without ever running a global sort of
+    the corpus.
+
+    The shuffle key is an affine permutation ``(a*doc_id + b) mod p`` with
+    p = 2^31-1 prime — injective over the id domain, vectorizable in both
+    numpy and ANSI SQL (the oracle is ``row_number() OVER (ORDER BY ...)``).
+    For id domains beyond 2^31 swap in p = 2^61-1 with 128-bit multiply
+    (numpy via split-multiply, DuckDB via HUGEINT) — same plan.
+
+    Distributed rank WITHOUT a global sort (two bounded passes):
+    1. keys bucket into 256 ORDER-PRESERVING ranges (``key*256 // p``); one
+       map-side-combined count per bucket comes back to the driver (256 rows,
+       regardless of corpus size) and prefix-sums into bucket offsets;
+    2. one keyed shuffle on bucket co-locates each range, and a vectorized
+       block-local sort assigns ``offset[bucket] + rank_within_bucket``.
+    The corpus moves through exactly one hash exchange of (doc_id, key) int
+    pairs; at 10^12 rows raise the bucket count so per-bucket mass fits a
+    block (counts table stays tiny).
+    """
+    from ..functions.groupagg import lowcard_groupagg
+    from ..state.partitioning import key_partitioned, materialize_clean
+
+    from ..sources.io import read_parquet_clean
+
+    P = 2147483647
+    NB = 256
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (seed_a * ids + seed_b) % P
+        bucket = (key * NB) // P
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    rows = materialize_clean(
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).map_batches(keyed, batch_format="pyarrow")
+    )
+
+    counts = lowcard_groupagg(
+        rows.select_columns(["bucket"]), ["bucket"], [([], "count_all")],
+        {"count_all": "n"},
+    ).to_pandas().sort_values("bucket")
+    offsets = np.zeros(NB, np.int64)
+    b = counts["bucket"].to_numpy().astype(np.int64)
+    n = counts["n"].to_numpy().astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(n)[:-1]])
+    offsets[b] = cum
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        key = t["key"].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, bucket))
+        b_s = bucket[order]
+        starts = np.flatnonzero(np.concatenate([[True], b_s[1:] != b_s[:-1]]))
+        seg_len = np.diff(np.concatenate([starts, [len(b_s)]]))
+        within = np.arange(len(b_s), dtype=np.int64) - np.repeat(starts, seg_len)
+        pos = offsets[b_s] + within
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return key_partitioned(rows, ["bucket"]).map_batches(
+        rank_block, batch_format="pyarrow", batch_size=None
+    )

@@ -5196,3 +5196,55 @@ def fk_violations(sf_dir: str):
         [("n_rows", "sum"), ("n_orphans", "sum")],
         {"n_rows_sum": "n_rows", "n_orphans_sum": "n_orphans"},
     )
+
+
+def _skyline_block(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D Pareto front (maximize both) of one block.
+
+    Row r is dominated iff some row s has s >= r on both axes and s > r on at
+    least one.  Kernel: sort by (price desc, date desc); within an equal-price
+    group only max-date rows survive (dominated by a same-price strictly-later
+    row otherwise); across groups a row survives iff its date strictly exceeds
+    the running date max of all STRICTLY higher-price groups (>= there means a
+    higher-price row covers it).  O(n log n), no Python loop over rows.
+    """
+    order = np.lexsort((-date, -price))
+    p_s, d_s = price[order], date[order]
+    # group boundaries over equal price (sorted desc)
+    new_grp = np.empty(len(p_s), bool)
+    new_grp[0] = True
+    new_grp[1:] = p_s[1:] != p_s[:-1]
+    grp = np.cumsum(new_grp) - 1
+    # max date within each group = first element of the group (date desc)
+    grp_max = d_s[new_grp]
+    # running max of group-max dates over strictly-higher-price groups
+    prev_max = np.empty(len(grp_max), d_s.dtype)
+    prev_max[0] = np.iinfo(np.int64).min if d_s.dtype.kind in "iu" else -np.inf
+    if len(grp_max) > 1:
+        np.maximum.accumulate(grp_max[:-1], out=prev_max[1:])
+    keep_sorted = (d_s == grp_max[grp]) & (d_s > prev_max[grp])
+    return order[keep_sorted]
+
+
+def skyline_orders(sf_dir: str):
+    """Pareto-front (skyline) query over orders: rows not dominated on
+    (o_totalprice, o_orderdate) — "largest and most recent" orders no other
+    order beats on both axes.  The distributed shape scales because the
+    skyline operator is IDEMPOTENT and CLOSED under union: per-block local
+    skylines (each a tiny fraction of the block) stream as partials, and one
+    final pass over their union — bounded by sum of local skyline sizes, not
+    the table — applies the identical kernel.  Any globally-dominated row is
+    dominated by some global-skyline row, which by transitivity survives its
+    own local pass, so the merge loses nothing."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        date = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        return t.take(pa.array(_skyline_block(price, date)))
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    # union of local skylines is small — one block, same kernel, exact result
+    return partials.repartition(1).map_batches(
+        local, batch_format="pyarrow", batch_size=None
+    )

@@ -1,0 +1,111 @@
+"""sf0.001 oracle-conformance pins for the eighth-session operators, plus
+structural invariants (skyline minimality, shuffle-rank bijectivity)."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+NEW_QUERIES = [
+    "skyline_orders",
+    "epoch_shuffle_docs",
+]
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return (
+        df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle_sf0001(ray_session, name):
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()[name](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = _oracle(entrymod.oracle_sql()[name])
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_epoch_shuffle_is_a_permutation(ray_session):
+    """Positions are exactly 0..N-1 with no gaps and no repeats, and the
+    order is reproducible run to run."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["epoch_shuffle_docs"](SF).to_pandas()
+    n = len(df)
+    assert sorted(df["pos"].tolist()) == list(range(n))
+    assert df["doc_id"].nunique() == n
+    df2 = entrymod.queries()["epoch_shuffle_docs"](SF).to_pandas()
+    a = df.sort_values("doc_id").reset_index(drop=True)
+    b = df2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_skyline_block_kernel_vs_brute_force():
+    """Vectorized Pareto kernel equals the O(n^2) dominance definition on a
+    tie-heavy random grid (small value domain forces equal prices AND equal
+    dates across rows)."""
+    import numpy as np
+
+    from near_duplicate_detection_ray.pipelines.relational import _skyline_block
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 60))
+        price = rng.integers(0, 6, n).astype(np.float64)
+        date = rng.integers(0, 6, n).astype(np.int64)
+        keep = set(_skyline_block(price, date).tolist())
+        for i in range(n):
+            dominated = any(
+                price[j] >= price[i] and date[j] >= date[i]
+                and (price[j] > price[i] or date[j] > date[i])
+                for j in range(n)
+            )
+            assert (i not in keep) == dominated, (trial, i)
+
+
+def test_skyline_merge_invariance(ray_session):
+    """The distributed (local partials -> merge) result equals a single-block
+    skyline over the whole table — the closure-under-union property the plan
+    relies on."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from near_duplicate_detection_ray.pipelines.relational import _skyline_block
+
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    price = t["o_totalprice"].to_numpy()
+    date = t["o_orderdate"].to_numpy().astype("datetime64[us]").view(np.int64)
+    idx = _skyline_block(price, date)
+    want = sorted(t["o_orderkey"].to_numpy()[idx].tolist())
+    got = entrymod.queries()["skyline_orders"](SF).to_pandas()
+    assert sorted(got["o_orderkey"].tolist()) == want
