@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_conversion": relational.session_conversion,   # sessionization x funnel composition
         "global_value_quantiles": relational.global_value_quantiles,  # exact corpus-wide order stats (histogram select)
         "skyline_orders": relational.skyline_orders,           # SQL-checked (Pareto front; local-skyline partials)
+        "top_event_days": relational.top_event_days,           # SQL-checked (grouped top-k WITH TIES, rank<=k)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -382,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_deciles": text_analysis.source_length_deciles,    # SQL-checked (per-source order stats)
         "vocab_coverage": text_analysis.vocab_coverage,            # SQL-checked (head-vocab coverage curve)
         "bpe_merge_candidates": text_analysis.bpe_merge_candidates,  # SQL-checked (BPE first merges)
+        "mask_tokens_docs": text_analysis.mask_tokens_docs,    # SQL-checked (deterministic MLM corruption)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -1599,6 +1601,43 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY (48271 * doc_id + 11) % 2147483647
                    ) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        # grouped top-k WITH TIES: rank() <= k over per-(type, day) counts
+        "top_event_days": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, n FROM c
+            QUALIFY rank() OVER (
+                PARTITION BY event_type ORDER BY n DESC
+            ) <= 3
+        """,
+        # deterministic MLM masking: same affine arithmetic per (doc, pos),
+        # single-space split on both sides (empty tokens included)
+        "mask_tokens_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, pos,
+                       CASE WHEN (48271 * (doc_id * 1009 + pos) + 11)
+                                 % 2147483647 % 100 < 15
+                            THEN '<mask>' ELSE w END AS w,
+                       CASE WHEN (48271 * (doc_id * 1009 + pos) + 11)
+                                 % 2147483647 % 100 < 15
+                            THEN 1 ELSE 0 END AS is_m
+                FROM toks
+            )
+            SELECT doc_id,
+                   string_agg(w, ' ' ORDER BY pos) AS masked_text,
+                   CAST(sum(is_m) AS BIGINT) AS n_masked
+            FROM m GROUP BY doc_id
         """,
         # lag-window debounce: drop an event when the previous same
         # (user_id, event_type) event is within 60 s of it

@@ -5248,3 +5248,56 @@ def skyline_orders(sf_dir: str):
     return partials.repartition(1).map_batches(
         local, batch_format="pyarrow", batch_size=None
     )
+
+
+def top_event_days(sf_dir: str, k: int = 3):
+    """Grouped top-k WITH TIES (rank() <= k semantics) — the operator-family
+    gap next to ``grouped_topk_events``'s row_number semantics: all rows
+    tying the k-th value survive, so the output is deterministic without a
+    tie-break column.  Here: for each event_type, the k busiest calendar
+    days by event count.
+
+    Plan: one map-side-combined (event_type, day) count — the exchange is
+    bounded by |types| x |days|, not the event stream — then a vectorized
+    block-local ties filter per type (keep rows whose count >= the k-th
+    largest count, which is exactly rank() <= k since rank = 1 + #strictly
+    greater)."""
+    from ..state.partitioning import key_partitioned
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    counts = lowcard_groupagg(
+        ds.map_batches(day_rows, batch_format="pyarrow"),
+        ["event_type", "day"], [([], "count_all")], {"count_all": "n"},
+    )
+
+    def ties_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        # sort by (type, count desc); per-segment k-th value is the threshold
+        order = np.lexsort((-n, et))
+        et_s, n_s = et[order], n[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], et_s[1:] != et_s[:-1]])
+        )
+        seg_len = np.diff(np.concatenate([starts, [len(et_s)]]))
+        kth_idx = np.minimum(starts + k - 1, starts + seg_len - 1)
+        thresh = np.repeat(n_s[kth_idx], seg_len)
+        keep = order[n_s >= thresh]
+        return t.take(pa.array(keep))
+
+    return key_partitioned(counts, ["event_type"]).map_batches(
+        ties_topk, batch_format="pyarrow", batch_size=None
+    )

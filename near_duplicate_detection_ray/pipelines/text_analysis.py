@@ -2516,3 +2516,47 @@ def doc_length_gini(sf_dir: str):
             "mean_len": pa.array([round(tot / n, 6)], pa.float64()),
         }
     )
+
+
+def mask_tokens_docs(sf_dir: str, mask_pct: int = 15, token_salt: int = 1009):
+    """Deterministic MLM-STYLE TOKEN CORRUPTION — the masked-language-model
+    data-prep step: every (doc, position) token is masked with a fixed
+    pseudo-random rate using the same affine-permutation arithmetic as
+    ``epoch_shuffle_docs`` (``(48271*(doc_id*salt + pos) + 11) mod (2^31-1)
+    mod 100 < pct``), so the corruption is reproducible across runs, engines
+    and the SQL oracle — no RNG state to ship.
+
+    Fully vectorized and row-local (embarrassingly parallel, zero shuffles):
+    one Arrow ``split_pattern``, the mask key computed over the FLAT token
+    array (doc-of/pos-of vectors from the list offsets), one ``if_else``
+    substitution, and a ``binary_join`` reassembly on the original offsets.
+    Single-space split matches DuckDB ``string_split(text, ' ')`` exactly
+    (consecutive spaces yield empty tokens on both sides).
+    """
+    P = 2147483647
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(batch["text"].combine_chunks(), pattern=" ")
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        flat = toks.flatten()
+        doc_of = np.repeat(ids, counts)
+        # 1-based position to match SQL generate_subscripts
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(off[:-1], counts) + 1
+        key = (48271 * (doc_of * token_salt + pos) + 11) % P % 100
+        mask = pa.array(key < mask_pct)
+        newflat = pc.if_else(mask, pa.scalar("<mask>"), flat)
+        rebuilt = pa.ListArray.from_arrays(pa.array(off, pa.int32()), newflat)
+        n_masked = np.zeros(len(ids), np.int64)
+        np.add.at(n_masked, np.repeat(np.arange(len(ids)), counts),
+                  key < mask_pct)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "masked_text": pc.binary_join(rebuilt, " "),
+                "n_masked": pa.array(n_masked, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

@@ -16,6 +16,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 NEW_QUERIES = [
     "skyline_orders",
     "epoch_shuffle_docs",
+    "top_event_days",
+    "mask_tokens_docs",
 ]
 
 
@@ -109,3 +111,43 @@ def test_skyline_merge_invariance(ray_session):
     want = sorted(t["o_orderkey"].to_numpy()[idx].tolist())
     got = entrymod.queries()["skyline_orders"](SF).to_pandas()
     assert sorted(got["o_orderkey"].tolist()) == want
+
+
+def test_ties_topk_includes_all_ties(ray_session):
+    """Every kept (type, day) count must be >= the 3rd-largest count of its
+    type, and every dropped day's count strictly below it — rank()<=k
+    semantics, not row_number."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["top_event_days"](SF).to_pandas()
+    full = _oracle(
+        """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2"""
+    )
+    for et, grp in full.groupby("event_type"):
+        kept = got[got["event_type"] == et]
+        thresh = sorted(grp["n"], reverse=True)[: 3][-1]
+        assert (kept["n"] >= thresh).all()
+        dropped = grp[~grp["day"].isin(kept["day"])]
+        assert (dropped["n"] < thresh).all()
+
+
+def test_mask_tokens_reversible_structure(ray_session):
+    """Masking never changes token COUNT (only token content), and the mask
+    rate lands near the configured 15%."""
+    import __ray_entry__ as entrymod
+    import pyarrow.parquet as pq
+
+    got = entrymod.queries()["mask_tokens_docs"](SF).to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    m = got.merge(src, on="doc_id")
+    assert (
+        m["masked_text"].str.split(" ").str.len()
+        == m["text"].str.split(" ").str.len()
+    ).all()
+    total = m["text"].str.split(" ").str.len().sum()
+    rate = m["n_masked"].sum() / total
+    assert 0.10 < rate < 0.20, rate
