@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_value_quantiles": relational.global_value_quantiles,  # exact corpus-wide order stats (histogram select)
         "skyline_orders": relational.skyline_orders,           # SQL-checked (Pareto front; local-skyline partials)
         "top_event_days": relational.top_event_days,           # SQL-checked (grouped top-k WITH TIES, rank<=k)
+        "order_fulfillment_recon": relational.order_fulfillment_recon,  # SQL-checked (fact-fact value reconciliation)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -1601,6 +1602,40 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY (48271 * doc_id + 11) % 2147483647
                    ) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        # fact-fact reconciliation: billed total vs lineitem revenue, exact
+        # integer 1e-4 units on both sides
+        "order_fulfillment_recon": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS line_rev_e4
+                FROM lineitem GROUP BY l_orderkey
+            ),
+            j AS (
+                SELECT o.o_orderstatus,
+                       CAST(round(o.o_totalprice * 10000) AS BIGINT) AS total_e4,
+                       p.line_rev_e4
+                FROM orders o JOIN per_order p ON o.o_orderkey = p.l_orderkey
+            ),
+            t AS (
+                SELECT o_orderstatus,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(sum(CASE WHEN p.l_orderkey IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines
+                FROM orders o LEFT JOIN per_order p ON o_orderkey = p.l_orderkey
+                GROUP BY 1
+            )
+            SELECT j.o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_with_lines,
+                   CAST(sum(CASE WHEN total_e4 = line_rev_e4
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_value_match,
+                   CAST(sum(abs(total_e4 - line_rev_e4)) AS BIGINT)
+                       AS sum_abs_delta_e4,
+                   t.n_orders, t.n_no_lines
+            FROM j JOIN t USING (o_orderstatus)
+            GROUP BY j.o_orderstatus, t.n_orders, t.n_no_lines
         """,
         # grouped top-k WITH TIES: rank() <= k over per-(type, day) counts
         "top_event_days": """

@@ -5301,3 +5301,129 @@ def top_event_days(sf_dir: str, k: int = 3):
     return key_partitioned(counts, ["event_type"]).map_batches(
         ties_topk, batch_format="pyarrow", batch_size=None
     )
+
+
+def order_fulfillment_recon(sf_dir: str, num_partitions: int | None = None):
+    """Fact-to-fact RECONCILIATION AUDIT — the anti-entropy check between two
+    independently-produced tables (billing vs fulfillment): for each order
+    status, how many orders have any lineitems at all, how many bill-match
+    exactly, and the total absolute value drift.  All arithmetic is in
+    integer 1e-4 currency units (price-cents x (100 - discount-cents)), so
+    both sides compare identical integers — no float-boundary risk.
+
+    Plan: the lineitem side collapses FIRST to one row per order (map-side
+    keyed combine; the join input is |orders|-bounded, not |lineitem|), then
+    the generic skew-salted hash join (``stages/skewjoin.salted_join``)
+    attaches order headers, and a low-cardinality combine rolls up per
+    status.  LEFT-side semantics (orders with zero lineitems) ride a
+    zero-fill union keyed off the join's orderkey set."""
+    import ray
+
+    from ..functions.groupagg import highcard_groupagg
+    from ..stages.skewjoin import salted_join
+    from ..state.partitioning import distinct_values_ref, materialize_clean
+
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_e4": pa.array(
+                    np.round(
+                        t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                    * (100 - np.round(
+                        t["l_discount"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_order = materialize_clean(
+        highcard_groupagg(
+            items, ["l_orderkey"], [("rev_e4", "sum")],
+            {"rev_e4_sum": "line_rev_e4"}, num_partitions=num_partitions,
+        )
+    )
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderstatus": t["o_orderstatus"],
+                "total_e4": pa.array(
+                    np.round(
+                        t["o_totalprice"].to_numpy(zero_copy_only=False) * 10000
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = materialize_clean(orders)
+
+    joined = salted_join(
+        orders, per_order, "o_orderkey", right_key="l_orderkey",
+        num_partitions=num_partitions,
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        delta = np.abs(
+            t["total_e4"].to_numpy(zero_copy_only=False)
+            - t["line_rev_e4"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "matched": pa.array((delta == 0).astype(np.int64), pa.int64()),
+                "abs_delta_e4": pa.array(delta, pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    with_lines = lowcard_groupagg(
+        joined.map_batches(rollup, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        [("one", "sum"), ("matched", "sum"), ("abs_delta_e4", "sum")],
+        {"one_sum": "n_with_lines", "matched_sum": "n_value_match",
+         "abs_delta_e4_sum": "sum_abs_delta_e4"},
+    )
+
+    # orders with NO lineitems: anti-filter by the joined orderkey set
+    keys_ref, _n = distinct_values_ref(per_order, ["l_orderkey"])
+
+    def orphan_rows(t: pa.Table) -> pa.Table:
+        ids = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        has = pc.is_in(t["o_orderkey"], value_set=ids)
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "miss": pa.array(
+                    (~has.to_numpy(zero_copy_only=False)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    totals = lowcard_groupagg(
+        orders.map_batches(orphan_rows, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        [([], "count_all"), ("miss", "sum")],
+        {"count_all": "n_orders", "miss_sum": "n_no_lines"},
+    ).to_pandas().set_index("o_orderstatus")
+
+    def attach_totals(t: pa.Table) -> pa.Table:
+        st = t["o_orderstatus"].to_pylist()
+        return t.append_column(
+            "n_orders",
+            pa.array([int(totals.loc[s, "n_orders"]) for s in st], pa.int64()),
+        ).append_column(
+            "n_no_lines",
+            pa.array([int(totals.loc[s, "n_no_lines"]) for s in st], pa.int64()),
+        )
+
+    return with_lines.map_batches(attach_totals, batch_format="pyarrow")

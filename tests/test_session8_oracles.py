@@ -18,6 +18,7 @@ NEW_QUERIES = [
     "epoch_shuffle_docs",
     "top_event_days",
     "mask_tokens_docs",
+    "order_fulfillment_recon",
 ]
 
 
