@@ -16,6 +16,15 @@ Mirrors the reference's ``.done`` version-file semantics
 Resume = rerun the same pipeline: stages whose manifest hash matches are
 loaded from Parquet instead of recomputed; a changed config (or changed
 upstream) hash forces recompute of that stage and everything after it.
+
+VERSIONED SNAPSHOTS (time travel): each distinct lineage hash persists under
+``<stage>/versions/<hash12>/`` with its own manifest, so flipping a config
+back and forth never recomputes (both versions stay on disk up to the
+retention limit), concurrent readers of the previous version are never
+disturbed by a recompute (new data lands in a NEW directory), and
+``read_stage_version`` serves any retained snapshot.  ``<stage>/data`` is a
+symlink to the current version's data dir — the stable path the CLI and
+older tooling read.
 """
 
 from __future__ import annotations
@@ -41,10 +50,14 @@ class StageCheckpointer:
     different data forces recompute.
     """
 
-    def __init__(self, root: str, cfg: NDDConfig | None = None, input_token: str = "") -> None:
+    def __init__(self, root: str, cfg: NDDConfig | None = None, input_token: str = "",
+                 keep_versions: int = 3) -> None:
         self.root = root
         self.cfg = cfg or NDDConfig()
         self.input_token = input_token
+        # retained snapshots per stage (current version never pruned); an
+        # operational knob, deliberately NOT part of the lineage hash
+        self.keep_versions = max(1, keep_versions)
         self.stage_hashes: dict[str, str] = {}
         self.stages_skipped: list[str] = []
         self.stages_computed: list[str] = []
@@ -68,27 +81,68 @@ class StageCheckpointer:
     def _data_dir(self, name: str) -> str:
         return os.path.join(self.root, name, "data")
 
+    def _version_dir(self, name: str, stage_hash: str) -> str:
+        return os.path.join(self.root, name, "versions", stage_hash[:12])
+
+    def _set_current(self, name: str, stage_hash: str) -> None:
+        """Point ``<stage>/data`` at the version's data dir (atomic symlink
+        swap) — the stable path the CLI and legacy readers use."""
+        stage_dir = os.path.join(self.root, name)
+        link = self._data_dir(name)
+        target = os.path.join("versions", stage_hash[:12], "data")
+        tmp = link + ".lnk.tmp"
+        if os.path.islink(link) or os.path.exists(link):
+            if not os.path.islink(link):
+                # legacy real dir from a pre-versioning checkpoint: leave it —
+                # it is itself the current data (migration happens on next
+                # recompute, which writes a version and swaps the link)
+                return
+            if os.readlink(link) == target:
+                return
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
+
     def run_stage(self, name: str, upstream: list[str], build: Callable[[], "object"]):
         """Return the stage's Dataset, loading from checkpoint when the stored
-        lineage hash matches, else computing via ``build()`` and persisting."""
+        lineage hash matches (ANY retained version, not just the latest run),
+        else computing via ``build()`` and persisting a new version."""
         import ray.data as rd
 
         stage_hash = self._lineage_hash(name, upstream)
         self.stage_hashes[name] = stage_hash
+
+        # 1. versioned snapshot hit: this exact lineage was computed before
+        vdir = self._version_dir(name, stage_hash)
+        if os.path.exists(os.path.join(vdir, "manifest.json")):
+            self.stages_skipped.append(name)
+            self._set_current(name, stage_hash)
+            self._write_pointer_manifest(name, stage_hash)
+            return rd.read_parquet(os.path.join(vdir, "data"))
+
+        # 2. legacy (pre-versioning) layout hit
         mpath = self._manifest_path(name)
         if os.path.exists(mpath):
             with open(mpath) as f:
                 manifest = json.load(f)
-            if manifest.get("stage_hash") == stage_hash:
+            if manifest.get("stage_hash") == stage_hash and os.path.isdir(
+                self._data_dir(name)
+            ):
                 self.stages_skipped.append(name)
                 return rd.read_parquet(self._data_dir(name))
 
         t0 = time.time()
         ds = build()
         stage_dir = os.path.join(self.root, name)
-        data_dir = self._data_dir(name)
+        data_dir = os.path.join(vdir, "data")
         tmp_dir = data_dir + ".tmp"
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(os.path.dirname(tmp_dir), exist_ok=True)
+        # a stale legacy real `data` dir must yield to the symlink swap below
+        legacy = self._data_dir(name)
+        if os.path.isdir(legacy) and not os.path.islink(legacy):
+            shutil.rmtree(legacy, ignore_errors=True)
         os.makedirs(stage_dir, exist_ok=True)
         ds.write_parquet(tmp_dir)
         if not os.path.isdir(tmp_dir):
@@ -133,11 +187,96 @@ class StageCheckpointer:
             "partitions": partitions,
             "metrics": {"wall_seconds": round(time.time() - t0, 3)},
         }
-        with open(mpath + ".tmp", "w") as f:
+        # version manifest LAST within the version => crash-safe skip gate;
+        # current pointer + symlink after that => readers of the previous
+        # version were never disturbed
+        vman = os.path.join(vdir, "manifest.json")
+        with open(vman + ".tmp", "w") as f:
             json.dump(manifest, f, indent=2)
-        os.rename(mpath + ".tmp", mpath)  # manifest LAST => crash-safe skip gate
+        os.rename(vman + ".tmp", vman)
+        self._set_current(name, stage_hash)
+        self._write_pointer_manifest(name, stage_hash, manifest)
+        self._prune_versions(name, keep_hash=stage_hash)
         self.stages_computed.append(name)
         return rd.read_parquet(data_dir)
+
+    def _write_pointer_manifest(self, name: str, stage_hash: str,
+                                manifest: dict | None = None) -> None:
+        """``<stage>/_MANIFEST.json`` mirrors the CURRENT version's manifest
+        (legacy readers + ``pipeline_report`` read this one file)."""
+        if manifest is None:
+            vman = os.path.join(self._version_dir(name, stage_hash), "manifest.json")
+            if not os.path.exists(vman):
+                return
+            with open(vman) as f:
+                manifest = json.load(f)
+        mpath = self._manifest_path(name)
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(mpath + ".tmp", mpath)
+
+    def _prune_versions(self, name: str, keep_hash: str) -> None:
+        """Drop the oldest snapshots beyond ``keep_versions`` (never the one
+        just produced/used)."""
+        vroot = os.path.join(self.root, name, "versions")
+        if not os.path.isdir(vroot):
+            return
+        entries = []
+        for v in os.listdir(vroot):
+            vman = os.path.join(vroot, v, "manifest.json")
+            if os.path.exists(vman):
+                entries.append((os.path.getmtime(vman), v))
+        entries.sort(reverse=True)  # newest first
+        keep = {keep_hash[:12]}
+        for _, v in entries:
+            if len(keep) < self.keep_versions:
+                keep.add(v)
+        for _, v in entries:
+            if v not in keep:
+                shutil.rmtree(os.path.join(vroot, v), ignore_errors=True)
+
+    def list_versions(self, name: str) -> list[dict]:
+        """Retained snapshots of one stage, newest first: hash prefix, row
+        count, config hash, write time — the time-travel catalog."""
+        vroot = os.path.join(self.root, name, "versions")
+        out = []
+        if not os.path.isdir(vroot):
+            return out
+        for v in os.listdir(vroot):
+            vman = os.path.join(vroot, v, "manifest.json")
+            if not os.path.exists(vman):
+                continue
+            with open(vman) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": v,
+                    "rows": m.get("row_count"),
+                    "config_hash": m.get("config_hash", "")[:12],
+                    "stage_hash": m.get("stage_hash", "")[:12],
+                    "mtime": os.path.getmtime(vman),
+                }
+            )
+        out.sort(key=lambda e: e["mtime"], reverse=True)
+        return out
+
+    def read_stage_version(self, name: str, version: str):
+        """TIME TRAVEL: read a retained snapshot by version (hash prefix),
+        regardless of what the current pointer says."""
+        import ray.data as rd
+
+        vroot = os.path.join(self.root, name, "versions")
+        matches = [
+            v for v in (os.listdir(vroot) if os.path.isdir(vroot) else [])
+            if v.startswith(version)
+            and os.path.exists(os.path.join(vroot, v, "manifest.json"))
+        ]
+        if len(matches) != 1:
+            raise ValueError(
+                f"version {version!r} of stage {name!r}: "
+                f"{len(matches)} matches ({matches})"
+            )
+        return rd.read_parquet(os.path.join(vroot, matches[0], "data"))
 
     def read_manifest(self, name: str) -> dict | None:
         mpath = self._manifest_path(name)

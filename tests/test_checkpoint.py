@@ -74,8 +74,10 @@ def test_partial_resume_recomputes_suffix(first_run):
     )
 
     ds, clusters1, _ = first_run
-    # simulate a crash after the signatures stage: later manifests gone
-    os.remove(f"{ROOT}/verified_pairs/_MANIFEST.json")
+    # simulate a crash after the signatures stage: later stages' version
+    # manifests gone (the per-version manifest is written LAST, so a real
+    # crash leaves exactly this state)
+    shutil.rmtree(f"{ROOT}/verified_pairs", ignore_errors=True)
     shutil.rmtree(f"{ROOT}/clusters", ignore_errors=True)
     result3 = checkpointed_near_dup_pipeline(ds, ROOT, CFG, input_token="synth42")
     ckpt3 = result3["checkpointer"]
@@ -103,3 +105,56 @@ def test_input_change_invalidates(first_run):
     ds, _, _ = first_run
     result5 = checkpointed_near_dup_pipeline(ds, ROOT, CFG, input_token="other-input")
     assert result5["checkpointer"].stages_skipped == []
+
+
+def test_time_travel_versions(first_run):
+    """Config flip-flop: both versions stay readable; flipping BACK is an
+    instant skip (no recompute); read_stage_version serves the old snapshot
+    while `data` points at the new one."""
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        checkpointed_near_dup_pipeline,
+    )
+
+    ds, clusters1, ckpt1 = first_run
+    h1 = ckpt1.stage_hashes["clusters"][:12]
+
+    other_cfg = NDDConfig(tau=0.7)
+    r2 = checkpointed_near_dup_pipeline(ds, ROOT, other_cfg, input_token="synth42")
+    ckpt2 = r2["checkpointer"]
+    h2 = ckpt2.stage_hashes["clusters"][:12]
+    assert h1 != h2
+
+    versions = ckpt2.list_versions("clusters")
+    assert {v["version"] for v in versions} >= {h1, h2}
+
+    # time travel: the tau=0.8 snapshot is still served byte-identically
+    old = ckpt2.read_stage_version("clusters", h1).to_pandas()
+    old = old.sort_values("conv_id").reset_index(drop=True)
+    assert old.equals(clusters1)
+
+    # flip back: every stage skips (versioned hit), outputs identical
+    r3 = checkpointed_near_dup_pipeline(ds, ROOT, CFG, input_token="synth42")
+    assert r3["checkpointer"].stages_computed == []
+    assert _clusters_df(r3).equals(clusters1)
+    # the `data` symlink follows the current run
+    link = os.path.join(ROOT, "clusters", "data")
+    assert os.path.islink(link) and h1 in os.readlink(link)
+
+
+def test_version_pruning(first_run):
+    """keep_versions bounds retained snapshots; the current one survives."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.stages.checkpoint import StageCheckpointer
+
+    root = "/tmp/ndd_ckpt_prune_test"
+    shutil.rmtree(root, ignore_errors=True)
+    for tok in ["a", "b", "c", "d"]:
+        ck = StageCheckpointer(root, CFG, input_token=tok, keep_versions=2)
+        ck.run_stage("s", [], lambda: rd.range(3))
+    ck = StageCheckpointer(root, CFG, input_token="d", keep_versions=2)
+    ck.run_stage("s", [], lambda: rd.range(3))  # skip; prunes nothing new
+    vs = ck.list_versions("s")
+    assert len(vs) == 2
+    cur_hash = ck.stage_hashes["s"][:12]
+    assert any(v["version"] == cur_hash for v in vs)
