@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 
@@ -188,6 +189,24 @@ def cmd_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_versions(args: argparse.Namespace) -> int:
+    """List retained checkpoint snapshots (time-travel catalog); pure
+    metadata, no Ray session."""
+    from .stages.checkpoint import StageCheckpointer
+
+    ck = StageCheckpointer(args.checkpoints)
+    stages = (
+        [args.stage]
+        if args.stage
+        else sorted(
+            d for d in os.listdir(args.checkpoints)
+            if os.path.isdir(os.path.join(args.checkpoints, d))
+        )
+    )
+    print(json.dumps({s: ck.list_versions(s) for s in stages}, indent=2))
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Small-file compaction (streaming read -> repartition -> write)."""
     import ray
@@ -258,6 +277,11 @@ def main(argv: list[str] | None = None) -> int:
     prr = sub.add_parser("report", help="per-stage checkpoint manifest report")
     prr.add_argument("--checkpoints", required=True)
     prr.set_defaults(fn=cmd_report)
+
+    pv = sub.add_parser("versions", help="list retained checkpoint snapshots")
+    pv.add_argument("--checkpoints", required=True)
+    pv.add_argument("--stage", default=None)
+    pv.set_defaults(fn=cmd_versions)
 
     pc_ = sub.add_parser("compact", help="compact small parquet files")
     pc_.add_argument("--src", required=True)

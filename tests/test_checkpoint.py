@@ -158,3 +158,18 @@ def test_version_pruning(first_run):
     assert len(vs) == 2
     cur_hash = ck.stage_hashes["s"][:12]
     assert any(v["version"] == cur_hash for v in vs)
+
+
+def test_versions_cli(first_run):
+    """`versions` subcommand prints the snapshot catalog as JSON."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "near_duplicate_detection_ray", "versions",
+         "--checkpoints", ROOT, "--stage", "clusters"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    cat = json.loads(out.stdout)
+    assert cat["clusters"] and all("version" in v for v in cat["clusters"])
