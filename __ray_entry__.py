@@ -67,6 +67,28 @@ def _cluster_size_histogram(sf_dir: str):
     )
 
 
+def _dup_jaccard_histogram(sf_dir: str):
+    """Similarity-mass profile of the flagship dup-pair set: pair counts per
+    0.05-wide jaccard bin — the tuning view for the tau threshold (how much
+    mass sits just above the cut).  Rides the verified pair table; binning is
+    float-safe because both sides bin the SAME round(jaccard, 6) double."""
+    import numpy as np
+    import pyarrow as pa
+
+    from near_duplicate_detection_ray.functions.groupagg import lowcard_groupagg
+
+    pairs = _ndd_dup_pairs(sf_dir)
+
+    def binned(t: pa.Table) -> pa.Table:
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        return pa.table({"bin": pa.array(np.floor(j * 20).astype(np.int64), pa.int64())})
+
+    return lowcard_groupagg(
+        pairs.map_batches(binned, batch_format="pyarrow"),
+        ["bin"], [([], "count_all")], {"count_all": "n_pairs"},
+    )
+
+
 def _dup_pair_turn_overlap(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import dup_pair_turn_overlap
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -440,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_histogram": _cluster_size_histogram,
         "ndd_dup_pairs": _ndd_dup_pairs,
         "dup_pair_turn_overlap": _dup_pair_turn_overlap,        # SQL-checked (per-pair turn overlap)
+        "dup_jaccard_histogram": _dup_jaccard_histogram,        # SQL-checked (tau-tuning similarity mass)
         "ndd_conversations": _assemble_transcripts,
     }
 
@@ -3637,6 +3660,13 @@ def _oracle_sql_literal() -> dict[str, str]:
         "ndd_dup_pairs": "WITH " + _CONV_CTES + _REP_PAIR_CTES + """
             SELECT a, b, round(jaccard, 6) AS jaccard, 'minhash' AS method
             FROM rjacc WHERE jaccard >= 0.8
+        """,
+        # pair counts per 0.05 jaccard bin over the same verified pair set
+        "dup_jaccard_histogram": "WITH " + _CONV_CTES + _REP_PAIR_CTES + """
+            SELECT CAST(floor(round(jaccard, 6) * 20) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM rjacc WHERE jaccard >= 0.8
+            GROUP BY 1
         """,
         # Connected components via a recursive reachability CTE over
         # exact-dup + jaccard-dup + confirmed-substring edges.  Substring

@@ -414,3 +414,67 @@ def pipeline_report(root: str) -> list[dict]:
             }
         )
     return out
+
+
+def diff_stage_versions(root: str, stage: str, version_a: str, version_b: str,
+                        key: str, value_col: str,
+                        num_partitions: int | None = None):
+    """SNAPSHOT DIFF (time-travel composition): classify every key between
+    two retained versions of a checkpointed stage as ``added`` / ``removed``
+    / ``changed`` / ``unchanged`` — "what did the config change actually do
+    to the output" answered without recomputing anything.
+
+    Works for ANY key/value column types (string conv_ids included): both
+    snapshots co-shuffle once on ``key``, and the block kernel is a pure
+    Arrow ``group_by`` — min/max of the side tag classifies presence,
+    ``count_distinct`` of the value detects change.  Exchange volume is the
+    two snapshots' (key, value) columns, never the full rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..state.partitioning import key_partitioned
+
+    ck = StageCheckpointer(root)
+    ds_a = ck.read_stage_version(stage, version_a)
+    ds_b = ck.read_stage_version(stage, version_b)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": t[key],
+                    "v": pc.cast(t[value_col], pa.string()),
+                    "side": pa.array([side] * t.num_rows, pa.int8()),
+                }
+            )
+
+        return fn
+
+    both = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("key", pa.string()), ("change_type", pa.string())]
+            ).empty_table()
+        g = t.group_by("k").aggregate(
+            [("side", "min"), ("side", "max"), ("v", "count_distinct")]
+        )
+        only_a = pc.equal(g["side_max"], pa.scalar(0, pa.int8()))
+        only_b = pc.equal(g["side_min"], pa.scalar(1, pa.int8()))
+        changed = pc.greater(g["v_count_distinct"], 1)
+        ct = pc.if_else(
+            only_a, pa.scalar("removed"),
+            pc.if_else(
+                only_b, pa.scalar("added"),
+                pc.if_else(changed, pa.scalar("changed"), pa.scalar("unchanged")),
+            ),
+        )
+        return pa.table({"key": pc.cast(g["k"], pa.string()), "change_type": ct})
+
+    return key_partitioned(both, ["k"], num_partitions).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )

@@ -173,3 +173,44 @@ def test_versions_cli(first_run):
     assert out.returncode == 0, out.stderr
     cat = json.loads(out.stdout)
     assert cat["clusters"] and all("version" in v for v in cat["clusters"])
+
+
+def test_diff_stage_versions(first_run):
+    """Snapshot diff between the tau=0.8 and tau=0.7 cluster versions equals
+    the pandas-computed expectation."""
+    import pandas as pd
+
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        checkpointed_near_dup_pipeline,
+        diff_stage_versions,
+    )
+
+    ds, clusters1, ckpt1 = first_run
+    h1 = ckpt1.stage_hashes["clusters"][:12]
+    r2 = checkpointed_near_dup_pipeline(
+        ds, ROOT, NDDConfig(tau=0.7), input_token="synth42"
+    )
+    h2 = r2["checkpointer"].stage_hashes["clusters"][:12]
+    c2 = r2["clusters"].to_pandas()
+
+    got = (
+        diff_stage_versions(ROOT, "clusters", h1, h2, "conv_id", "cluster_id")
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+
+    a = dict(zip(clusters1["conv_id"], clusters1["cluster_id"]))
+    b = dict(zip(c2["conv_id"], c2["cluster_id"]))
+    want = []
+    for k in sorted(set(a) | set(b)):
+        if k not in b:
+            want.append((k, "removed"))
+        elif k not in a:
+            want.append((k, "added"))
+        elif a[k] != b[k]:
+            want.append((k, "changed"))
+        else:
+            want.append((k, "unchanged"))
+    want_df = pd.DataFrame(want, columns=["key", "change_type"])
+    pd.testing.assert_frame_equal(got, want_df)
+    # same corpus both runs: every conv present on both sides
+    assert set(got["change_type"]) <= {"changed", "unchanged"}

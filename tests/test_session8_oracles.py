@@ -19,6 +19,7 @@ NEW_QUERIES = [
     "top_event_days",
     "mask_tokens_docs",
     "order_fulfillment_recon",
+    "dup_jaccard_histogram",
 ]
 
 
