@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": relational.skyline_orders,           # SQL-checked (Pareto front; local-skyline partials)
         "top_event_days": relational.top_event_days,           # SQL-checked (grouped top-k WITH TIES, rank<=k)
         "order_fulfillment_recon": relational.order_fulfillment_recon,  # SQL-checked (fact-fact value reconciliation)
+        "nation_profit": relational.nation_profit,             # SQL-checked (Q9 shape: 4-dim join profit rollup)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -1625,6 +1626,25 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY (48271 * doc_id + 11) % 2147483647
                    ) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        # Q9 shape: product-line profit by supplier nation x order year,
+        # exact integer 1e-4 units
+        "nation_profit": """
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       - CAST(round(p_retailprice * 100) AS BIGINT) * 100
+                         * CAST(round(l_quantity) AS BIGINT)
+                   ) AS BIGINT) AS profit_c4
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, o_year
         """,
         # fact-fact reconciliation: billed total vs lineitem revenue, exact
         # integer 1e-4 units on both sides

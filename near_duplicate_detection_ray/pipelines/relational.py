@@ -5427,3 +5427,106 @@ def order_fulfillment_recon(sf_dir: str, num_partitions: int | None = None):
         )
 
     return with_lines.map_batches(attach_totals, batch_format="pyarrow")
+
+
+def nation_profit(sf_dir: str, name_token: str = "widget",
+                  num_partitions: int | None = None):
+    """TPC-H Q9 shape — PRODUCT-LINE PROFIT by (supplier nation, order
+    year) for parts whose name contains a token: the widest join pipeline in
+    the relational family (lineitem x part x supplier x nation x orders).
+
+    Scale plan: the three dimension sides (part filter + retail price,
+    supplier -> nation name) broadcast as dense LUTs applied inside ONE
+    lineitem pass — no dimension shuffle; the only exchange is the
+    fact-fact orderkey join against an orders side already reduced to
+    (orderkey, year).  Profit folds as exact integer 1e-4 units
+    (price-cents x (100-disc) - retail-cents x 100 x qty), so the rollup
+    hash-matches SQL."""
+    from ..state.partitioning import resolve_partitions
+    num_partitions = resolve_partitions(num_partitions)
+    import ray
+    import ray.data as rd
+
+    from ..functions.groupagg import lowcard_groupagg
+    from ..state.partitioning import materialize_clean
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    sel = part["p_name"].str.contains(name_token, regex=False)
+    max_pk = int(part["p_partkey"].max())
+    retail_c = np.full(max_pk + 1, -1, np.int64)  # -1 = not selected
+    pk = part.loc[sel, "p_partkey"].to_numpy()
+    retail_c[pk] = np.round(part.loc[sel, "p_retailprice"].to_numpy() * 100).astype(np.int64)
+
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    s_nation = np.empty(int(supplier["s_suppkey"].max()) + 1, dtype=object)
+    s_nation[supplier["s_suppkey"].to_numpy()] = [
+        nk_name[k] for k in supplier["s_nationkey"]
+    ]
+    luts_ref = ray.put((retail_c, s_nation))
+
+    def li_side(t: pa.Table) -> pa.Table:
+        retail, snat = ray.get(luts_ref)
+        pkv = t["l_partkey"].to_numpy(zero_copy_only=False)
+        rc = retail[pkv]
+        keep = rc >= 0
+        t = t.filter(pa.array(keep))
+        rc = rc[keep]
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        profit = price_c * (100 - disc_c) - rc * 100 * qty
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "n_name": pa.array(
+                    snat[t["l_suppkey"].to_numpy(zero_copy_only=False)].tolist(),
+                    pa.string(),
+                ),
+                "profit_c4": pa.array(profit, pa.int64()),
+            }
+        )
+
+    li = materialize_clean(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"],
+        ).map_batches(li_side, batch_format="pyarrow")
+    )
+
+    orders = materialize_clean(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out_schema = pa.schema(
+        [("n_name", pa.string()), ("o_year", pa.int64()),
+         ("profit_c4", pa.int64())]
+    )
+    if li.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return lowcard_groupagg(
+        joined.select_columns(["n_name", "o_year", "profit_c4"]),
+        ["n_name", "o_year"],
+        [("profit_c4", "sum")],
+        {"profit_c4_sum": "profit_c4"},
+    )

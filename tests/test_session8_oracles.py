@@ -20,6 +20,7 @@ NEW_QUERIES = [
     "mask_tokens_docs",
     "order_fulfillment_recon",
     "dup_jaccard_histogram",
+    "nation_profit",
 ]
 
 
