@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": text_analysis.vocab_coverage,            # SQL-checked (head-vocab coverage curve)
         "bpe_merge_candidates": text_analysis.bpe_merge_candidates,  # SQL-checked (BPE first merges)
         "mask_tokens_docs": text_analysis.mask_tokens_docs,    # SQL-checked (deterministic MLM corruption)
+        "bigram_logprob_docs": text_analysis.bigram_logprob_docs,  # SQL-checked (conditional bigram-LM score)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -3480,6 +3481,35 @@ def _oracle_sql_literal() -> dict[str, str]:
                        - ln((SELECT n FROM tot)), 8) AS avg_logprob
             FROM tf JOIN cnt USING (term)
             GROUP BY doc_id
+        """,
+        # bigram conditional LM score: mean ln(c(w1 w2) / c(w1 .)) over each
+        # doc's bigrams; same algebra as the engine, rounded to 8 on both
+        # sides (docs with < 2 tokens have no bigrams and drop out)
+        "bigram_logprob_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) <> ''
+            ), pos AS (
+                SELECT doc_id, generate_subscripts(a, 1) AS i, unnest(a) AS w
+                FROM toks
+            ), tfb AS (
+                SELECT p1.doc_id, p1.w AS w1, p2.w AS w2, count(*) AS tf
+                FROM pos p1 JOIN pos p2
+                  ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+                GROUP BY ALL
+            ), cb AS (
+                SELECT w1, w2, sum(tf) AS c FROM tfb GROUP BY ALL
+            ), cp AS (
+                SELECT w1, sum(tf) AS c FROM tfb GROUP BY w1
+            )
+            SELECT tfb.doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   round(sum(tf * (ln(CAST(cb.c AS DOUBLE))
+                                   - ln(CAST(cp.c AS DOUBLE)))) / sum(tf),
+                         8) AS avg_logprob
+            FROM tfb
+            JOIN cb ON tfb.w1 = cb.w1 AND tfb.w2 = cb.w2
+            JOIN cp ON tfb.w1 = cp.w1
+            GROUP BY tfb.doc_id
         """,
         # fixed-size deterministic sample: k smallest md5 hashes corpus-wide
         # (md5_number_lower == engine md5_low64, doc_id tiebreak)

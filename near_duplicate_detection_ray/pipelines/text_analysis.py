@@ -2560,3 +2560,142 @@ def mask_tokens_docs(sf_dir: str, mask_pct: int = 15, token_salt: int = 1009):
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_logprob_docs(sf_dir: str):
+    """Corpus BIGRAM-LM document scoring — the conditional-probability
+    upgrade of :func:`unigram_logprob_docs`: ``avg_logprob = mean over a
+    doc's bigrams of ln( c(w1 w2) / c(w1 ·) )`` where both counts come from
+    the corpus itself (every doc bigram is therefore observed — no smoothing
+    term to pick).  Low scores flag locally-incoherent token sequences that
+    unigram frequency cannot see.
+
+    Distributed plan (no driver vocabulary, corpus never collected): one
+    per-block (doc, bigram, prefix, tf) partial table, materialized once and
+    split into two contribution streams — ``+tf*ln c(bigram)`` attached
+    under a bigram-keyed partition, ``-tf*ln c(prefix·)`` attached under a
+    prefix-keyed partition (each key's LOCAL sum is its global count after
+    the co-shuffle) — then one doc-keyed sum.  Three keyed exchanges, each
+    bounded by the distinct-gram table, mirroring the SQL oracle's algebra
+    term for term (both sides round to 8 decimals; summation order is the
+    only divergence)."""
+    import pandas as pd  # noqa: F401 (closures below run with this binding)
+
+    from ..state.partitioning import key_partitioned, materialize_clean
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    tf_schema = pa.schema(
+        [("doc_id", pa.int64()), ("big", pa.string()),
+         ("pre", pa.string()), ("tf", pa.int64())]
+    )
+
+    def tf_block(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(pc.utf8_trim_whitespace(batch["text"]), pa.scalar(""))
+        )
+        if batch.num_rows == 0:
+            return tf_schema.empty_table()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        ).combine_chunks()
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.chunk(0) if toks.num_chunks else pa.array([], toks.type)
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        L = len(flat)
+        if L < 2:
+            return tf_schema.empty_table()
+        w1 = flat[: L - 1]
+        big = w1 + " "
+        big = big + flat[1:]
+        # a bigram is valid when both tokens fall inside the same doc
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        valid = doc_of[: L - 1] == doc_of[1:]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_of[: L - 1][valid]]
+        d = pd.DataFrame({"doc_id": ids, "big": big[valid], "pre": w1[valid]})
+        out = (
+            d.groupby(["doc_id", "big", "pre"], sort=False)
+            .size().reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "big": pa.array(out["big"].tolist(), pa.string()),
+                "pre": pa.array(out["pre"].tolist(), pa.string()),
+                "tf": pa.array(out["tf"].to_numpy(), pa.int64()),
+            },
+            schema=tf_schema,
+        )
+
+    tf = materialize_clean(docs.map_batches(tf_block, batch_format="pyarrow"))
+
+    contrib_schema = {
+        "doc_id": pd.Series([], dtype=np.int64),
+        "tf": pd.Series([], dtype=np.int64),
+        "contrib": pd.Series([], dtype=np.float64),
+    }
+
+    def attach_big(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame(contrib_schema)
+        c = df.groupby("big", sort=False)["tf"].transform("sum")
+        out = df[["doc_id", "tf"]].copy()
+        out["contrib"] = df["tf"].to_numpy() * np.log(
+            c.to_numpy().astype(np.float64)
+        )
+        return out
+
+    def attach_pre(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame(contrib_schema)
+        c = df.groupby("pre", sort=False)["tf"].transform("sum")
+        out = df[["doc_id"]].copy()
+        out["tf"] = np.int64(0)  # bigram count already carried by stream A
+        out["contrib"] = -df["tf"].to_numpy() * np.log(
+            c.to_numpy().astype(np.float64)
+        )
+        return out
+
+    stream_a = key_partitioned(tf, ["big"]).map_batches(
+        attach_big, batch_format="pandas", batch_size=None
+    )
+    stream_b = key_partitioned(tf, ["pre"]).map_batches(
+        attach_pre, batch_format="pandas", batch_size=None
+    )
+
+    per_doc_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()), ("s", pa.float64())]
+    )
+
+    def per_doc(df: "pd.DataFrame") -> pa.Table:
+        if df.empty:
+            return per_doc_schema.empty_table()
+        g = df.groupby("doc_id", sort=False).agg(
+            n_bigrams=("tf", "sum"), s=("contrib", "sum")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "n_bigrams": pa.array(g["n_bigrams"].to_numpy(), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(), pa.float64()),
+            },
+            schema=per_doc_schema,
+        )
+
+    doc_tbl = key_partitioned(stream_a.union(stream_b), ["doc_id"]).map_batches(
+        per_doc, batch_format="pandas", batch_size=None
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": t["n_bigrams"],
+                "avg_logprob": pa.array(np.round(s / n, 8), pa.float64()),
+            }
+        )
+
+    return doc_tbl.map_batches(finish, batch_format="pyarrow")

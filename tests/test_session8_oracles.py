@@ -21,6 +21,7 @@ NEW_QUERIES = [
     "order_fulfillment_recon",
     "dup_jaccard_histogram",
     "nation_profit",
+    "bigram_logprob_docs",
 ]
 
 
