@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_days": relational.top_event_days,           # SQL-checked (grouped top-k WITH TIES, rank<=k)
         "order_fulfillment_recon": relational.order_fulfillment_recon,  # SQL-checked (fact-fact value reconciliation)
         "nation_profit": relational.nation_profit,             # SQL-checked (Q9 shape: 4-dim join profit rollup)
+        "customer_rfm_scores": relational.customer_rfm_scores,  # SQL-checked (RFM quartile segmentation)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -1627,6 +1628,38 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY (48271 * doc_id + 11) % 2147483647
                    ) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        # RFM quartile scores: boundary rule = 1 + #quantile_disc boundaries
+        # strictly below (deterministic under ties, unlike ntile)
+        "customer_rfm_scores": """
+            WITH pc_ AS (
+                SELECT o_custkey,
+                       CAST(count(*) AS BIGINT) AS f,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS m,
+                       CAST(epoch_us(max(o_orderdate)) AS BIGINT) AS r
+                FROM orders GROUP BY o_custkey
+            ), q AS (
+                SELECT quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.5) AS r2,
+                       quantile_disc(r, 0.75) AS r3,
+                       quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+                       quantile_disc(f, 0.75) AS f3,
+                       quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2,
+                       quantile_disc(m, 0.75) AS m3
+                FROM pc_
+            )
+            SELECT o_custkey,
+                   CAST(1 + (r > r1)::INT + (r > r2)::INT + (r > r3)::INT
+                        AS BIGINT) AS r_score,
+                   CAST(1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT
+                        AS BIGINT) AS f_score,
+                   CAST(1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT
+                        AS BIGINT) AS m_score,
+                   CAST(100 * (1 + (r > r1)::INT + (r > r2)::INT + (r > r3)::INT)
+                        + 10 * (1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT)
+                        + (1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT)
+                        AS BIGINT) AS rfm
+            FROM pc_, q
         """,
         # Q9 shape: product-line profit by supplier nation x order year,
         # exact integer 1e-4 units

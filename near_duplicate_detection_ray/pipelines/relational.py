@@ -5530,3 +5530,96 @@ def nation_profit(sf_dir: str, name_token: str = "widget",
         [("profit_c4", "sum")],
         {"profit_c4_sum": "profit_c4"},
     )
+
+
+def customer_rfm_scores(sf_dir: str, num_partitions: int | None = None):
+    """RFM SEGMENTATION — the classic customer-analytics cut: per customer,
+    quartile scores of Recency (last order date), Frequency (order count)
+    and Monetary (lifetime spend), plus the composed ``rfm`` code
+    (``100*r + 10*f + m``).  Score rule is boundary-based and total-order
+    deterministic (``1 + #quartile-boundaries strictly below the value``
+    with DuckDB ``quantile_disc`` boundaries at rank ceil(q*n)) — no
+    ntile() positional tie ambiguity, so the output hash-matches SQL.
+
+    Distributed shape: ONE keyed combine produces the per-customer triple
+    (the only corpus-sized exchange); each metric's quartile boundaries
+    come from a domain-bounded value histogram (the
+    :func:`customer_spend_deciles` discipline — merged per-block
+    histograms, never a global sort); the 9 boundary scalars broadcast
+    into a final streamed scoring pass."""
+    import math
+
+    from ..functions.groupagg import highcard_groupagg
+    from ..state.partitioning import materialize_clean
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ts = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "spend_c": pa.array(cents, pa.int64()),
+                "ts": pa.array(ts, pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    per_cust = materialize_clean(
+        highcard_groupagg(
+            orders.map_batches(prep, batch_format="pyarrow"),
+            ["o_custkey"],
+            [("spend_c", "sum"), ("ts", "max"), ("one", "sum")],
+            {"spend_c_sum": "m", "ts_max": "r", "one_sum": "f"},
+            num_partitions=num_partitions,
+        )
+    )
+
+    def quartiles(col: str) -> list[int]:
+        def hist_block(t: pa.Table) -> pa.Table:
+            u, n = np.unique(
+                t[col].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table(
+                {"v": pa.array(u, pa.int64()), "n": pa.array(n, pa.int64())}
+            )
+
+        hist = highcard_groupagg(
+            per_cust.map_batches(hist_block, batch_format="pyarrow"),
+            ["v"], [("n", "sum")], {"n_sum": "n"},
+        ).to_pandas().sort_values("v").reset_index(drop=True)
+        cum = hist["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = hist["v"].to_numpy()
+        return [
+            int(vals[np.searchsorted(cum, max(1, math.ceil(q * total)))])
+            for q in (0.25, 0.5, 0.75)
+        ]
+
+    import ray
+
+    bounds_ref = ray.put({c: quartiles(c) for c in ("r", "f", "m")})
+
+    def score(t: pa.Table) -> pa.Table:
+        bounds = ray.get(bounds_ref)
+        out = {"o_custkey": t["o_custkey"]}
+        scores = {}
+        for c in ("r", "f", "m"):
+            v = t[c].to_numpy(zero_copy_only=False)
+            s = np.ones(len(v), np.int64)
+            for b in bounds[c]:
+                s += (v > b).astype(np.int64)
+            scores[c] = s
+            out[f"{c}_score"] = pa.array(s, pa.int64())
+        out["rfm"] = pa.array(
+            100 * scores["r"] + 10 * scores["f"] + scores["m"], pa.int64()
+        )
+        return pa.table(out)
+
+    return per_cust.map_batches(score, batch_format="pyarrow")

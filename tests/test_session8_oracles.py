@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "dup_jaccard_histogram",
     "nation_profit",
     "bigram_logprob_docs",
+    "customer_rfm_scores",
 ]
 
 
