@@ -369,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_fulfillment_recon": relational.order_fulfillment_recon,  # SQL-checked (fact-fact value reconciliation)
         "nation_profit": relational.nation_profit,             # SQL-checked (Q9 shape: 4-dim join profit rollup)
         "customer_rfm_scores": relational.customer_rfm_scores,  # SQL-checked (RFM quartile segmentation)
+        "daily_revenue_anomaly": relational.daily_revenue_anomaly,  # SQL-checked (z-score anomaly screen)
+        "price_band_stats": relational.price_band_stats,       # SQL-checked (non-equi band join)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
         "bpe_token_counts_docs": text_analysis.bpe_token_counts,  # SQL-checked (RE2 parity)
@@ -1628,6 +1630,49 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY (48271 * doc_id + 11) % 2147483647
                    ) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        # daily revenue z-scores: exact integer sums/sum-of-squares, the
+        # same IEEE mu/sigma/z expressions, z rounded to 8 on both sides
+        "daily_revenue_anomaly": """
+            WITH d AS (
+                SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1
+            ), s AS (
+                SELECT count(*) AS n,
+                       sum(CAST(rev_c AS HUGEINT)) AS s1,
+                       sum(CAST(rev_c AS HUGEINT) * rev_c) AS s2
+                FROM d
+            )
+            SELECT day, rev_c,
+                   round((rev_c - CAST(s1 AS DOUBLE) / n)
+                         / sqrt(CAST(s2 AS DOUBLE) / n
+                                - (CAST(s1 AS DOUBLE) / n)
+                                  * (CAST(s1 AS DOUBLE) / n)), 8) AS z,
+                   abs(round((rev_c - CAST(s1 AS DOUBLE) / n)
+                         / sqrt(CAST(s2 AS DOUBLE) / n
+                                - (CAST(s1 AS DOUBLE) / n)
+                                  * (CAST(s1 AS DOUBLE) / n)), 8)) >= 2.0
+                       AS is_anomaly
+            FROM d, s
+        """,
+        # non-equi band join: static price ranges, exact cents
+        "price_band_stats": """
+            WITH b AS (
+                SELECT CASE
+                         WHEN c < 100000 THEN 'lt_1k'
+                         WHEN c < 200000 THEN '1k_2k'
+                         WHEN c < 500000 THEN '2k_5k'
+                         WHEN c < 1000000 THEN '5k_10k'
+                         ELSE 'ge_10k' END AS band,
+                       c
+                FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                      FROM lineitem)
+            )
+            SELECT band, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(c) AS BIGINT) AS revenue_c
+            FROM b GROUP BY band
         """,
         # RFM quartile scores: boundary rule = 1 + #quantile_disc boundaries
         # strictly below (deterministic under ties, unlike ntile)

@@ -5623,3 +5623,88 @@ def customer_rfm_scores(sf_dir: str, num_partitions: int | None = None):
         return pa.table(out)
 
     return per_cust.map_batches(score, batch_format="pyarrow")
+
+
+def daily_revenue_anomaly(sf_dir: str):
+    """ANOMALY SCREEN over an aggregate series: z-score of each day's order
+    revenue against the corpus-wide mean/std of daily revenues, flagging
+    |z| >= 2 days — the ops-dashboard "did something spike" question.
+
+    Two bounded passes: daily revenue folds via map-side combine (exchange
+    bounded by |days|); mean/std come from exact integer sums and
+    sum-of-squares over that small table, so the only floats are the final
+    mu/sigma/z divisions — the IDENTICAL IEEE expressions the SQL oracle
+    evaluates (population std; both sides round z to 8)."""
+    from ..functions.groupagg import lowcard_groupagg
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["o_orderdate"], unit="day"),
+                      pa.timestamp("us"))
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"day": day, "rev_c": pa.array(cents, pa.int64())})
+
+    daily = lowcard_groupagg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["day"], [("rev_c", "sum")], {"rev_c_sum": "rev_c"},
+    ).to_pandas()
+
+    rev = daily["rev_c"].to_numpy().astype(np.int64)
+    n = len(rev)
+    s1 = int(rev.sum())
+    s2 = int((rev.astype(object) ** 2).sum())  # exact big-int sum of squares
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    sd = float(np.sqrt(var))
+    z = np.round((rev - mu) / sd, 8)
+    out = pa.table(
+        {
+            "day": pa.array(
+                daily["day"].to_numpy().astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "rev_c": pa.array(rev, pa.int64()),
+            "z": pa.array(z, pa.float64()),
+            "is_anomaly": pa.array(np.abs(z) >= 2.0),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(out)
+
+
+def price_band_stats(sf_dir: str):
+    """Non-equi BAND JOIN: every lineitem lands in a static price band
+    (``lo <= price_c < hi``) via one vectorized ``searchsorted`` against the
+    broadcast band table — the theta-join shape (range-table lookup) that
+    equi-join machinery cannot express.  Output per band: row count and
+    exact revenue cents."""
+    from ..functions.groupagg import lowcard_groupagg
+
+    # band boundaries in cents: [0, 1k), [1k, 2k), [2k, 5k), [5k, 10k), [10k, inf)
+    LO = np.array([0, 100_000, 200_000, 500_000, 1_000_000], np.int64)
+    NAMES = ["lt_1k", "1k_2k", "2k_5k", "5k_10k", "ge_10k"]
+
+    items = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_band(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        idx = np.searchsorted(LO, cents, side="right") - 1
+        names = np.array(NAMES, dtype=object)[idx]
+        return pa.table(
+            {
+                "band": pa.array(names, pa.string()),
+                "rev_c": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return lowcard_groupagg(
+        items.map_batches(to_band, batch_format="pyarrow"),
+        ["band"], [([], "count_all"), ("rev_c", "sum")],
+        {"count_all": "n_items", "rev_c_sum": "revenue_c"},
+    )

@@ -23,6 +23,8 @@ NEW_QUERIES = [
     "nation_profit",
     "bigram_logprob_docs",
     "customer_rfm_scores",
+    "daily_revenue_anomaly",
+    "price_band_stats",
 ]
 
 
