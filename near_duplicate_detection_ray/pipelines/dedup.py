@@ -94,7 +94,7 @@ def near_dup_pipeline(
     cand = candidate_pairs(buckets, cfg, num_partitions)
     verified = materialize_clean(
         verify_pairs(cand, signatures, cfg, concurrency=concurrency,
-                     num_partitions=num_partitions or 8)
+                     num_partitions=num_partitions)
     )
     dup_pairs = verified.map_batches(
         lambda t: t.filter(pc.equal(t["method"], "minhash")), batch_format="pyarrow"

@@ -1254,7 +1254,7 @@ def brand_supplier_counts(sf_dir: str, num_partitions: int | None = None):
     joined = items.join(
         parts,
         join_type="inner",
-        num_partitions=num_partitions or 8,
+        num_partitions=num_partitions,
         on=("l_partkey",),
         right_on=("p_partkey",),
     )
