@@ -207,6 +207,31 @@ def cmd_versions(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_vdiff(args: argparse.Namespace) -> int:
+    """Diff two retained snapshots of a checkpointed stage (added / removed /
+    changed / unchanged keys)."""
+    import ray
+
+    from .stages.checkpoint import diff_stage_versions
+
+    _init_ray()
+    ds = diff_stage_versions(
+        args.checkpoints, args.stage, args.version_a, args.version_b,
+        key=args.key, value_col=args.value_col,
+    )
+    if args.output:
+        ds.write_parquet(args.output)
+        print(json.dumps({"output": args.output}))
+    else:
+        counts = (
+            ds.groupby("change_type").count().to_pandas()
+            .set_index("change_type")["count()"].to_dict()
+        )
+        print(json.dumps({"counts": {k: int(v) for k, v in counts.items()}}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Small-file compaction (streaming read -> repartition -> write)."""
     import ray
@@ -282,6 +307,16 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--checkpoints", required=True)
     pv.add_argument("--stage", default=None)
     pv.set_defaults(fn=cmd_versions)
+
+    pvd = sub.add_parser("vdiff", help="diff two checkpoint snapshots")
+    pvd.add_argument("--checkpoints", required=True)
+    pvd.add_argument("--stage", required=True)
+    pvd.add_argument("--version-a", required=True)
+    pvd.add_argument("--version-b", required=True)
+    pvd.add_argument("--key", required=True)
+    pvd.add_argument("--value-col", required=True)
+    pvd.add_argument("--output", default=None)
+    pvd.set_defaults(fn=cmd_vdiff)
 
     pc_ = sub.add_parser("compact", help="compact small parquet files")
     pc_.add_argument("--src", required=True)
