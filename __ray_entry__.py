@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_profit": relational.nation_profit,             # SQL-checked (Q9 shape: 4-dim join profit rollup)
         "customer_rfm_scores": relational.customer_rfm_scores,  # SQL-checked (RFM quartile segmentation)
         "daily_revenue_anomaly": relational.daily_revenue_anomaly,  # SQL-checked (z-score anomaly screen)
+        "daily_revenue_ewma": relational.daily_revenue_ewma,   # SQL-checked (recursive EWMA smoothing)
         "price_band_stats": relational.price_band_stats,       # SQL-checked (non-equi band join)
         # --- text analysis (SQL-checked where expressible) ---
         "token_counts_docs": text_analysis.token_counts,
@@ -1630,6 +1631,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY (48271 * doc_id + 11) % 2147483647
                    ) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        # recursive EWMA: identical per-step IEEE expression
+        # alpha*x + (1-alpha)*e, one recursion step per day
+        "daily_revenue_ewma": """
+            WITH RECURSIVE d0 AS (
+                SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1
+            ), d AS (
+                SELECT day, rev_c, row_number() OVER (ORDER BY day) AS rn
+                FROM d0
+            ), e AS (
+                SELECT rn, day, rev_c, CAST(rev_c AS DOUBLE) AS ewma
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.rn, d.day, d.rev_c,
+                       0.2 * d.rev_c + 0.8 * e.ewma
+                FROM d JOIN e ON d.rn = e.rn + 1
+            )
+            SELECT day, rev_c, round(ewma, 8) AS ewma FROM e
         """,
         # daily revenue z-scores: exact integer sums/sum-of-squares, the
         # same IEEE mu/sigma/z expressions, z rounded to 8 on both sides

@@ -5708,3 +5708,57 @@ def price_band_stats(sf_dir: str):
         ["band"], [([], "count_all"), ("rev_c", "sum")],
         {"count_all": "n_items", "rev_c_sum": "revenue_c"},
     )
+
+
+def daily_revenue_ewma(sf_dir: str, alpha: float = 0.2):
+    """EWMA SMOOTHING over an aggregate series — the recursive-window shape
+    (each value depends on the previous OUTPUT, not a fixed frame) that
+    frame-based window functions cannot express: ``e_1 = x_1; e_t =
+    alpha*x_t + (1-alpha)*e_{t-1}`` over daily order revenue.
+
+    Distributed part: the daily series folds via map-side combine (exchange
+    bounded by |days|); the recurrence itself is inherently sequential and
+    runs over the collected day series (thousands of rows for years of
+    data — the documented driver-side term).  The SQL oracle replays the
+    IDENTICAL recurrence through a recursive CTE, one join step per day,
+    same IEEE expression ``alpha*x + (1-alpha)*e`` per step, so outputs
+    hash-match at round-8."""
+    from ..functions.groupagg import lowcard_groupagg
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["o_orderdate"], unit="day"),
+                      pa.timestamp("us"))
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"day": day, "rev_c": pa.array(cents, pa.int64())})
+
+    daily = (
+        lowcard_groupagg(
+            orders.map_batches(prep, batch_format="pyarrow"),
+            ["day"], [("rev_c", "sum")], {"rev_c_sum": "rev_c"},
+        )
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    )
+    x = daily["rev_c"].to_numpy().astype(np.float64)
+    e = np.empty(len(x), np.float64)
+    if len(x):
+        e[0] = x[0]
+        for t_ in range(1, len(x)):  # bounded by |days|, not the fact table
+            e[t_] = alpha * x[t_] + (1.0 - alpha) * e[t_ - 1]
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(
+                    daily["day"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "rev_c": pa.array(daily["rev_c"].to_numpy(), pa.int64()),
+                "ewma": pa.array(np.round(e, 8), pa.float64()),
+            }
+        )
+    )

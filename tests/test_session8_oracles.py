@@ -25,6 +25,7 @@ NEW_QUERIES = [
     "customer_rfm_scores",
     "daily_revenue_anomaly",
     "price_band_stats",
+    "daily_revenue_ewma",
 ]
 
 
