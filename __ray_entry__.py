@@ -1648,10 +1648,15 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM d WHERE rn = 1
                 UNION ALL
                 SELECT d.rn, d.day, d.rev_c,
-                       0.2 * d.rev_c + 0.8 * e.ewma
+                       -- CAST keeps this the engine's float64 recurrence:
+                       -- bare 0.2 * BIGINT is exact DECIMAL arithmetic in
+                       -- DuckDB and diverges at the 8th decimal
+                       0.2 * CAST(d.rev_c AS DOUBLE) + 0.8 * e.ewma
                 FROM d JOIN e ON d.rn = e.rn + 1
             )
-            SELECT day, rev_c, round(ewma, 8) AS ewma FROM e
+            SELECT day, rev_c,
+                   CAST(floor(ewma * 100 + 0.5) AS BIGINT) AS ewma_c
+            FROM e
         """,
         # daily revenue z-scores: exact integer sums/sum-of-squares, the
         # same IEEE mu/sigma/z expressions, z rounded to 8 on both sides

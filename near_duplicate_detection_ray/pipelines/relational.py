@@ -5208,6 +5208,8 @@ def _skyline_block(price: np.ndarray, date: np.ndarray) -> np.ndarray:
     the running date max of all STRICTLY higher-price groups (>= there means a
     higher-price row covers it).  O(n log n), no Python loop over rows.
     """
+    if len(price) == 0:
+        return np.empty(0, np.int64)
     order = np.lexsort((-date, -price))
     p_s, d_s = price[order], date[order]
     # group boundaries over equal price (sorted desc)
@@ -5581,19 +5583,36 @@ def customer_rfm_scores(sf_dir: str, num_partitions: int | None = None):
         )
     )
 
-    def quartiles(col: str) -> list[int]:
-        def hist_block(t: pa.Table) -> pa.Table:
+    # ONE histogram pass for all three metrics: per block, melt to
+    # (metric, v, n) partials; one keyed combine; driver splits — 1 shuffle
+    # instead of 3
+    def hist_block(t: pa.Table) -> pa.Table:
+        ms, vs, ns = [], [], []
+        for col in ("r", "f", "m"):
             u, n = np.unique(
                 t[col].to_numpy(zero_copy_only=False), return_counts=True
             )
-            return pa.table(
-                {"v": pa.array(u, pa.int64()), "n": pa.array(n, pa.int64())}
-            )
+            ms.append(np.repeat(np.array([col], object), len(u)))
+            vs.append(u)
+            ns.append(n)
+        return pa.table(
+            {
+                "metric": pa.array(np.concatenate(ms), pa.string()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+                "n": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
 
-        hist = highcard_groupagg(
-            per_cust.map_batches(hist_block, batch_format="pyarrow"),
-            ["v"], [("n", "sum")], {"n_sum": "n"},
-        ).to_pandas().sort_values("v").reset_index(drop=True)
+    hists = highcard_groupagg(
+        per_cust.map_batches(hist_block, batch_format="pyarrow"),
+        ["metric", "v"], [("n", "sum")], {"n_sum": "n"},
+    ).to_pandas()
+
+    def quartiles(col: str) -> list[int]:
+        hist = (
+            hists[hists["metric"] == col]
+            .sort_values("v").reset_index(drop=True)
+        )
         cum = hist["n"].cumsum().to_numpy()
         total = int(cum[-1])
         vals = hist["v"].to_numpy()
@@ -5625,16 +5644,10 @@ def customer_rfm_scores(sf_dir: str, num_partitions: int | None = None):
     return per_cust.map_batches(score, batch_format="pyarrow")
 
 
-def daily_revenue_anomaly(sf_dir: str):
-    """ANOMALY SCREEN over an aggregate series: z-score of each day's order
-    revenue against the corpus-wide mean/std of daily revenues, flagging
-    |z| >= 2 days — the ops-dashboard "did something spike" question.
-
-    Two bounded passes: daily revenue folds via map-side combine (exchange
-    bounded by |days|); mean/std come from exact integer sums and
-    sum-of-squares over that small table, so the only floats are the final
-    mu/sigma/z divisions — the IDENTICAL IEEE expressions the SQL oracle
-    evaluates (population std; both sides round z to 8)."""
+def _daily_revenue_cents(sf_dir: str):
+    """Per-day order revenue in exact cents via map-side combine, collected
+    as a pandas frame (bounded by |days|) — shared by the anomaly and EWMA
+    series so the cents/day derivation exists exactly once."""
     from ..functions.groupagg import lowcard_groupagg
 
     orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
@@ -5647,10 +5660,23 @@ def daily_revenue_anomaly(sf_dir: str):
         ).astype(np.int64)
         return pa.table({"day": day, "rev_c": pa.array(cents, pa.int64())})
 
-    daily = lowcard_groupagg(
+    return lowcard_groupagg(
         orders.map_batches(prep, batch_format="pyarrow"),
         ["day"], [("rev_c", "sum")], {"rev_c_sum": "rev_c"},
     ).to_pandas()
+
+
+def daily_revenue_anomaly(sf_dir: str):
+    """ANOMALY SCREEN over an aggregate series: z-score of each day's order
+    revenue against the corpus-wide mean/std of daily revenues, flagging
+    |z| >= 2 days — the ops-dashboard "did something spike" question.
+
+    Two bounded passes: daily revenue folds via map-side combine (exchange
+    bounded by |days|); mean/std come from exact integer sums and
+    sum-of-squares over that small table, so the only floats are the final
+    mu/sigma/z divisions — the IDENTICAL IEEE expressions the SQL oracle
+    evaluates (population std; both sides round z to 8)."""
+    daily = _daily_revenue_cents(sf_dir)
 
     rev = daily["rev_c"].to_numpy().astype(np.int64)
     n = len(rev)
@@ -5721,27 +5747,14 @@ def daily_revenue_ewma(sf_dir: str, alpha: float = 0.2):
     runs over the collected day series (thousands of rows for years of
     data — the documented driver-side term).  The SQL oracle replays the
     IDENTICAL recurrence through a recursive CTE, one join step per day,
-    same IEEE expression ``alpha*x + (1-alpha)*e`` per step, so outputs
-    hash-match at round-8."""
-    from ..functions.groupagg import lowcard_groupagg
-
-    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        day = pc.cast(pc.floor_temporal(t["o_orderdate"], unit="day"),
-                      pa.timestamp("us"))
-        cents = np.round(
-            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
-        return pa.table({"day": day, "rev_c": pa.array(cents, pa.int64())})
-
-    daily = (
-        lowcard_groupagg(
-            orders.map_batches(prep, batch_format="pyarrow"),
-            ["day"], [("rev_c", "sum")], {"rev_c_sum": "rev_c"},
-        )
-        .to_pandas().sort_values("day").reset_index(drop=True)
-    )
+    same float64 expression ``alpha*x + (1-alpha)*e`` per step (the CAST to
+    DOUBLE in the oracle matters: bare ``0.2 * BIGINT`` is exact DECIMAL
+    arithmetic in DuckDB and diverges at the 8th decimal).  The smoothed
+    value is emitted as INTEGER CENTS via the identical ``floor(e*100 +
+    0.5)`` expression on both sides — engine/DuckDB ``round()`` internals
+    differ in the last ulp at 1e15 scale, a floor of the same double does
+    not."""
+    daily = _daily_revenue_cents(sf_dir).sort_values("day").reset_index(drop=True)
     x = daily["rev_c"].to_numpy().astype(np.float64)
     e = np.empty(len(x), np.float64)
     if len(x):
@@ -5758,7 +5771,9 @@ def daily_revenue_ewma(sf_dir: str, alpha: float = 0.2):
                     pa.timestamp("us"),
                 ),
                 "rev_c": pa.array(daily["rev_c"].to_numpy(), pa.int64()),
-                "ewma": pa.array(np.round(e, 8), pa.float64()),
+                "ewma_c": pa.array(
+                    np.floor(e * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
             }
         )
     )

@@ -427,8 +427,11 @@ def diff_stage_versions(root: str, stage: str, version_a: str, version_b: str,
     Works for ANY key/value column types (string conv_ids included): both
     snapshots co-shuffle once on ``key``, and the block kernel is a pure
     Arrow ``group_by`` — min/max of the side tag classifies presence,
-    ``count_distinct`` of the value detects change.  Exchange volume is the
-    two snapshots' (key, value) columns, never the full rows.
+    ``count_distinct`` of the (null-sentineled) value detects change.
+    Exchange volume is the two snapshots' (key, value) columns, never the
+    full rows.  Assumes ``key`` is unique per snapshot (true for every
+    checkpointed stage here); with duplicate keys a same-multiset pair of
+    multi-valued sides would read as 'changed'.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -441,10 +444,14 @@ def diff_stage_versions(root: str, stage: str, version_a: str, version_b: str,
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
+            # NULL must count as a distinct value (Arrow count_distinct
+            # ignores nulls, which would classify NULL->x as 'unchanged');
+            # the \x00 sentinel cannot collide with a cast value
+            v = pc.fill_null(pc.cast(t[value_col], pa.string()), "\x00null")
             return pa.table(
                 {
                     "k": t[key],
-                    "v": pc.cast(t[value_col], pa.string()),
+                    "v": v,
                     "side": pa.array([side] * t.num_rows, pa.int8()),
                 }
             )

@@ -214,3 +214,34 @@ def test_diff_stage_versions(first_run):
     pd.testing.assert_frame_equal(got, want_df)
     # same corpus both runs: every conv present on both sides
     assert set(got["change_type"]) <= {"changed", "unchanged"}
+
+
+def test_diff_detects_null_transitions(ray_session):
+    """A key whose value flips between NULL and non-NULL must classify as
+    'changed' (Arrow count_distinct ignores nulls; the kernel sentinels
+    them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        StageCheckpointer,
+        diff_stage_versions,
+    )
+
+    root = "/tmp/ndd_ckpt_nulldiff_test"
+    shutil.rmtree(root, ignore_errors=True)
+    import ray.data as rd
+
+    t_a = pa.table({"k": ["k1", "k2"], "v": pa.array([None, "x"], pa.string())})
+    t_b = pa.table({"k": ["k1", "k2"], "v": pa.array(["x", None], pa.string())})
+    ck_a = StageCheckpointer(root, NDDConfig(), input_token="a")
+    ck_a.run_stage("s", [], lambda: rd.from_arrow(t_a))
+    ha = ck_a.stage_hashes["s"][:12]
+    ck_b = StageCheckpointer(root, NDDConfig(), input_token="b")
+    ck_b.run_stage("s", [], lambda: rd.from_arrow(t_b))
+    hb = ck_b.stage_hashes["s"][:12]
+
+    got = diff_stage_versions(root, "s", ha, hb, "k", "v").to_pandas()
+    assert dict(zip(got["key"], got["change_type"])) == {
+        "k1": "changed", "k2": "changed",
+    }

@@ -60,7 +60,13 @@ def test_matches_oracle_sf0001(ray_session, name):
     got = entrymod.queries()[name](SF)
     got = got.to_pandas() if hasattr(got, "to_pandas") else got
     want = _oracle(entrymod.oracle_sql()[name])
-    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+    # atol 5e-9 with rtol 0: every float column is rounded to >= 8 decimals
+    # on both sides, so identical values differ by 0 and any real round-8
+    # drift differs by >= 1e-8 — the default rtol=1e-5 would silently pass
+    # 8th-decimal divergence on 1e8-scale values
+    pd.testing.assert_frame_equal(
+        _norm(got), _norm(want), check_dtype=False, rtol=0, atol=5e-9
+    )
 
 
 def test_epoch_shuffle_is_a_permutation(ray_session):
@@ -159,3 +165,12 @@ def test_mask_tokens_reversible_structure(ray_session):
     total = m["text"].str.split(" ").str.len().sum()
     rate = m["n_masked"].sum() / total
     assert 0.10 < rate < 0.20, rate
+
+
+def test_skyline_block_empty_input():
+    import numpy as np
+
+    from near_duplicate_detection_ray.pipelines.relational import _skyline_block
+
+    out = _skyline_block(np.empty(0, np.float64), np.empty(0, np.int64))
+    assert len(out) == 0
