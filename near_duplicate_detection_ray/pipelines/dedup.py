@@ -462,7 +462,10 @@ def dup_pair_turn_overlap(transcripts, cfg: NDDConfig | None = None,
     if pairs.count() == 0:
         import ray.data as rd
 
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
     ids_ref, _n = distinct_values_ref(pairs, ["a", "b"])
 
     def turn_hashes(t: pa.Table) -> pa.Table:

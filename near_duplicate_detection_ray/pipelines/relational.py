@@ -495,8 +495,27 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(after_cutoff, batch_format="pyarrow")
 
-    joined = items.join(
-        orders,
+    # tiny scale factors leave the filters sparse enough to produce
+    # schema-less empty blocks, which crash the Acero join (the Ray 2.49
+    # failure materialize_clean exists for) — scrub both join inputs
+    from ..state.partitioning import materialize_clean
+
+    items_m = materialize_clean(items)
+    orders_m = materialize_clean(orders)
+    out_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+         ("revenue_c4", pa.int64())]
+    )
+    if items_m.count() == 0 or orders_m.count() == 0:
+        import ray.data as rd
+
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
+
+    joined = items_m.join(
+        orders_m,
         join_type="inner",
         num_partitions=num_partitions,
         on=("l_orderkey",),
@@ -2991,7 +3010,10 @@ def returned_customer_revenue(sf_dir: str, k: int = 20, num_partitions: int | No
     if li_m.count() == 0 or orders_m.count() == 0:
         import ray.data as rd
 
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
     joined = li_m.join(
         orders_m,
         join_type="inner",
@@ -3013,7 +3035,10 @@ def returned_customer_revenue(sf_dir: str, k: int = 20, num_partitions: int | No
     if per_cust_m.count() == 0:
         import ray.data as rd
 
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
     with_dim = per_cust_m.join(
         materialize_clean(customer),
         join_type="inner",
@@ -3125,7 +3150,10 @@ def nation_pair_trade(sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2",
     li_m = materialize_clean(li)
     cust_m = materialize_clean(customer)
     if li_m.count() == 0 or cust_m.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
     ord_cust = materialize_clean(orders).join(
         cust_m,
         join_type="inner",
@@ -3135,7 +3163,10 @@ def nation_pair_trade(sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2",
     )
     oc_m = materialize_clean(ord_cust.select_columns(["o_orderkey", "cust_nation"]))
     if oc_m.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
 
     joined = li_m.join(
         oc_m,
@@ -3150,12 +3181,22 @@ def nation_pair_trade(sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2",
             ["supp_nation", "cust_nation", "l_year", "cents4"]
         ).filter(pc.not_equal(t["supp_nation"], t["cust_nation"]))
 
-    return lowcard_groupagg(
-        joined.map_batches(cross_only, batch_format="pyarrow"),
-        ["supp_nation", "cust_nation", "l_year"],
-        [("cents4", "sum"), ([], "count_all")],
-        {"cents4_sum": "revenue_c4", "count_all": "n_items"},
+    res = materialize_clean(
+        lowcard_groupagg(
+            joined.map_batches(cross_only, batch_format="pyarrow"),
+            ["supp_nation", "cust_nation", "l_year"],
+            [("cents4", "sum"), ([], "count_all")],
+            {"cents4_sum": "revenue_c4", "count_all": "n_items"},
+        )
     )
+    # an all-filtered result loses its schema; re-assert the columns so the
+    # empty-at-tiny-sf output still carries names
+    if res.count() == 0:
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
+    return res
 
 
 def events_rolling_stats(sf_dir: str, win: int = 4):
@@ -3421,7 +3462,10 @@ def late_shipment_priority(sf_dir: str, num_partitions: int | None = None):
     if orders_m.count() == 0 or li_m.count() == 0:
         import ray.data as rd
 
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
 
     joined = li_m.join(
         orders_m,
@@ -3685,7 +3729,10 @@ def nation_market_share(sf_dir: str, region: str = "ASIA", nation: str = "NATION
     cust_m = materialize_clean(customer)
     ord_m = materialize_clean(orders)
     if cust_m.count() == 0 or ord_m.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
     ord_reg = ord_m.join(
         cust_m,
         join_type="inner",
@@ -3696,7 +3743,10 @@ def nation_market_share(sf_dir: str, region: str = "ASIA", nation: str = "NATION
     ord_reg_m = materialize_clean(ord_reg.select_columns(["o_orderkey", "o_year"]))
     li_m = materialize_clean(li)
     if ord_reg_m.count() == 0 or li_m.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
     joined = li_m.join(
         ord_reg_m,
         join_type="inner",
@@ -3760,7 +3810,10 @@ def blame_suppliers(sf_dir: str, late_days: int = 90, k: int = 20,
     )
     ord_m, li_m = materialize_clean(orders), materialize_clean(li)
     if ord_m.count() == 0 or li_m.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
 
     joined = li_m.join(
         ord_m,
@@ -3816,7 +3869,10 @@ def blame_suppliers(sf_dir: str, late_days: int = 90, k: int = 20,
     )
     cm = materialize_clean(census)
     if cm.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
     top = global_topk(cm, ["numwait", "s_suppkey"], [True, False], k)
 
     supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
@@ -4505,7 +4561,10 @@ def shipping_delay_histogram(sf_dir: str, num_partitions: int | None = None):
     out_schema = pa.schema([("delay_days", pa.int64()), ("n_items", pa.int64())])
     ord_m, li_m = materialize_clean(orders), materialize_clean(li)
     if ord_m.count() == 0 or li_m.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
 
     joined = li_m.join(
         ord_m,
@@ -5518,7 +5577,10 @@ def nation_profit(sf_dir: str, name_token: str = "widget",
          ("profit_c4", pa.int64())]
     )
     if li.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
     joined = li.join(
         orders,
         join_type="inner",

@@ -1748,7 +1748,10 @@ def keyword_search_indexed(sf_dir: str, terms: tuple = ("spark", "window", "hash
          ("score", pa.float64())]
     )
     if not paths:
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
 
     term_set = pa.array(terms, pa.string())
 
@@ -1761,7 +1764,10 @@ def keyword_search_indexed(sf_dir: str, terms: tuple = ("spark", "window", "hash
         rd.read_parquet(paths).map_batches(hits_only, batch_format="pyarrow")
     )
     if postings.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
+        # a pyarrow Table keeps its column names through to_pandas();
+        # an EMPTY Ray Dataset does not (blockless to_pandas drops the
+        # schema), so empty results return the Table directly
+        return out_schema.empty_table()
 
     # per-term document frequencies: one tiny partial row per block
     def df_partial(t: pa.Table) -> pa.Table:
