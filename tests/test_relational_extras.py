@@ -583,11 +583,15 @@ def test_nation_pair_trade_empty_side_guard(ray_session):
     join side must be guarded, returning an empty schema-stable result."""
     from near_duplicate_detection_ray.pipelines import relational
 
-    ds = relational.nation_pair_trade(SF)
-    assert ds.schema().names == [
+    t = relational.nation_pair_trade(SF)
+    # empty results come back as a schema-carrying pyarrow Table (an empty
+    # Ray Dataset drops its column names through to_pandas)
+    assert isinstance(t, pa.Table)
+    assert t.schema.names == [
         "supp_nation", "cust_nation", "l_year", "revenue_c4", "n_items"
     ]
-    assert ds.count() == 0
+    assert t.num_rows == 0
+    assert list(t.to_pandas().columns) == t.schema.names
 
 
 def test_events_rolling_stats_hand_semantics(ray_session, tmp_path):
