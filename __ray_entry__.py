@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_candidates": text_analysis.bpe_merge_candidates,  # SQL-checked (BPE first merges)
         "mask_tokens_docs": text_analysis.mask_tokens_docs,    # SQL-checked (deterministic MLM corruption)
         "bigram_logprob_docs": text_analysis.bigram_logprob_docs,  # SQL-checked (conditional bigram-LM score)
+        "weighted_sample_docs": text_analysis.weighted_sample_docs,  # SQL-checked (systematic weight-prop. sample)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -3586,6 +3587,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                        - ln((SELECT n FROM tot)), 8) AS avg_logprob
             FROM tf JOIN cnt USING (term)
             GROUP BY doc_id
+        """,
+        # weight-proportional systematic sample: stride multiples over the
+        # doc_id-ordered cumulative char line — pure integer arithmetic
+        "weighted_sample_docs": """
+            WITH c AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+            ), p AS (
+                SELECT doc_id, w,
+                       COALESCE(sum(w) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS lo
+                FROM c
+            ), t AS (
+                SELECT greatest(1, CAST(sum(w) AS BIGINT) // 50) AS s FROM c
+            )
+            SELECT doc_id, w AS n_chars,
+                   CAST((lo + w) // s - lo // s AS BIGINT) AS n_hits
+            FROM p, t
+            WHERE (lo + w) // s - lo // s >= 1
         """,
         # bigram conditional LM score: mean ln(c(w1 w2) / c(w1 .)) over each
         # doc's bigrams; same algebra as the engine, rounded to 8 on both

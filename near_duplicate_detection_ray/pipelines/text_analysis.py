@@ -2705,3 +2705,77 @@ def bigram_logprob_docs(sf_dir: str):
         )
 
     return doc_tbl.map_batches(finish, batch_format="pyarrow")
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 50, num_blocks: int | None = None):
+    """WEIGHT-PROPORTIONAL SYSTEMATIC SAMPLE — the deterministic "sample by
+    length" primitive of training-mix construction: lay all docs on the
+    integer number line as [lo, hi) char intervals (doc_id order), walk a
+    fixed stride ``S = total_chars // k``, and keep every doc whose interval
+    contains a stride multiple (``n_hits = hi//S - lo//S``, i.e. selection
+    probability exactly proportional to weight, long docs counted with
+    multiplicity).  Every quantity is an integer, so the output hash-matches
+    the SQL window-function oracle with zero float risk.
+
+    Same distributed-prefix-sum plan as :func:`pack_sequences_docs`
+    (SURVEY §2 custom-operator ladder, step (c)): the text never moves —
+    only (doc_id, n_chars) rows sort into ordered blocks; P block totals
+    reach the driver; one remote task per block attaches its offset and
+    emits the selected rows."""
+    import ray
+    import ray.data as rd
+
+    from ..sources.io import read_parquet_clean
+
+    counts = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "w": pc.cast(t["n_chars"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    if num_blocks:
+        counts = counts.repartition(num_blocks)
+    sorted_mat = counts.sort("doc_id").materialize()
+    refs = [
+        ref
+        for bundle in sorted_mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_chars", pa.int64()), ("n_hits", pa.int64())]
+    )
+    if not refs:
+        return out_schema.empty_table()
+
+    @ray.remote
+    def block_total(t: pa.Table) -> int:
+        return int(t["w"].to_numpy(zero_copy_only=False).sum())
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+    stride = max(1, int(sum(totals)) // k)
+
+    @ray.remote
+    def pick(t: pa.Table, off: int, s: int) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False)
+        hi = off + np.cumsum(w)
+        lo = hi - w
+        hits = hi // s - lo // s
+        keep = hits >= 1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_chars": t["w"].filter(pa.array(keep)),
+                "n_hits": pa.array(hits[keep], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    picked = [pick.remote(r, int(o), stride) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(picked)

@@ -26,6 +26,7 @@ NEW_QUERIES = [
     "daily_revenue_anomaly",
     "price_band_stats",
     "daily_revenue_ewma",
+    "weighted_sample_docs",
 ]
 
 
@@ -174,3 +175,20 @@ def test_skyline_block_empty_input():
 
     out = _skyline_block(np.empty(0, np.float64), np.empty(0, np.int64))
     assert len(out) == 0
+
+
+def test_weighted_sample_multi_block_prefix(ray_session):
+    """The distributed prefix sum must give the same picks regardless of
+    block split (forced multi-block vs whatever the read produced)."""
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        weighted_sample_docs,
+    )
+
+    a = weighted_sample_docs(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        weighted_sample_docs(SF, num_blocks=7)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # selection probability proportional to weight: total hits == k (+-1 edge)
+    assert abs(int(a["n_hits"].sum()) - 50) <= 1
