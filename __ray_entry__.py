@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mask_tokens_docs": text_analysis.mask_tokens_docs,    # SQL-checked (deterministic MLM corruption)
         "bigram_logprob_docs": text_analysis.bigram_logprob_docs,  # SQL-checked (conditional bigram-LM score)
         "weighted_sample_docs": text_analysis.weighted_sample_docs,  # SQL-checked (systematic weight-prop. sample)
+        "bm25_search_docs": text_analysis.bm25_search_docs,    # SQL-checked (Okapi BM25 ranked retrieval)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -3607,6 +3608,41 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST((lo + w) // s - lo // s AS BIGINT) AS n_hits
             FROM p, t
             WHERE (lo + w) // s - lo // s >= 1
+        """,
+        # Okapi BM25 ranked retrieval: constants spelled as e-notation DOUBLE
+        # literals (plain 1.2 is DECIMAL in DuckDB), per-term partials added
+        # in one fixed left-to-right order, score rounded to 8 BEFORE the
+        # top-k cut so the boundary tiebreak sees identical keys
+        "bm25_search_docs": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(w) AS dl,
+                       len(list_filter(w, x -> x = 'spark'))  AS tf1,
+                       len(list_filter(w, x -> x = 'window')) AS tf2,
+                       len(list_filter(w, x -> x = 'hash'))   AS tf3
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\s+') AS w
+                      FROM documents)
+            ), g AS (
+                SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                       ln(1e0 + (count(*) - sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) + 0.5e0)
+                              / (sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) + 0.5e0)) AS idf1,
+                       ln(1e0 + (count(*) - sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + 0.5e0)
+                              / (sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + 0.5e0)) AS idf2,
+                       ln(1e0 + (count(*) - sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) + 0.5e0)
+                              / (sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) + 0.5e0)) AS idf3
+                FROM s
+            )
+            SELECT doc_id, dl,
+                   round(idf1 * (tf1 * 2.2e0) / (tf1 + 1.2e0 * ((1e0 - 0.75e0) + 0.75e0 * dl / avgdl))
+                       + idf2 * (tf2 * 2.2e0) / (tf2 + 1.2e0 * ((1e0 - 0.75e0) + 0.75e0 * dl / avgdl))
+                       + idf3 * (tf3 * 2.2e0) / (tf3 + 1.2e0 * ((1e0 - 0.75e0) + 0.75e0 * dl / avgdl)),
+                       8) AS score
+            FROM s, g
+            WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
+            ORDER BY score DESC, doc_id
+            LIMIT 10
         """,
         # bigram conditional LM score: mean ln(c(w1 w2) / c(w1 .)) over each
         # doc's bigrams; same algebra as the engine, rounded to 8 on both

@@ -2779,3 +2779,108 @@ def weighted_sample_docs(sf_dir: str, k: int = 50, num_blocks: int | None = None
 
     picked = [pick.remote(r, int(o), stride) for r, o in zip(refs, offsets)]
     return rd.from_arrow_refs(picked)
+
+
+def bm25_search_docs(sf_dir: str, terms: tuple = ("spark", "window", "hash"),
+                     k: int = 10):
+    """BM25 RANKED RETRIEVAL over the corpus — the probabilistic-IR scoring
+    family next to :func:`keyword_search_docs`'s rational tf-idf (SURVEY §2
+    S11/O1, the reference's score-the-corpus query path
+    ``ndd/server_ndd.py:108-123``): Okapi BM25 with k1=1.2, b=0.75,
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` and per-term saturation
+    ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Float-parity discipline: every constant is the same IEEE double on both
+    sides (the SQL oracle spells them ``1.2e0``-style — plain ``1.2`` is
+    DECIMAL in DuckDB), the per-term partial scores are added in one fixed
+    left-to-right order (three explicit ``+``s, not an aggregate), and the
+    final score is rounded to 8 decimals BEFORE the top-k cut so the
+    boundary tiebreak (score desc, doc_id asc) sees identical keys.
+
+    Distributed shape: one map pass reduces each doc to ``(doc_id, dl,
+    tf_1..tf_T)`` — 5 ints/doc, the text never shuffles; corpus stats
+    (Σdl, df_t) ride one tiny partial row per block; scoring is a
+    stateless vectorized second pass over the stats table; the top-k rides
+    bounded per-block partials (:func:`global_topk`), never a global sort.
+    Output: ``doc_id, dl, score``."""
+    import math
+
+    from ..functions.groupagg import global_topk
+    from ..state.partitioning import materialize_clean
+
+    K1, B, TOP = 1.2, 0.75, 2.2  # TOP = k1+1 as a shared literal
+    terms = list(terms)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata count
+
+    stat_schema = pa.schema(
+        [("doc_id", pa.int64()), ("dl", pa.int64())]
+        + [(f"tf{i + 1}", pa.int64()) for i in range(len(terms))]
+    )
+
+    def stat_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return stat_schema.empty_table()
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        dl = pc.cast(pc.list_value_length(toks), pa.int64())
+        row_idx, _ = _token_row_index(toks, n)
+        flat = pc.list_flatten(toks).combine_chunks()
+        cols = {"doc_id": batch["doc_id"], "dl": dl}
+        for i, t in enumerate(terms):
+            mask = pc.equal(flat, pa.scalar(t)).to_numpy(zero_copy_only=False)
+            cols[f"tf{i + 1}"] = pa.array(
+                np.bincount(row_idx[mask], minlength=n).astype(np.int64)
+            )
+        return pa.table(cols, schema=stat_schema)
+
+    stats = materialize_clean(docs.map_batches(stat_block, batch_format="pyarrow"))
+
+    def corpus_partial(t: pa.Table) -> pa.Table:
+        cols = {"sdl": pa.array(
+            [int(t["dl"].to_numpy(zero_copy_only=False).sum())], pa.int64()
+        )}
+        for i in range(len(terms)):
+            cols[f"c{i + 1}"] = pa.array(
+                [int((t[f"tf{i + 1}"].to_numpy(zero_copy_only=False) > 0).sum())],
+                pa.int64(),
+            )
+        return pa.table(cols)
+
+    part = stats.map_batches(corpus_partial, batch_format="pyarrow").to_pandas()
+    sum_dl = int(part["sdl"].sum()) if not part.empty else 0
+    dfs = [int(part[f"c{i + 1}"].sum()) if not part.empty else 0
+           for i in range(len(terms))]
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else 1.0
+    idf = [math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for d in dfs]
+
+    def score_block(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("dl", pa.int64()), ("score", pa.float64())]
+        )
+        if m == 0:
+            return out_schema.empty_table()
+        tf_mat = [t[f"tf{i + 1}"].to_numpy(zero_copy_only=False)
+                  for i in range(len(terms))]
+        hit = np.logical_or.reduce([tf > 0 for tf in tf_mat])
+        if not hit.any():
+            return out_schema.empty_table()
+        dl = t["dl"].to_numpy(zero_copy_only=False)[hit].astype(np.float64)
+        norm = K1 * ((1.0 - B) + B * dl / avgdl)
+        score = np.zeros(int(hit.sum()), np.float64)
+        for i in range(len(terms)):  # fixed left-to-right term order
+            tf = tf_mat[i][hit].astype(np.float64)
+            score = score + idf[i] * (tf * TOP) / (tf + norm)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(hit)),
+                "dl": t["dl"].filter(pa.array(hit)),
+                "score": pa.array(np.round(score, 8)),
+            },
+            schema=out_schema,
+        )
+
+    scored = stats.map_batches(score_block, batch_format="pyarrow")
+    return global_topk(scored, ["score", "doc_id"], [True, False], k)

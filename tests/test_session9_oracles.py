@@ -1,0 +1,91 @@
+"""sf0.001 oracle-conformance pins for the ninth-session operators, plus
+structural invariants (BM25 monotonicity, graph/moment kernels)."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+NEW_QUERIES = [
+    "bm25_search_docs",
+]
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return (
+        df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle_sf0001(ray_session, name):
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()[name](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = _oracle(entrymod.oracle_sql()[name])
+    pd.testing.assert_frame_equal(
+        _norm(got), _norm(want), check_dtype=False, rtol=0, atol=5e-9
+    )
+
+
+def test_bm25_scores_positive_and_bounded(ray_session):
+    """Every returned score is positive (hit docs only) and bounded by the
+    theoretical maximum sum of idf_t * (k1 + 1)."""
+    import math
+
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["bm25_search_docs"](SF).to_pandas()
+    assert len(df) > 0
+    assert (df["score"] > 0).all()
+    # recompute the idf bound from the oracle's own stats
+    stats = _oracle(r"""
+        WITH s AS (
+            SELECT len(list_filter(w, x -> x = 'spark'))  AS tf1,
+                   len(list_filter(w, x -> x = 'window')) AS tf2,
+                   len(list_filter(w, x -> x = 'hash'))   AS tf3
+            FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+                  FROM documents)
+        )
+        SELECT count(*) AS n,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+               sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        FROM s
+    """)
+    n = int(stats["n"][0])
+    bound = sum(
+        math.log(1.0 + (n - int(stats[c][0]) + 0.5) / (int(stats[c][0]) + 0.5))
+        for c in ("df1", "df2", "df3")
+    ) * 2.2
+    assert (df["score"] <= bound + 1e-9).all()
+    # descending by score with doc_id tiebreak
+    s = df["score"].to_numpy()
+    assert (np.diff(s) <= 1e-12).all()
