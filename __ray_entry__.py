@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
+        "dup_pagerank": docs_dedup.dup_pagerank,               # SQL-checked (5-iteration power method)
         "dedup_rate_by_source": docs_dedup.dedup_rate_by_source,  # SQL-checked (per-source dup census)
         "prefix_dup_docs": docs_dedup.prefix_dup_docs,          # SQL-checked (template detection)
         "cross_source_dup_pairs": docs_dedup.cross_source_dup_pairs,  # SQL-checked (provenance leakage)
@@ -2956,6 +2957,85 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        # PageRank over the symmetrized near-dup graph: the same brute-force
+        # pair CTEs as near_dup_pairs_docs feed five UNROLLED power-method
+        # iterations (chained CTEs, no recursion); constants are e-notation
+        # DOUBLE literals and teleport + d*sum applies in the engine's order
+        "dup_pagerank": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            ), e AS (
+                SELECT a AS src, b AS dst FROM p
+                UNION ALL
+                SELECT b AS src, a AS dst FROM p
+            ), deg AS (
+                SELECT src, count(*) AS d FROM e GROUP BY src
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+            ), r0 AS (
+                SELECT src AS v, 1e0 / (SELECT n FROM nn) AS r FROM deg
+            ), r1 AS (
+                SELECT e.dst AS v,
+                       (1e0 - 0.85e0) / (SELECT n FROM nn)
+                           + 0.85e0 * sum(r.r / deg.d) AS r
+                FROM e JOIN r0 r ON e.src = r.v
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ), r2 AS (
+                SELECT e.dst AS v,
+                       (1e0 - 0.85e0) / (SELECT n FROM nn)
+                           + 0.85e0 * sum(r.r / deg.d) AS r
+                FROM e JOIN r1 r ON e.src = r.v
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ), r3 AS (
+                SELECT e.dst AS v,
+                       (1e0 - 0.85e0) / (SELECT n FROM nn)
+                           + 0.85e0 * sum(r.r / deg.d) AS r
+                FROM e JOIN r2 r ON e.src = r.v
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ), r4 AS (
+                SELECT e.dst AS v,
+                       (1e0 - 0.85e0) / (SELECT n FROM nn)
+                           + 0.85e0 * sum(r.r / deg.d) AS r
+                FROM e JOIN r3 r ON e.src = r.v
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ), r5 AS (
+                SELECT e.dst AS v,
+                       (1e0 - 0.85e0) / (SELECT n FROM nn)
+                           + 0.85e0 * sum(r.r / deg.d) AS r
+                FROM e JOIN r4 r ON e.src = r.v
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            )
+            SELECT deg.src AS doc_id, deg.d AS deg, round(r.r, 8) AS pr
+            FROM r5 r JOIN deg ON r.v = deg.src
         """,
         # per-source exact-dup rate (md5 content groups)
         "dedup_rate_by_source": """

@@ -1377,3 +1377,206 @@ def cross_source_dup_pairs(sf_dir: str, cfg: NDDConfig | None = None):
         return t.select(["a", "b", "source_a", "source_b", "jaccard"])
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_pagerank(sf_dir: str, cfg: NDDConfig | None = None, iters: int = 5,
+                 damping: float = 0.85, broadcast_max_nodes: int = 2_000_000,
+                 force_exchange: bool = False):
+    """PAGERANK over the near-duplicate graph — the canonical ITERATIVE
+    distributed algorithm (power method) on the engine's own dup pairs:
+    which documents sit at the CENTER of duplication mass (template hubs
+    score high; isolated pairs sit at the teleport floor).  Nodes are the
+    docs appearing in >= 1 pair of :func:`near_dup_pairs_docs` (so no
+    dangling nodes — every node has degree >= 1 in the symmetrized graph);
+    ``r_{k+1}(v) = (1-d)/n + d * sum_{u~v} r_k(u)/deg(u)`` for ``iters``
+    fixed iterations at d=0.85.
+
+    The SQL oracle unrolls the identical five iterations as chained CTEs
+    (r0 -> r5) — no recursion, every constant an ``e``-notation DOUBLE
+    literal, teleport+damp applied in the same order; per-neighbor sums on
+    both sides are order-free up to last-ulp and the output rounds to 8.
+
+    Two scale regimes, auto-switched like ``stages/cluster.py``'s union-find
+    vs label-propagation:
+
+    - **broadcast loop** (node count <= ``broadcast_max_nodes``): edges are
+      hash-partitioned by ``dst`` ONCE; the node-sized degree and rank
+      tables live in the object store (built off-driver, the driver only
+      holds refs) and every iteration is one remote task per edge block —
+      sorted-lookup ``r(src)/deg(src)`` via ``searchsorted``, complete
+      in-block fold by ``dst`` (the partition key), teleport+damp — plus
+      one small concat.  ZERO shuffles in the loop.
+    - **exchange loop** (bigger graphs or ``force_exchange``): per
+      iteration the rank table joins the degree-carrying edge list on
+      ``src`` through the hot-key-salted join (boilerplate hubs are exactly
+      the skewed keys) and contributions fold by ``dst`` in one keyed
+      hash-partition — 2 bounded exchanges over edge-sized data, the
+      corpus text never moves.
+
+    Both paths produce identical tables (pinned by a pytest that forces the
+    exchange path).  Output: ``doc_id, deg, pr`` (rounded to 8)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.groupagg import highcard_groupagg
+    from ..state.partitioning import key_partitioned, materialize_clean
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("deg", pa.int64()), ("pr", pa.float64())]
+    )
+    pairs = near_dup_pairs_docs(sf_dir, cfg)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = materialize_clean(pairs.map_batches(sym, batch_format="pyarrow"))
+    deg = materialize_clean(
+        highcard_groupagg(edges, ["src"], [([], "count_all")], {"count_all": "deg"})
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return out_schema.empty_table()
+    n = float(n_nodes)
+    teleport = (1.0 - damping) / n
+
+    if force_exchange or n_nodes > broadcast_max_nodes:
+        return _pagerank_exchange_loop(
+            edges, deg, n, teleport, damping, iters, out_schema
+        )
+
+    # ---- broadcast loop: node tables ride the object store ----
+    @ray.remote
+    def collect_sorted(key: str, *tables) -> pa.Table:
+        live = [t for t in tables if t.num_rows and t.num_columns]
+        t = pa.concat_tables(live)
+        return t.take(pc.sort_indices(t[key]))
+
+    deg_ref = collect_sorted.remote("src", *deg.to_arrow_refs())
+
+    edges_by_dst = key_partitioned(edges, ["dst"]).materialize()
+    block_refs = [
+        ref
+        for bundle in edges_by_dst.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+
+    @ray.remote
+    def init_ranks(deg_t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": deg_t["src"],
+                "r": pa.array(np.full(deg_t.num_rows, 1.0 / n), pa.float64()),
+            }
+        )
+
+    ranks_ref = init_ranks.remote(deg_ref)
+
+    @ray.remote
+    def step(edge_t: pa.Table, deg_t: pa.Table, ranks_t: pa.Table) -> pa.Table:
+        src = edge_t["src"].to_numpy(zero_copy_only=False)
+        dst = edge_t["dst"].to_numpy(zero_copy_only=False)
+        dkey = deg_t["src"].to_numpy(zero_copy_only=False)
+        dval = deg_t["deg"].to_numpy(zero_copy_only=False)
+        rkey = ranks_t["v"].to_numpy(zero_copy_only=False)
+        rval = ranks_t["r"].to_numpy(zero_copy_only=False)
+        d = dval[np.searchsorted(dkey, src)].astype(np.float64)
+        r = rval[np.searchsorted(rkey, src)]
+        c = r / d
+        u, inv = np.unique(dst, return_inverse=True)
+        s = np.bincount(inv, weights=c)
+        return pa.table(
+            {
+                "v": pa.array(u, pa.int64()),
+                "r": pa.array(teleport + damping * s, pa.float64()),
+            }
+        )
+
+    for _ in range(iters):
+        parts = [step.remote(b, deg_ref, ranks_ref) for b in block_refs]
+        ranks_ref = collect_sorted.remote("v", *parts)
+
+    @ray.remote
+    def finish_tbl(deg_t: pa.Table, ranks_t: pa.Table) -> pa.Table:
+        # both sorted by node id and over the same node set
+        d = deg_t["deg"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": ranks_t["v"],
+                "deg": pa.array(d, pa.int64()),
+                "pr": pa.array(
+                    np.round(ranks_t["r"].to_numpy(zero_copy_only=False), 8),
+                    pa.float64(),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return rd.from_arrow_refs([finish_tbl.remote(deg_ref, ranks_ref)])
+
+
+def _pagerank_exchange_loop(edges, deg, n: float, teleport: float,
+                            damping: float, iters: int, out_schema: pa.Schema):
+    """Fully-exchanged power iteration (see :func:`dup_pagerank`): rank rows
+    join the degree-carrying edge list on ``src`` (salted), contributions
+    fold by ``dst`` in one keyed hash-partition; each iteration's rank table
+    is checkpoint-materialized so the lazy DAG stays one iteration deep."""
+    from ..functions.groupagg import highcard_groupagg
+    from ..stages.skewjoin import salted_join
+    from ..state.partitioning import materialize_clean
+
+    edges_deg = materialize_clean(salted_join(edges, deg, "src"))
+
+    ranks = materialize_clean(
+        deg.map_batches(
+            lambda t: pa.table(
+                {
+                    "v": t["src"],
+                    "r": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        d = t["deg"].to_numpy(zero_copy_only=False)
+        return pa.table({"dst": t["dst"], "c": pa.array(r / d, pa.float64())})
+
+    def relax(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"v": t["dst"], "r": pa.array(teleport + damping * s, pa.float64())}
+        )
+
+    for _ in range(iters):
+        j = salted_join(edges_deg, ranks, "src", "v")
+        folded = highcard_groupagg(
+            j.map_batches(contrib, batch_format="pyarrow"),
+            ["dst"], [("c", "sum")], {"c_sum": "s"},
+        )
+        ranks = materialize_clean(folded.map_batches(relax, batch_format="pyarrow"))
+
+    final = salted_join(deg, ranks, "src", "v")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["src"],
+                "deg": t["deg"],
+                "pr": pa.array(
+                    np.round(t["r"].to_numpy(zero_copy_only=False), 8), pa.float64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")

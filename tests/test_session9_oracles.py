@@ -16,6 +16,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 NEW_QUERIES = [
     "bm25_search_docs",
+    "dup_pagerank",
 ]
 
 
@@ -89,3 +90,33 @@ def test_bm25_scores_positive_and_bounded(ray_session):
     # descending by score with doc_id tiebreak
     s = df["score"].to_numpy()
     assert (np.diff(s) <= 1e-12).all()
+
+
+def test_pagerank_exchange_path_equals_broadcast(ray_session):
+    """The salted-join exchange loop (the >broadcast_max_nodes regime) must
+    produce the identical table to the zero-shuffle broadcast loop."""
+    from near_duplicate_detection_ray.pipelines.docs_dedup import dup_pagerank
+
+    a = dup_pagerank(SF)
+    a = (a.to_pandas() if hasattr(a, "to_pandas") else a)
+    if hasattr(a, "to_pandas"):
+        a = a.to_pandas()
+    b = dup_pagerank(SF, force_exchange=True).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, rtol=0, atol=5e-9)
+
+
+def test_pagerank_mass_conservation(ray_session):
+    """Power-method invariant: total rank mass stays 1 (the graph has no
+    dangling nodes), and every rank is >= the teleport floor."""
+    from near_duplicate_detection_ray.pipelines.docs_dedup import dup_pagerank
+
+    df = dup_pagerank(SF)
+    df = df.to_pandas() if hasattr(df, "to_pandas") else df
+    if hasattr(df, "to_pandas"):
+        df = df.to_pandas()
+    n = len(df)
+    assert n > 0
+    assert abs(df["pr"].sum() - 1.0) < 1e-6
+    assert (df["pr"] >= (1.0 - 0.85) / n - 1e-12).all()
