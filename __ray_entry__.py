@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered_topk": ann.ann_filtered_topk,            # SQL-checked (label-filtered exact search)
         "semdedup_docs": ann.semdedup_embeddings,              # rows-only (SemDeDup; NumPy-oracle pytest)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
+        "embedding_covariance": ann.embedding_covariance,      # SQL-checked (PCA-prep moment matrix)
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
         "label_coherence": ann.label_coherence,                # SQL-checked (cluster-tightness census)
         "quantize_embeddings": ann.quantize_embeddings,        # SQL-checked (int8 scalar quantization)
@@ -3594,6 +3595,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
             FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
             WHERE levenshtein(a.head, b.head) <= 16
+        """,
+        # PCA-prep covariance: same E[xx'] - E[x]E[x]' algebra as the engine,
+        # float32 widened to DOUBLE before any accumulation, rounded to 8
+        "embedding_covariance": """
+            WITH x AS (
+                SELECT vec_id,
+                       unnest(generate_series(0, len(embedding) - 1)) AS i,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+            )
+            SELECT a.i AS i, b.i AS j,
+                   round(sum(a.v * b.v) / (SELECT n FROM nn)
+                         - (sum(a.v) / (SELECT n FROM nn))
+                           * (sum(b.v) / (SELECT n FROM nn)), 8) AS cov
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b

@@ -1436,3 +1436,59 @@ def label_coherence(sf_dir: str):
         pd.DataFrame(out, columns=["label", "n_vectors", "coherence"]),
         preserve_index=False,
     )
+
+
+def embedding_covariance(sf_dir: str):
+    """PCA-PREP MOMENTS over the embedding column: the population covariance
+    matrix ``C = E[xx'] - E[x]E[x]'`` as upper-triangle rows ``(i, j, cov)``
+    — the input every whitening / low-rank projection / IVF-coarse-training
+    step consumes (SURVEY §2 A-family; the reference's feature matrix is
+    consumed whole by its NumPy query path, ``ndd/server_ndd.py:108-123``).
+
+    Distributed shape: a single streaming pass; each block reduces to ONE
+    partial row ``(n_b, Σx, Σxx' flattened)`` via a float64 BLAS syrk
+    (``X.T @ X``) — d=64 means 4,160 doubles per block regardless of block
+    size, so the fold input is #blocks rows (the keyword-search df-partial
+    pattern), and the driver only touches partial rows, never vectors.
+    ``C_ij = Σxx'/n - (Σx/n)(Σx/n)'`` mirrors the SQL oracle's
+    ``sum(xi*xj)/n - (sum(xi)/n)*(sum(xj)/n)`` algebra; float32 inputs are
+    widened to float64 before any accumulation on BOTH sides and the output
+    rounds to 8."""
+    ds = _read_emb(sf_dir, ["embedding"])
+    first = ds.limit(1).to_pandas()
+    if first.empty:
+        return pa.schema(
+            [("i", pa.int64()), ("j", pa.int64()), ("cov", pa.float64())]
+        ).empty_table()
+    dim = len(first["embedding"][0])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = (
+            pc.list_flatten(batch["embedding"])
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(-1, dim)
+        )
+        m = x.T @ x
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+                "m": pa.array([m.ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    m = np.sum(np.stack(parts["m"].to_numpy()), axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = m / n - np.outer(mean, mean)
+    iu, ju = np.triu_indices(dim)
+    return pa.table(
+        {
+            "i": pa.array(iu.astype(np.int64), pa.int64()),
+            "j": pa.array(ju.astype(np.int64), pa.int64()),
+            "cov": pa.array(np.round(cov[iu, ju], 8), pa.float64()),
+        }
+    )

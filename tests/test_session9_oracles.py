@@ -17,6 +17,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 NEW_QUERIES = [
     "bm25_search_docs",
     "dup_pagerank",
+    "embedding_covariance",
 ]
 
 
@@ -120,3 +121,27 @@ def test_pagerank_mass_conservation(ray_session):
     assert n > 0
     assert abs(df["pr"].sum() - 1.0) < 1e-6
     assert (df["pr"] >= (1.0 - 0.85) / n - 1e-12).all()
+
+
+def test_embedding_covariance_is_psd(ray_session):
+    """The reconstructed full matrix is symmetric positive-semidefinite with
+    nonnegative diagonal (a real covariance), pinned against in-process
+    numpy.cov on the whole sf0.001 table."""
+    import pyarrow.parquet as pq
+
+    from near_duplicate_detection_ray.pipelines.ann import embedding_covariance
+
+    t = embedding_covariance(SF)
+    t = t.to_pandas() if hasattr(t, "to_pandas") else t
+    if hasattr(t, "to_pandas"):
+        t = t.to_pandas()
+    d = int(t["j"].max()) + 1
+    c = np.zeros((d, d))
+    c[t["i"], t["j"]] = t["cov"]
+    c[t["j"], t["i"]] = t["cov"]
+    assert (np.diag(c) >= 0).all()
+    assert np.linalg.eigvalsh(c).min() >= -1e-8
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    x = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+    want = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(c, want, atol=1e-7)
