@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_docs": text_analysis.bigram_logprob_docs,  # SQL-checked (conditional bigram-LM score)
         "weighted_sample_docs": text_analysis.weighted_sample_docs,  # SQL-checked (systematic weight-prop. sample)
         "bm25_search_docs": text_analysis.bm25_search_docs,    # SQL-checked (Okapi BM25 ranked retrieval)
+        "source_distinctive_terms": text_analysis.source_distinctive_terms,  # SQL-checked (log-odds vocabulary)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -3707,6 +3708,39 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST((lo + w) // s - lo // s AS BIGINT) AS n_hits
             FROM p, t
             WHERE (lo + w) // s - lo // s >= 1
+        """,
+        # Haldane-corrected log-odds distinctive terms per source: every log
+        # input is an exact integer +- 0.5, ln tolerance covered by round-8;
+        # top-k ties break on (score desc, term asc) in both engines
+        "source_distinctive_terms": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            ), ysw AS (
+                SELECT source, term, count(*) AS y FROM toks GROUP BY 1, 2
+            ), yw AS (
+                SELECT term, sum(y) AS yt FROM ysw GROUP BY 1
+            ), ns AS (
+                SELECT source, sum(y) AS n FROM ysw GROUP BY 1
+            ), tot AS (
+                SELECT sum(y) AS n FROM ysw
+            ), scored AS (
+                SELECT s.source, s.term, s.y,
+                       round(ln((s.y + 0.5e0) / (ns.n - s.y + 0.5e0))
+                           - ln((yw.yt - s.y + 0.5e0)
+                                / ((tot.n - ns.n) - (yw.yt - s.y) + 0.5e0)),
+                             8) AS score
+                FROM ysw s
+                JOIN yw USING (term)
+                JOIN ns USING (source), tot
+                WHERE s.y >= 5
+            )
+            SELECT source, term, y, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY score DESC, term
+                ) AS rn FROM scored
+            ) WHERE rn <= 10
         """,
         # Okapi BM25 ranked retrieval: constants spelled as e-notation DOUBLE
         # literals (plain 1.2 is DECIMAL in DuckDB), per-term partials added

@@ -2884,3 +2884,123 @@ def bm25_search_docs(sf_dir: str, terms: tuple = ("spark", "window", "hash"),
 
     scored = stats.map_batches(score_block, batch_format="pyarrow")
     return global_topk(scored, ["score", "doc_id"], [True, False], k)
+
+
+def source_distinctive_terms(sf_dir: str, k: int = 10, min_count: int = 5):
+    """PER-SOURCE DISTINCTIVE VOCABULARY — "which words characterize each
+    source": the Haldane-corrected log-odds ratio of a term's in-source vs
+    rest-of-corpus odds, ``ln((y+.5)/(n_s-y+.5)) - ln((y_t-y+.5)/
+    ((N-n_s)-(y_t-y)+.5))``, the classic corpus-comparison statistic — with
+    a ``min_count`` support filter and the top-``k`` terms per source
+    (score desc, term asc ties).  Every input to the two logs is an exact
+    integer ± 0.5, so the SQL oracle reproduces the score bit-for-bit up to
+    the shared round-8 ln tolerance.
+
+    Distributed shape: per-block ``(source, term)`` C-level pandas partial
+    counts (the corpus text reduces to count rows immediately); ONE
+    term-keyed hash-partition where each term's corpus total is the local
+    sum (the unigram-LM attach pattern — no second aggregation pass and no
+    driver vocabulary); source totals are a low-cardinality combiner fold
+    broadcast as a dict; the per-source top-k rides bounded per-block
+    partials into one final merge.  Output: ``source, term, y, score``."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    cnt_schema = pa.schema(
+        [("source", pa.string()), ("term", pa.string()), ("y", pa.int64())]
+    )
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(pc.utf8_trim_whitespace(batch["text"]), pa.scalar(""))
+        )
+        if batch.num_rows == 0:
+            return cnt_schema.empty_table()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), pattern=r"\s+"
+        )
+        row_idx, _ = _token_row_index(toks, batch.num_rows)
+        d = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas().to_numpy()[row_idx],
+                "term": pc.list_flatten(toks).to_pandas(),
+            }
+        )
+        out = d.groupby(["source", "term"], sort=False).size().reset_index(name="y")
+        return pa.table(
+            {
+                "source": pa.array(out["source"].tolist(), pa.string()),
+                "term": pa.array(out["term"].tolist(), pa.string()),
+                "y": pa.array(out["y"].to_numpy(), pa.int64()),
+            },
+            schema=cnt_schema,
+        )
+
+    counts = key_partitioned(
+        docs.map_batches(count_block, batch_format="pyarrow"), ["source", "term"]
+    ).map_batches(
+        lambda t: t.group_by(["source", "term"]).aggregate([("y", "sum")])
+        .rename_columns(["source", "term", "y"]),
+        batch_format="pyarrow", batch_size=None,
+    ).materialize()
+
+    # low-cardinality source totals: tiny partial rows, broadcast as a dict
+    ns_df = (
+        counts.map_batches(
+            lambda t: t.group_by(["source"]).aggregate([("y", "sum")])
+            .rename_columns(["source", "n"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+    )
+    ns = ns_df.groupby("source")["n"].sum().to_dict()
+    n_total = int(sum(ns.values()))
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("term", pa.string()),
+         ("y", pa.int64()), ("score", pa.float64())]
+    )
+
+    def score_block(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        yt = df.groupby("term", sort=False)["y"].transform("sum").to_numpy(
+            dtype=np.float64
+        )
+        y = df["y"].to_numpy(dtype=np.float64)
+        n_s = df["source"].map(ns).to_numpy(dtype=np.float64)
+        keep = df["y"].to_numpy() >= min_count
+        score = (
+            np.log((y + 0.5) / (n_s - y + 0.5))
+            - np.log(((yt - y) + 0.5) / ((n_total - n_s) - (yt - y) + 0.5))
+        )
+        return pa.table(
+            {
+                "source": pa.array(df["source"].to_numpy()[keep], pa.string()),
+                "term": pa.array(df["term"].to_numpy()[keep], pa.string()),
+                "y": pa.array(df["y"].to_numpy()[keep], pa.int64()),
+                "score": pa.array(np.round(score[keep], 8), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    scored = key_partitioned(counts, ["term"]).map_batches(
+        score_block, batch_format="pandas", batch_size=None
+    )
+
+    # grouped top-k: per-block per-source heads, one bounded final merge
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return (
+            df.sort_values(["source", "score", "term"],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("source", sort=False).head(k)
+        )
+
+    partials = scored.map_batches(topk_block, batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        topk_block, batch_format="pandas", batch_size=None
+    )

@@ -18,6 +18,7 @@ NEW_QUERIES = [
     "bm25_search_docs",
     "dup_pagerank",
     "embedding_covariance",
+    "source_distinctive_terms",
 ]
 
 
