@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_docs": ann.semdedup_embeddings,              # rows-only (SemDeDup; NumPy-oracle pytest)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
         "embedding_covariance": ann.embedding_covariance,      # SQL-checked (PCA-prep moment matrix)
+        "embedding_outliers": ann.embedding_outliers,          # SQL-checked (per-dim z-score screen)
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
         "label_coherence": ann.label_coherence,                # SQL-checked (cluster-tightness census)
         "quantize_embeddings": ann.quantize_embeddings,        # SQL-checked (int8 scalar quantization)
@@ -3596,6 +3597,33 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
             FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
             WHERE levenshtein(a.head, b.head) <= 16
+        """,
+        # per-dimension z-score outlier screen: population mean/std from the
+        # same moment algebra as the engine (sum/n, sqrt(sumsq/n - mean^2)),
+        # float32 widened before accumulation, max_z rounded to 8
+        "embedding_outliers": """
+            WITH x AS (
+                SELECT vec_id,
+                       unnest(generate_series(0, len(embedding) - 1)) AS i,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+            ), st AS (
+                SELECT i,
+                       sum(v) / (SELECT n FROM nn) AS mu,
+                       sqrt(sum(v * v) / (SELECT n FROM nn)
+                            - (sum(v) / (SELECT n FROM nn))
+                              * (sum(v) / (SELECT n FROM nn))) AS sd
+                FROM x GROUP BY i
+            ), z AS (
+                SELECT vec_id, abs((v - mu) / sd) AS az
+                FROM x JOIN st USING (i)
+            )
+            SELECT vec_id, round(max(az), 8) AS max_z,
+                   CAST(sum(CASE WHEN az > 3e0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_extreme
+            FROM z GROUP BY vec_id HAVING max(az) > 3e0
         """,
         # PCA-prep covariance: same E[xx'] - E[x]E[x]' algebra as the engine,
         # float32 widened to DOUBLE before any accumulation, rounded to 8

@@ -1492,3 +1492,73 @@ def embedding_covariance(sf_dir: str):
             "cov": pa.array(np.round(cov[iu, ju], 8), pa.float64()),
         }
     )
+
+
+def embedding_outliers(sf_dir: str, z_thresh: float = 3.0):
+    """EMBEDDING ANOMALY SCREEN — flag vectors that sit far outside the
+    per-dimension distribution (corrupt encodes, wrong-model rows, zero
+    vectors): standardize every dimension by its population mean/std and
+    keep vectors whose max |z| exceeds ``z_thresh``, reporting how many
+    dimensions are extreme.
+
+    Same one-pass moment-partial shape as :func:`embedding_covariance`
+    (diagonal only: ``(n_b, Σx, Σx²)`` per block — 129 doubles regardless
+    of block size), then the d-sized mean/std vectors broadcast into one
+    streamed scoring pass; the corpus never shuffles and the driver never
+    sees a vector.  ``sd = sqrt(Σx²/n - (Σx/n)²)`` mirrors the SQL oracle's
+    algebra exactly; float32 widens to float64 before any accumulation on
+    both sides and ``max_z`` rounds to 8.  Output: ``vec_id, max_z,
+    n_extreme`` for flagged vectors."""
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    first = ds.limit(1).to_pandas()
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("max_z", pa.float64()), ("n_extreme", pa.int64())]
+    )
+    if first.empty:
+        return out_schema.empty_table()
+    dim = len(first["embedding"][0])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = (
+            pc.list_flatten(batch["embedding"])
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(-1, dim)
+        )
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+                "q": pa.array([(x * x).sum(axis=0)], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    q = np.sum(np.stack(parts["q"].to_numpy()), axis=0)
+    mu = s / n
+    sd = np.sqrt(q / n - (s / n) * (s / n))
+
+    def score(batch: pa.Table) -> pa.Table:
+        x = (
+            pc.list_flatten(batch["embedding"])
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(-1, dim)
+        )
+        az = np.abs((x - mu) / sd)
+        max_z = az.max(axis=1)
+        keep = max_z > z_thresh
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].filter(pa.array(keep)),
+                "max_z": pa.array(np.round(max_z[keep], 8), pa.float64()),
+                "n_extreme": pa.array(
+                    (az[keep] > z_thresh).sum(axis=1).astype(np.int64), pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

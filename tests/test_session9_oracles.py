@@ -19,6 +19,7 @@ NEW_QUERIES = [
     "dup_pagerank",
     "embedding_covariance",
     "source_distinctive_terms",
+    "embedding_outliers",
 ]
 
 
