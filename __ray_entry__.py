@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
         "embedding_covariance": ann.embedding_covariance,      # SQL-checked (PCA-prep moment matrix)
         "embedding_outliers": ann.embedding_outliers,          # SQL-checked (per-dim z-score screen)
+        "hard_negatives": ann.hard_negatives,                  # SQL-checked (contrastive negative mining)
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
         "label_coherence": ann.label_coherence,                # SQL-checked (cluster-tightness census)
         "quantize_embeddings": ann.quantize_embeddings,        # SQL-checked (int8 scalar quantization)
@@ -3597,6 +3598,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
             FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
             WHERE levenshtein(a.head, b.head) <= 16
+        """,
+        # hard-negative mining: the cosine_topk oracle with the positive band
+        # (score >= 0.8) excluded before ranking; ranks not scores (ULP-safe)
+        "hard_negatives": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])
+                       ) AS score
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id ASC
+                       ) AS rank
+                FROM sims WHERE score < 0.8e0
+            )
+            SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
         """,
         # per-dimension z-score outlier screen: population mean/std from the
         # same moment algebra as the engine (sum/n, sqrt(sumsq/n - mean^2)),

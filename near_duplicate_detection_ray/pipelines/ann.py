@@ -1562,3 +1562,74 @@ def embedding_outliers(sf_dir: str, z_thresh: float = 3.0):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def hard_negatives(sf_dir: str, n_queries: int = 10, k: int = 5,
+                   pos_threshold: float = 0.8):
+    """HARD-NEGATIVE MINING — the contrastive-training companion of
+    :func:`cosine_topk`: for each query vector, the k most similar OTHER
+    vectors whose cosine similarity stays BELOW ``pos_threshold`` (anything
+    above it is a near-duplicate/positive, not a negative).  These
+    maximally-confusable negatives are what embedding-model training loops
+    sample (SURVEY §2 similarity-search family).
+
+    Same streaming shape as the exact ANN baseline: queries broadcast once
+    via ``ray.put``, the corpus streams in blocks, each block masks the
+    too-similar band to -inf before its local top-k, and one bounded merge
+    ranks the per-block survivors.  Ranks, not scores, are emitted — stable
+    under last-ULP float differences between engines."""
+    import ray
+    import ray.data as rd
+
+    queries_tbl = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .filter(lambda row: row["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries_tbl["vec_id"].to_numpy()
+    q_mat = np.stack(queries_tbl["embedding"].to_numpy()).astype(np.float64)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids, qm = ray.get(q_ref)
+        corpus = _emb_matrix(batch)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        cn = corpus / np.maximum(
+            np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12
+        )
+        sims = qn @ cn.T
+        masked = np.where(sims < pos_threshold, sims, -np.inf)
+        kk = min(k, masked.shape[1])
+        order = np.lexsort(
+            (np.arange(masked.shape[1])[None, :].repeat(len(masked), 0), -masked),
+            axis=1,
+        )
+        idx = order[:, :kk]
+        rows = np.arange(len(masked))[:, None]
+        sc, nb = masked[rows, idx], vec_ids[idx]
+        keep = np.isfinite(sc)
+        qcol = np.repeat(ids, kk).reshape(len(ids), kk)
+        return pa.table(
+            {
+                "query_id": pa.array(qcol[keep].astype(np.int64), pa.int64()),
+                "neighbor_id": pa.array(nb[keep].astype(np.int64), pa.int64()),
+                "score": pa.array(sc[keep], pa.float64()),
+            }
+        )
+
+    partials = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    return rd.from_pandas(
+        topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+    )

@@ -20,6 +20,7 @@ NEW_QUERIES = [
     "embedding_covariance",
     "source_distinctive_terms",
     "embedding_outliers",
+    "hard_negatives",
 ]
 
 
