@@ -1580,3 +1580,56 @@ def _pagerank_exchange_loop(edges, deg, n: float, teleport: float,
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_components_docs(sf_dir: str, cfg: NDDConfig | None = None,
+                        max_driver_edges: int | None = None):
+    """CONNECTED-COMPONENT LABELS over the whole documents table from the
+    near-dup pair graph — every doc gets a cluster id (the min doc_id of its
+    component; untouched docs are their own singleton).  This is the
+    doc-table twin of the flagship's transcript clustering
+    (``stages/cluster.py``), but with an EXACT SQL oracle: DuckDB's
+    recursive CTE computes the transitive closure of the same brute-force
+    pair set and labels by min reachable id — the engine's auto-switched
+    union-find / large-star-small-star output must equal it bit-for-bit.
+
+    Output: ``doc_id, cluster_id`` (both int64)."""
+    from ..stages.cluster import cluster
+
+    pairs = near_dup_pairs_docs(sf_dir, cfg)
+
+    def to_str(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array([f"{v:012d}" for v in t["a"].to_pylist()], pa.string()),
+                "b": pa.array([f"{v:012d}" for v in t["b"].to_pylist()], pa.string()),
+            }
+        )
+
+    edges = pairs.map_batches(to_str, batch_format="pyarrow")
+
+    def ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    [f"{v:012d}" for v in t["doc_id"].to_pylist()], pa.string()
+                )
+            }
+        )
+
+    convs = _read_docs(sf_dir, ["doc_id"]).map_batches(ids, batch_format="pyarrow")
+    labeled = (
+        cluster(convs, [edges], max_driver_edges=max_driver_edges)
+        if max_driver_edges is not None
+        else cluster(convs, [edges])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["conv_id"], pa.int64()),
+                "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
+
+    return labeled.map_batches(finish, batch_format="pyarrow")

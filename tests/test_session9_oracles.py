@@ -21,6 +21,7 @@ NEW_QUERIES = [
     "source_distinctive_terms",
     "embedding_outliers",
     "hard_negatives",
+    "dup_components_docs",
 ]
 
 
@@ -148,3 +149,18 @@ def test_embedding_covariance_is_psd(ray_session):
     x = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
     want = np.cov(x, rowvar=False, bias=True)
     assert np.allclose(c, want, atol=1e-7)
+
+
+def test_dup_components_distributed_path_equals_driver(ray_session):
+    """Forcing max_driver_edges=0 routes through large-star/small-star label
+    propagation; the label table must equal the driver union-find's."""
+    from near_duplicate_detection_ray.pipelines.docs_dedup import (
+        dup_components_docs,
+    )
+
+    a = dup_components_docs(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        dup_components_docs(SF, max_driver_edges=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
