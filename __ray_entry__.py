@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": text_analysis.weighted_sample_docs,  # SQL-checked (systematic weight-prop. sample)
         "bm25_search_docs": text_analysis.bm25_search_docs,    # SQL-checked (Okapi BM25 ranked retrieval)
         "source_distinctive_terms": text_analysis.source_distinctive_terms,  # SQL-checked (log-odds vocabulary)
+        "compaction_plan": text_analysis.compaction_plan,      # SQL-checked (per-source file bin-packing)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -3804,6 +3805,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST((lo + w) // s - lo // s AS BIGINT) AS n_hits
             FROM p, t
             WHERE (lo + w) // s - lo // s >= 1
+        """,
+        # per-source compaction manifest: start-offset bucketing over the
+        # doc_id-ordered cumulative char line, pure integer arithmetic
+        "compaction_plan": """
+            SELECT source, doc_id, n_chars,
+                   COALESCE(sum(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 2048 AS file_idx
+            FROM documents
         """,
         # Haldane-corrected log-odds distinctive terms per source: every log
         # input is an exact integer +- 0.5, ln tolerance covered by round-8;

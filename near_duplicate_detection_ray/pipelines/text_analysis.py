@@ -3004,3 +3004,46 @@ def source_distinctive_terms(sf_dir: str, k: int = 10, min_count: int = 5):
     return partials.repartition(1).map_batches(
         topk_block, batch_format="pandas", batch_size=None
     )
+
+
+def compaction_plan(sf_dir: str, target_chars: int = 2048):
+    """PARQUET COMPACTION PLAN — the table-maintenance primitive of a
+    100-TB lake: assign every document to an output file per source so each
+    file packs ~``target_chars`` of payload (start-offset bucketing over
+    the doc_id-ordered cumulative size line: ``file_idx = floor(
+    exclusive_prefix / target)`` — greedy fill, pure integer arithmetic,
+    byte-stable against the SQL window oracle).  A resumable rewriter
+    consumes this manifest one ``(source, file_idx)`` group at a time.
+
+    Distributed shape: the text never moves — only ``(source, doc_id,
+    n_chars)`` manifest rows (24 B/doc) hash-partition by source; the
+    in-block sort + cumulative sum is C-level pandas.  Partitioning
+    assumption (documented, same as the grouped-transform family): one
+    source's MANIFEST rows fit a block — at 24 B/doc that is hundreds of
+    millions of docs per source per 8-GiB block."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    docs = _read_docs(sf_dir, ["source", "doc_id", "n_chars"])
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=str),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_chars": pd.Series([], dtype=np.int64),
+                    "file_idx": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["source", "doc_id"], kind="mergesort")
+        cum = df.groupby("source", sort=False)["n_chars"].cumsum().to_numpy()
+        excl = cum - df["n_chars"].to_numpy()
+        df = df.copy()
+        df["file_idx"] = excl // target_chars
+        return df[["source", "doc_id", "n_chars", "file_idx"]]
+
+    return key_partitioned(docs, ["source"]).map_batches(
+        plan, batch_format="pandas", batch_size=None
+    )

@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "embedding_outliers",
     "hard_negatives",
     "dup_components_docs",
+    "compaction_plan",
 ]
 
 
