@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": ann.embedding_covariance,      # SQL-checked (PCA-prep moment matrix)
         "embedding_outliers": ann.embedding_outliers,          # SQL-checked (per-dim z-score screen)
         "hard_negatives": ann.hard_negatives,                  # SQL-checked (contrastive negative mining)
+        "kmeans_assign_embeddings": ann.kmeans_assign_embeddings,  # SQL-checked (Forgy init + one Lloyd step)
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
         "label_coherence": ann.label_coherence,                # SQL-checked (cluster-tightness census)
         "quantize_embeddings": ann.quantize_embeddings,        # SQL-checked (int8 scalar quantization)
@@ -3645,6 +3646,45 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
             FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
             WHERE levenshtein(a.head, b.head) <= 16
+        """,
+        # k-means (Forgy init on vec_id < k, one Lloyd update, final assign):
+        # row_number ties on (list_distance, cid) match the engine's
+        # first-min argmin over cid-ascending centroids; means are
+        # sum(DOUBLE)/count divisions on both sides
+        "kmeans_assign_embeddings": """
+            WITH x AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), c0 AS (
+                SELECT vec_id AS cid, v AS c FROM x WHERE vec_id < 8
+            ), a0 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT x.vec_id, c0.cid,
+                           row_number() OVER (
+                               PARTITION BY x.vec_id
+                               ORDER BY list_distance(x.v, c0.c), c0.cid
+                           ) AS rn
+                    FROM x, c0
+                ) WHERE rn = 1
+            ), xe AS (
+                SELECT vec_id,
+                       unnest(generate_series(0, len(v) - 1)) AS i,
+                       unnest(v) AS val
+                FROM x
+            ), m AS (
+                SELECT a0.cid, xe.i, sum(xe.val) / count(*) AS mval
+                FROM a0 JOIN xe USING (vec_id)
+                GROUP BY a0.cid, xe.i
+            ), c1 AS (
+                SELECT cid, list(mval ORDER BY i) AS c FROM m GROUP BY cid
+            )
+            SELECT vec_id, cid FROM (
+                SELECT x.vec_id, c1.cid,
+                       row_number() OVER (
+                           PARTITION BY x.vec_id
+                           ORDER BY list_distance(x.v, c1.c), c1.cid
+                       ) AS rn
+                FROM x, c1
+            ) WHERE rn = 1
         """,
         # hard-negative mining: the cosine_topk oracle with the positive band
         # (score >= 0.8) excluded before ranking; ranks not scores (ULP-safe)

@@ -1633,3 +1633,81 @@ def hard_negatives(sf_dir: str, n_queries: int = 10, k: int = 5,
     return rd.from_pandas(
         topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
     )
+
+
+def kmeans_assign_embeddings(sf_dir: str, k: int = 8):
+    """SQL-CHECKED K-MEANS — deterministic Forgy init (the first ``k``
+    vec_ids), one exact Lloyd update, final assignment: the coarse
+    quantizer-training step of IVF/SemDeDup pipelines (cf.
+    :func:`ann_ivf_topk`, ``semdedup_docs``) with, unlike those, an EXACT
+    DuckDB oracle — the SQL unrolls the identical assign → mean → assign
+    sequence via ``list_distance`` + ``row_number`` ties on centroid id.
+
+    Parity notes: the engine compares SQUARED distances (argmin order equals
+    the oracle's sqrt'd ``list_distance`` order — sqrt is monotonic) with
+    first-min tie semantics over centroid-id-ascending rows, matching
+    ``ORDER BY dist, cid``; centroid means are integer-count divisions of
+    float64 sums (block partial order vs SQL sum order differs by last-ulp
+    only — assignments flip only for exactly-equidistant points).
+
+    Distributed shape: centroids broadcast via ``ray.put``; each block
+    emits (k x d + k)-sized moment partials for the update (never vectors);
+    the final labeling is one streamed pass.  ZERO shuffles.  Output:
+    ``vec_id, cid``."""
+    import ray
+
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    init = (
+        ds.filter(lambda r: r["vec_id"] < k).to_pandas().sort_values("vec_id")
+    )
+    cids = init["vec_id"].to_numpy(dtype=np.int64)
+    cent0 = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    c_ref = ray.put((cids, cent0))
+    dim = cent0.shape[1]
+
+    def _assign(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        # squared distances via the expansion trick; first-min == lowest cid
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        return d2.argmin(axis=1)
+
+    def update_partial(batch: pa.Table) -> pa.Table:
+        ids, cent = ray.get(c_ref)
+        x = _emb_matrix(batch).astype(np.float64)
+        a = _assign(x, cent)
+        sums = np.zeros((len(ids), dim), np.float64)
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(np.arange(len(ids), dtype=np.int64), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(update_partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("cid", sort=True)
+    counts = g["n"].sum().to_numpy()
+    sums = np.stack(g["s"].apply(lambda col: np.sum(np.stack(col.to_numpy()), axis=0)).to_numpy())
+    # empty clusters keep their previous centroid (no members -> no mean)
+    cent1 = cent0.copy()
+    nz = counts > 0
+    cent1[nz] = sums[nz] / counts[nz, None]
+    c1_ref = ray.put((cids, cent1))
+
+    def label(batch: pa.Table) -> pa.Table:
+        ids, cent = ray.get(c1_ref)
+        x = _emb_matrix(batch).astype(np.float64)
+        a = _assign(x, cent)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cid": pa.array(ids[a], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")

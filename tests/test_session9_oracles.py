@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "hard_negatives",
     "dup_components_docs",
     "compaction_plan",
+    "kmeans_assign_embeddings",
 ]
 
 
