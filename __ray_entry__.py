@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipped_within_90d": relational.shipped_within_90d,
         "grouped_topk_events": relational.grouped_topk_events,
         "distinct_event_types": relational.distinct_event_types,
+        "distinct_kmv_events": relational.distinct_kmv_events,  # SQL-checked (k-minimum-values sketch)
         "events_hourly": relational.events_hourly,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "user_sessions": relational.user_sessions,
@@ -2964,6 +2965,29 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        # KMV distinct sketch: same md5-low64 hash basis, k smallest distinct
+        # hashes per group, (k-1)/h_k estimate as one normalized division
+        "distinct_kmv_events": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+                FROM events
+            ), rk AS (
+                SELECT event_type, h,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY h
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS nd
+                FROM h
+            )
+            SELECT event_type,
+                   round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                         ELSE (64 - 1) / (CAST(h AS DOUBLE)
+                                          / 18446744073709551616e0)
+                         END, 4) AS est_distinct
+            FROM rk
+            WHERE rn = least(nd, 64)
         """,
         # connected components of the near-dup graph: transitive closure via
         # a recursive CTE over the same brute-force pair set, labels = min

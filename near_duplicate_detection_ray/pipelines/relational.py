@@ -5839,3 +5839,76 @@ def daily_revenue_ewma(sf_dir: str, alpha: float = 0.2):
             }
         )
     )
+
+
+def distinct_kmv_events(sf_dir: str, k: int = 64):
+    """KMV (k-minimum-values) DISTINCT-COUNT sketch per event type — the
+    SQL-CHECKABLE member of the sketch family (next to the rows-only
+    HyperLogLog in :func:`distinct_stats_hll`): hash every user_id with the
+    md5-low64 basis (bit-identical to DuckDB ``md5_number_lower``), keep
+    the ``k`` smallest distinct hash values per group, and estimate
+    ``n_distinct ~= (k-1) / h_(k)`` with hashes normalized to [0,1); groups
+    holding fewer than ``k`` distinct hashes report their exact count.
+
+    Mergeability IS the distributed story: each block emits its local
+    k-minima (bounded k rows per group per block), and the k-minima of the
+    per-group union are the global k-minima — one low-cardinality combine,
+    no full distinct set ever materializes (contrast
+    ``state/partitioning.distinct_values_ref``, which must hold the value
+    universe).  Output: ``event_type, est_distinct`` (round 4 — a single
+    IEEE division of a normalized uint64, identical in SQL)."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_low64
+    from ..sources.io import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    part_schema = pa.schema([("event_type", pa.string()), ("h", pa.uint64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        rows_t: list[str] = []
+        rows_h: list[int] = []
+        for et, g in df.groupby("event_type", sort=False):
+            hs = np.unique(
+                np.array(
+                    [md5_low64(str(u)) for u in pd.unique(g["user_id"])],
+                    dtype=np.uint64,
+                )
+            )[:k]
+            rows_t.extend([et] * len(hs))
+            rows_h.extend(hs.tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(rows_t, pa.string()),
+                "h": pa.array(np.array(rows_h, dtype=np.uint64), pa.uint64()),
+            },
+            schema=part_schema,
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    out_t, out_est = [], []
+    for et, g in parts.groupby("event_type", sort=True):
+        hs = np.unique(g["h"].to_numpy(dtype=np.uint64))[:k]
+        if len(hs) < k:
+            est = float(len(hs))
+        else:
+            est = (k - 1) / (float(hs[-1]) / 18446744073709551616.0)
+        out_t.append(et)
+        out_est.append(round(est, 4))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "est_distinct": pa.array(out_est, pa.float64()),
+        }
+    )

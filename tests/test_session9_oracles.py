@@ -24,6 +24,7 @@ NEW_QUERIES = [
     "dup_components_docs",
     "compaction_plan",
     "kmeans_assign_embeddings",
+    "distinct_kmv_events",
 ]
 
 
@@ -166,3 +167,25 @@ def test_dup_components_distributed_path_equals_driver(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kmv_estimate_accuracy(ray_session):
+    """The KMV estimate lands within 3/sqrt(k) relative error of the true
+    per-type distinct user count (k=64 -> ~37%; typical error is ~12%)."""
+    import duckdb
+
+    from near_duplicate_detection_ray.pipelines.relational import (
+        distinct_kmv_events,
+    )
+
+    t = distinct_kmv_events(SF)
+    t = t.to_pandas() if hasattr(t, "to_pandas") else t
+    if hasattr(t, "to_pandas"):
+        t = t.to_pandas()
+    truth = _oracle(
+        "SELECT event_type, count(DISTINCT user_id) AS nd "
+        "FROM events GROUP BY 1"
+    ).set_index("event_type")["nd"]
+    for _, row in t.iterrows():
+        nd = float(truth[row["event_type"]])
+        assert abs(row["est_distinct"] - nd) / nd <= 3.0 / (64 ** 0.5)
