@@ -418,11 +418,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_docs": text_analysis.bm25_search_docs,    # SQL-checked (Okapi BM25 ranked retrieval)
         "source_distinctive_terms": text_analysis.source_distinctive_terms,  # SQL-checked (log-odds vocabulary)
         "compaction_plan": text_analysis.compaction_plan,      # SQL-checked (per-source file bin-packing)
+        "source_ols_trend": text_analysis.source_ols_trend,    # SQL-checked (grouped OLS, exact int moments)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
         "dup_pagerank": docs_dedup.dup_pagerank,               # SQL-checked (5-iteration power method)
         "dup_components_docs": docs_dedup.dup_components_docs,  # SQL-checked (recursive-CTE closure oracle)
+        "dup_loss_weights": docs_dedup.dup_loss_weights,       # SQL-checked (1/cluster-size soft dedup)
         "dedup_rate_by_source": docs_dedup.dedup_rate_by_source,  # SQL-checked (per-source dup census)
         "prefix_dup_docs": docs_dedup.prefix_dup_docs,          # SQL-checked (template detection)
         "cross_source_dup_pairs": docs_dedup.cross_source_dup_pairs,  # SQL-checked (provenance leakage)
@@ -3034,6 +3036,55 @@ def _oracle_sql_literal() -> dict[str, str]:
                    COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
         """,
+        # soft-dedup weights: the components oracle + a partition count and
+        # one IEEE division
+        "dup_loss_weights": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            ), e AS (
+                SELECT a AS src, b AS dst FROM p
+                UNION ALL
+                SELECT b AS src, a AS dst FROM p
+            ), reach AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+            ), lab AS (
+                SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                FROM reach GROUP BY src
+            ), comp AS (
+                SELECT d.doc_id,
+                       COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+            )
+            SELECT doc_id, cluster_id,
+                   round(1e0 / count(*) OVER (PARTITION BY cluster_id), 8)
+                       AS weight
+            FROM comp
+        """,
         # PageRank over the symmetrized near-dup graph: the same brute-force
         # pair CTEs as near_dup_pairs_docs feed five UNROLLED power-method
         # iterations (chained CTEs, no recursion); constants are e-notation
@@ -3869,6 +3920,38 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST((lo + w) // s - lo // s AS BIGINT) AS n_hits
             FROM p, t
             WHERE (lo + w) // s - lo // s >= 1
+        """,
+        # grouped OLS over exact integer moments: every sum is integer-exact
+        # (no float-order drift); doubles appear only in the final algebra,
+        # written operation-for-operation like the engine
+        "source_ols_trend": r"""
+            WITH m AS (
+                SELECT source,
+                       count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy
+                FROM (
+                    SELECT source, CAST(n_chars AS BIGINT) AS x,
+                           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+                    FROM documents
+                )
+                GROUP BY source
+            ), s AS (
+                SELECT source, n,
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                       CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                       CAST(n * sxx - sx * sx AS DOUBLE) AS den1,
+                       CAST(n * syy - sy * sy AS DOUBLE) AS den2
+                FROM m
+            )
+            SELECT source, n AS n_docs,
+                   round(slope, 8) AS slope,
+                   round((syd - slope * sxd) / nd, 8) AS intercept,
+                   round(num * num / (den1 * den2), 8) AS r2
+            FROM s
         """,
         # per-source compaction manifest: start-offset bucketing over the
         # doc_id-ordered cumulative char line, pure integer arithmetic

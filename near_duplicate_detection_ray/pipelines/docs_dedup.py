@@ -1633,3 +1633,42 @@ def dup_components_docs(sf_dir: str, cfg: NDDConfig | None = None,
         )
 
     return labeled.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_loss_weights(sf_dir: str, cfg: NDDConfig | None = None):
+    """SOFT-DEDUP TRAINING WEIGHTS — instead of dropping near-duplicates,
+    weight every document by ``1 / |its dup component|`` so each content
+    cluster contributes one unit of training mass (the duplication-aware
+    loss-weighting alternative to hard removal).  Built on the SQL-checked
+    :func:`dup_components_docs` labels; one cluster-keyed hash partition
+    attaches the component size in-block.  Output: ``doc_id, cluster_id,
+    weight`` (one IEEE division, round 8)."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    comp = dup_components_docs(sf_dir, cfg)
+    import ray.data as rd
+
+    if isinstance(comp, pa.Table):  # empty-corpus guard path
+        comp_ds = rd.from_arrow(comp)
+    else:
+        comp_ds = comp
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "cluster_id": pd.Series([], dtype=np.int64),
+                    "weight": pd.Series([], dtype=np.float64),
+                }
+            )
+        size = df.groupby("cluster_id", sort=False)["doc_id"].transform("size")
+        df = df.copy()
+        df["weight"] = np.round(1.0 / size.to_numpy(dtype=np.float64), 8)
+        return df[["doc_id", "cluster_id", "weight"]]
+
+    return key_partitioned(comp_ds, ["cluster_id"]).map_batches(
+        weigh, batch_format="pandas", batch_size=None
+    )

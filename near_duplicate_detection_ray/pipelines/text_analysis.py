@@ -3047,3 +3047,72 @@ def compaction_plan(sf_dir: str, target_chars: int = 2048):
     return key_partitioned(docs, ["source"]).map_batches(
         plan, batch_format="pandas", batch_size=None
     )
+
+
+def source_ols_trend(sf_dir: str):
+    """GROUPED OLS — per-source least-squares line of token count against
+    char count (the chars-per-token rate a tokenizer-budget planner uses,
+    and the template for any per-group trend fit): ``slope = (n*Sxy -
+    Sx*Sy) / (n*Sxx - Sx^2)``, intercept through the means, plus r².
+
+    EXACT by construction: both regressands are integers, so all five
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate exactly in int64 — the
+    combiner fold is associative with NO float-order drift; floats appear
+    only in the final divisions, identical to the SQL oracle's
+    explicit-moment algebra (not DuckDB's internal ``regr_slope``
+    numerics).  One low-cardinality combine, zero shuffles.
+    Output: ``source, n_docs, slope, intercept, r2`` (round 8)."""
+    docs = _read_docs(sf_dir, ["source", "text", "n_chars"])
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("n", pa.int64()), ("sx", pa.int64()),
+         ("sy", pa.int64()), ("sxy", pa.int64()), ("sxx", pa.int64()),
+         ("syy", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=_TOKEN_PAT), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.table(
+            {c: pa.array(g[c].tolist(),
+                         pa.string() if c == "source" else pa.int64())
+             for c in part_schema.names},
+            schema=part_schema,
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("source", sort=True).sum()
+    n = g["n"].to_numpy(dtype=np.float64)
+    sx = g["sx"].to_numpy(dtype=np.float64)
+    sy = g["sy"].to_numpy(dtype=np.float64)
+    sxy = g["sxy"].to_numpy(dtype=np.float64)
+    sxx = g["sxx"].to_numpy(dtype=np.float64)
+    syy = g["syy"].to_numpy(dtype=np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return pa.table(
+        {
+            "source": pa.array(g.index.tolist(), pa.string()),
+            "n_docs": pa.array(g["n"].to_numpy(), pa.int64()),
+            "slope": pa.array(np.round(slope, 8), pa.float64()),
+            "intercept": pa.array(np.round(intercept, 8), pa.float64()),
+            "r2": pa.array(np.round(r2, 8), pa.float64()),
+        }
+    )

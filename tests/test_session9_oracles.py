@@ -25,6 +25,8 @@ NEW_QUERIES = [
     "compaction_plan",
     "kmeans_assign_embeddings",
     "distinct_kmv_events",
+    "source_ols_trend",
+    "dup_loss_weights",
 ]
 
 
