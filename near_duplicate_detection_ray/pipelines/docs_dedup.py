@@ -22,6 +22,15 @@ from ..stages.verify import verify_pairs
 
 DOCS_DEDUP_CFG = NDDConfig()  # shared shingle/signature config for doc queries
 
+# session-lifetime memo of default-config near-dup pair sets per sf_dir
+# (materialized datasets; see near_dup_pairs_docs docstring)
+_DEFAULT_PAIRS_CACHE: dict[str, object] = {}
+
+
+def clear_pairs_cache() -> None:
+    """Drop memoized default-config pair sets (tests / post-shutdown)."""
+    _DEFAULT_PAIRS_CACHE.clear()
+
 
 def _read_docs(sf_dir: str, columns=None):
     from ..sources.io import read_parquet_clean
@@ -83,9 +92,19 @@ def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
     (shingle equi-join + group counts) with overwhelming probability —
     this query IS the SQL-checkable correctness gate for the flagship
     machinery.  Returns a:int64, b:int64 (a < b), jaccard rounded to 6.
+
+    Default-config results are MEMOIZED per ``sf_dir`` as a materialized
+    dataset for the life of the Ray session: the dup-graph family
+    (``dup_pagerank``, ``dup_components_docs``, ``dup_loss_weights``)
+    derives from this pair set, and a driver sweep would otherwise re-run
+    the sign/LSH/verify stages once per downstream query.  Pass an explicit
+    ``cfg`` to bypass the cache; ``clear_pairs_cache()`` resets it.
     """
     from ..state.partitioning import materialize_clean
 
+    if cfg is None and sf_dir in _DEFAULT_PAIRS_CACHE:
+        return _DEFAULT_PAIRS_CACHE[sf_dir]
+    use_cache = cfg is None
     cfg = cfg or DOCS_DEDUP_CFG
     convs = docs_as_conversations(sf_dir)
     sigs = materialize_clean(sign_conversations(convs, cfg))
@@ -105,7 +124,11 @@ def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
         )
         return pa.table({"a": a, "b": b, "jaccard": jac})
 
-    return dup.map_batches(finish, batch_format="pyarrow")
+    out = dup.map_batches(finish, batch_format="pyarrow")
+    if use_cache:
+        out = out.materialize()
+        _DEFAULT_PAIRS_CACHE[sf_dir] = out
+    return out
 
 
 def md5_simhash_docs(sf_dir: str, cfg: NDDConfig | None = None):

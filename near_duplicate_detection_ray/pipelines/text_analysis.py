@@ -3116,3 +3116,68 @@ def source_ols_trend(sf_dir: str):
             "r2": pa.array(np.round(r2, 8), pa.float64()),
         }
     )
+
+
+def source_drift_psi(sf_dir: str, bin_width: int = 128, n_bins: int = 8):
+    """SOURCE DRIFT MONITOR — the Population Stability Index of each
+    source's doc-length distribution against the rest of the corpus:
+    ``PSI = sum_b (p_b - q_b) * ln(p_b / q_b)`` over ``n_bins`` capped
+    ``bin_width``-char buckets, with Haldane-style +0.5 smoothing per
+    bucket so empty bins stay finite (``p_b = (c_b + 0.5) / (n + n_bins/2)``).
+    The mix-monitoring primitive a data team tracks across crawl
+    snapshots: PSI < 0.1 stable, > 0.25 drifted.
+
+    Distributed shape: docs reduce to (source, bin) integer counts via one
+    low-cardinality combine (n_sources x n_bins partial rows per block, no
+    shuffle); the PSI algebra runs on the driver over that tiny table with
+    the identical operation order as the SQL oracle.  Output: ``source,
+    n_docs, psi`` (round 8)."""
+    import pandas as pd
+
+    docs = _read_docs(sf_dir, ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "bin": np.minimum(
+                    batch["n_chars"].to_numpy(zero_copy_only=False) // bin_width,
+                    n_bins - 1,
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["source", "bin"], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "bin": pa.array(g["bin"].to_numpy(), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby(["source", "bin"], sort=True)["c"].sum()
+    sources = sorted(counts.index.get_level_values(0).unique())
+    mat = np.zeros((len(sources), n_bins), np.int64)
+    for (src, b), c in counts.items():
+        mat[sources.index(src), b] = c
+    total = mat.sum(axis=0)
+    half = n_bins / 2.0
+    out_s, out_n, out_psi = [], [], []
+    for si, src in enumerate(sources):
+        cs = mat[si].astype(np.float64)
+        cr = (total - mat[si]).astype(np.float64)
+        ns, nr = cs.sum(), cr.sum()
+        p = (cs + 0.5) / (ns + half)
+        q = (cr + 0.5) / (nr + half)
+        psi = ((p - q) * np.log(p / q)).sum()
+        out_s.append(src)
+        out_n.append(int(ns))
+        out_psi.append(round(psi, 8))
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "psi": pa.array(out_psi, pa.float64()),
+        }
+    )

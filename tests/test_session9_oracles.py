@@ -191,3 +191,22 @@ def test_kmv_estimate_accuracy(ray_session):
     for _, row in t.iterrows():
         nd = float(truth[row["event_type"]])
         assert abs(row["est_distinct"] - nd) / nd <= 3.0 / (64 ** 0.5)
+
+
+def test_pairs_cache_memoizes_default_config(ray_session):
+    """Default-config near-dup pairs are materialized once per sf_dir and
+    shared by the dup-graph family; an explicit cfg bypasses the cache."""
+    from near_duplicate_detection_ray.config import NDDConfig
+    from near_duplicate_detection_ray.pipelines import docs_dedup
+
+    docs_dedup.clear_pairs_cache()
+    a = docs_dedup.near_dup_pairs_docs(SF)
+    b = docs_dedup.near_dup_pairs_docs(SF)
+    assert a is b  # memoized materialized dataset
+    c = docs_dedup.near_dup_pairs_docs(SF, NDDConfig())
+    assert c is not a
+    pd.testing.assert_frame_equal(
+        a.to_pandas().sort_values(["a", "b"]).reset_index(drop=True),
+        c.to_pandas().sort_values(["a", "b"]).reset_index(drop=True),
+    )
+    docs_dedup.clear_pairs_cache()
