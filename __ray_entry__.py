@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distinctive_terms": text_analysis.source_distinctive_terms,  # SQL-checked (log-odds vocabulary)
         "compaction_plan": text_analysis.compaction_plan,      # SQL-checked (per-source file bin-packing)
         "source_ols_trend": text_analysis.source_ols_trend,    # SQL-checked (grouped OLS, exact int moments)
+        "source_drift_psi": text_analysis.source_drift_psi,    # SQL-checked (PSI mix-drift monitor)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -3920,6 +3921,40 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST((lo + w) // s - lo // s AS BIGINT) AS n_hits
             FROM p, t
             WHERE (lo + w) // s - lo // s >= 1
+        """,
+        # PSI drift monitor: smoothed bucket shares (c+0.5)/(n+4) for 8 bins,
+        # identical operation order, e-notation DOUBLE literals
+        "source_drift_psi": """
+            WITH b AS (
+                SELECT source, least(n_chars // 128, 7) AS bin FROM documents
+            ), c AS (
+                SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2
+            ), grid AS (
+                SELECT s.source, g.bin
+                FROM (SELECT DISTINCT source FROM documents) s,
+                     (SELECT unnest(generate_series(0, 7)) AS bin) g
+            ), f AS (
+                SELECT grid.source, grid.bin, COALESCE(c.c, 0) AS cs
+                FROM grid LEFT JOIN c
+                     ON grid.source = c.source AND grid.bin = c.bin
+            ), f2 AS (
+                SELECT source, bin, cs,
+                       sum(cs) OVER (PARTITION BY bin) - cs AS cr
+                FROM f
+            ), f3 AS (
+                SELECT source, bin, cs, cr,
+                       sum(cs) OVER (PARTITION BY source) AS ns,
+                       sum(cr) OVER (PARTITION BY source) AS nr
+                FROM f2
+            )
+            SELECT source, CAST(ns AS BIGINT) AS n_docs,
+                   round(sum(
+                       ((cs + 0.5e0) / (ns + 4e0) - (cr + 0.5e0) / (nr + 4e0))
+                       * ln(((cs + 0.5e0) / (ns + 4e0))
+                            / ((cr + 0.5e0) / (nr + 4e0)))
+                   ), 8) AS psi
+            FROM f3
+            GROUP BY source, ns
         """,
         # grouped OLS over exact integer moments: every sum is integer-exact
         # (no float-order drift); doubles appear only in the final algebra,

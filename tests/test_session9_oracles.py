@@ -27,6 +27,7 @@ NEW_QUERIES = [
     "distinct_kmv_events",
     "source_ols_trend",
     "dup_loss_weights",
+    "source_drift_psi",
 ]
 
 
