@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compaction_plan": text_analysis.compaction_plan,      # SQL-checked (per-source file bin-packing)
         "source_ols_trend": text_analysis.source_ols_trend,    # SQL-checked (grouped OLS, exact int moments)
         "source_drift_psi": text_analysis.source_drift_psi,    # SQL-checked (PSI mix-drift monitor)
+        "source_ttest_pairs": text_analysis.source_ttest_pairs,  # SQL-checked (Welch t over exact moments)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -3921,6 +3922,34 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST((lo + w) // s - lo // s AS BIGINT) AS n_hits
             FROM p, t
             WHERE (lo + w) // s - lo // s >= 1
+        """,
+        # Welch t between source pairs: exact integer moments, sample
+        # variance (Syy - Sy*Sy/n)/(n-1), identical operation order
+        "source_ttest_pairs": r"""
+            WITH m AS (
+                SELECT source, count(*) AS n,
+                       sum(y) AS sy, sum(y * y) AS syy
+                FROM (
+                    SELECT source,
+                           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+                    FROM documents
+                )
+                GROUP BY source
+            ), s AS (
+                SELECT source, n,
+                       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                       (CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1e0) AS v
+                FROM m
+            )
+            SELECT a.source AS src_a, b.source AS src_b,
+                   a.n AS n_a, b.n AS n_b,
+                   round((a.mean - b.mean)
+                         / sqrt(a.v / CAST(a.n AS DOUBLE)
+                                + b.v / CAST(b.n AS DOUBLE)), 8) AS t_stat
+            FROM s a JOIN s b ON a.source < b.source
         """,
         # PSI drift monitor: smoothed bucket shares (c+0.5)/(n+4) for 8 bins,
         # identical operation order, e-notation DOUBLE literals

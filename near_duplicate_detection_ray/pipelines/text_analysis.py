@@ -3181,3 +3181,74 @@ def source_drift_psi(sf_dir: str, bin_width: int = 128, n_bins: int = 8):
             "psi": pa.array(out_psi, pa.float64()),
         }
     )
+
+
+def source_ttest_pairs(sf_dir: str):
+    """TWO-SAMPLE WELCH t-STATISTICS between every pair of sources on mean
+    token count — the A/B-test primitive of corpus curation ("did the new
+    crawl change doc shape?"): ``t = (m1 - m2) / sqrt(v1/n1 + v2/n2)``
+    with sample variances ``v = (Σy² - Σy·Σy/n) / (n - 1)``.
+
+    EXACT moment fold: token counts are integers, so the per-source
+    (n, Σy, Σy²) accumulate exactly in int64 — one low-cardinality combine
+    over the corpus, no float-order drift; the t algebra runs on the
+    bounded source table with the identical operation order as the SQL
+    oracle.  Output: ``src_a, src_b, n_a, n_b, t_stat`` for src_a < src_b
+    (round 8)."""
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("n", pa.int64()), ("sy", pa.int64()),
+         ("syy", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        y = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=_TOKEN_PAT), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pandas(), "n": 1, "sy": y, "syy": y * y}
+        )
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "sy": pa.array(g["sy"].to_numpy(), pa.int64()),
+                "syy": pa.array(g["syy"].to_numpy(), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    g = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .to_pandas().groupby("source", sort=True).sum()
+    )
+    src = g.index.to_numpy()
+    n = g["n"].to_numpy(dtype=np.float64)
+    sy = g["sy"].to_numpy(dtype=np.float64)
+    syy = g["syy"].to_numpy(dtype=np.float64)
+    m = sy / n
+    v = (syy - sy * sy / n) / (n - 1.0)
+    out_a, out_b, out_na, out_nb, out_t = [], [], [], [], []
+    for i in range(len(src)):
+        for j in range(i + 1, len(src)):
+            t = (m[i] - m[j]) / np.sqrt(v[i] / n[i] + v[j] / n[j])
+            out_a.append(src[i])
+            out_b.append(src[j])
+            out_na.append(int(n[i]))
+            out_nb.append(int(n[j]))
+            out_t.append(round(float(t), 8))
+    return pa.table(
+        {
+            "src_a": pa.array(out_a, pa.string()),
+            "src_b": pa.array(out_b, pa.string()),
+            "n_a": pa.array(out_na, pa.int64()),
+            "n_b": pa.array(out_nb, pa.int64()),
+            "t_stat": pa.array(out_t, pa.float64()),
+        }
+    )

@@ -28,6 +28,7 @@ NEW_QUERIES = [
     "source_ols_trend",
     "dup_loss_weights",
     "source_drift_psi",
+    "source_ttest_pairs",
 ]
 
 
