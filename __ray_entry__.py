@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_events": relational.grouped_topk_events,
         "distinct_event_types": relational.distinct_event_types,
         "distinct_kmv_events": relational.distinct_kmv_events,  # SQL-checked (k-minimum-values sketch)
+        "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
         "events_hourly": relational.events_hourly,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "user_sessions": relational.user_sessions,
@@ -2969,6 +2970,36 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        # exponential-fit KS: MLE rate from exact integer gap sums, the
+        # order-stat KS formula (tie-rank independent), e-notation literals
+        "event_gap_ks": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(lead(ts) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       )) - epoch_us(ts) AS gap
+                FROM events
+                QUALIFY gap IS NOT NULL
+            ), st AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(count(*) AS DOUBLE) AS nd,
+                       CAST(count(*) AS DOUBLE)
+                           / (CAST(sum(gap) AS DOUBLE) / 1000000e0) AS rate
+                FROM g GROUP BY event_type
+            ), r AS (
+                SELECT g.event_type, st.n, st.nd, st.rate,
+                       CAST(row_number() OVER (
+                           PARTITION BY g.event_type ORDER BY gap
+                       ) AS DOUBLE) AS rn,
+                       1e0 - exp(-st.rate
+                                 * (CAST(gap AS DOUBLE) / 1000000e0)) AS f
+                FROM g JOIN st USING (event_type)
+            )
+            SELECT event_type, n AS n_gaps, round(rate, 8) AS rate_per_s,
+                   round(max(greatest(rn / nd - f,
+                                      f - (rn - 1e0) / nd)), 8) AS ks_d
+            FROM r GROUP BY event_type, n, rate
         """,
         # KMV distinct sketch: same md5-low64 hash basis, k smallest distinct
         # hashes per group, (k-1)/h_k estimate as one normalized division

@@ -5912,3 +5912,67 @@ def distinct_kmv_events(sf_dir: str, k: int = 64):
             "est_distinct": pa.array(out_est, pa.float64()),
         }
     )
+
+
+def event_gap_ks(sf_dir: str):
+    """DISTRIBUTION-FIT DIAGNOSTIC per event type: the exponential MLE rate
+    of the inter-arrival gaps plus the Kolmogorov-Smirnov distance between
+    the empirical gap CDF and ``1 - exp(-rate * gap)`` — the
+    arrival-process health check ("is this stream still Poisson, or did a
+    bot change its clock?").
+
+    KS with ties is computed the standard order-stat way, ``D = max_i
+    max(i/n - F_i, F_i - (i-1)/n)`` — provably independent of how ties are
+    ranked, so the engine's lexsorted positions and the oracle's arbitrary
+    ``row_number`` tie order agree exactly.  One type-keyed partition;
+    gaps, rate and D are all vectorized in-block (grouped order-stat
+    pattern, cf. ``source_length_deciles``).  Output: ``event_type,
+    n_gaps, rate_per_s, ks_d`` (round 8)."""
+    from ..sources.io import read_parquet_clean
+    from ..state.partitioning import key_partitioned
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "event_id"])
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("n_gaps", pa.int64()),
+         ("rate_per_s", pa.float64()), ("ks_d", pa.float64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        types = t["event_type"].to_pandas().to_numpy()
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        out_t, out_n, out_r, out_d = [], [], [], []
+        for et in np.unique(types):
+            sel = types == et
+            order = np.lexsort((eid[sel], us[sel]))
+            ts_sorted = us[sel][order]
+            gaps = np.diff(ts_sorted).astype(np.float64)
+            n = len(gaps)
+            if n == 0 or gaps.sum() == 0:
+                continue
+            rate = float(n) / (gaps.sum() / 1000000.0)
+            g = np.sort(gaps)
+            f = 1.0 - np.exp(-rate * (g / 1000000.0))
+            i = np.arange(1, n + 1, dtype=np.float64)
+            d = max((i / n - f).max(), (f - (i - 1.0) / n).max())
+            out_t.append(str(et))
+            out_n.append(n)
+            out_r.append(round(rate, 8))
+            out_d.append(round(float(d), 8))
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "n_gaps": pa.array(out_n, pa.int64()),
+                "rate_per_s": pa.array(out_r, pa.float64()),
+                "ks_d": pa.array(out_d, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return key_partitioned(ev, ["event_type"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )

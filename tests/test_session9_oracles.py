@@ -29,6 +29,7 @@ NEW_QUERIES = [
     "dup_loss_weights",
     "source_drift_psi",
     "source_ttest_pairs",
+    "event_gap_ks",
 ]
 
 
