@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ols_trend": text_analysis.source_ols_trend,    # SQL-checked (grouped OLS, exact int moments)
         "source_drift_psi": text_analysis.source_drift_psi,    # SQL-checked (PSI mix-drift monitor)
         "source_ttest_pairs": text_analysis.source_ttest_pairs,  # SQL-checked (Welch t over exact moments)
+        "shard_assignment": text_analysis.shard_assignment,    # SQL-checked (rendezvous/HRW routing)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -3953,6 +3954,29 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST((lo + w) // s - lo // s AS BIGINT) AS n_hits
             FROM p, t
             WHERE (lo + w) // s - lo // s >= 1
+        """,
+        # rendezvous routing: argmax md5(doc:shard) with (score DESC, shard
+        # ASC) ties; rn=1 is the shard, rn=2 the failover backup
+        "shard_assignment": """
+            WITH g AS (
+                SELECT doc_id, s.shard,
+                       md5_number_lower(
+                           concat(CAST(doc_id AS VARCHAR), ':',
+                                  CAST(s.shard AS VARCHAR))
+                       ) AS score
+                FROM documents,
+                     (SELECT unnest(generate_series(0, 15)) AS shard) s
+            ), rk AS (
+                SELECT doc_id, shard,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, shard
+                       ) AS rn
+                FROM g
+            )
+            SELECT a.doc_id, CAST(a.shard AS BIGINT) AS shard,
+                   CAST(b.shard AS BIGINT) AS backup_shard
+            FROM rk a JOIN rk b
+                 ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
         """,
         # Welch t between source pairs: exact integer moments, sample
         # variance (Syy - Sy*Sy/n)/(n-1), identical operation order

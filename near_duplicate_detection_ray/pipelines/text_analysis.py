@@ -3252,3 +3252,43 @@ def source_ttest_pairs(sf_dir: str):
             "t_stat": pa.array(out_t, pa.float64()),
         }
     )
+
+
+def shard_assignment(sf_dir: str, n_shards: int = 16):
+    """RENDEZVOUS (highest-random-weight) SHARD ROUTING — the placement
+    primitive of a fixed-size multi-node serving tier: every doc goes to
+    ``argmax_s md5(doc_id ':' s)`` and fails over to the runner-up, so
+    adding/removing one shard only moves the docs that hashed to it
+    (minimal-disruption placement, unlike mod-N).  Same md5-low64 basis as
+    every SQL-checkable hash in the engine.
+
+    One stateless streamed pass (hashing is inherently per-value — the
+    per-row md5 matches DuckDB ``md5_number_lower`` bit-for-bit); no
+    shuffle, no state.  Output: ``doc_id, shard, backup_shard``."""
+    from ..functions.hashing import md5_low64
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        n = len(ids)
+        scores = np.empty((n, n_shards), np.uint64)
+        for r, d in enumerate(ids):
+            for s in range(n_shards):
+                scores[r, s] = md5_low64(f"{d}:{s}")
+        # exact uint64 argmax; first-max tie semantics == the oracle's
+        # (score DESC, shard ASC) row_number order
+        shard = scores.argmax(axis=1)
+        rows = np.arange(n)
+        masked = scores.copy()
+        masked[rows, shard] = 0
+        backup = masked.argmax(axis=1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "shard": pa.array(shard.astype(np.int64), pa.int64()),
+                "backup_shard": pa.array(backup.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(route, batch_format="pyarrow")

@@ -30,6 +30,7 @@ NEW_QUERIES = [
     "source_drift_psi",
     "source_ttest_pairs",
     "event_gap_ks",
+    "shard_assignment",
 ]
 
 
@@ -213,3 +214,26 @@ def test_pairs_cache_memoizes_default_config(ray_session):
         c.to_pandas().sort_values(["a", "b"]).reset_index(drop=True),
     )
     docs_dedup.clear_pairs_cache()
+
+
+def test_shard_assignment_minimal_disruption(ray_session):
+    """HRW property: dropping one shard only re-routes the docs that were
+    assigned to it (everyone else keeps their shard), and they fail over to
+    their precomputed backup."""
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        shard_assignment,
+    )
+    from near_duplicate_detection_ray.functions.hashing import md5_low64
+
+    df = shard_assignment(SF).to_pandas()
+    dropped = int(df["shard"].mode()[0])
+    for _, row in df.head(80).iterrows():
+        scores = {
+            s: md5_low64(f"{int(row.doc_id)}:{s}")
+            for s in range(16) if s != dropped
+        }
+        new = max(scores, key=lambda s: (scores[s], -s))
+        if row["shard"] == dropped:
+            assert new == row["backup_shard"]
+        else:
+            assert new == row["shard"]
