@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "distinct_kmv_events": relational.distinct_kmv_events,  # SQL-checked (k-minimum-values sketch)
         "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
+        "brand_basket_lift": relational.brand_basket_lift,     # SQL-checked (association support/lift)
         "events_hourly": relational.events_hourly,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "user_sessions": relational.user_sessions,
@@ -2971,6 +2972,34 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        # market-basket lift over distinct per-order brand sets: integer
+        # counts, lift = (n_ab*N)/(n_a*n_b) written operation-for-operation
+        "brand_basket_lift": """
+            WITH ob AS (
+                SELECT DISTINCT l_orderkey, p_brand AS brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), nn AS (
+                SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM ob
+            ), s AS (
+                SELECT brand, CAST(count(*) AS DOUBLE) AS c
+                FROM ob GROUP BY brand
+            ), p AS (
+                SELECT a.brand AS brand_a, b.brand AS brand_b,
+                       count(*) AS n_ab
+                FROM ob a JOIN ob b
+                     ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+                GROUP BY 1, 2
+            )
+            SELECT brand_a, brand_b, n_ab,
+                   round(CAST(n_ab AS DOUBLE) / (SELECT n FROM nn), 8)
+                       AS support,
+                   round((CAST(n_ab AS DOUBLE) * (SELECT n FROM nn))
+                         / (sa.c * sb.c), 8) AS lift
+            FROM p
+            JOIN s sa ON brand_a = sa.brand
+            JOIN s sb ON brand_b = sb.brand
+            WHERE n_ab >= 5
         """,
         # exponential-fit KS: MLE rate from exact integer gap sums, the
         # order-stat KS formula (tie-rank independent), e-notation literals

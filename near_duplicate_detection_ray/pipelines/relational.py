@@ -5976,3 +5976,113 @@ def event_gap_ks(sf_dir: str):
     return key_partitioned(ev, ["event_type"]).map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def brand_basket_lift(sf_dir: str, min_pair_orders: int = 5):
+    """MARKET-BASKET ASSOCIATION between part brands — which brand pairs
+    co-occur in the same order more than independence predicts:
+    ``lift(a,b) = (n_ab * N) / (n_a * n_b)`` over DISTINCT per-order brand
+    sets, with ``support = n_ab / N`` — the association-rule primitive
+    (brands are the bounded dimension, so every count table is tiny).
+
+    Distributed shape: the part->brand dimension broadcasts once as a
+    dense LUT (the ``nation_profit`` pattern); lineitem reduces in ONE
+    streamed pass to per-block (order, brand) partial sets, one order-keyed
+    partition dedups sets exactly, and pair/single counts come back as
+    bounded low-cardinality partials (<= 25 brands -> <= 300 pair rows per
+    block).  All counts integer-exact; lift/support are two IEEE ops
+    written identically in the SQL oracle.  Output: ``brand_a, brand_b,
+    n_ab, support, lift`` for pairs in >= ``min_pair_orders`` orders
+    (round 8)."""
+    import itertools
+
+    import pandas as pd
+    import ray
+
+    from ..state.partitioning import key_partitioned
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_lut_ref = ray.put(
+        dict(zip(part["p_partkey"].to_numpy(), part["p_brand"].to_numpy()))
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_brand(batch: pa.Table) -> pa.Table:
+        lut = ray.get(brand_lut_ref)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "brand": pd.Series(
+                    batch["l_partkey"].to_numpy(zero_copy_only=False)
+                ).map(lut),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(df["l_orderkey"].to_numpy(), pa.int64()),
+                "brand": pa.array(df["brand"].tolist(), pa.string()),
+            }
+        )
+
+    ob = key_partitioned(
+        li.map_batches(to_brand, batch_format="pyarrow"), ["l_orderkey"]
+    )
+
+    part_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("c", pa.int64())]
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.drop_duplicates()  # exact per-order brand sets (co-located)
+        singles: dict[str, int] = {}
+        pairs: dict[tuple, int] = {}
+        n_orders = 0
+        for _, g in df.groupby("l_orderkey", sort=False):
+            bs = sorted(g["brand"].tolist())
+            n_orders += 1
+            for x in bs:
+                singles[x] = singles.get(x, 0) + 1
+            for x, y in itertools.combinations(bs, 2):
+                pairs[(x, y)] = pairs.get((x, y), 0) + 1
+        rows_a = ["__N__"] + list(singles) + [p[0] for p in pairs]
+        rows_b = [""] + [""] * len(singles) + [p[1] for p in pairs]
+        rows_c = [n_orders] + list(singles.values()) + list(pairs.values())
+        return pa.table(
+            {
+                "a": pa.array(rows_a, pa.string()),
+                "b": pa.array(rows_b, pa.string()),
+                "c": pa.array(np.array(rows_c, np.int64), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    parts = (
+        ob.map_batches(pair_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    agg = parts.groupby(["a", "b"], sort=True)["c"].sum()
+    n_total = float(agg.get(("__N__", ""), 0))
+    singles = {k[0]: float(v) for k, v in agg.items() if k[1] == "" and k[0] != "__N__"}
+    out_a, out_b, out_n, out_s, out_l = [], [], [], [], []
+    for (a, b), c in agg.items():
+        if b == "" or c < min_pair_orders:
+            continue
+        support = float(c) / n_total
+        lift = (float(c) * n_total) / (singles[a] * singles[b])
+        out_a.append(a)
+        out_b.append(b)
+        out_n.append(int(c))
+        out_s.append(round(support, 8))
+        out_l.append(round(lift, 8))
+    return pa.table(
+        {
+            "brand_a": pa.array(out_a, pa.string()),
+            "brand_b": pa.array(out_b, pa.string()),
+            "n_ab": pa.array(out_n, pa.int64()),
+            "support": pa.array(out_s, pa.float64()),
+            "lift": pa.array(out_l, pa.float64()),
+        }
+    )

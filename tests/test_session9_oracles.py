@@ -31,6 +31,7 @@ NEW_QUERIES = [
     "source_ttest_pairs",
     "event_gap_ks",
     "shard_assignment",
+    "brand_basket_lift",
 ]
 
 
