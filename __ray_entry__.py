@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_kmv_events": relational.distinct_kmv_events,  # SQL-checked (k-minimum-values sketch)
         "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
         "brand_basket_lift": relational.brand_basket_lift,     # SQL-checked (association support/lift)
+        "customer_survival_km": relational.customer_survival_km,  # SQL-checked (Kaplan-Meier retention)
         "events_hourly": relational.events_hourly,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "user_sessions": relational.user_sessions,
@@ -3000,6 +3001,41 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN s sa ON brand_a = sa.brand
             JOIN s sb ON brand_b = sb.brand
             WHERE n_ab >= 5
+        """,
+        # Kaplan-Meier: lifetimes from per-customer order spans, censoring at
+        # max(last)-90d, S(t) = exp(running-sum(ln(1 - d/n))) in ascending-t
+        # order (same op sequence as the engine); terminal d=n row dropped
+        "customer_survival_km": """
+            WITH span AS (
+                SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS first_d,
+                       CAST(max(o_orderdate) AS DATE) AS last_d
+                FROM orders GROUP BY o_custkey
+            ), life AS (
+                SELECT CAST(last_d - first_d AS BIGINT) AS t,
+                       CASE WHEN last_d <= (SELECT max(last_d) FROM span) - 90
+                            THEN 1 ELSE 0 END AS dead
+                FROM span
+            ), ev AS (
+                SELECT t, count(*) AS n_t, sum(dead) AS d_t
+                FROM life GROUP BY t
+            ), risk AS (
+                SELECT t, d_t,
+                       sum(n_t) OVER (ORDER BY t DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS n_risk
+                FROM ev
+            ), deaths AS (
+                SELECT t, n_risk, d_t FROM risk
+                WHERE d_t > 0 AND d_t < n_risk
+            )
+            SELECT t AS t_days,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d_t AS BIGINT) AS d,
+                   round(exp(sum(ln(1e0 - CAST(d_t AS DOUBLE)
+                                         / CAST(n_risk AS DOUBLE)))
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)), 8) AS s_km
+            FROM deaths
         """,
         # exponential-fit KS: MLE rate from exact integer gap sums, the
         # order-stat KS formula (tie-rank independent), e-notation literals

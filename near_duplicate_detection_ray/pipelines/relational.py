@@ -6086,3 +6086,86 @@ def brand_basket_lift(sf_dir: str, min_pair_orders: int = 5):
             "lift": pa.array(out_l, pa.float64()),
         }
     )
+
+
+def customer_survival_km(sf_dir: str, churn_days: int = 90):
+    """KAPLAN-MEIER SURVIVAL CURVE of customer lifetime — the retention
+    curve with proper right-censoring: a customer's lifetime is the span
+    between first and last order; customers whose last order is within
+    ``churn_days`` of the dataset's end are CENSORED (still alive), the
+    rest are churn events.  ``S(t) = prod_{t_i <= t} (1 - d_i / n_i)``
+    over distinct event times, with the at-risk set counting censored
+    customers — the estimator a growth team reads retention from.
+
+    Parity: both sides evaluate the product as ``exp(cumsum(ln(1 - d/n)))``
+    in ascending-time order (identical op sequence; ln/exp last-ulp covered
+    by round-8); ``d/n`` are exact integer divisions.  The terminal
+    full-die-out row (d = n, S = 0, nothing after it) is omitted on both
+    sides — DuckDB's ``ln(0)`` errors and the row carries no information.
+
+    Distributed shape: per-customer (first, last) via one customer-keyed
+    count fold; the event series is a bounded (t, n_t, d_t) count table
+    (distinct lifetimes, not customers) folded from per-block partials.
+    Output: ``t_days, n_risk, d, s_km`` (round 8) for death times."""
+    import pandas as pd
+
+    from ..functions.groupagg import highcard_groupagg
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    span = highcard_groupagg(
+        orders, ["o_custkey"],
+        [("o_orderdate", "min"), ("o_orderdate", "max")],
+        {"o_orderdate_min": "first_d", "o_orderdate_max": "last_d"},
+    ).materialize()
+    max_date = span.max("last_d")
+
+    part_schema = pa.schema(
+        [("t", pa.int64()), ("n_t", pa.int64()), ("d_t", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        first = batch["first_d"].combine_chunks().cast(pa.date32()).cast(
+            pa.int32()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        last = batch["last_d"].combine_chunks().cast(pa.date32()).cast(
+            pa.int32()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = last - first
+        cutoff = (
+            pa.scalar(max_date).cast(pa.timestamp("us")).cast(pa.date32())
+            .cast(pa.int32()).as_py() - churn_days
+        )
+        dead = (last <= cutoff).astype(np.int64)
+        df = pd.DataFrame({"t": t, "n": 1, "d": dead})
+        g = df.groupby("t", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "t": pa.array(g["t"].to_numpy(), pa.int64()),
+                "n_t": pa.array(g["n"].to_numpy(), pa.int64()),
+                "d_t": pa.array(g["d"].to_numpy(), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    ev = (
+        span.map_batches(partial, batch_format="pyarrow")
+        .to_pandas().groupby("t", sort=True).sum().reset_index()
+    )
+    t = ev["t"].to_numpy(dtype=np.int64)
+    n_t = ev["n_t"].to_numpy(dtype=np.int64)
+    d_t = ev["d_t"].to_numpy(dtype=np.int64)
+    n_risk = n_t[::-1].cumsum()[::-1]
+    deaths = d_t > 0
+    term = 1.0 - d_t[deaths].astype(np.float64) / n_risk[deaths].astype(np.float64)
+    keep = term > 0.0  # drop the terminal full-die-out row (see docstring)
+    s_km = np.exp(np.cumsum(np.log(term[keep])))
+    return pa.table(
+        {
+            "t_days": pa.array(t[deaths][keep], pa.int64()),
+            "n_risk": pa.array(n_risk[deaths][keep], pa.int64()),
+            "d": pa.array(d_t[deaths][keep], pa.int64()),
+            "s_km": pa.array(np.round(s_km, 8), pa.float64()),
+        }
+    )

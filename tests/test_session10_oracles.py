@@ -1,0 +1,70 @@
+"""sf0.001 oracle-conformance pins for the tenth-session operators, plus
+structural invariants."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+NEW_QUERIES = [
+    "customer_survival_km",
+]
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return (
+        df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle_sf0001(ray_session, name):
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()[name](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = _oracle(entrymod.oracle_sql()[name])
+    pd.testing.assert_frame_equal(
+        _norm(got), _norm(want), check_dtype=False, rtol=0, atol=5e-9
+    )
+
+
+def test_km_curve_is_monotone_nonincreasing(ray_session):
+    """S(t) must start below 1, never increase, and the at-risk counts must
+    strictly decrease along event times."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["customer_survival_km"](SF).to_pandas()
+    assert len(df) > 0
+    s = df.sort_values("t_days")["s_km"].to_numpy()
+    assert (np.diff(s) <= 1e-12).all()
+    assert s[0] < 1.0 and (s > 0.0).all()
+    n = df.sort_values("t_days")["n_risk"].to_numpy()
+    assert (np.diff(n) < 0).all()
+    assert (df["d"] >= 1).all() and (df["d"] <= df["n_risk"]).all()
