@@ -350,7 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_deciles": relational.customer_spend_deciles,    # deciles of per-customer aggregates
         "events_rolling_stats": relational.events_rolling_stats,    # ROWS-frame rolling sum/mean
         "late_event_stats": relational.late_event_stats,            # watermark/out-of-order census
-        "event_type_counts_cms": relational.event_type_counts_cms,  # rows-only (Count-Min; error/merge pins in pytest)
+        "event_type_counts_cms": relational.event_type_counts_cms,  # SQL-checked (Count-Min replayed exactly in HUGEINT SQL)
         "hourly_active_users": relational.hourly_active_users,      # SQL-checked (windowed distinct count)
         "late_shipment_priority": relational.late_shipment_priority,  # Q4 shape (fact-scale EXISTS)
         "user_event_runs": relational.user_event_runs,              # SQL-checked (gaps-and-islands RLE)
@@ -3001,6 +3001,50 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN s sa ON brand_a = sa.brand
             JOIN s sb ON brand_b = sb.brand
             WHERE n_ab >= 5
+        """,
+        # Count-Min sketch replayed EXACTLY in SQL: the sketch is a pure
+        # deterministic function of the exact per-type counts (md5-low64 key,
+        # splitmix-style double hashing h1 + r*h2 mod 2048, min over 4 rows).
+        # 64-bit wraparound multiply is emulated in HUGEINT via 32-bit halves:
+        # (kl*ml + ((kl*mh + kh*ml) mod 2^32)*2^32) mod 2^64; >>s are // 2^s.
+        "event_type_counts_cms": """
+            WITH c AS (
+                SELECT event_type, count(*) AS n
+                FROM events GROUP BY event_type
+            ), kt AS (
+                SELECT event_type, n,
+                       CAST(md5_number_lower(event_type) AS HUGEINT) AS k
+                FROM c
+            ), m1 AS (
+                SELECT event_type, n,
+                       (((k % 4294967296) * 2135587861
+                         + (((k % 4294967296) * 2654435769
+                             + (k // 4294967296) * 2135587861) % 4294967296)
+                           * 4294967296) % 18446744073709551616)
+                         // 8589934592 AS h1,
+                       CAST(xor(CAST(k AS UBIGINT),
+                                CAST(k // 536870912 AS UBIGINT)) AS HUGEINT)
+                           AS xk
+                FROM kt
+            ), m2 AS (
+                SELECT event_type, n, CAST(h1 AS BIGINT) AS h1,
+                       CAST((((xk % 4294967296) * 484763065
+                         + (((xk % 4294967296) * 3210233709
+                             + (xk // 4294967296) * 484763065) % 4294967296)
+                           * 4294967296) % 18446744073709551616)
+                         // 2147483648 AS BIGINT) AS h2r
+                FROM m1
+            ), rows_ AS (
+                SELECT event_type, n, r,
+                       (h1 + r * (h2r - (h2r % 2) + 1)) % 2048 AS col
+                FROM m2 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) u
+            ), cells AS (
+                SELECT r, col, sum(n) AS cell
+                FROM rows_ GROUP BY r, col
+            )
+            SELECT rows_.event_type, CAST(min(cell) AS BIGINT) AS est_n
+            FROM rows_ JOIN cells USING (r, col)
+            GROUP BY rows_.event_type
         """,
         # Kaplan-Meier: lifetimes from per-customer order spans, censoring at
         # max(last)-90d, S(t) = exp(running-sum(ln(1 - d/n))) in ascending-t

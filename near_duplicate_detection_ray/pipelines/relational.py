@@ -3332,9 +3332,11 @@ def event_type_counts_cms(sf_dir: str):
 
     Here the probe keys are the (low-cardinality) distinct event types so
     the estimates can be pinned against exact counts in pytest
-    (est >= exact, est <= exact + eps*N at eps = e/width).  rows-only by
-    design — the estimate is approximate; the error bound, merge
-    invariance, and determinism are the pytest contract.
+    (est >= exact, est <= exact + eps*N at eps = e/width).  Although the
+    ESTIMATE is approximate, the sketch itself is a pure deterministic
+    function of the exact per-type counts (md5-low64 key, splitmix-style
+    double hashing) — so the DuckDB oracle replays it EXACTLY, emulating
+    the 64-bit wraparound multiplies in HUGEINT.
     Output: ``event_type, est_n``."""
     import ray.data as rd
 

@@ -16,6 +16,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 NEW_QUERIES = [
     "customer_survival_km",
+    "event_type_counts_cms",
 ]
 
 
