@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_coverage_stats": docs_dedup.span_coverage_stats,  # SQL-checked (duplication mass)
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
+        "snm_dup_pairs": docs_dedup.snm_dup_pairs,              # SQL-checked (sorted-neighborhood windows)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
         "dedup_best_docs": docs_dedup.dedup_best_docs,          # SQL-checked (quality keep-rule)
         "dup_spans_docs": docs_dedup.dup_spans_docs,            # SQL-checked (exact repeated-span plan)
@@ -3554,6 +3555,50 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
                 FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        """,
+        # Sorted-neighborhood (SNM) pairs: two blocking passes (normalized
+        # prefix / reversed-prefix keys, 32 chars), width-6 windows over the
+        # global (key, doc_id) sort replayed via row_number self-joins, exact
+        # unigram Jaccard >= 0.7 on the window pairs
+        "snm_dup_pairs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), keys AS (
+                SELECT doc_id, 1 AS pass, substr(t, 1, 32) AS k FROM norm
+                UNION ALL
+                SELECT doc_id, 2 AS pass, substr(reverse(t), 1, 32) AS k
+                FROM norm
+            ), r AS (
+                SELECT pass, doc_id,
+                       row_number() OVER (PARTITION BY pass ORDER BY k, doc_id)
+                           AS rn
+                FROM keys
+            ), cand AS (
+                SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+                                greatest(x.doc_id, y.doc_id) AS b
+                FROM r x JOIN r y
+                     ON x.pass = y.pass AND y.rn - x.rn BETWEEN 1 AND 5
+            ), g AS (
+                SELECT DISTINCT doc_id, s
+                FROM norm, UNNEST(regexp_split_to_array(t, '\\s+')) AS u(s)
+                WHERE t <> ''
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT c.a, c.b, count(*) AS i
+                FROM cand c
+                JOIN g ga ON ga.doc_id = c.a
+                JOIN g gb ON gb.doc_id = c.b AND ga.s = gb.s
+                GROUP BY c.a, c.b
             )
             SELECT a, b,
                    round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard

@@ -1695,3 +1695,166 @@ def dup_loss_weights(sf_dir: str, cfg: NDDConfig | None = None):
     return key_partitioned(comp_ds, ["cluster_id"]).map_batches(
         weigh, batch_format="pandas", batch_size=None
     )
+
+
+def snm_dup_pairs(sf_dir: str, w: int = 6, tau: float = 0.7,
+                  key_len: int = 32, num_blocks: int | None = None):
+    """SORTED-NEIGHBORHOOD near-dup pairs (Hernandez & Stolfo's SNM, the
+    classic record-linkage blocking method): sort the corpus by a cheap
+    blocking key, slide a width-``w`` window over the GLOBAL sorted order,
+    verify exact word-set Jaccard >= ``tau`` on the window pairs only.  Two
+    passes union their windows (multi-pass SNM): key 1 is the first
+    ``key_len`` chars of the normalized text, key 2 the first ``key_len`` of
+    the REVERSED normalized text — prefix-edited and suffix-edited near-dups
+    each land adjacent in one of the passes.  Complements the exact
+    prefix-filter join (:func:`ngram_jaccard_pairs`): SNM is the
+    bounded-candidates variant (exactly ``(w-1) * n`` window pairs per pass,
+    no inverted index) whose recall contract is "adjacent under some key" —
+    the SQL oracle replays the window constraint exactly, so parity is exact,
+    not best-effort.
+
+    Distributed shape (the boundary-overlap window pattern): each pass is ONE
+    Ray range sort of the narrow (conv_id, key) table; the sorted blocks stay
+    in the object store, a first task wave extracts each block's (w-1)-row
+    tail, and a second wave emits window pairs per block given its
+    predecessor's tail — global window semantics with zero re-shuffles and no
+    driver materialization (the driver holds only block refs).  Pairs then
+    distinct by one (a, b)-keyed shuffle and verify through the shared
+    semi-join + vectorized-intersect machinery (attach_signatures /
+    batch_jaccard_containment_arrow) against unigram token-hash sets.
+
+    Returns ``a:int64, b:int64 (a < b), jaccard`` (round 6).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.similarity import batch_jaccard_containment_arrow
+    from ..state.partitioning import key_partitioned, materialize_clean
+    from ..stages.lsh import PAIRS_SCHEMA, _distinct_pairs_block
+    from ..stages.verify import attach_signatures
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def keys_batch(batch: pa.Table, reverse: bool) -> pa.Table:
+        col = batch["doc_text"].combine_chunks()
+        if reverse:
+            col = pc.utf8_reverse(col)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "key": pc.utf8_slice_codeunits(col, 0, key_len),
+            }
+        )
+
+    @ray.remote
+    def block_tail(prev_tail, t: pa.Table) -> pa.Table:
+        # CHAINED tails: last (w-1) rows of ALL preceding rows, not just the
+        # previous block — a pair can span 3+ blocks when blocks are tinier
+        # than the window.  The chain is sequential but each link is a
+        # <=(w-1)-row concat+slice; block tasks themselves stay parallel.
+        ids = t.select(["conv_id"])
+        if prev_tail is not None and prev_tail.num_rows:
+            ids = pa.concat_tables([prev_tail, ids])
+        return ids.slice(max(0, ids.num_rows - (w - 1)))
+
+    @ray.remote
+    def window_pairs(prev_tail, cur: pa.Table) -> pa.Table:
+        cur_ids = pc.cast(cur["conv_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if prev_tail is not None and prev_tail.num_rows:
+            prev_ids = pc.cast(prev_tail["conv_id"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            ids = np.concatenate([prev_ids, cur_ids])
+            base = len(prev_ids)
+        else:
+            ids, base = cur_ids, 0
+        outs_a, outs_b = [], []
+        n = len(ids)
+        for d in range(1, w):
+            if n <= d:
+                break
+            # pair (j-d, j) for every j in THIS block (j >= base): window
+            # pairs whose right end is local — each global pair emitted once
+            j = np.arange(max(d, base), n, dtype=np.int64)
+            a, b = ids[j - d], ids[j]
+            outs_a.append(np.minimum(a, b))
+            outs_b.append(np.maximum(a, b))
+        if not outs_a:
+            return PAIRS_SCHEMA.empty_table()
+        aa = np.concatenate(outs_a)
+        bb = np.concatenate(outs_b)
+        return pa.table(
+            {
+                "a": pc.ascii_lpad(pc.cast(pa.array(aa), pa.string()), 12, "0"),
+                "b": pc.ascii_lpad(pc.cast(pa.array(bb), pa.string()), 12, "0"),
+                "capped": pa.array(np.zeros(len(aa), dtype=bool)),
+            },
+            schema=PAIRS_SCHEMA,
+        )
+
+    convs = docs_as_conversations(sf_dir)
+    pass_sets = []
+    for reverse in (False, True):
+        keyed = convs.map_batches(
+            lambda t, r=reverse: keys_batch(t, r), batch_format="pyarrow"
+        )
+        if num_blocks:  # tests: force blocks tinier than the window so the
+            keyed = keyed.repartition(num_blocks)  # chained tails span blocks
+        mat = keyed.sort(["key", "conv_id"]).materialize()
+        refs = [
+            ref
+            for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows
+        ]
+        if not refs:
+            continue
+        tails = []
+        for i, r in enumerate(refs):
+            tails.append(block_tail.remote(tails[i - 1] if i else None, r))
+        tasks = [window_pairs.remote(None, refs[0])] + [
+            window_pairs.remote(tails[i - 1], refs[i])
+            for i in range(1, len(refs))
+        ]
+        pass_sets.append(rd.from_arrow_refs(tasks))
+    if not pass_sets:
+        return out_schema.empty_table()
+    raw = pass_sets[0]
+    for extra in pass_sets[1:]:
+        raw = raw.union(extra)
+    cand = materialize_clean(
+        key_partitioned(raw, ["a", "b"])
+        .map_batches(_distinct_pairs_block, batch_format="pyarrow", batch_size=None)
+        .select_columns(["a", "b"])
+    )
+    if cand.count() == 0:
+        return out_schema.empty_table()
+
+    sigs = ngram_grams_docs(sf_dir, 1)
+    joined = attach_signatures(
+        cand, sigs.select_columns(["conv_id", "shingles", "simhash"])
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        jac, _ = batch_jaccard_containment_arrow(
+            batch["shingles_a"], batch["shingles_b"]
+        )
+        keep = jac >= tau
+        if not keep.any():
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "a": pc.cast(batch["a"].filter(pa.array(keep)), pa.int64()),
+                "b": pc.cast(batch["b"].filter(pa.array(keep)), pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")

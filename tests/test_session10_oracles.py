@@ -17,6 +17,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 NEW_QUERIES = [
     "customer_survival_km",
     "event_type_counts_cms",
+    "snm_dup_pairs",
 ]
 
 
@@ -69,3 +70,19 @@ def test_km_curve_is_monotone_nonincreasing(ray_session):
     n = df.sort_values("t_days")["n_risk"].to_numpy()
     assert (np.diff(n) < 0).all()
     assert (df["d"] >= 1).all() and (df["d"] <= df["n_risk"]).all()
+
+
+def test_snm_tiny_blocks_equal_default(ray_session):
+    """Force sorted blocks tinier than the window (600 docs / 97 blocks ~= 6
+    rows at w=6): window pairs must span 3+ blocks through the CHAINED tails
+    and still produce the identical pair set."""
+    from near_duplicate_detection_ray.pipelines.docs_dedup import snm_dup_pairs
+
+    base = snm_dup_pairs(SF).to_pandas()
+    tiny = snm_dup_pairs(SF, num_blocks=97).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        base.sort_values(key).reset_index(drop=True),
+        tiny.sort_values(key).reset_index(drop=True),
+    )
+    assert len(base) > 0
