@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_events": relational.grouped_topk_events,
         "distinct_event_types": relational.distinct_event_types,
         "distinct_kmv_events": relational.distinct_kmv_events,  # SQL-checked (k-minimum-values sketch)
+        "kmv_user_overlap": relational.kmv_user_overlap,        # SQL-checked (KMV union/intersection algebra)
         "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
         "brand_basket_lift": relational.brand_basket_lift,     # SQL-checked (association support/lift)
         "customer_survival_km": relational.customer_survival_km,  # SQL-checked (Kaplan-Meier retention)
@@ -3002,6 +3003,66 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN s sa ON brand_a = sa.brand
             JOIN s sb ON brand_b = sb.brand
             WHERE n_ab >= 5
+        """,
+        # KMV sketch algebra per event-type pair: union sketch = kk-prefix of
+        # the merged k-minima, union est exact below k else (k-1)/h_k
+        # normalized, rho = both-membership fraction of the prefix,
+        # intersection est = rho * union est — same op order as the engine
+        "kmv_user_overlap": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+                FROM events
+            ), sk AS (
+                SELECT event_type, h
+                FROM (
+                    SELECT event_type, h,
+                           row_number() OVER (
+                               PARTITION BY event_type ORDER BY h
+                           ) AS rn
+                    FROM h
+                ) WHERE rn <= 64
+            ), pairs AS (
+                SELECT a.event_type AS ta, b.event_type AS tb
+                FROM (SELECT DISTINCT event_type FROM h) a
+                JOIN (SELECT DISTINCT event_type FROM h) b
+                     ON a.event_type < b.event_type
+            ), uh AS (
+                SELECT p.ta, p.tb, s.h,
+                       max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END)
+                           AS in_a,
+                       max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END)
+                           AS in_b
+                FROM pairs p
+                JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb
+                GROUP BY p.ta, p.tb, s.h
+            ), ur AS (
+                SELECT ta, tb, h, in_a, in_b,
+                       row_number() OVER (PARTITION BY ta, tb ORDER BY h)
+                           AS rn,
+                       count(*) OVER (PARTITION BY ta, tb) AS ucnt
+                FROM uh
+            ), agg AS (
+                SELECT ta, tb, max(ucnt) AS ucnt,
+                       least(64, max(ucnt)) AS kk,
+                       max(CASE WHEN rn = 64 THEN h END) AS h_k,
+                       sum(CASE WHEN rn <= least(64, ucnt)
+                                     AND in_a = 1 AND in_b = 1
+                                THEN 1 ELSE 0 END) AS both_cnt
+                FROM ur GROUP BY ta, tb
+            )
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN ucnt < 64 THEN CAST(ucnt AS DOUBLE)
+                         ELSE 63e0 / (CAST(h_k AS DOUBLE)
+                                      / 18446744073709551616e0) END, 4)
+                       AS est_union,
+                   round((CAST(both_cnt AS DOUBLE) / kk)
+                         * (CASE WHEN ucnt < 64 THEN CAST(ucnt AS DOUBLE)
+                            ELSE 63e0 / (CAST(h_k AS DOUBLE)
+                                         / 18446744073709551616e0) END), 4)
+                       AS est_inter,
+                   round(CAST(both_cnt AS DOUBLE) / kk, 8) AS jaccard_est
+            FROM agg
         """,
         # Count-Min sketch replayed EXACTLY in SQL: the sketch is a pure
         # deterministic function of the exact per-type counts (md5-low64 key,

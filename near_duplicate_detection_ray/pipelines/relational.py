@@ -6171,3 +6171,96 @@ def customer_survival_km(sf_dir: str, churn_days: int = 90):
             "s_km": pa.array(np.round(s_km, 8), pa.float64()),
         }
     )
+
+
+def kmv_user_overlap(sf_dir: str, k: int = 64):
+    """KMV SKETCH ALGEBRA between event types: for every unordered pair of
+    event types, estimate the union size, intersection size and Jaccard of
+    their distinct-user sets from the per-type k-minimum-values sketches
+    alone (Beyer et al. 2007's multi-set KMV) — the sketch-family member
+    that answers "how much do these audiences overlap" without ever joining
+    the full user sets.
+
+    Estimator, applied IDENTICALLY in SQL: ``K(A u B)`` = first
+    ``kk = min(k, |K(A) u K(B)|)`` of the merged sketch; union est is exact
+    ``|U|`` below ``k`` else ``(k-1)/h_(k)`` normalized; ``rho`` = fraction
+    of the kk-prefix present in BOTH sketches; intersection est =
+    ``rho * union_est``.  Everything is a pure deterministic function of the
+    md5-low64 hashes, so the DuckDB oracle replays it exactly.
+
+    Distributed shape: same bounded per-block k-minima partials as
+    :func:`distinct_kmv_events` (k rows per type per block); only sketches
+    reach the driver, pair algebra is O(#types^2 * k).
+    Output: ``type_a, type_b, est_union, est_inter, jaccard_est``."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_low64
+    from ..sources.io import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    part_schema = pa.schema([("event_type", pa.string()), ("h", pa.uint64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        rows_t: list[str] = []
+        rows_h: list[int] = []
+        for et, g in df.groupby("event_type", sort=False):
+            hs = np.unique(
+                np.array(
+                    [md5_low64(str(u)) for u in pd.unique(g["user_id"])],
+                    dtype=np.uint64,
+                )
+            )[:k]
+            rows_t.extend([et] * len(hs))
+            rows_h.extend(hs.tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(rows_t, pa.string()),
+                "h": pa.array(np.array(rows_h, dtype=np.uint64), pa.uint64()),
+            },
+            schema=part_schema,
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sketches: dict[str, np.ndarray] = {}
+    for et, g in parts.groupby("event_type", sort=True):
+        sketches[et] = np.unique(g["h"].to_numpy(dtype=np.uint64))[:k]
+
+    types = sorted(sketches)
+    out = {"type_a": [], "type_b": [], "est_union": [], "est_inter": [],
+           "jaccard_est": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            ka, kb = sketches[ta], sketches[tb]
+            u = np.unique(np.concatenate([ka, kb]))
+            kk = min(k, len(u))
+            pref = u[:kk]
+            if len(u) < k:
+                u_est = float(len(u))
+            else:
+                u_est = (k - 1) / (float(u[k - 1]) / 18446744073709551616.0)
+            both = np.isin(pref, ka) & np.isin(pref, kb)
+            rho = float(both.sum()) / kk
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["est_union"].append(round(u_est, 4))
+            out["est_inter"].append(round(rho * u_est, 4))
+            out["jaccard_est"].append(round(rho, 8))
+    return pa.table(
+        {
+            "type_a": pa.array(out["type_a"], pa.string()),
+            "type_b": pa.array(out["type_b"], pa.string()),
+            "est_union": pa.array(out["est_union"], pa.float64()),
+            "est_inter": pa.array(out["est_inter"], pa.float64()),
+            "jaccard_est": pa.array(out["jaccard_est"], pa.float64()),
+        }
+    )

@@ -86,3 +86,26 @@ def test_snm_tiny_blocks_equal_default(ray_session):
         tiny.sort_values(key).reset_index(drop=True),
     )
     assert len(base) > 0
+
+
+def test_kmv_overlap_tracks_exact_intersections(ray_session):
+    """KMV union/intersection estimates stay within the sketch's relative
+    error envelope (~1/sqrt(k-2) ~ 13% at k=64, allow 3x) of the exact values,
+    and degenerate exactly when both sketches hold the full sets."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["kmv_user_overlap"](SF).to_pandas()
+    assert len(df) > 0
+    exact = _oracle("""
+        WITH s AS (SELECT DISTINCT event_type, user_id FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(DISTINCT a.user_id) FILTER (
+                   WHERE b.user_id = a.user_id) AS n_inter
+        FROM s a JOIN s b ON a.event_type < b.event_type
+                          AND a.user_id = b.user_id
+        GROUP BY 1, 2
+    """)
+    m = df.merge(exact, on=["type_a", "type_b"], how="left").fillna(0)
+    assert (df["jaccard_est"].between(0.0, 1.0)).all()
+    rel = (m["est_inter"] - m["n_inter"]).abs() / m["n_inter"].clip(lower=1)
+    assert (rel <= 0.40).all(), rel.describe()
