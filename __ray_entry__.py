@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_drift_psi": text_analysis.source_drift_psi,    # SQL-checked (PSI mix-drift monitor)
         "source_ttest_pairs": text_analysis.source_ttest_pairs,  # SQL-checked (Welch t over exact moments)
         "shard_assignment": text_analysis.shard_assignment,    # SQL-checked (rendezvous/HRW routing)
+        "shard_rebalance_diff": text_analysis.shard_rebalance_diff,  # SQL-checked (HRW minimal-movement diff)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -4192,6 +4193,40 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(b.shard AS BIGINT) AS backup_shard
             FROM rk a JOIN rk b
                  ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+        """,
+        # HRW rebalance diff at 16 -> 17 shards: argmax over the first 16
+        # score columns vs all 17, (score DESC, shard ASC) ties; moved rows
+        # only — rendezvous guarantees shard_after = 16 for every one
+        "shard_rebalance_diff": """
+            WITH g AS (
+                SELECT doc_id, s.shard,
+                       md5_number_lower(
+                           concat(CAST(doc_id AS VARCHAR), ':',
+                                  CAST(s.shard AS VARCHAR))
+                       ) AS score
+                FROM documents,
+                     (SELECT unnest(generate_series(0, 16)) AS shard) s
+            ), before AS (
+                SELECT doc_id, shard FROM (
+                    SELECT doc_id, shard,
+                           row_number() OVER (
+                               PARTITION BY doc_id ORDER BY score DESC, shard
+                           ) AS rn
+                    FROM g WHERE shard < 16
+                ) WHERE rn = 1
+            ), after AS (
+                SELECT doc_id, shard FROM (
+                    SELECT doc_id, shard,
+                           row_number() OVER (
+                               PARTITION BY doc_id ORDER BY score DESC, shard
+                           ) AS rn
+                    FROM g
+                ) WHERE rn = 1
+            )
+            SELECT b.doc_id, CAST(b.shard AS BIGINT) AS shard_before,
+                   CAST(a.shard AS BIGINT) AS shard_after
+            FROM before b JOIN after a USING (doc_id)
+            WHERE b.shard <> a.shard
         """,
         # Welch t between source pairs: exact integer moments, sample
         # variance (Syy - Sy*Sy/n)/(n-1), identical operation order

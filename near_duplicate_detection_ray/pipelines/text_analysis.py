@@ -3292,3 +3292,43 @@ def shard_assignment(sf_dir: str, n_shards: int = 16):
         )
 
     return docs.map_batches(route, batch_format="pyarrow")
+
+
+def shard_rebalance_diff(sf_dir: str, n_shards: int = 16):
+    """RENDEZVOUS REBALANCE DIFF — the docs that MOVE when one shard joins
+    the ring (``n_shards`` -> ``n_shards + 1``): rendezvous hashing's
+    minimal-disruption contract says every moved doc moves TO the new shard
+    and the moved fraction is ~1/(n+1); this query materializes the exact
+    moved set so the contract is SQL-checkable (and pytest-pinned).
+
+    One stateless streamed pass — the (n+1) HRW scores per doc are computed
+    once, ``before`` is the argmax over the first n columns, ``after`` over
+    all n+1 (same first-max tie semantics as :func:`shard_assignment`).
+    Output: ``doc_id, shard_before, shard_after`` for moved docs only."""
+    from ..functions.hashing import md5_low64
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        n = len(ids)
+        scores = np.empty((n, n_shards + 1), np.uint64)
+        for r, d in enumerate(ids):
+            for s in range(n_shards + 1):
+                scores[r, s] = md5_low64(f"{d}:{s}")
+        before = scores[:, :n_shards].argmax(axis=1)
+        after = scores.argmax(axis=1)
+        moved = before != after
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(moved)),
+                "shard_before": pa.array(
+                    before[moved].astype(np.int64), pa.int64()
+                ),
+                "shard_after": pa.array(
+                    after[moved].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(route, batch_format="pyarrow")

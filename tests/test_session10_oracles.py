@@ -18,6 +18,8 @@ NEW_QUERIES = [
     "customer_survival_km",
     "event_type_counts_cms",
     "snm_dup_pairs",
+    "kmv_user_overlap",
+    "shard_rebalance_diff",
 ]
 
 
@@ -109,3 +111,18 @@ def test_kmv_overlap_tracks_exact_intersections(ray_session):
     assert (df["jaccard_est"].between(0.0, 1.0)).all()
     rel = (m["est_inter"] - m["n_inter"]).abs() / m["n_inter"].clip(lower=1)
     assert (rel <= 0.40).all(), rel.describe()
+
+
+def test_rebalance_moves_only_to_new_shard(ray_session):
+    """Rendezvous minimal-disruption: every moved doc moves TO the joining
+    shard (id 16), no doc moves between old shards, and the moved fraction
+    is ~1/17 within binomial tolerance."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["shard_rebalance_diff"](SF).to_pandas()
+    assert len(df) > 0
+    assert (df["shard_after"] == 16).all()
+    assert (df["shard_before"] != 16).all()
+    n_docs = len(_oracle("SELECT doc_id FROM documents"))
+    frac = len(df) / n_docs
+    assert abs(frac - 1 / 17) < 4 * (((1 / 17) * (16 / 17) / n_docs) ** 0.5)
