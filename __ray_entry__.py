@@ -227,6 +227,14 @@ def _epoch_shuffle_docs(sf_dir: str):
     return epoch_shuffle_docs(sf_dir)
 
 
+def _curriculum_order_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import (
+        curriculum_order_docs,
+    )
+
+    return curriculum_order_docs(sf_dir)
+
+
 def _upsert_diff(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import upsert_diff
 
@@ -456,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_diff": _upsert_diff,                            # SQL-checked (table-diff census)
         "split_docs": _split_docs,                              # SQL-checked (3-way hash split)
         "epoch_shuffle_docs": _epoch_shuffle_docs,              # SQL-checked (global shuffle rank, no global sort)
+        "curriculum_order_docs": _curriculum_order_docs,        # SQL-checked (NTILE buckets + source interleave)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "turn_length_stats": _turn_length_stats,                # SQL-checked (per-role turn-length census)
@@ -3668,6 +3677,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        """,
+        # curriculum order: NTILE(10) difficulty buckets over (n_chars,
+        # doc_id) ascending, round-robin source interleave inside each
+        # bucket, global position over (bucket, rn_src, source, doc_id)
+        "curriculum_order_docs": """
+            WITH d AS (
+                SELECT doc_id, source, n_chars,
+                       ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+                FROM documents
+            ), r AS (
+                SELECT doc_id, source, n_chars, decile,
+                       row_number() OVER (
+                           PARTITION BY decile, source
+                           ORDER BY n_chars, doc_id
+                       ) AS rn_src
+                FROM d
+            )
+            SELECT row_number() OVER (
+                       ORDER BY decile, rn_src, source, doc_id
+                   ) AS position,
+                   doc_id, source, CAST(decile AS BIGINT) AS decile, rn_src
+            FROM r
         """,
         # cross-corpus decontamination: eval split by the md5 hash rule,
         # any shared word-8-gram (string-exact, both sides single-space

@@ -893,3 +893,132 @@ def epoch_shuffle_docs(sf_dir: str, seed_a: int = 48271, seed_b: int = 11):
     return key_partitioned(rows, ["bucket"]).map_batches(
         rank_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def curriculum_order_docs(sf_dir: str, n_buckets: int = 10,
+                          num_blocks: int | None = None):
+    """CURRICULUM TRAINING ORDER: shortest-first difficulty buckets with
+    round-robin source interleaving — the deterministic "easy-to-hard, no
+    source runs" data ordering a curriculum-training recipe consumes.
+    Every doc gets (1) a difficulty bucket = exact SQL ``NTILE(n_buckets)``
+    over ``(n_chars, doc_id)`` ascending, (2) its rank WITHIN
+    ``(bucket, source)`` and (3) its global ``position`` under
+    ``(bucket, rn_src, source, doc_id)`` — so consecutive positions inside a
+    bucket cycle through sources instead of exhausting one source at a time.
+    All keys are integers/strings: parity with the window-function oracle is
+    exact, no float ordering anywhere.
+
+    Distributed shape: two narrow global range-sorts of (id, source,
+    n_chars) with the sorted-block-offset pattern (per-block row counts from
+    block METADATA — no extra pass — prefix-summed into global rank offsets,
+    one remote task per block attaches ranks), and one (bucket, source)-keyed
+    shuffle for the segmented within-group rank.  The text never moves.
+    Output: ``position, doc_id, source, decile, rn_src``."""
+    import ray
+    import ray.data as rd
+
+    from ..sources.io import read_parquet_clean
+    from ..state.partitioning import key_partitioned
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).map_batches(prep, batch_format="pyarrow")
+    if num_blocks:  # tests: force many tiny sorted blocks through the
+        base = base.repartition(num_blocks)  # offset/NTILE boundary math
+
+    out_schema = pa.schema(
+        [("position", pa.int64()), ("doc_id", pa.int64()),
+         ("source", pa.string()), ("decile", pa.int64()),
+         ("rn_src", pa.int64())]
+    )
+
+    def sorted_refs_offsets(ds, keys):
+        mat = ds.sort(keys).materialize()
+        refs, counts = [], []
+        for bundle in mat.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                if meta.num_rows:
+                    refs.append(ref)
+                    counts.append(meta.num_rows)
+        offsets = np.concatenate(
+            [[0], np.cumsum(counts)[:-1]]
+        ).astype(np.int64) if counts else np.zeros(0, np.int64)
+        return refs, offsets, int(sum(counts))
+
+    refs, offsets, n = sorted_refs_offsets(base, ["n_chars", "doc_id"])
+    if not refs:
+        return out_schema.empty_table()
+
+    k = n_buckets
+    big = n % k
+    big_sz = n // k + 1
+    small_sz = max(n // k, 1)  # guard: np.where evaluates the unused lane
+    cut = big * big_sz
+
+    @ray.remote
+    def tag(t: pa.Table, off: int) -> pa.Table:
+        r = off + np.arange(t.num_rows, dtype=np.int64)  # 0-based global rank
+        decile = np.where(
+            r < cut, r // big_sz, big + (r - cut) // small_sz
+        ) + 1
+        return t.append_column(
+            "decile", pa.array(decile.astype(np.int64), pa.int64())
+        )
+
+    tagged = rd.from_arrow_refs(
+        [tag.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+    def seg_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("rn_src", pa.array([], pa.int64()))
+        dec = t["decile"].to_numpy(zero_copy_only=False)
+        src = t["source"].combine_chunks().dictionary_encode()
+        codes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, nch, codes, dec))
+        d_s, c_s = dec[order], codes[order]
+        new = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))
+        )
+        idx = np.arange(len(order), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rn = np.empty(len(order), dtype=np.int64)
+        rn[order] = idx - start + 1
+        return t.append_column("rn_src", pa.array(rn, pa.int64()))
+
+    ranked = key_partitioned(tagged, ["decile", "source"]).map_batches(
+        seg_rank, batch_format="pyarrow", batch_size=None
+    )
+
+    refs2, offsets2, _ = sorted_refs_offsets(
+        ranked, ["decile", "rn_src", "source", "doc_id"]
+    )
+
+    @ray.remote
+    def pos(t: pa.Table, off: int) -> pa.Table:
+        p = off + 1 + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "position": pa.array(p, pa.int64()),
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "decile": t["decile"],
+                "rn_src": t["rn_src"],
+            },
+            schema=out_schema,
+        )
+
+    return rd.from_arrow_refs(
+        [pos.remote(r, int(o)) for r, o in zip(refs2, offsets2)]
+    )

@@ -20,6 +20,7 @@ NEW_QUERIES = [
     "snm_dup_pairs",
     "kmv_user_overlap",
     "shard_rebalance_diff",
+    "curriculum_order_docs",
 ]
 
 
@@ -126,3 +127,26 @@ def test_rebalance_moves_only_to_new_shard(ray_session):
     n_docs = len(_oracle("SELECT doc_id FROM documents"))
     frac = len(df) / n_docs
     assert abs(frac - 1 / 17) < 4 * (((1 / 17) * (16 / 17) / n_docs) ** 0.5)
+
+
+def test_curriculum_tiny_blocks_equal_default(ray_session):
+    """The sorted-block offset math (global ranks, NTILE boundaries) must be
+    invariant to how many blocks the sort emits."""
+    from near_duplicate_detection_ray.pipelines.curate import (
+        curriculum_order_docs,
+    )
+
+    base = curriculum_order_docs(SF).to_pandas()
+    tiny = curriculum_order_docs(SF, num_blocks=63).to_pandas()
+    s = ["position"]
+    pd.testing.assert_frame_equal(
+        base.sort_values(s).reset_index(drop=True),
+        tiny.sort_values(s).reset_index(drop=True),
+    )
+    # interleave property: inside a decile, a source never repeats before
+    # every other source active at that rn has appeared (rn_src blocks are
+    # contiguous and sorted by source)
+    g = base.sort_values("position").groupby("decile", sort=False)
+    for _, grp in g:
+        rn = grp["rn_src"].to_numpy()
+        assert (np.diff(rn) >= 0).all()
