@@ -227,6 +227,14 @@ def _epoch_shuffle_docs(sf_dir: str):
     return epoch_shuffle_docs(sf_dir)
 
 
+def _source_quota_sample(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.curate import (
+        source_quota_sample,
+    )
+
+    return source_quota_sample(sf_dir)
+
+
 def _curriculum_order_docs(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.curate import (
         curriculum_order_docs,
@@ -465,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": _split_docs,                              # SQL-checked (3-way hash split)
         "epoch_shuffle_docs": _epoch_shuffle_docs,              # SQL-checked (global shuffle rank, no global sort)
         "curriculum_order_docs": _curriculum_order_docs,        # SQL-checked (NTILE buckets + source interleave)
+        "source_quota_sample": _source_quota_sample,            # SQL-checked (largest-remainder apportionment)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "turn_length_stats": _turn_length_stats,                # SQL-checked (per-role turn-length census)
@@ -3677,6 +3686,40 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        """,
+        # largest-remainder (Hamilton) quotas of a 100-slot budget across
+        # sources, each filled with its quota of smallest-md5-hash doc ids
+        "source_quota_sample": """
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), t AS (
+                SELECT sum(n) AS tot FROM c
+            ), q AS (
+                SELECT source, n,
+                       (100 * n) // (SELECT tot FROM t) AS base,
+                       (100 * n) % (SELECT tot FROM t) AS rem
+                FROM c
+            ), l AS (
+                SELECT 100 - sum(base) AS extra FROM q
+            ), sel AS (
+                SELECT source,
+                       base + CASE WHEN row_number() OVER (
+                                  ORDER BY rem DESC, source
+                              ) <= (SELECT extra FROM l)
+                              THEN 1 ELSE 0 END AS quota
+                FROM q
+            ), s AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT s.doc_id, s.source
+            FROM s JOIN sel USING (source)
+            WHERE rn <= quota
         """,
         # curriculum order: NTILE(10) difficulty buckets over (n_chars,
         # doc_id) ascending, round-robin source interleave inside each

@@ -1022,3 +1022,103 @@ def curriculum_order_docs(sf_dir: str, n_buckets: int = 10,
     return rd.from_arrow_refs(
         [pos.remote(r, int(o)) for r, o in zip(refs2, offsets2)]
     )
+
+
+def source_quota_sample(sf_dir: str, budget: int = 100):
+    """TARGET-MIX SAMPLE MANIFEST by LARGEST-REMAINDER apportionment
+    (Hamilton's method): split a fixed ``budget`` of sample slots across
+    sources proportionally to their doc counts — integer quotas =
+    ``floor(budget * n_s / N)`` plus one extra for the largest remainders
+    (ties by source name) so quotas sum EXACTLY to ``budget`` — then fill
+    each source's quota with its ``quota_s`` smallest-id-hash docs (the
+    deterministic per-group bottom-k rule shared with
+    ``bottomk_sample_docs``).  The manifest a mixture-controlled training
+    run consumes: every step is integer or hash math, zero float drift.
+
+    Distributed shape: one low-cardinality count combine (sources), quota
+    arithmetic on the driver (|sources| rows), then per-block bottom-quota
+    partials (bounded ``budget`` rows per block) merged once — the corpus
+    streams, the text never moves.  Output: ``doc_id, source``."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_low64
+    from ..sources.io import read_parquet_clean
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("h", pa.uint64())]
+    )
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = np.fromiter(
+            (md5_low64(str(int(d))) for d in ids), np.uint64, len(ids)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": batch["source"],
+                "h": pa.array(hs, pa.uint64()),
+            },
+            schema=part_schema,
+        )
+
+    hashed = docs.map_batches(hash_partial, batch_format="pyarrow")
+
+    # source counts: one tiny combine (|sources| rows per block)
+    counts = (
+        hashed.map_batches(
+            lambda t: t.group_by(["source"]).aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("source", sort=True)["count_all"]
+        .sum()
+    )
+    n_total = int(counts.sum())
+    if n_total == 0:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string())]
+        ).empty_table()
+    sources = list(counts.index)
+    num = np.array([budget * int(c) for c in counts], dtype=np.int64)
+    base = num // n_total
+    rem = num % n_total
+    extra = budget - int(base.sum())
+    # largest remainder, ties by source ascending (sources already sorted)
+    order = np.lexsort((np.arange(len(sources)), -rem))
+    quota = base.copy()
+    quota[order[:extra]] += 1
+    quotas = {s: int(q) for s, q in zip(sources, quota)}
+
+    def bottom_quota(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas().sort_values(["h", "doc_id"], kind="mergesort")
+        parts = [
+            g.head(quotas.get(s, 0)) for s, g in df.groupby("source", sort=False)
+        ]
+        out = pd.concat(parts) if parts else df.iloc[:0]
+        return pa.Table.from_pandas(out, schema=part_schema,
+                                    preserve_index=False)
+
+    partials = hashed.map_batches(
+        bottom_quota, batch_format="pyarrow"
+    ).to_pandas()
+    final_parts = []
+    for s, g in partials.groupby("source", sort=True):
+        final_parts.append(
+            g.sort_values(["h", "doc_id"], kind="mergesort").head(quotas[s])
+        )
+    final = pd.concat(final_parts) if final_parts else partials.iloc[:0]
+    return pa.table(
+        {
+            "doc_id": pa.array(final["doc_id"].to_numpy(np.int64), pa.int64()),
+            "source": pa.array(final["source"].astype(str), pa.string()),
+        }
+    )

@@ -21,6 +21,7 @@ NEW_QUERIES = [
     "kmv_user_overlap",
     "shard_rebalance_diff",
     "curriculum_order_docs",
+    "source_quota_sample",
 ]
 
 
@@ -150,3 +151,19 @@ def test_curriculum_tiny_blocks_equal_default(ray_session):
     for _, grp in g:
         rn = grp["rn_src"].to_numpy()
         assert (np.diff(rn) >= 0).all()
+
+
+def test_quota_sums_to_budget_and_tracks_mix(ray_session):
+    """Quotas sum exactly to the budget and each source's share differs from
+    its corpus share by less than one slot (the Hamilton guarantee)."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["source_quota_sample"](SF).to_pandas()
+    assert len(df) == 100
+    got = df.groupby("source").size()
+    want = _oracle(
+        "SELECT source, count(*) AS n FROM documents GROUP BY source"
+    ).set_index("source")["n"]
+    share = 100 * want / want.sum()
+    for s in want.index:
+        assert abs(got.get(s, 0) - share[s]) < 1.0
