@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         "snm_dup_pairs": docs_dedup.snm_dup_pairs,              # SQL-checked (sorted-neighborhood windows)
+        "tf_cosine_pairs": docs_dedup.tf_cosine_pairs,          # SQL-checked (weighted tf-cosine join, rare-term blocking)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
         "dedup_best_docs": docs_dedup.dedup_best_docs,          # SQL-checked (quality keep-rule)
         "dup_spans_docs": docs_dedup.dup_spans_docs,            # SQL-checked (exact repeated-span plan)
@@ -3642,6 +3643,55 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        """,
+        # Weighted gram-frequency cosine join: integer tf vectors over word
+        # TRIGRAMS (short docs contribute one gram over all tokens, same rule
+        # as ngram_jaccard_pairs), rare-gram blocking (df in [2,10]), exact
+        # integer dot/norms, cosine = dot/(sqrt(na2)*sqrt(nb2)) >= 0.8
+        "tf_cosine_pairs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), toks AS (
+                SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM norm
+            ), tok AS (
+                SELECT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                         ELSE [array_to_string(w[i:i+2], ' ')
+                               for i in range(1, len(w) - 1)]
+                    END
+                ) AS u(s)
+            ), tf AS (
+                SELECT doc_id, s, count(*) AS c
+                FROM tok GROUP BY doc_id, s
+            ), df AS (
+                SELECT s, count(*) AS d FROM tf GROUP BY s
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                FROM tf a JOIN tf b ON a.s = b.s AND a.doc_id < b.doc_id
+                WHERE a.s IN (SELECT s FROM df WHERE d BETWEEN 2 AND 10)
+            ), dots AS (
+                SELECT c.a, c.b, sum(ta.c * tb.c) AS dot
+                FROM cand c
+                JOIN tf ta ON ta.doc_id = c.a
+                JOIN tf tb ON tb.doc_id = c.b AND tb.s = ta.s
+                GROUP BY c.a, c.b
+            ), n2 AS (
+                SELECT doc_id, sum(c * c) AS m FROM tf GROUP BY doc_id
+            )
+            SELECT a, b,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(na.m AS DOUBLE))
+                            * sqrt(CAST(nb.m AS DOUBLE))), 6) AS cosine
+            FROM dots
+            JOIN n2 na ON dots.a = na.doc_id
+            JOIN n2 nb ON dots.b = nb.doc_id
+            WHERE CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.m AS DOUBLE))
+                     * sqrt(CAST(nb.m AS DOUBLE))) >= 0.8e0
         """,
         # Sorted-neighborhood (SNM) pairs: two blocking passes (normalized
         # prefix / reversed-prefix keys, 32 chars), width-6 windows over the

@@ -1858,3 +1858,217 @@ def snm_dup_pairs(sf_dir: str, w: int = 6, tau: float = 0.7,
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def tf_cosine_pairs(sf_dir: str, tau: float = 0.8, max_df: int = 10,
+                    n: int = 3):
+    """WEIGHTED exact similarity join — word-``n``-gram-frequency cosine >=
+    ``tau`` between docs sharing a RARE gram: the weighted-family member next to the
+    unweighted Jaccard joins (:func:`ngram_jaccard_pairs`,
+    :func:`snm_dup_pairs`) and the dense-embedding cosine
+    (``pipelines/ann.embedding_dup_pairs``).  All similarity arithmetic is
+    EXACT INTEGER math until the final cosine: per-doc tf vectors are integer
+    counts, the pair dot product and both squared norms are integer sums, and
+    the cosine is one ``dot / (sqrt(na2) * sqrt(nb2))`` IEEE expression —
+    identical in SQL, no float accumulation anywhere.
+
+    Blocking contract (replayed exactly by the oracle, like SNM's window):
+    candidates are doc pairs sharing at least one term with global document
+    frequency in ``[2, max_df]`` — rare-feature blocking, the classic
+    entity-resolution move: a term shared by f docs contributes C(f,2) <=
+    C(max_df,2) pairs, so candidate volume is bounded by the rare vocabulary,
+    never quadratic in corpus size.  Hot boilerplate terms never generate
+    pairs.
+
+    Distributed shape: per-doc (sorted term hash || tf) packed blobs from one
+    actor-pool tokenize; ONE term-keyed shuffle of the distinct (term, doc)
+    occurrences computes global dfs block-locally (all occurrences of a term
+    co-locate) and emits pairs for rare terms in the same pass; pairs
+    distinct by an (a, b)-keyed shuffle; the shared semi-join attach ships
+    blobs only for candidate endpoints; the weighted-dot verifier is one
+    lexsort per batch (no per-pair Python).  Output: ``a:int64, b:int64
+    (a < b), cosine`` (round 6)."""
+    import ray.data as rd
+
+    from ..functions.hashing import TokenHasher, hash_token, shingle_hashes
+    from ..functions.similarity import _binary_column_view
+    from ..state.partitioning import key_partitioned, materialize_clean
+    from ..stages.lsh import PAIRS_SCHEMA, _pairs_in_block, _distinct_pairs_block
+    from ..stages.verify import attach_signatures
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    class TfSigner:
+        """Per-doc packed (sorted unique term hashes || matching tfs) blob —
+        both halves uint64, so the blob rides the standard shingles column
+        and the binary zero-copy view."""
+
+        def __init__(self) -> None:
+            self.hasher = TokenHasher()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n_rows = batch.num_rows
+            col = (
+                batch["doc_text"].combine_chunks()
+                if n_rows
+                else pa.array([], pa.string())
+            )
+            toks_list = pc.utf8_split_whitespace(col)
+            offsets = toks_list.offsets.to_numpy(zero_copy_only=False)
+            flat = toks_list.flatten()
+            uniq = pc.unique(flat)
+            cache = self.hasher._cache
+            uniq_hashes = np.empty(len(uniq), dtype=np.uint64)
+            for i, tok in enumerate(uniq.to_pylist()):
+                h = cache.get(tok)
+                if h is None:
+                    h = hash_token(tok)
+                    if len(cache) < self.hasher._max_cache:
+                        cache[tok] = h
+                uniq_hashes[i] = h
+            idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
+            flat_hashes = uniq_hashes[idx] if len(idx) else np.empty(0, np.uint64)
+            is_blank = (
+                pc.equal(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False)
+                if n_rows
+                else np.zeros(0, dtype=bool)
+            )
+            keep_rows, blobs = [], []
+            for i in range(n_rows):
+                if is_blank[i]:
+                    continue
+                th = flat_hashes[offsets[i]: offsets[i + 1]]
+                if len(th) == 0:
+                    continue
+                grams = shingle_hashes(th, n, unique=False)
+                terms, tfs = np.unique(grams, return_counts=True)
+                keep_rows.append(i)
+                blobs.append(
+                    terms.tobytes() + tfs.astype(np.uint64).tobytes()
+                )
+            return pa.table(
+                {
+                    "conv_id": batch["conv_id"].take(
+                        pa.array(keep_rows, pa.int64())
+                    ),
+                    "shingles": pa.array(blobs, pa.binary()),
+                    "simhash": pa.array(
+                        np.zeros(len(blobs), np.uint64), pa.uint64()
+                    ),
+                }
+            )
+
+    sigs = materialize_clean(
+        docs_as_conversations(sf_dir).map_batches(
+            TfSigner, batch_format="pyarrow", concurrency=(1, 8)
+        )
+    )
+
+    def explode_terms(batch: pa.Table) -> pa.Table:
+        """(conv_id, blob) -> one (bucket=term, conv_id) row per DISTINCT
+        term (the term half of the blob)."""
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.uint64()),
+                 "conv_id": pa.array([], pa.string())}
+            )
+        vals, m = _binary_column_view(batch["shingles"])
+        k = (m // 2).astype(np.int64)  # terms per row (half the uint64s)
+        starts = np.zeros(len(m), dtype=np.int64)
+        np.cumsum(m[:-1], out=starts[1:])
+        pos = np.concatenate(
+            [np.arange(s, s + kk) for s, kk in zip(starts, k)]
+        ) if len(m) else np.empty(0, np.int64)
+        row_idx = np.repeat(np.arange(len(m), dtype=np.int64), k)
+        return pa.table(
+            {
+                "bucket": pa.array(vals[pos], pa.uint64()),
+                "conv_id": batch["conv_id"].take(pa.array(row_idx)),
+            }
+        )
+
+    def rare_pairs(batch: pa.Table) -> pa.Table:
+        """One term-keyed partition: global df is the local group size;
+        keep terms with df in [2, max_df] and emit their pairs."""
+        if batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
+        g = batch["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        counts = np.diff(np.append(starts, len(gs)))
+        df = np.empty(len(gs), dtype=np.int64)
+        df[order] = np.repeat(counts, counts)
+        keep = (df >= 2) & (df <= max_df)
+        kept = batch.filter(pa.array(keep))
+        return _pairs_in_block(kept, 1 << 30)
+
+    occ = sigs.map_batches(explode_terms, batch_format="pyarrow")
+    raw = key_partitioned(occ, ["bucket"]).map_batches(
+        rare_pairs, batch_format="pyarrow", batch_size=None
+    )
+    cand = materialize_clean(
+        key_partitioned(raw, ["a", "b"])
+        .map_batches(_distinct_pairs_block, batch_format="pyarrow",
+                     batch_size=None)
+        .select_columns(["a", "b"])
+    )
+    if cand.count() == 0:
+        return out_schema.empty_table()
+
+    joined = attach_signatures(cand, sigs)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        va, ma = _binary_column_view(batch["shingles_a"])
+        vb, mb = _binary_column_view(batch["shingles_b"])
+        n = len(ma)
+        ka, kb = (ma // 2).astype(np.int64), (mb // 2).astype(np.int64)
+        sa = np.zeros(n, np.int64); np.cumsum(ma[:-1], out=sa[1:])
+        sb = np.zeros(n, np.int64); np.cumsum(mb[:-1], out=sb[1:])
+
+        def halves(vals, starts, ks):
+            t_pos = np.concatenate(
+                [np.arange(s, s + k) for s, k in zip(starts, ks)]
+            ) if n else np.empty(0, np.int64)
+            c_pos = np.concatenate(
+                [np.arange(s + k, s + 2 * k) for s, k in zip(starts, ks)]
+            ) if n else np.empty(0, np.int64)
+            return vals[t_pos], vals[c_pos].astype(np.int64)
+
+        ta, ca = halves(va, sa, ka)
+        tb, cb = halves(vb, sb, kb)
+        pair_a = np.repeat(np.arange(n, dtype=np.int64), ka)
+        pair_b = np.repeat(np.arange(n, dtype=np.int64), kb)
+        na2 = np.zeros(n, np.int64); np.add.at(na2, pair_a, ca * ca)
+        nb2 = np.zeros(n, np.int64); np.add.at(nb2, pair_b, cb * cb)
+        # weighted intersect: concat both sides, lexsort by (pair, term);
+        # adjacent equal (pair, term) across sides -> one dot contribution
+        side = np.concatenate([np.zeros(len(ta), np.int8),
+                               np.ones(len(tb), np.int8)])
+        pair = np.concatenate([pair_a, pair_b])
+        term = np.concatenate([ta, tb])
+        cnt = np.concatenate([ca, cb])
+        order = np.lexsort((side, term, pair))
+        p_s, t_s, c_s = pair[order], term[order], cnt[order]
+        hit = (p_s[1:] == p_s[:-1]) & (t_s[1:] == t_s[:-1])
+        dot = np.zeros(n, np.int64)
+        np.add.at(dot, p_s[1:][hit], c_s[1:][hit] * c_s[:-1][hit])
+        cos = dot / (np.sqrt(na2.astype(np.float64))
+                     * np.sqrt(nb2.astype(np.float64)))
+        keep = cos >= tau
+        if not keep.any():
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "a": pc.cast(batch["a"].filter(pa.array(keep)), pa.int64()),
+                "b": pc.cast(batch["b"].filter(pa.array(keep)), pa.int64()),
+                "cosine": pa.array(np.round(cos[keep], 6), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")

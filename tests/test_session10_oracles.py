@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "shard_rebalance_diff",
     "curriculum_order_docs",
     "source_quota_sample",
+    "tf_cosine_pairs",
 ]
 
 
