@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "distinct_kmv_events": relational.distinct_kmv_events,  # SQL-checked (k-minimum-values sketch)
         "kmv_user_overlap": relational.kmv_user_overlap,        # SQL-checked (KMV union/intersection algebra)
+        "k_anonymity_events": relational.k_anonymity_events,    # SQL-checked (privacy audit, QI buckets < k)
         "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
         "brand_basket_lift": relational.brand_basket_lift,     # SQL-checked (association support/lift)
         "customer_survival_km": relational.customer_survival_km,  # SQL-checked (Kaplan-Meier retention)
@@ -3023,6 +3024,21 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN s sa ON brand_a = sa.brand
             JOIN s sb ON brand_b = sb.brand
             WHERE n_ab >= 5
+        """,
+        # k-anonymity audit: quasi-identifier = (type, hour, floor(value/10));
+        # buckets with fewer than 5 events, with their distinct-user counts
+        "k_anonymity_events": """
+            WITH qi AS (
+                SELECT event_type,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                       CAST(floor(value / 10e0) AS BIGINT) AS value_band,
+                       user_id
+                FROM events
+            )
+            SELECT event_type, hour, value_band, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users
+            FROM qi GROUP BY event_type, hour, value_band
+            HAVING count(*) < 5
         """,
         # KMV sketch algebra per event-type pair: union sketch = kk-prefix of
         # the merged k-minima, union est exact below k else (k-1)/h_k

@@ -6264,3 +6264,80 @@ def kmv_user_overlap(sf_dir: str, k: int = 64):
             "jaccard_est": pa.array(out["jaccard_est"], pa.float64()),
         }
     )
+
+
+def k_anonymity_events(sf_dir: str, k: int = 5):
+    """K-ANONYMITY AUDIT over event quasi-identifiers — the privacy gate a
+    data-release pipeline runs before exporting an analytics extract: bucket
+    every event by the quasi-identifier triple ``(event_type, hour-of-day,
+    value band = floor(value / 10))`` and report every bucket with fewer than
+    ``k`` events (re-identification risk: a joinable side channel narrows
+    those rows to tiny candidate sets).  ``n_users`` (distinct users in the
+    bucket) quantifies how many people the risk touches.
+
+    Exactly-integer end to end: hour extraction, the band floor and both
+    counts are integers, so parity with SQL is trivial.  Distributed shape:
+    one (QI, user)-level Arrow group_by partial per block, one small combine
+    (QI-bucket cardinality is bounded by types x 24 x bands, not rows).
+    Output: ``event_type, hour, value_band, n, n_users`` for n < k."""
+    import pandas as pd
+
+    from ..sources.io import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id", "value"]
+    )
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("value_band", pa.int64()), ("user_id", pa.int64()),
+         ("cnt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        hour = pc.hour(t["ts"])
+        band = pc.floor(pc.divide(t["value"], pa.scalar(10.0)))
+        qi = pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.cast(hour, pa.int64()),
+                "value_band": pc.cast(band, pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+            }
+        )
+        out = qi.group_by(
+            ["event_type", "hour", "value_band", "user_id"]
+        ).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["event_type", "hour", "value_band", "user_id", "cnt"]
+        ).cast(part_schema)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.schema(
+            [("event_type", pa.string()), ("hour", pa.int64()),
+             ("value_band", pa.int64()), ("n", pa.int64()),
+             ("n_users", pa.int64())]
+        ).empty_table()
+    per_user = (
+        parts.groupby(
+            ["event_type", "hour", "value_band", "user_id"], sort=False
+        )["cnt"].sum().reset_index()
+    )
+    g = per_user.groupby(["event_type", "hour", "value_band"], sort=True).agg(
+        n=("cnt", "sum"), n_users=("user_id", "size")
+    ).reset_index()
+    bad = g[g["n"] < k]
+    return pa.table(
+        {
+            "event_type": pa.array(bad["event_type"].astype(str), pa.string()),
+            "hour": pa.array(bad["hour"].to_numpy(np.int64), pa.int64()),
+            "value_band": pa.array(
+                bad["value_band"].to_numpy(np.int64), pa.int64()
+            ),
+            "n": pa.array(bad["n"].to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(bad["n_users"].to_numpy(np.int64), pa.int64()),
+        }
+    )

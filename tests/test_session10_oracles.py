@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "curriculum_order_docs",
     "source_quota_sample",
     "tf_cosine_pairs",
+    "k_anonymity_events",
 ]
 
 
