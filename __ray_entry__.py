@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_kmv_events": relational.distinct_kmv_events,  # SQL-checked (k-minimum-values sketch)
         "kmv_user_overlap": relational.kmv_user_overlap,        # SQL-checked (KMV union/intersection algebra)
         "k_anonymity_events": relational.k_anonymity_events,    # SQL-checked (privacy audit, QI buckets < k)
+        "daily_revenue_holt": relational.daily_revenue_holt,    # SQL-checked (coupled level+trend recursion)
         "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
         "brand_basket_lift": relational.brand_basket_lift,     # SQL-checked (association support/lift)
         "customer_survival_km": relational.customer_survival_km,  # SQL-checked (Kaplan-Meier retention)
@@ -1699,6 +1700,34 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT day, rev_c,
                    CAST(floor(ewma * 100 + 0.5) AS BIGINT) AS ewma_c
             FROM e
+        """,
+        # Holt level+trend: recursive CTE carrying BOTH recurrences, the new
+        # level expression inlined into the trend step (same float64 tree as
+        # the engine's lt temporary); l_1 = x_1, b_1 = 0; floor-cents output
+        "daily_revenue_holt": """
+            WITH RECURSIVE d0 AS (
+                SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1
+            ), d AS (
+                SELECT day, rev_c, row_number() OVER (ORDER BY day) AS rn
+                FROM d0
+            ), h AS (
+                SELECT rn, day, rev_c, CAST(rev_c AS DOUBLE) AS l, 0e0 AS b
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.rn, d.day, d.rev_c,
+                       0.3 * CAST(d.rev_c AS DOUBLE) + 0.7 * (h.l + h.b),
+                       0.1 * ((0.3 * CAST(d.rev_c AS DOUBLE)
+                               + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b
+                FROM d JOIN h ON d.rn = h.rn + 1
+            )
+            SELECT day, rev_c,
+                   CAST(floor(l * 100 + 0.5) AS BIGINT) AS level_c,
+                   CAST(floor(b * 100 + 0.5) AS BIGINT) AS trend_c,
+                   CAST(floor((l + b) * 100 + 0.5) AS BIGINT) AS forecast_c
+            FROM h
         """,
         # daily revenue z-scores: exact integer sums/sum-of-squares, the
         # same IEEE mu/sigma/z expressions, z rounded to 8 on both sides

@@ -6341,3 +6341,49 @@ def k_anonymity_events(sf_dir: str, k: int = 5):
             "n_users": pa.array(bad["n_users"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def daily_revenue_holt(sf_dir: str, alpha: float = 0.3, beta: float = 0.1):
+    """HOLT DOUBLE-EXPONENTIAL SMOOTHING over daily revenue — the
+    level+trend recursive pair next to :func:`daily_revenue_ewma`'s single
+    recurrence: ``l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})``,
+    ``b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}`` with ``l_1 = x_1,
+    b_1 = 0``; the one-step forecast is ``l_t + b_t``.  The recurrence is
+    coupled (each value needs BOTH previous outputs) — inexpressible by
+    frame-based windows, replayed in SQL by a recursive CTE carrying both
+    columns (the new level expression inlined into the trend step, same
+    float64 tree).
+
+    Distributed part: the daily series folds via map-side combine (exchange
+    bounded by |days|); the recursion runs over the collected series.  All
+    smoothed outputs are emitted as integer cents via the shared
+    ``floor(v*100 + 0.5)`` expression (see the EWMA docstring for why not
+    ``round``).  Output: ``day, rev_c, level_c, trend_c, forecast_c``."""
+    import ray.data as rd
+
+    daily = _daily_revenue_cents(sf_dir).sort_values("day").reset_index(drop=True)
+    x = daily["rev_c"].to_numpy().astype(np.float64)
+    n = len(x)
+    level = np.empty(n, np.float64)
+    trend = np.empty(n, np.float64)
+    if n:
+        level[0], trend[0] = x[0], 0.0
+        for t_ in range(1, n):  # bounded by |days|, not the fact table
+            lt = alpha * x[t_] + (1.0 - alpha) * (level[t_ - 1] + trend[t_ - 1])
+            trend[t_] = beta * (lt - level[t_ - 1]) + (1.0 - beta) * trend[t_ - 1]
+            level[t_] = lt
+    cents = lambda v: np.floor(v * 100.0 + 0.5).astype(np.int64)  # noqa: E731
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(
+                    daily["day"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "rev_c": pa.array(daily["rev_c"].to_numpy(), pa.int64()),
+                "level_c": pa.array(cents(level), pa.int64()),
+                "trend_c": pa.array(cents(trend), pa.int64()),
+                "forecast_c": pa.array(cents(level + trend), pa.int64()),
+            }
+        )
+    )

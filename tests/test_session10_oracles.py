@@ -24,6 +24,7 @@ NEW_QUERIES = [
     "source_quota_sample",
     "tf_cosine_pairs",
     "k_anonymity_events",
+    "daily_revenue_holt",
 ]
 
 
