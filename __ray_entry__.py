@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_user_overlap": relational.kmv_user_overlap,        # SQL-checked (KMV union/intersection algebra)
         "k_anonymity_events": relational.k_anonymity_events,    # SQL-checked (privacy audit, QI buckets < k)
         "daily_revenue_holt": relational.daily_revenue_holt,    # SQL-checked (coupled level+trend recursion)
+        "benford_audit_orders": relational.benford_audit_orders,  # SQL-checked (first-digit forensic audit)
         "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
         "brand_basket_lift": relational.brand_basket_lift,     # SQL-checked (association support/lift)
         "customer_survival_km": relational.customer_survival_km,  # SQL-checked (Kaplan-Meier retention)
@@ -1699,6 +1700,35 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT day, rev_c,
                    CAST(floor(ewma * 100 + 0.5) AS BIGINT) AS ewma_c
+            FROM e
+        """,
+        # Benford first-digit audit: digit = leading char of the integer
+        # cents string (exact), expected = N * log10(1 + 1/d), chi2 term =
+        # (obs - exp)^2 / exp — identical IEEE expressions, round 8
+        "benford_audit_orders": """
+            WITH c AS (
+                SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM orders
+            ), o AS (
+                SELECT digit, count(*) AS n_obs FROM c GROUP BY digit
+            ), t AS (
+                SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM o
+            ), d AS (
+                SELECT unnest(generate_series(1, 9)) AS digit
+            ), e AS (
+                SELECT d.digit, coalesce(o.n_obs, 0) AS n_obs,
+                       (SELECT n FROM t)
+                           * log10(1e0 + 1e0 / CAST(d.digit AS DOUBLE))
+                           AS exp_n
+                FROM d LEFT JOIN o ON d.digit = o.digit
+            )
+            SELECT CAST(digit AS BIGINT) AS digit, n_obs,
+                   round(exp_n, 8) AS exp_n,
+                   round((CAST(n_obs AS DOUBLE) - exp_n)
+                         * (CAST(n_obs AS DOUBLE) - exp_n) / exp_n, 8)
+                       AS chi2_term
             FROM e
         """,
         # Holt level+trend: recursive CTE carrying BOTH recurrences, the new

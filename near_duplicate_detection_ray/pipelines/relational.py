@@ -6387,3 +6387,56 @@ def daily_revenue_holt(sf_dir: str, alpha: float = 0.3, beta: float = 0.1):
             }
         )
     )
+
+
+def benford_audit_orders(sf_dir: str):
+    """BENFORD'S-LAW FIRST-DIGIT AUDIT of order totals — the forensic
+    data-quality screen for fabricated or truncated monetary data: compare
+    the observed first-significant-digit distribution of ``o_totalprice``
+    against Benford's ``log10(1 + 1/d)`` and report the per-digit chi-square
+    contribution.  Digit extraction is EXACT: integer cents via the shared
+    ``round(price*100)`` idiom, first digit = leading character of the
+    integer's decimal string (shifting the decimal point never changes the
+    leading significant digit) — no float formatting anywhere.
+
+    One low-cardinality combine (9 digit groups); the expected counts and
+    chi-square terms are single IEEE expressions replayed identically in
+    SQL.  Output: ``digit, n_obs, exp_n, chi2_term`` (round 8)."""
+    from ..sources.io import read_parquet_clean
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    part_schema = pa.schema([("digit", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        first = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        vc = pc.value_counts(pc.cast(first, pa.int64()).combine_chunks())
+        return pa.table(
+            {
+                "digit": pc.cast(vc.field("values"), pa.int64()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("digit", sort=True)["n"].sum()
+    n_total = int(g.sum())
+    digits = np.arange(1, 10, dtype=np.int64)
+    obs = np.array([int(g.get(d, 0)) for d in digits], dtype=np.int64)
+    exp = n_total * np.log10(1.0 + 1.0 / digits.astype(np.float64))
+    chi = (obs.astype(np.float64) - exp) ** 2 / exp
+    return pa.table(
+        {
+            "digit": pa.array(digits, pa.int64()),
+            "n_obs": pa.array(obs, pa.int64()),
+            "exp_n": pa.array(np.round(exp, 8), pa.float64()),
+            "chi2_term": pa.array(np.round(chi, 8), pa.float64()),
+        }
+    )

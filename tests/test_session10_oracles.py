@@ -25,6 +25,7 @@ NEW_QUERIES = [
     "tf_cosine_pairs",
     "k_anonymity_events",
     "daily_revenue_holt",
+    "benford_audit_orders",
 ]
 
 
