@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ttest_pairs": text_analysis.source_ttest_pairs,  # SQL-checked (Welch t over exact moments)
         "shard_assignment": text_analysis.shard_assignment,    # SQL-checked (rendezvous/HRW routing)
         "shard_rebalance_diff": text_analysis.shard_rebalance_diff,  # SQL-checked (HRW minimal-movement diff)
+        "heaps_vocab_growth": text_analysis.heaps_vocab_growth,  # SQL-checked (first-occurrence vocab curve)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -4392,6 +4393,37 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(b.shard AS BIGINT) AS backup_shard
             FROM rk a JOIN rk b
                  ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+        """,
+        # Heaps curve: per-doc token counts (blank docs 0), new-vocab counts
+        # via min(doc) per distinct term, two running sums in doc_id order
+        "heaps_vocab_growth": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), tc AS (
+                SELECT doc_id,
+                       CASE WHEN t = '' THEN 0
+                            ELSE len(regexp_split_to_array(t, '\\s+'))
+                       END AS n_tok
+                FROM norm
+            ), firsts AS (
+                SELECT s, min(doc_id) AS fd
+                FROM (
+                    SELECT DISTINCT doc_id, s
+                    FROM norm,
+                         UNNEST(regexp_split_to_array(t, '\\s+')) AS u(s)
+                    WHERE t <> ''
+                ) GROUP BY s
+            ), news AS (
+                SELECT fd AS doc_id, count(*) AS v FROM firsts GROUP BY fd
+            )
+            SELECT tc.doc_id,
+                   CAST(sum(tc.n_tok) OVER (ORDER BY tc.doc_id) AS BIGINT)
+                       AS cum_tokens,
+                   CAST(sum(coalesce(news.v, 0)) OVER (ORDER BY tc.doc_id)
+                        AS BIGINT) AS cum_vocab
+            FROM tc LEFT JOIN news ON tc.doc_id = news.doc_id
         """,
         # HRW rebalance diff at 16 -> 17 shards: argmax over the first 16
         # score columns vs all 17, (score DESC, shard ASC) ties; moved rows

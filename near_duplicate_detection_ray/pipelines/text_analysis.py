@@ -3332,3 +3332,100 @@ def shard_rebalance_diff(sf_dir: str, n_shards: int = 16):
         )
 
     return docs.map_batches(route, batch_format="pyarrow")
+
+
+def heaps_vocab_growth(sf_dir: str):
+    """HEAPS'-LAW VOCABULARY GROWTH CURVE: after ingesting docs 1..n in
+    doc_id order, how many tokens has the corpus seen (``cum_tokens``) and
+    how large is its distinct vocabulary (``cum_vocab``)?  The curve a
+    tokenizer-budget or dedup-planning analysis reads V(N) ~ K*N^beta from —
+    the growth-rate companion to the static ``zipf_slope_corpus`` /
+    ``vocab_coverage`` views.
+
+    The distributed trick is FIRST-OCCURRENCE ATTRIBUTION: a term
+    contributes +1 to the doc where it FIRST appears, so cumulative vocab =
+    prefix-sum of per-doc new-term counts.  One term-keyed shuffle of the
+    distinct (term, doc) pairs computes min(doc) per term block-locally (all
+    occurrences co-locate), a value-count turns first-docs into new-term
+    counts, and the two running totals are one ordered prefix-sum over the
+    |docs|-row counts table.  Token identity is the engine-standard
+    normalized whitespace split (blank docs count 0 tokens, matching the
+    oracle's CASE).  Output: ``doc_id, cum_tokens, cum_vocab``."""
+    import pandas as pd
+
+    from ..functions.similarity import _binary_column_view
+    from ..pipelines.docs_dedup import ngram_grams_docs
+    from ..state.partitioning import key_partitioned
+
+    # per-doc token counts over normalized text (blanks -> 0)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        from ..functions.text import normalize_text
+
+        ids = pc.cast(t["doc_id"], pa.int64())
+        norm = pa.array(
+            [normalize_text(x) for x in t["text"].to_pylist()], pa.string()
+        )
+        toks = pc.utf8_split_whitespace(norm)
+        n = pc.list_value_length(toks)
+        blank = pc.equal(pc.utf8_length(norm), 0)
+        n = pc.if_else(blank, pa.scalar(0, pa.int32()), n)
+        return pa.table(
+            {"doc_id": ids, "n_tok": pc.cast(n, pa.int64())}
+        )
+
+    counts = docs.map_batches(tok_counts, batch_format="pyarrow").to_pandas()
+
+    # distinct (term, doc) -> min doc per term -> new terms per doc
+    sigs = ngram_grams_docs(sf_dir, 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        vals, m = _binary_column_view(batch["shingles"])
+        row_idx = np.repeat(np.arange(len(m), dtype=np.int64), m)
+        ids = pc.cast(batch["conv_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(vals, pa.uint64()),
+                "doc_id": pa.array(ids[row_idx], pa.int64()),
+            }
+        )
+
+    def first_doc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        out = batch.group_by(["bucket"]).aggregate([("doc_id", "min")])
+        vc = pc.value_counts(out["doc_id_min"].combine_chunks())
+        return pa.table(
+            {
+                "doc_id": pc.cast(vc.field("values"), pa.int64()),
+                "v": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    news = (
+        key_partitioned(sigs.map_batches(explode, batch_format="pyarrow"),
+                        ["bucket"])
+        .map_batches(first_doc, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("doc_id", sort=False)["v"].sum()
+    )
+    df = counts.sort_values("doc_id").reset_index(drop=True)
+    v = df["doc_id"].map(news).fillna(0).to_numpy(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+            "cum_tokens": pa.array(
+                np.cumsum(df["n_tok"].to_numpy(np.int64)), pa.int64()
+            ),
+            "cum_vocab": pa.array(np.cumsum(v), pa.int64()),
+        }
+    )

@@ -26,6 +26,7 @@ NEW_QUERIES = [
     "k_anonymity_events",
     "daily_revenue_holt",
     "benford_audit_orders",
+    "heaps_vocab_growth",
 ]
 
 
