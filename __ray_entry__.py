@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_events": relational.k_anonymity_events,    # SQL-checked (privacy audit, QI buckets < k)
         "daily_revenue_holt": relational.daily_revenue_holt,    # SQL-checked (coupled level+trend recursion)
         "benford_audit_orders": relational.benford_audit_orders,  # SQL-checked (first-digit forensic audit)
+        "daily_revenue_cusum": relational.daily_revenue_cusum,  # SQL-checked (control-chart changepoints)
         "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
         "brand_basket_lift": relational.brand_basket_lift,     # SQL-checked (association support/lift)
         "customer_survival_km": relational.customer_survival_km,  # SQL-checked (Kaplan-Meier retention)
@@ -1702,6 +1703,51 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT day, rev_c,
                    CAST(floor(ewma * 100 + 0.5) AS BIGINT) AS ewma_c
             FROM e
+        """,
+        # CUSUM: exact HUGEINT moments -> mu/sigma/k/h IEEE scalars attached
+        # to every row, coupled max-recursion in a recursive CTE
+        "daily_revenue_cusum": """
+            WITH RECURSIVE d0 AS (
+                SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1
+            ), s AS (
+                SELECT count(*) AS n,
+                       sum(CAST(rev_c AS HUGEINT)) AS s1,
+                       sum(CAST(rev_c AS HUGEINT) * rev_c) AS s2
+                FROM d0
+            ), c AS (
+                SELECT CAST(s1 AS DOUBLE) / n AS mu,
+                       0.5 * sqrt(CAST(s2 AS DOUBLE) / n
+                                  - (CAST(s1 AS DOUBLE) / n)
+                                    * (CAST(s1 AS DOUBLE) / n)) AS kk,
+                       4e0 * sqrt(CAST(s2 AS DOUBLE) / n
+                                  - (CAST(s1 AS DOUBLE) / n)
+                                    * (CAST(s1 AS DOUBLE) / n)) AS h
+                FROM s
+            ), d AS (
+                SELECT day, rev_c, mu, kk, h,
+                       row_number() OVER (ORDER BY day) AS rn
+                FROM d0, c
+            ), r AS (
+                SELECT rn, day, rev_c, mu, kk, h,
+                       greatest(0e0, CAST(rev_c AS DOUBLE) - mu - kk) AS sp,
+                       greatest(0e0, mu - CAST(rev_c AS DOUBLE) - kk) AS sn
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.rn, d.day, d.rev_c, d.mu, d.kk, d.h,
+                       greatest(0e0, r.sp
+                                + (CAST(d.rev_c AS DOUBLE) - d.mu - d.kk)),
+                       greatest(0e0, r.sn
+                                + (d.mu - CAST(d.rev_c AS DOUBLE) - d.kk))
+                FROM d JOIN r ON d.rn = r.rn + 1
+            )
+            SELECT day, rev_c, round(sp, 8) AS cusum_pos,
+                   round(sn, 8) AS cusum_neg,
+                   CAST(CASE WHEN sp > h OR sn > h THEN 1 ELSE 0 END
+                        AS BIGINT) AS alarm
+            FROM r
         """,
         # Benford first-digit audit: digit = leading char of the integer
         # cents string (exact), expected = N * log10(1 + 1/d), chi2 term =

@@ -6440,3 +6440,61 @@ def benford_audit_orders(sf_dir: str):
             "chi2_term": pa.array(np.round(chi, 8), pa.float64()),
         }
     )
+
+
+def daily_revenue_cusum(sf_dir: str):
+    """CUSUM CHANGEPOINT DETECTION over daily revenue — the control-chart
+    companion to the pointwise z-screen (:func:`daily_revenue_anomaly`) and
+    the smoothers (EWMA/Holt): two one-sided cumulative sums
+    ``sp_t = max(0, sp_{t-1} + (x_t - mu - k))`` and
+    ``sn_t = max(0, sn_{t-1} + (mu - x_t - k))`` with allowance
+    ``k = 0.5*sigma`` and alarm threshold ``h = 4*sigma`` — CUSUM
+    accumulates small persistent shifts a z-screen never flags.
+
+    Moments are EXACT Python-int sums (daily cents squared overflow int64 at
+    sf >= 0.1; the oracle's HUGEINT matches), mu/sigma/k/h are single IEEE
+    expressions, and the coupled max-recursion is replayed by a recursive
+    CTE carrying both sums.  Distributed part: the daily series folds via
+    map-side combine; the recursion is bounded by |days|.
+    Output: ``day, rev_c, cusum_pos, cusum_neg, alarm`` (round 8)."""
+    import math
+
+    import ray.data as rd
+
+    daily = _daily_revenue_cents(sf_dir).sort_values("day").reset_index(drop=True)
+    xs = [int(v) for v in daily["rev_c"]]
+    n = len(xs)
+    if n == 0:
+        return pa.schema(
+            [("day", pa.timestamp("us")), ("rev_c", pa.int64()),
+             ("cusum_pos", pa.float64()), ("cusum_neg", pa.float64()),
+             ("alarm", pa.int64())]
+        ).empty_table()
+    s1 = sum(xs)
+    s2 = sum(v * v for v in xs)  # exact big-int, mirrors HUGEINT
+    mu = float(s1) / n
+    sigma = math.sqrt(float(s2) / n - mu * mu)
+    kk = 0.5 * sigma
+    h = 4.0 * sigma
+    sp = np.empty(n, np.float64)
+    sn = np.empty(n, np.float64)
+    prev_p = prev_n = 0.0
+    for t_ in range(n):  # bounded by |days|, not the fact table
+        prev_p = max(0.0, prev_p + (float(xs[t_]) - mu - kk))
+        prev_n = max(0.0, prev_n + (mu - float(xs[t_]) - kk))
+        sp[t_], sn[t_] = prev_p, prev_n
+    alarm = ((sp > h) | (sn > h)).astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(
+                    daily["day"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "rev_c": pa.array(daily["rev_c"].to_numpy(), pa.int64()),
+                "cusum_pos": pa.array(np.round(sp, 8), pa.float64()),
+                "cusum_neg": pa.array(np.round(sn, 8), pa.float64()),
+                "alarm": pa.array(alarm, pa.int64()),
+            }
+        )
+    )

@@ -27,6 +27,7 @@ NEW_QUERIES = [
     "daily_revenue_holt",
     "benford_audit_orders",
     "heaps_vocab_growth",
+    "daily_revenue_cusum",
 ]
 
 
