@@ -1743,8 +1743,9 @@ def _oracle_sql_literal() -> dict[str, str]:
                                 + (d.mu - CAST(d.rev_c AS DOUBLE) - d.kk))
                 FROM d JOIN r ON d.rn = r.rn + 1
             )
-            SELECT day, rev_c, round(sp, 8) AS cusum_pos,
-                   round(sn, 8) AS cusum_neg,
+            SELECT day, rev_c,
+                   CAST(floor(sp * 100 + 0.5) AS BIGINT) AS cusum_pos_c,
+                   CAST(floor(sn * 100 + 0.5) AS BIGINT) AS cusum_neg_c,
                    CAST(CASE WHEN sp > h OR sn > h THEN 1 ELSE 0 END
                         AS BIGINT) AS alarm
             FROM r

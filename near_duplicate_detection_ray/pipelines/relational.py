@@ -6455,8 +6455,11 @@ def daily_revenue_cusum(sf_dir: str):
     sf >= 0.1; the oracle's HUGEINT matches), mu/sigma/k/h are single IEEE
     expressions, and the coupled max-recursion is replayed by a recursive
     CTE carrying both sums.  Distributed part: the daily series folds via
-    map-side combine; the recursion is bounded by |days|.
-    Output: ``day, rev_c, cusum_pos, cusum_neg, alarm`` (round 8)."""
+    map-side combine; the recursion is bounded by |days|.  The sums are
+    emitted as INTEGER CENTS via the shared ``floor(v*100 + 0.5)`` idiom —
+    ``round(v, 8)`` at the ~1e15 internal scale differs between numpy and
+    DuckDB in the last ulp (the EWMA docstring's footgun, reproduced here).
+    Output: ``day, rev_c, cusum_pos_c, cusum_neg_c, alarm``."""
     import math
 
     import ray.data as rd
@@ -6467,7 +6470,7 @@ def daily_revenue_cusum(sf_dir: str):
     if n == 0:
         return pa.schema(
             [("day", pa.timestamp("us")), ("rev_c", pa.int64()),
-             ("cusum_pos", pa.float64()), ("cusum_neg", pa.float64()),
+             ("cusum_pos_c", pa.int64()), ("cusum_neg_c", pa.int64()),
              ("alarm", pa.int64())]
         ).empty_table()
     s1 = sum(xs)
@@ -6492,8 +6495,12 @@ def daily_revenue_cusum(sf_dir: str):
                     pa.timestamp("us"),
                 ),
                 "rev_c": pa.array(daily["rev_c"].to_numpy(), pa.int64()),
-                "cusum_pos": pa.array(np.round(sp, 8), pa.float64()),
-                "cusum_neg": pa.array(np.round(sn, 8), pa.float64()),
+                "cusum_pos_c": pa.array(
+                    np.floor(sp * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "cusum_neg_c": pa.array(
+                    np.floor(sn * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
                 "alarm": pa.array(alarm, pa.int64()),
             }
         )
