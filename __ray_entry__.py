@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         "snm_dup_pairs": docs_dedup.snm_dup_pairs,              # SQL-checked (sorted-neighborhood windows)
         "tf_cosine_pairs": docs_dedup.tf_cosine_pairs,          # SQL-checked (weighted tf-cosine join, rare-term blocking)
+        "dup_bfs_depths": docs_dedup.dup_bfs_depths,            # SQL-checked (multi-source BFS to canonical docs)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
         "dedup_best_docs": docs_dedup.dedup_best_docs,          # SQL-checked (quality keep-rule)
         "dup_spans_docs": docs_dedup.dup_spans_docs,            # SQL-checked (exact repeated-span plan)
@@ -3766,6 +3767,58 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        """,
+        # Multi-source BFS to each component's min-id representative over the
+        # same brute-force pair graph as dup_components; depth-bounded
+        # recursive CTE, min(depth) per node
+        "dup_bfs_depths": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            ), e AS (
+                SELECT a AS src, b AS dst FROM p
+                UNION ALL
+                SELECT b AS src, a AS dst FROM p
+            ), reach AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+            ), roots AS (
+                SELECT src AS doc_id
+                FROM (SELECT src, least(src, min(dst)) AS cid
+                      FROM reach GROUP BY src)
+                WHERE cid = src
+            ), bfs AS (
+                SELECT doc_id, 0 AS depth FROM roots
+                UNION
+                SELECT e.dst, bfs.depth + 1
+                FROM bfs JOIN e ON e.src = bfs.doc_id
+                WHERE bfs.depth < 64
+            )
+            SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth
+            FROM bfs GROUP BY doc_id
         """,
         # Weighted gram-frequency cosine join: integer tf vectors over word
         # TRIGRAMS (short docs contribute one gram over all tokens, same rule

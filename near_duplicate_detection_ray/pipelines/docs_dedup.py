@@ -2072,3 +2072,122 @@ def tf_cosine_pairs(sf_dir: str, tau: float = 0.8, max_df: int = 10,
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def dup_bfs_depths(sf_dir: str, cfg: NDDConfig | None = None,
+                   max_depth: int = 64):
+    """BFS DEPTH FROM THE CANONICAL DOC over the near-dup graph: for every
+    document that appears in a dup pair, its shortest-path distance to its
+    component's representative (the min doc_id — the doc ``dedup_keep``
+    retains).  Depth 0 = the representative itself; depth k = a duplicate
+    reachable only through k near-dup hops — the "how indirect is this
+    duplicate" diagnostic that separates tight mirror clusters (all depth 1)
+    from drifting template chains (deep tails).
+
+    Iterative-graph shape (multi-source frontier BFS, the traversal sibling
+    of :func:`dup_pagerank`'s power loop): the symmetrized edge list and the
+    node tables live in the OBJECT STORE (built off-driver); each wave is
+    one remote task doing a sorted-``searchsorted`` neighbor expansion and a
+    visited-set subtraction; the driver holds only refs and the per-wave
+    row count.  ZERO shuffles in the loop.  The SQL oracle replays the same
+    multi-source BFS as a depth-bounded recursive CTE with ``min(depth)``
+    per node.  Output: ``doc_id, depth`` (pair-graph nodes only)."""
+    import ray
+
+    from ..state.partitioning import materialize_clean
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("depth", pa.int64())])
+    pairs = near_dup_pairs_docs(sf_dir, cfg)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = materialize_clean(pairs.map_batches(sym, batch_format="pyarrow"))
+    labels = materialize_clean(dup_components_docs(sf_dir, cfg))
+
+    def refs_of(ds):
+        return [
+            ref
+            for bundle in ds.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows
+        ]
+
+    e_refs, l_refs = refs_of(edges), refs_of(labels)
+    if not e_refs:
+        return out_schema.empty_table()
+
+    @ray.remote
+    def build(n_e: int, *tables):
+        e_tabs = [t for t in tables[:n_e] if t.num_rows]
+        l_tabs = [t for t in tables[n_e:] if t.num_rows]
+        et = pa.concat_tables(e_tabs)
+        src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        nodes = np.unique(src)
+        lt = pa.concat_tables(l_tabs)
+        lid = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lcl = lt["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (lid == lcl) & np.isin(lid, nodes)
+        roots = np.unique(lid[keep])
+        return src, dst, roots
+
+    adj_ref = build.remote(len(e_refs), *e_refs, *l_refs)
+
+    @ray.remote
+    def roots_of(adj):
+        return adj[2]
+
+    @ray.remote
+    def expand(adj, frontier, visited):
+        src, dst, _ = adj
+        lo = np.searchsorted(src, frontier, "left")
+        hi = np.searchsorted(src, frontier, "right")
+        if len(frontier) == 0:
+            return np.empty(0, np.int64)
+        idx = np.concatenate(
+            [np.arange(l, h) for l, h in zip(lo, hi)]
+        ) if len(frontier) else np.empty(0, np.int64)
+        nxt = np.unique(dst[idx]) if len(idx) else np.empty(0, np.int64)
+        return nxt[~np.isin(nxt, visited)]
+
+    @ray.remote
+    def union(a, b):
+        return np.union1d(a, b)
+
+    @ray.remote
+    def size(a) -> int:
+        return int(len(a))
+
+    frontier = roots_of.remote(adj_ref)
+    visited = frontier
+    waves = [frontier]
+    for _ in range(1, max_depth + 1):
+        frontier = expand.remote(adj_ref, frontier, visited)
+        if ray.get(size.remote(frontier)) == 0:  # one tiny int per wave
+            break
+        visited = union.remote(visited, frontier)
+        waves.append(frontier)
+
+    @ray.remote
+    def emit(*fronts) -> pa.Table:
+        ids = np.concatenate(fronts) if fronts else np.empty(0, np.int64)
+        ds_ = np.concatenate(
+            [np.full(len(f), d, np.int64) for d, f in enumerate(fronts)]
+        ) if fronts else np.empty(0, np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "depth": pa.array(ds_, pa.int64())},
+            schema=None,
+        )
+
+    return ray.get(emit.remote(*waves)).cast(out_schema)

@@ -28,6 +28,7 @@ NEW_QUERIES = [
     "benford_audit_orders",
     "heaps_vocab_growth",
     "daily_revenue_cusum",
+    "dup_bfs_depths",
 ]
 
 
