@@ -349,7 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": ann.knn_classify,                             # kNN majority-vote classification
         "click_attribution": relational.click_attribution,            # stream-stream windowed join
         "dup_triangles": docs_dedup.dup_triangles,                    # dup-graph triangle census
-        "dup_kcore": docs_dedup.dup_kcore,                            # rows-only (k-core peeling; NumPy-oracle pytest)
+        "dup_kcore": docs_dedup.dup_kcore,                            # SQL-checked (unrolled peeling CTEs)
         "event_type_cooccurrence": relational.event_type_cooccurrence,  # itemset-2 co-occurrence (bitmask)
         "profile_tables": relational.profile_tables,                  # data-quality profiling census
         "lang_confusion": text_analysis.lang_confusion,               # declared-vs-predicted lang census
@@ -720,6 +720,77 @@ _CUT_SPANS_SQL = r"""
                    CAST(len(x.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
             FROM toks x LEFT JOIN keptagg k USING (doc_id))
 """
+
+
+def _kcore_sql(max_k: int = 8, rounds: int = 6) -> str:
+    """Unrolled k-core peeling oracle (the pagerank unrolled-CTE move applied
+    to a fixpoint): for each k = 1..max_k, ``rounds`` chained
+    remove-degree-below-k CTEs starting from the (k-1)-core (cores nest);
+    core number = sum of nested-membership indicators.  Exact whenever every
+    k's peeling converges within ``rounds`` cascade waves and max core <
+    ``max_k`` — measured max core 3 and 1 wave at sf0.001/sf0.01, so the
+    margins are 2x+; the engine raises on non-convergence rather than
+    under-reporting, and the pytest pin fails loudly if the data outgrows
+    the unroll."""
+    pair_cte = """
+        toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                   ) AS t
+            FROM documents
+            WHERE trim(text) <> ''
+        ), sh AS (
+            SELECT DISTINCT doc_id, s
+            FROM toks, UNNEST(
+                CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                     ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                END
+            ) AS u(s)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), p AS (
+            SELECT a, b FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        ), e AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM p
+            UNION ALL
+            SELECT b AS src, a AS dst FROM p
+        ), n0 AS MATERIALIZED (
+            SELECT DISTINCT src AS v FROM e
+        )"""
+    parts = [pair_cte]
+    prev = "n0"
+    finals = []
+    for k in range(1, max_k + 1):
+        cur = prev
+        for r in range(1, rounds + 1):
+            name = f"s{k}_{r}"
+            parts.append(
+                f"""{name} AS MATERIALIZED (
+                SELECT e.src AS v FROM e
+                JOIN {cur} a ON e.src = a.v
+                JOIN {cur} b ON e.dst = b.v
+                GROUP BY e.src HAVING count(*) >= {k}
+            )"""
+            )
+            cur = name
+        finals.append(cur)
+        prev = cur
+    indicators = " + ".join(
+        f"(CASE WHEN n0.v IN (SELECT v FROM {f}) THEN 1 ELSE 0 END)"
+        for f in finals
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT n0.v AS node, CAST({indicators} AS BIGINT) AS core FROM n0"
+    )
 
 
 def _curate_sql() -> str:
@@ -3343,6 +3414,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         # connected components of the near-dup graph: transitive closure via
         # a recursive CTE over the same brute-force pair set, labels = min
         # reachable doc_id, singletons label themselves
+        "dup_kcore": _kcore_sql(),
         "dup_components_docs": """
             WITH RECURSIVE toks AS (
                 SELECT doc_id,

@@ -29,6 +29,7 @@ NEW_QUERIES = [
     "heaps_vocab_growth",
     "daily_revenue_cusum",
     "dup_bfs_depths",
+    "dup_kcore",
 ]
 
 
