@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assignment": text_analysis.shard_assignment,    # SQL-checked (rendezvous/HRW routing)
         "shard_rebalance_diff": text_analysis.shard_rebalance_diff,  # SQL-checked (HRW minimal-movement diff)
         "heaps_vocab_growth": text_analysis.heaps_vocab_growth,  # SQL-checked (first-occurrence vocab curve)
+        "skipgram_lift_pairs": text_analysis.skipgram_lift_pairs,  # SQL-checked (windowed co-occurrence lift)
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
@@ -4565,6 +4566,47 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(b.shard AS BIGINT) AS backup_shard
             FROM rk a JOIN rk b
                  ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+        """,
+        # Skip-gram lift: unordered pairs within w=3 positions over the
+        # normalized split, lift = c_xy * N / (c_x * c_y) on exact counts,
+        # top 30 by unrounded lift with (w_a, w_b) ties
+        "skipgram_lift_pairs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), toks AS (
+                SELECT doc_id, regexp_split_to_array(t, '\\s+') AS ws
+                FROM norm
+            ), pos AS (
+                SELECT doc_id, ws[i] AS s, i
+                FROM toks, UNNEST(generate_series(1, len(ws))) AS v(i)
+            ), pairs AS (
+                SELECT least(a.s, b.s) AS w_a, greatest(a.s, b.s) AS w_b
+                FROM pos a JOIN pos b
+                     ON a.doc_id = b.doc_id
+                        AND b.i > a.i AND b.i - a.i <= 3
+            ), cp AS (
+                SELECT w_a, w_b, count(*) AS c_xy
+                FROM pairs GROUP BY 1, 2
+                HAVING count(*) >= 5
+            ), un AS (
+                SELECT s, count(*) AS c FROM pos GROUP BY s
+            ), nt AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM pos
+            )
+            SELECT w_a, w_b, c_xy,
+                   round(CAST(c_xy AS DOUBLE) * (SELECT n FROM nt)
+                         / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)), 8)
+                       AS lift
+            FROM cp
+            JOIN un ua ON w_a = ua.s
+            JOIN un ub ON w_b = ub.s
+            ORDER BY CAST(c_xy AS DOUBLE) * (SELECT n FROM nt)
+                     / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) DESC,
+                     w_a, w_b
+            LIMIT 30
         """,
         # Heaps curve: per-doc token counts (blank docs 0), new-vocab counts
         # via min(doc) per distinct term, two running sums in doc_id order

@@ -3429,3 +3429,153 @@ def heaps_vocab_growth(sf_dir: str):
             "cum_vocab": pa.array(np.cumsum(v), pa.int64()),
         }
     )
+
+
+def skipgram_lift_pairs(sf_dir: str, w: int = 3, min_count: int = 5,
+                        k: int = 30):
+    """SKIP-GRAM WINDOW CO-OCCURRENCE LIFT — the word2vec/GloVe statistic:
+    for every unordered token pair co-occurring within ``w`` positions
+    (any gap 1..w, not just adjacency — the generalization of
+    :func:`token_pmi_pairs`'s bigram lift), the PMI-proportional lift
+    ``c_xy * N / (c_x * c_y)`` over exact integer counts; top-``k`` by
+    unrounded lift with (w_a, w_b) ties.  The association table a
+    phrase-vocabulary or embedding-pretrain prep reads.
+
+    Distributed shape: per-block window-pair value-count partials (``w``
+    shifted Arrow compares per block — no per-token Python), one
+    pair-keyed shuffle for global c_xy; unigram counts fold via the
+    vocabulary-bounded combine and broadcast ONCE as sorted arrays
+    (``ray.put``) for a searchsorted attach — no second shuffle; the
+    top-k rides bounded per-block partials.  Output: ``w_a, w_b, c_xy,
+    lift`` (round 8), globally sorted."""
+    import ray
+
+    from ..functions.groupagg import global_topk, lowcard_groupagg
+    from ..state.partitioning import key_partitioned, materialize_clean
+
+    docs = _read_docs(sf_dir, ["text"])
+    out_schema = pa.schema(
+        [("w_a", pa.string()), ("w_b", pa.string()),
+         ("c_xy", pa.int64()), ("lift", pa.float64())]
+    )
+    SEP = " "
+
+    def norm_toks(t: pa.Table):
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t["text"].combine_chunks()), r"\s+", " "
+            )
+        )
+        toks = pc.utf8_split_whitespace(norm)
+        blank = pc.equal(pc.utf8_length(norm), 0).to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(
+            np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+        )
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        return flat, row_idx, blank
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        flat, row_idx, blank = norm_toks(t)
+        keep_tok = ~blank[row_idx] if len(row_idx) else np.zeros(0, bool)
+        grams = []
+        for d in range(1, w + 1):
+            if len(flat) <= d:
+                break
+            same = (
+                keep_tok[d:] & keep_tok[:-d] & (row_idx[d:] == row_idx[:-d])
+            )
+            if not same.any():
+                continue
+            mask = pa.array(same)
+            w1 = flat.slice(0, len(flat) - d).filter(mask)
+            w2 = flat.slice(d).filter(mask)
+            lt = pc.less_equal(w1, w2)
+            wa = pc.if_else(lt, w1, w2)
+            wb = pc.if_else(lt, w2, w1)
+            grams.append(pc.binary_join_element_wise(wa, wb, SEP))
+        if not grams:
+            return empty
+        vc = pc.value_counts(pa.concat_arrays(
+            [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+             for g in grams]
+        ))
+        return pa.table(
+            {"gram": vc.field("values"), "c": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        flat, row_idx, blank = norm_toks(t)
+        keep_tok = ~blank[row_idx] if len(row_idx) else np.zeros(0, bool)
+        vc = pc.value_counts(flat.filter(pa.array(keep_tok)))
+        return pa.table(
+            {"s": vc.field("values"), "c": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    uni = (
+        lowcard_groupagg(
+            docs.map_batches(uni_partial, batch_format="pyarrow"),
+            ["s"], [("c", "sum")], {"c_sum": "c"},
+        )
+        .to_pandas()
+        .sort_values("s")
+    )
+    vocab = uni["s"].to_numpy(dtype=object)
+    counts = uni["c"].to_numpy(dtype=np.int64)
+    n_tokens = float(counts.sum())
+    vocab_ref = ray.put((vocab, counts))
+
+    pairs = key_partitioned(
+        materialize_clean(docs.map_batches(pair_partial, batch_format="pyarrow")),
+        ["gram"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        agg = t.group_by(["gram"]).aggregate([("c", "sum")])
+        c_xy = agg["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = c_xy >= min_count
+        if not keep.any():
+            return out_schema.empty_table()
+        g = agg["gram"].combine_chunks().filter(pa.array(keep))
+        c_xy = c_xy[keep]
+        parts_ = pc.split_pattern(g, pattern=SEP)
+        wa = pc.list_element(parts_, 0)
+        wb = pc.list_element(parts_, 1)
+        voc, cnt = ray.get(vocab_ref)
+        pos_a = np.searchsorted(voc, np.asarray(wa.to_pylist(), dtype=object))
+        pos_b = np.searchsorted(voc, np.asarray(wb.to_pylist(), dtype=object))
+        c_x = cnt[pos_a].astype(np.float64)
+        c_y = cnt[pos_b].astype(np.float64)
+        lift = c_xy.astype(np.float64) * n_tokens / (c_x * c_y)
+        return pa.table(
+            {"w_a": wa, "w_b": wb,
+             "c_xy": pa.array(c_xy, pa.int64()),
+             "lift": pa.array(lift, pa.float64())},
+            schema=out_schema,
+        )
+
+    ranked = pairs.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    top = global_topk(ranked, ["lift", "w_a", "w_b"], [True, False, False], k)
+    df = top.to_pandas()
+    df["lift"] = np.round(df["lift"].to_numpy(), 8)
+    return pa.table(
+        {
+            "w_a": pa.array(df["w_a"].astype(str), pa.string()),
+            "w_b": pa.array(df["w_b"].astype(str), pa.string()),
+            "c_xy": pa.array(df["c_xy"].to_numpy(np.int64), pa.int64()),
+            "lift": pa.array(df["lift"].to_numpy(), pa.float64()),
+        }
+    )

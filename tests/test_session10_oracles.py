@@ -30,6 +30,7 @@ NEW_QUERIES = [
     "daily_revenue_cusum",
     "dup_bfs_depths",
     "dup_kcore",
+    "skipgram_lift_pairs",
 ]
 
 
