@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_holt": relational.daily_revenue_holt,    # SQL-checked (coupled level+trend recursion)
         "benford_audit_orders": relational.benford_audit_orders,  # SQL-checked (first-digit forensic audit)
         "daily_revenue_cusum": relational.daily_revenue_cusum,  # SQL-checked (control-chart changepoints)
+        "orders_keyset_page": relational.orders_keyset_page,    # SQL-checked (cursor pagination)
+        "event_value_ecdf": relational.event_value_ecdf,        # SQL-checked (average-rank quantile transform)
         "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
         "brand_basket_lift": relational.brand_basket_lift,     # SQL-checked (association support/lift)
         "customer_survival_km": relational.customer_survival_km,  # SQL-checked (Kaplan-Meier retention)
@@ -1776,6 +1778,40 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT day, rev_c,
                    CAST(floor(ewma * 100 + 0.5) AS BIGINT) AS ewma_c
             FROM e
+        """,
+        # average-rank ECDF per type over distinct values: c_lt from a
+        # 1-PRECEDING window sum, (c_lt + (cnt+1)/2)/n in one expression
+        "event_value_ecdf": """
+            WITH d AS (
+                SELECT event_type, value, count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ), w AS (
+                SELECT event_type, value, cnt,
+                       coalesce(sum(cnt) OVER (
+                           PARTITION BY event_type ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS c_lt,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM d
+            )
+            SELECT event_type, value, cnt,
+                   round((CAST(c_lt AS DOUBLE)
+                          + (CAST(cnt AS DOUBLE) + 1e0) / 2e0)
+                         / CAST(n AS DOUBLE), 8) AS ecdf
+            FROM w
+        """,
+        # keyset pagination: rows 101-200 of the (o_orderdate, o_orderkey)
+        # order — the cursor formulation, not OFFSET
+        "orders_keyset_page": """
+            WITH r AS (
+                SELECT o_orderkey, o_orderdate, o_totalprice,
+                       row_number() OVER (
+                           ORDER BY o_orderdate, o_orderkey
+                       ) AS rn
+                FROM orders
+            )
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM r WHERE rn > 100 AND rn <= 200
         """,
         # CUSUM: exact HUGEINT moments -> mu/sigma/k/h IEEE scalars attached
         # to every row, coupled max-recursion in a recursive CTE

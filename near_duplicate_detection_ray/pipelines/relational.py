@@ -6505,3 +6505,103 @@ def daily_revenue_cusum(sf_dir: str):
             }
         )
     )
+
+
+def orders_keyset_page(sf_dir: str, page: int = 100):
+    """KEYSET (cursor) PAGINATION — the serving-tier primitive that replaces
+    OFFSET scans: page 2 of the orders feed ordered by ``(o_orderdate,
+    o_orderkey)``, fetched as "the first ``page`` rows strictly AFTER the
+    last key of page 1" — O(page) work regardless of how deep the cursor
+    sits, where OFFSET re-reads everything before it.
+
+    Distributed shape: the cursor (page 1's last key) comes from one
+    bounded ``global_topk`` pass (per-block k-best partials, no global
+    sort); page 2 is one vectorized keyset filter
+    ``(date, key) > cursor`` pushed into the stream plus a second bounded
+    top-k.  Output: ``o_orderkey, o_orderdate, o_totalprice`` of page 2,
+    globally sorted."""
+    from ..functions.groupagg import global_topk
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_totalprice"])
+    p1 = global_topk(
+        orders, ["o_orderdate", "o_orderkey"], [False, False], page
+    ).to_pandas()
+    if len(p1) < page:
+        return pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "o_totalprice": pa.array([], pa.float64())}
+        )
+    cur_d = p1["o_orderdate"].iloc[-1]
+    cur_k = int(p1["o_orderkey"].iloc[-1])
+    cd = pa.scalar(cur_d.to_datetime64(), pa.timestamp("us"))
+
+    def after(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        keep = pc.or_(
+            pc.greater(d, cd),
+            pc.and_(pc.equal(d, cd),
+                    pc.greater(pc.cast(t["o_orderkey"], pa.int64()),
+                               pa.scalar(cur_k, pa.int64()))),
+        )
+        return t.filter(keep)
+
+    p2 = global_topk(
+        orders.map_batches(after, batch_format="pyarrow"),
+        ["o_orderdate", "o_orderkey"], [False, False], page,
+    ).to_pandas()
+    return pa.table(
+        {
+            "o_orderkey": pa.array(p2["o_orderkey"].to_numpy(np.int64), pa.int64()),
+            "o_orderdate": pa.array(
+                p2["o_orderdate"].to_numpy().astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array(p2["o_totalprice"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+def event_value_ecdf(sf_dir: str):
+    """EMPIRICAL-CDF (average-rank) NORMALIZATION of event values per type —
+    the rank-based feature transform (quantile normalization) a
+    training-feature pipeline applies when raw magnitudes are incomparable
+    across types: each distinct value maps to
+    ``(c_lt + (cnt + 1)/2) / n`` (ties share their average rank), exact
+    integers until one IEEE expression.
+
+    One type-keyed partition; per block a vectorized sort + run-length
+    cumsum over the co-located group (distinct values per type, never raw
+    rows, leave the block).  Output: ``event_type, value, cnt, ecdf``
+    (round 8)."""
+    import pandas as pd
+
+    from ..state.partitioning import key_partitioned
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=str),
+                 "value": pd.Series([], dtype=np.float64),
+                 "cnt": pd.Series([], dtype=np.int64),
+                 "ecdf": pd.Series([], dtype=np.float64)}
+            )
+        out = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            uniq, cnt = np.unique(v, return_counts=True)
+            c_lt = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+            n = float(len(v))
+            ecdf = (c_lt + (cnt + 1) / 2.0) / n
+            out.append(pd.DataFrame(
+                {"event_type": et, "value": uniq,
+                 "cnt": cnt.astype(np.int64), "ecdf": np.round(ecdf, 8)}
+            ))
+        return pd.concat(out, ignore_index=True)
+
+    return key_partitioned(ev, ["event_type"]).map_batches(
+        block, batch_format="pandas", batch_size=None
+    )

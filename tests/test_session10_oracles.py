@@ -31,6 +31,8 @@ NEW_QUERIES = [
     "dup_bfs_depths",
     "dup_kcore",
     "skipgram_lift_pairs",
+    "orders_keyset_page",
+    "event_value_ecdf",
 ]
 
 
