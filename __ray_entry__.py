@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_cusum": relational.daily_revenue_cusum,  # SQL-checked (control-chart changepoints)
         "orders_keyset_page": relational.orders_keyset_page,    # SQL-checked (cursor pagination)
         "event_value_ecdf": relational.event_value_ecdf,        # SQL-checked (average-rank quantile transform)
+        "daily_revenue_features": relational.daily_revenue_features,  # SQL-checked (lag/rolling feature prep)
+        "type_hour_independence": relational.type_hour_independence,  # SQL-checked (chi-square contingency)
         "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
         "brand_basket_lift": relational.brand_basket_lift,     # SQL-checked (association support/lift)
         "customer_survival_km": relational.customer_survival_km,  # SQL-checked (Kaplan-Meier retention)
@@ -1778,6 +1780,58 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT day, rev_c,
                    CAST(floor(ewma * 100 + 0.5) AS BIGINT) AS ewma_c
             FROM e
+        """,
+        # chi-square independence over the full types x hours cross product:
+        # exact integer marginals, exp = row*col/n, chi2 = (obs-exp)^2/exp
+        "type_hour_independence": """
+            WITH qi AS (
+                SELECT event_type,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour
+                FROM events
+            ), o AS (
+                SELECT event_type, hour, count(*) AS n_obs
+                FROM qi GROUP BY 1, 2
+            ), rt AS (
+                SELECT event_type, sum(n_obs) AS r FROM o GROUP BY 1
+            ), ct AS (
+                SELECT hour, sum(n_obs) AS c FROM o GROUP BY 1
+            ), nt AS (
+                SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM o
+            ), grid AS (
+                SELECT rt.event_type, ct.hour,
+                       CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                           / (SELECT n FROM nt) AS exp_n,
+                       coalesce(o.n_obs, 0) AS n_obs
+                FROM rt CROSS JOIN ct
+                LEFT JOIN o ON o.event_type = rt.event_type
+                           AND o.hour = ct.hour
+            )
+            SELECT event_type, hour, CAST(n_obs AS BIGINT) AS n_obs,
+                   round(exp_n, 8) AS exp_n,
+                   round((CAST(n_obs AS DOUBLE) - exp_n)
+                         * (CAST(n_obs AS DOUBLE) - exp_n) / exp_n, 8)
+                       AS chi2_term
+            FROM grid
+        """,
+        # lag/rolling feature prep: integer-cents lags + 7-day rolling sum,
+        # NULL until the lag/frame is fully populated
+        "daily_revenue_features": """
+            WITH d AS (
+                SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1
+            )
+            SELECT day, rev_c,
+                   lag(rev_c, 1) OVER (ORDER BY day) AS lag1_c,
+                   lag(rev_c, 7) OVER (ORDER BY day) AS lag7_c,
+                   CASE WHEN row_number() OVER (ORDER BY day) >= 7
+                        THEN CAST(sum(rev_c) OVER (
+                            ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                        ) AS BIGINT)
+                   END AS sum7_c
+            FROM d
         """,
         # average-rank ECDF per type over distinct values: c_lt from a
         # 1-PRECEDING window sum, (c_lt + (cnt+1)/2)/n in one expression

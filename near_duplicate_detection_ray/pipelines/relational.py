@@ -6605,3 +6605,114 @@ def event_value_ecdf(sf_dir: str):
     return key_partitioned(ev, ["event_type"]).map_batches(
         block, batch_format="pandas", batch_size=None
     )
+
+
+def daily_revenue_features(sf_dir: str):
+    """LAG-FEATURE TABLE for forecasting — the supervised-learning prep that
+    turns the revenue series into (target, lag-1, lag-7, trailing-7-sum)
+    rows a regression trainer consumes directly.  ALL columns are exact
+    integer cents: lags are shifts, the trailing sum is a 7-day rolling
+    integer sum (NULL until 7 days exist, matching the SQL frame+CASE) —
+    zero float anywhere.
+
+    Distributed part: the daily series folds via map-side combine (bounded
+    by |days|); shifts/rolling are one vectorized pass over the collected
+    series.  Output: ``day, rev_c, lag1_c, lag7_c, sum7_c``."""
+    import ray.data as rd
+
+    daily = _daily_revenue_cents(sf_dir).sort_values("day").reset_index(drop=True)
+    x = daily["rev_c"].to_numpy(np.int64)
+    n = len(x)
+
+    def lag(d: int) -> np.ndarray:
+        out = np.full(n, -1, np.int64)
+        if n > d:
+            out[d:] = x[:-d]
+        return out
+
+    lag1, lag7 = lag(1), lag(7)
+    csum = np.concatenate([[0], np.cumsum(x)]).astype(np.int64)
+    sum7 = np.full(n, -1, np.int64)
+    if n >= 7:
+        sum7[6:] = csum[7:] - csum[:-7]
+    mask1, mask7, masks = lag1 >= 0, lag7 >= 0, sum7 >= 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(
+                    daily["day"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "rev_c": pa.array(x, pa.int64()),
+                "lag1_c": pa.array(
+                    [int(v) if m else None for v, m in zip(lag1, mask1)],
+                    pa.int64(),
+                ),
+                "lag7_c": pa.array(
+                    [int(v) if m else None for v, m in zip(lag7, mask7)],
+                    pa.int64(),
+                ),
+                "sum7_c": pa.array(
+                    [int(v) if m else None for v, m in zip(sum7, masks)],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+
+
+def type_hour_independence(sf_dir: str):
+    """CHI-SQUARE INDEPENDENCE TEST between event type and hour-of-day —
+    the contingency-table screen ("is traffic shape type-dependent?") next
+    to the engine's two-sample tests (Welch t, KS, PSI): per cell of the
+    FULL observed-types x observed-hours cross product, the observed count,
+    the independence expectation ``row_total * col_total / n`` and its
+    chi-square contribution ``(obs - exp)^2 / exp`` — exact integer
+    marginals, two IEEE expressions, round 8.
+
+    One low-cardinality combine (|types| x 24 cells); the cross product and
+    the algebra run over the tiny marginal tables.  Output: ``event_type,
+    hour, n_obs, exp_n, chi2_term``."""
+    import pandas as pd
+
+    from ..functions.groupagg import lowcard_groupagg
+    from ..sources.io import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+            }
+        )
+
+    cells = lowcard_groupagg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"], [([], "count_all")], {"count_all": "n_obs"},
+    ).to_pandas()
+    piv = cells.pivot_table(index="event_type", columns="hour",
+                            values="n_obs", fill_value=0, aggfunc="sum")
+    piv = piv.sort_index()
+    piv = piv[sorted(piv.columns)]
+    obs = piv.to_numpy(np.int64)
+    rows = obs.sum(axis=1)
+    cols = obs.sum(axis=0)
+    n = float(obs.sum())
+    exp = rows[:, None].astype(np.float64) * cols[None, :].astype(np.float64) / n
+    chi = (obs.astype(np.float64) - exp) ** 2 / exp
+    types = list(piv.index)
+    hours = list(piv.columns)
+    et = np.repeat(np.array(types, dtype=object), len(hours))
+    hr = np.tile(np.array(hours, dtype=np.int64), len(types))
+    return pa.table(
+        {
+            "event_type": pa.array(list(et), pa.string()),
+            "hour": pa.array(hr, pa.int64()),
+            "n_obs": pa.array(obs.ravel(), pa.int64()),
+            "exp_n": pa.array(np.round(exp.ravel(), 8), pa.float64()),
+            "chi2_term": pa.array(np.round(chi.ravel(), 8), pa.float64()),
+        }
+    )

@@ -33,6 +33,8 @@ NEW_QUERIES = [
     "skipgram_lift_pairs",
     "orders_keyset_page",
     "event_value_ecdf",
+    "daily_revenue_features",
+    "type_hour_independence",
 ]
 
 
