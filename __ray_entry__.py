@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_ecdf": relational.event_value_ecdf,        # SQL-checked (average-rank quantile transform)
         "daily_revenue_features": relational.daily_revenue_features,  # SQL-checked (lag/rolling feature prep)
         "type_hour_independence": relational.type_hour_independence,  # SQL-checked (chi-square contingency)
+        "brand_triple_support": relational.brand_triple_support,  # SQL-checked (frequent 3-itemsets)
         "event_gap_ks": relational.event_gap_ks,               # SQL-checked (exponential-fit KS distance)
         "brand_basket_lift": relational.brand_basket_lift,     # SQL-checked (association support/lift)
         "customer_survival_km": relational.customer_survival_km,  # SQL-checked (Kaplan-Meier retention)
@@ -1780,6 +1781,29 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT day, rev_c,
                    CAST(floor(ewma * 100 + 0.5) AS BIGINT) AS ewma_c
             FROM e
+        """,
+        # frequent 3-itemsets: brand triples over distinct per-order brand
+        # sets, support vs the distinct-order universe
+        "brand_triple_support": """
+            WITH ob AS (
+                SELECT DISTINCT l_orderkey, p_brand AS brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), nn AS (
+                SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM ob
+            ), t AS (
+                SELECT a.brand AS b1, b.brand AS b2, c.brand AS b3,
+                       count(*) AS n_abc
+                FROM ob a
+                JOIN ob b ON a.l_orderkey = b.l_orderkey
+                         AND a.brand < b.brand
+                JOIN ob c ON a.l_orderkey = c.l_orderkey
+                         AND b.brand < c.brand
+                GROUP BY 1, 2, 3 HAVING count(*) >= 3
+            )
+            SELECT b1, b2, b3, n_abc,
+                   round(CAST(n_abc AS DOUBLE) / (SELECT n FROM nn), 8)
+                       AS support
+            FROM t
         """,
         # chi-square independence over the full types x hours cross product:
         # exact integer marginals, exp = row*col/n, chi2 = (obs-exp)^2/exp

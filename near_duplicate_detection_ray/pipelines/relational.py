@@ -6716,3 +6716,114 @@ def type_hour_independence(sf_dir: str):
             "chi2_term": pa.array(np.round(chi.ravel(), 8), pa.float64()),
         }
     )
+
+
+def brand_triple_support(sf_dir: str, min_orders: int = 3):
+    """FREQUENT 3-ITEMSETS over order baskets — the Apriori step above
+    :func:`brand_basket_lift`'s pair support: brand triples co-purchased in
+    at least ``min_orders`` distinct orders, with their support against the
+    distinct-order universe.  Exact integer counts, one IEEE division.
+
+    Distributed shape: ONE orderkey-keyed shuffle of the distinct
+    (order, brand) rows co-locates each basket; per block, per-basket
+    sorted-combination generation (baskets hold a handful of brands —
+    C(k,3) stays tiny) feeds a triple-keyed combine bounded by the triple
+    vocabulary, not row count.  Output: ``b1, b2, b3, n_abc, support``."""
+    import itertools
+
+    import pandas as pd
+
+    from ..functions.groupagg import highcard_groupagg
+    from ..state.partitioning import key_partitioned
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # ONE to_pandas: zipping two separate executions of the lazy Dataset
+    # pairs keys and values from potentially different block orders
+    pdf = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_by_part = dict(
+        zip(pdf["p_partkey"].to_numpy(np.int64), pdf["p_brand"].astype(str))
+    )
+    import ray
+
+    brand_ref = ray.put(brand_by_part)
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(brand_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "brand": pa.array([m[int(p)] for p in pk], pa.string()),
+            }
+        )
+
+    ob = highcard_groupagg(
+        li.map_batches(tag, batch_format="pyarrow"),
+        ["l_orderkey", "brand"], [([], "count_all")], {"count_all": "c"},
+    )
+
+    # distinct-order count: per-block distinct partials over the keyed rows
+    keyed = key_partitioned(ob, ["l_orderkey"])
+
+    part_schema = pa.schema(
+        [("b1", pa.string()), ("b2", pa.string()), ("b3", pa.string()),
+         ("c", pa.int64()), ("n_ord", pa.int64())]
+    )
+
+    def triples(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "o": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "b": t["brand"].to_pandas().astype(str),
+            }
+        )
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        n_ord = 0
+        for _, g in df.groupby("o", sort=False):
+            n_ord += 1
+            bs = sorted(set(g["b"]))
+            if len(bs) >= 3:
+                cnt.update(itertools.combinations(bs, 3))
+        rows = list(cnt.items())
+        # one dedicated carrier row holds this block's basket count — a
+        # block full of small baskets must still contribute to the support
+        # denominator even when it emits zero triples
+        return pa.table(
+            {
+                "b1": pa.array([r[0][0] for r in rows] + [""], pa.string()),
+                "b2": pa.array([r[0][1] for r in rows] + [""], pa.string()),
+                "b3": pa.array([r[0][2] for r in rows] + [""], pa.string()),
+                "c": pa.array([r[1] for r in rows] + [0], pa.int64()),
+                "n_ord": pa.array([0] * len(rows) + [n_ord], pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    parts = keyed.map_batches(
+        triples, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if parts.empty:
+        return pa.schema(
+            [("b1", pa.string()), ("b2", pa.string()), ("b3", pa.string()),
+             ("n_abc", pa.int64()), ("support", pa.float64())]
+        ).empty_table()
+    n_total = float(parts["n_ord"].sum())
+    trip = parts[parts["b1"] != ""]
+    g = (
+        trip.groupby(["b1", "b2", "b3"], sort=True)["c"].sum().reset_index()
+    )
+    g = g[g["c"] >= min_orders]
+    sup = np.round(g["c"].to_numpy(np.float64) / n_total, 8)
+    return pa.table(
+        {
+            "b1": pa.array(g["b1"].astype(str), pa.string()),
+            "b2": pa.array(g["b2"].astype(str), pa.string()),
+            "b3": pa.array(g["b3"].astype(str), pa.string()),
+            "n_abc": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            "support": pa.array(sup, pa.float64()),
+        }
+    )

@@ -35,6 +35,7 @@ NEW_QUERIES = [
     "event_value_ecdf",
     "daily_revenue_features",
     "type_hour_independence",
+    "brand_triple_support",
 ]
 
 
