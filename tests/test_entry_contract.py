@@ -18,13 +18,12 @@ def test_inventory_consistency():
         "ann_ivf_topk",            # approximate ANN (recall pytest-pinned)
         "ann_lsh_topk",            # approximate ANN (recall pytest-pinned)
         "ann_pq_topk",             # PQ/ADC ANN (full-refine equality + recall pinned)
-        "distinct_stats_hll",      # HLL sketch (merge determinism + error pinned)
-        "dup_kcore",               # iterative k-core peeling (NumPy-oracle pytest)
-        "event_type_counts_cms",   # Count-Min sketch (overestimate/eps/merge pinned)
+        "distinct_stats_hll",      # HLL sketch (blake2b basis + 4096-float
+                                   # harmonic sum are not SQL-replayable)
         "event_value_quantiles_sketch",  # mergeable sketch (error pytest-pinned)
         "media_cdc_dedup",         # rolling-hash CDC boundaries (NumPy-oracle pytest)
         "semdedup_docs",           # k-means-bounded semantic dedup (NumPy-oracle pytest)
-    ], rows_only
+    ], rows_only  # event_type_counts_cms and dup_kcore graduated to exact SQL
     for name, fn in q.items():
         assert callable(fn), name
     for name, sql in o.items():
