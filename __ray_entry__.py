@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "distinct_kmv_events": relational.distinct_kmv_events,  # SQL-checked (k-minimum-values sketch)
         "kmv_user_overlap": relational.kmv_user_overlap,        # SQL-checked (KMV union/intersection algebra)
+        "join_size_cms": relational.join_size_cms,              # SQL-checked (CMS inner-product join sizing)
         "k_anonymity_events": relational.k_anonymity_events,    # SQL-checked (privacy audit, QI buckets < k)
         "daily_revenue_holt": relational.daily_revenue_holt,    # SQL-checked (coupled level+trend recursion)
         "benford_audit_orders": relational.benford_audit_orders,  # SQL-checked (first-digit forensic audit)
@@ -3333,6 +3334,68 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM qi GROUP BY event_type, hour, value_band
             HAVING count(*) < 5
+        """,
+        # CMS inner-product join sizing: replay both types' sketches with
+        # the same HUGEINT splitmix double hashing, inner product per hash
+        # row via a (r, col) join (missing cells are zero via the grid
+        # LEFT JOIN), estimate = min over the 4 rows
+        "join_size_cms": """
+            WITH c AS (
+                SELECT event_type, user_id, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), kt AS (
+                SELECT event_type, n,
+                       CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+                            AS HUGEINT) AS k
+                FROM c
+            ), m1 AS (
+                SELECT event_type, n,
+                       (((k % 4294967296) * 2135587861
+                         + (((k % 4294967296) * 2654435769
+                             + (k // 4294967296) * 2135587861) % 4294967296)
+                           * 4294967296) % 18446744073709551616)
+                         // 8589934592 AS h1,
+                       CAST(xor(CAST(k AS UBIGINT),
+                                CAST(k // 536870912 AS UBIGINT)) AS HUGEINT)
+                           AS xk
+                FROM kt
+            ), m2 AS (
+                SELECT event_type, n, CAST(h1 AS BIGINT) AS h1,
+                       CAST((((xk % 4294967296) * 484763065
+                         + (((xk % 4294967296) * 3210233709
+                             + (xk // 4294967296) * 484763065) % 4294967296)
+                           * 4294967296) % 18446744073709551616)
+                         // 2147483648 AS BIGINT) AS h2r
+                FROM m1
+            ), rows_ AS (
+                SELECT event_type, n, r,
+                       (h1 + r * (h2r - (h2r % 2) + 1)) % 2048 AS col
+                FROM m2 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) u
+            ), cells AS (
+                SELECT event_type, r, col, sum(n) AS cell
+                FROM rows_ GROUP BY 1, 2, 3
+            ), pairs AS (
+                SELECT a.event_type AS ta, b.event_type AS tb
+                FROM (SELECT DISTINCT event_type FROM c) a
+                JOIN (SELECT DISTINCT event_type FROM c) b
+                     ON a.event_type < b.event_type
+            ), ip AS (
+                SELECT p.ta, p.tb, ca.r, sum(ca.cell * cb.cell) AS prod
+                FROM pairs p
+                JOIN cells ca ON ca.event_type = p.ta
+                JOIN cells cb ON cb.event_type = p.tb
+                             AND cb.r = ca.r AND cb.col = ca.col
+                GROUP BY 1, 2, 3
+            ), grid AS (
+                SELECT ta, tb, r
+                FROM pairs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) u
+            )
+            SELECT g.ta AS type_a, g.tb AS type_b,
+                   CAST(min(coalesce(ip.prod, 0)) AS BIGINT)
+                       AS est_join_size
+            FROM grid g
+            LEFT JOIN ip ON ip.ta = g.ta AND ip.tb = g.tb AND ip.r = g.r
+            GROUP BY 1, 2
         """,
         # KMV sketch algebra per event-type pair: union sketch = kk-prefix of
         # the merged k-minima, union est exact below k else (k-1)/h_k

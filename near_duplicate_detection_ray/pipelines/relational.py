@@ -6827,3 +6827,80 @@ def brand_triple_support(sf_dir: str, min_orders: int = 3):
             "support": pa.array(sup, pa.float64()),
         }
     )
+
+
+def join_size_cms(sf_dir: str):
+    """JOIN-SIZE ESTIMATION via Count-Min INNER PRODUCTS (the AMS/CMS
+    classic): for every event-type pair, estimate the equi-join cardinality
+    on ``user_id`` — ``|A join B| = sum_u c_A(u) * c_B(u)`` — from the two
+    types' fixed-memory CMS tables alone: ``est = min_r sum_j
+    CMS_A[r][j] * CMS_B[r][j]`` (never an underestimate).  The
+    query-planner primitive for sizing a shuffle join without touching the
+    key sets; the third member of the sketch-algebra family
+    (:func:`distinct_kmv_events`, :func:`kmv_user_overlap`).
+
+    Deterministic end to end (same md5-low64 + splitmix double hashing as
+    ``event_type_counts_cms``), so the DuckDB oracle replays the sketches
+    exactly in HUGEINT and takes the identical min-of-inner-products.
+    Distributed shape: one (4 x 2048) int64 table per type per block,
+    merged by addition; pair algebra is O(#types^2 * d * w) on the tiny
+    merged tables.  Output: ``type_a, type_b, est_join_size`` (exact
+    integers)."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_low64
+    from ..sources.io import read_parquet_clean
+    from ..state.sketch import CMS_D, CMS_W, cms_merge, cms_table
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("payload", pa.binary())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        types, blobs = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            vc = g["user_id"].value_counts()
+            keys = np.array(
+                [md5_low64(str(u)) for u in vc.index], dtype=np.uint64
+            )
+            blobs.append(cms_table(keys, vc.to_numpy(np.int64)).tobytes())
+            types.append(et)
+        return pa.table(
+            {"event_type": pa.array(types, pa.string()),
+             "payload": pa.array(blobs, pa.binary())},
+            schema=part_schema,
+        )
+
+    rows = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sketches: dict[str, np.ndarray] = {}
+    for et, g in rows.groupby("event_type", sort=True):
+        sketches[et] = cms_merge(
+            [np.frombuffer(p, dtype=np.int64).reshape(CMS_D, CMS_W)
+             for p in g["payload"]]
+        )
+    types = sorted(sketches)
+    out_a, out_b, out_e = [], [], []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            prods = (sketches[ta] * sketches[tb]).sum(axis=1)
+            out_a.append(ta)
+            out_b.append(tb)
+            out_e.append(int(prods.min()))
+    return pa.table(
+        {
+            "type_a": pa.array(out_a, pa.string()),
+            "type_b": pa.array(out_b, pa.string()),
+            "est_join_size": pa.array(out_e, pa.int64()),
+        }
+    )

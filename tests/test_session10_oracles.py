@@ -36,6 +36,7 @@ NEW_QUERIES = [
     "daily_revenue_features",
     "type_hour_independence",
     "brand_triple_support",
+    "join_size_cms",
 ]
 
 
@@ -181,3 +182,29 @@ def test_quota_sums_to_budget_and_tracks_mix(ray_session):
     share = 100 * want / want.sum()
     for s in want.index:
         assert abs(got.get(s, 0) - share[s]) < 1.0
+
+
+def test_cms_join_size_never_underestimates(ray_session):
+    """The CMS inner product is an overestimate-only estimator: for every
+    type pair, est >= the exact join size sum_u c_a(u)*c_b(u), and within
+    the eps*Na*Nb additive envelope (eps = e/2048, generous 4x slack)."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["join_size_cms"](SF).to_pandas()
+    assert len(df) > 0
+    exact = _oracle("""
+        WITH c AS (SELECT event_type, user_id, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(sum(a.n * b.n) AS BIGINT) AS true_size,
+               (SELECT count(*) FROM events WHERE event_type = a.event_type)
+                   * (SELECT count(*) FROM events
+                      WHERE event_type = b.event_type) AS nanb
+        FROM c a JOIN c b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """)
+    m = df.merge(exact, on=["type_a", "type_b"], how="left").fillna(0)
+    assert (m["est_join_size"] >= m["true_size"]).all()
+    eps = 4 * 2.718281828 / 2048
+    assert (m["est_join_size"] - m["true_size"] <= eps * m["nanb"] + 1).all()
