@@ -119,78 +119,121 @@ def anchor_buckets(signatures, cfg: NDDConfig | None = None):
     ).map_batches(AnchorExploder(cfg), batch_format="pyarrow")
 
 
-def _candidate_text_map_ref(candidates, conversations):
-    """id -> normalized doc_text map for the candidate endpoints, as an
-    object-store ref (None when there are no candidates).
+def _attach_texts(candidates, conversations, num_partitions: int | None = None):
+    """Attach both endpoints' normalized doc_text (``text_a``/``text_b``) via
+    two conv_id-keyed hash joins — NO driver-side id->text dict anywhere on
+    the path (round-2 verdict item #4; the old ``iter_batches``->dict
+    broadcast was the last flagship driver materialization).
 
-    The endpoint-id set is computed OFF-DRIVER (``distinct_values_ref``) and
-    applied with a vectorized ``pc.is_in`` semi-filter; only the surviving
-    (conv_id, doc_text) rows — bounded by the confirmed-candidate count, tiny
-    by construction — are pulled to the driver to build the broadcast map.
+    The conversations side is first reduced OFF-DRIVER to candidate endpoints
+    (``distinct_values_ref`` -> ``pc.is_in`` semi-filter), so the joins only
+    shuffle the tiny survivor slice of the corpus.  Returns None when there
+    are no candidates.
     """
-    import ray
+    from ..state.partitioning import (
+        distinct_values_ref,
+        materialize_clean,
+        resolve_partitions,
+        semi_filter,
+    )
 
-    from ..state.partitioning import distinct_values_ref, semi_filter
-
+    num_partitions = resolve_partitions(num_partitions)
     ids_ref, n_ids = distinct_values_ref(candidates, ["a", "b"])
     if n_ids == 0:
         return None
     texts = semi_filter(
         conversations.select_columns(["conv_id", "doc_text"]), "conv_id", ids_ref
     )
-    texts_tbl = pa.concat_tables(
-        [
-            b
-            for b in texts.iter_batches(batch_size=65536, batch_format="pyarrow")
-            if b.num_columns
-        ]
+    j = candidates.join(
+        texts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+        right_on=("conv_id",),
+        right_suffix="_a",
+    ).rename_columns({"doc_text": "text_a"})
+    # candidate sets are tiny by construction -> empty join partitions are
+    # plausible; scrub zero-column blocks before the second Acero join (the
+    # Ray 2.49 failure state/partitioning.materialize_clean documents)
+    j = materialize_clean(j)
+    return j.join(
+        texts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+        right_on=("conv_id",),
+        right_suffix="_b",
+    ).rename_columns({"doc_text": "text_b"})
+
+
+def _exact_confirm_batch(batch: pa.Table, with_lcs: bool) -> pa.Table:
+    """Vectorized exact-containment confirm over a joined batch with aligned
+    ``text_a``/``text_b`` columns: rows are grouped by their SHORTER text so
+    each unique pattern runs ONE ``pc.match_substring`` kernel over the
+    aligned longer texts (the adversarial many-containment case — one short
+    doc embedded in many long ones — collapses to a single vectorized scan).
+    ``lcs_tokens`` (generalized-suffix-array longest common token run,
+    functions/suffix.py) is computed only for CONFIRMED pairs."""
+    drop = ["text_a", "text_b"]
+    n = batch.num_rows
+    if n == 0:
+        out = batch.drop_columns(drop)
+        if with_lcs:
+            out = out.append_column("lcs_tokens", pa.array([], pa.int64()))
+        return out
+    ta = pc.fill_null(batch["text_a"], "")
+    tb = pc.fill_null(batch["text_b"], "")
+    la = pc.utf8_length(ta).to_numpy(zero_copy_only=False)
+    lb = pc.utf8_length(tb).to_numpy(zero_copy_only=False)
+    a_small = la <= lb
+    ta_np = ta.to_numpy(zero_copy_only=False)
+    tb_np = tb.to_numpy(zero_copy_only=False)
+    small = np.where(a_small, ta_np, tb_np)
+    large = np.where(a_small, tb_np, ta_np)
+    keep = np.zeros(n, dtype=bool)
+    order = np.argsort(small, kind="stable")
+    sorted_small = small[order]
+    starts = np.flatnonzero(
+        np.r_[True, sorted_small[1:] != sorted_small[:-1]]
     )
-    text_map = dict(
-        zip(texts_tbl["conv_id"].to_pylist(), texts_tbl["doc_text"].to_pylist())
-    )
-    return ray.put(text_map)
-
-
-def confirm_substring(candidates, conversations):
-    """Exact-text confirm for substring CANDIDATE pairs (method='substring'
-    rows from the unified verifier): broadcast the needed id->text map
-    (ray.put; the candidate set is tiny by construction) and keep only pairs
-    where the shorter normalized text occurs verbatim in the longer."""
-    import ray
-
-    text_ref = _candidate_text_map_ref(candidates, conversations)
-    if text_ref is None:
-        return candidates
-
-    def exact_confirm(batch: pa.Table) -> pa.Table:
-        """Exact substring check plus suffix-array evidence: for confirmed
-        pairs, ``lcs_tokens`` is the longest common token run computed via a
-        generalized suffix array over the two token-hash sequences
-        (functions/suffix.py) — the per-pair form of the north-star
-        "suffix-array substring pass"."""
+    bounds = np.r_[starts, n]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        pat = sorted_small[s]
+        if not pat:
+            continue
+        idx = order[s:e]
+        m = pc.match_substring(pa.array(large[idx], pa.string()), pattern=pat)
+        keep[idx] = m.to_numpy(zero_copy_only=False)
+    out = batch.filter(pa.array(keep)).drop_columns(drop)
+    if with_lcs:
         from ..functions.hashing import TokenHasher
         from ..functions.suffix import longest_common_substring
         from ..functions.text import tokenize
 
-        tm = ray.get(text_ref)
         hasher = TokenHasher()
-        keep, lcs = [], []
-        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            ta, tb = tm.get(x, ""), tm.get(y, "")
-            small, large = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
-            ok = bool(small) and small in large
-            keep.append(ok)
-            if ok:
-                lcs.append(
-                    longest_common_substring(
-                        hasher.hash_tokens(tokenize(small)),
-                        hasher.hash_tokens(tokenize(large)),
-                    )
-                )
-        out = batch.filter(pa.array(keep))
-        return out.append_column("lcs_tokens", pa.array(lcs, pa.int64()))
+        lcs = [
+            longest_common_substring(
+                hasher.hash_tokens(tokenize(s)), hasher.hash_tokens(tokenize(g))
+            )
+            for s, g in zip(small[keep], large[keep])
+        ]
+        out = out.append_column("lcs_tokens", pa.array(lcs, pa.int64()))
+    return out
 
-    return candidates.map_batches(exact_confirm, batch_format="pyarrow")
+
+def confirm_substring(candidates, conversations, num_partitions: int | None = None):
+    """Exact-text confirm for substring CANDIDATE pairs (method='substring'
+    rows from the unified verifier): attach both endpoint texts via keyed
+    hash joins, keep only pairs where the shorter normalized text occurs
+    verbatim in the longer, and append suffix-array ``lcs_tokens`` evidence
+    for the confirmed pairs.  Fully streaming — no driver materialization."""
+    joined = _attach_texts(candidates, conversations, num_partitions)
+    if joined is None:
+        return candidates
+
+    return joined.map_batches(
+        lambda b: _exact_confirm_batch(b, with_lcs=True), batch_format="pyarrow"
+    )
 
 
 def substring_pairs(
@@ -205,10 +248,10 @@ def substring_pairs(
     Execution shape: ONE streaming graph for anchors -> bucket pair-gen ->
     distinct -> signature joins -> containment filter (same 2-join/2-groupby
     shape as the verify stage), then the few survivors are confirmed against
-    the actual doc_texts via a BROADCAST semi-join (``ray.put`` the id->text
-    map, filter conversations streaming) instead of two more hash joins —
-    chaining 4 joins in one graph over-subscribes aggregator actors on small
-    clusters, and the survivor set is tiny by construction.
+    the actual doc_texts via two more conv_id-keyed hash joins over the
+    semi-filtered (tiny) conversation slice — the survivors are materialized
+    first so the two join graphs never chain 4 joins in one execution
+    (aggregator-actor over-subscription on small clusters).
     """
     from ..state.partitioning import resolve_partitions
     num_partitions = resolve_partitions(num_partitions)
@@ -247,18 +290,10 @@ def substring_pairs(
         num_cpus=1,
     ).materialize()
 
-    # --- exact-text confirm on the survivors (broadcast, no shuffle) ---
-    text_ref = _candidate_text_map_ref(contained, conversations)
-    if text_ref is None:
+    # --- exact-text confirm on the survivors (keyed joins, no driver map) ---
+    joined = _attach_texts(contained, conversations, num_partitions)
+    if joined is None:
         return contained
-
-    def exact_confirm(batch: pa.Table) -> pa.Table:
-        tm = ray.get(text_ref)
-        keep = []
-        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            ta, tb = tm.get(x, ""), tm.get(y, "")
-            small, large = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
-            keep.append(bool(small) and small in large)
-        return batch.filter(pa.array(keep))
-
-    return contained.map_batches(exact_confirm, batch_format="pyarrow")
+    return joined.map_batches(
+        lambda b: _exact_confirm_batch(b, with_lcs=False), batch_format="pyarrow"
+    )

@@ -51,3 +51,58 @@ def test_oracle_sql_parses_in_duckdb():
             con.execute(sql).df()
         except Exception as ex:  # pragma: no cover
             raise AssertionError(f"oracle {name} failed to bind/run: {ex}") from ex
+
+
+def test_documented_counts_match_live():
+    """README's inventory line must match the live queries()/oracle_sql()
+    counts (round-2 verdict #10: docs drifted by hand five times)."""
+    import re
+
+    import __ray_entry__ as e
+
+    text = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) `queries\(\)` \((\d+) with", text)
+    assert m, "README inventory line missing"
+    assert int(m.group(1)) == len(e.queries()), "README query count stale"
+    assert int(m.group(2)) == len(e.oracle_sql()), "README oracle count stale"
+
+
+def test_flagship_family_inside_gate_window():
+    """The driver's hard gate reads only the first 50 queries() entries; the
+    flagship near-dup family must live there (round-2 verdict #2)."""
+    import __ray_entry__ as e
+
+    first50 = list(e.queries())[:50]
+    for name in (
+        "ndd_dup_pairs", "ndd_clusters", "ndd_conversations",
+        "near_dup_pairs_docs", "exact_dedup_docs", "ngram_jaccard_pairs",
+        "decontaminate_docs", "decontaminate_docs_fuzzy", "semdedup_docs",
+        "curate_docs", "dedup_best_docs",
+    ):
+        assert name in first50, f"{name} fell outside the 50-query gate window"
+
+
+def test_no_hugeint_oracle_output():
+    """DuckDB sum(BIGINT) returns HUGEINT -> pandas float64, which fails the
+    driver's dtype-sensitive value hash against an int64 engine column
+    (events_trailing_1h r02 regression). Bind every oracle against the real
+    schemas and assert no HUGEINT output column anywhere."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        con.register(f"__{t}", schema.empty_table())
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM __{t}")
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        rel = con.sql(sql)
+        hug = [c for c, ty in zip(rel.columns, rel.types)
+               if "HUGEINT" in str(ty).upper()]
+        if hug:
+            offenders[name] = hug
+    assert not offenders, f"HUGEINT oracle outputs: {offenders}"

@@ -96,6 +96,17 @@ def main() -> int:
             problems.append(f"rows {len(mine)} != {len(theirs)}")
         if list(mine.columns) != list(theirs.columns):
             problems.append(f"cols {list(mine.columns)} != {list(theirs.columns)}")
+        if not problems:
+            # The driver's value hash is dtype-sensitive (int64 12345 vs
+            # float64 12345.0 differ there even though CSV text matches) —
+            # mimic it with a post-normalization dtype equality assertion.
+            bad = [
+                f"{c}: {mine[c].dtype} != {theirs[c].dtype}"
+                for c in mine.columns
+                if str(mine[c].dtype) != str(theirs[c].dtype)
+            ]
+            if bad:
+                problems.append(f"dtype mismatch [{'; '.join(bad)}]")
         if not problems and value_hash(mine) != value_hash(theirs):
             problems.append("value hash mismatch")
             merged = mine.compare(theirs) if mine.shape == theirs.shape else None
