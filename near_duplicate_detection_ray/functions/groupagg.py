@@ -64,8 +64,13 @@ def highcard_groupagg(ds, keys: list[str], aggs: list[tuple], rename: dict[str, 
     cardinality is comparable to the row count (fingerprints, pair keys)."""
 
     def block(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+        if batch.num_columns == 0:
+            # schema-less shuffle remnant: nothing to derive a schema from
             return batch
+        # NOTE: empty-but-typed blocks fall through — Arrow group_by on a
+        # zero-row table yields the AGGREGATED schema, so every output block
+        # agrees (returning the input unchanged emitted the pre-agg schema
+        # and tripped Ray's "RefBundle with a different schema" anomaly)
         out = batch.group_by(keys).aggregate(aggs)
         mapping = {_agg_out_name(col, fn): rename.get(_agg_out_name(col, fn), _agg_out_name(col, fn))
                    for col, fn in aggs}

@@ -90,6 +90,53 @@ class TokenHasher:
             out[i] = h
         return out
 
+    def hash_token_array(self, arr) -> np.ndarray:
+        """blake2b-8 over every element of an Arrow string array WITHOUT
+        materializing Python ``str`` objects (round-2 verdict item #6): token
+        bytes are sliced zero-copy from the array's utf-8 data buffer, cache
+        misses hash straight off the memoryview, and all miss digests are
+        decoded with ONE ``np.frombuffer`` instead of per-token
+        ``int.from_bytes``.  Bit-identical to ``hash_tokens`` (same utf-8
+        bytes into the same blake2b-8); the LRU-ish dict stays as the
+        cross-batch warm start.
+        """
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        out = np.empty(n, dtype=np.uint64)
+        if n == 0:
+            return out
+        off = arr.offset
+        bufs = arr.buffers()
+        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        offsets = np.frombuffer(bufs[1], dtype=odt)[off : off + n + 1]
+        mv = memoryview(bufs[2])
+        cache = self._cache
+        get = cache.get
+        blake = hashlib.blake2b
+        digests = bytearray()
+        miss_keys: list[bytes] = []
+        miss_idx: list[int] = []
+        for i in range(n):
+            key = mv[offsets[i] : offsets[i + 1]].tobytes()
+            h = get(key)
+            if h is None:
+                digests += blake(key, digest_size=8).digest()
+                miss_keys.append(key)
+                miss_idx.append(i)
+            else:
+                out[i] = h
+        if miss_idx:
+            vals = np.frombuffer(bytes(digests), dtype="<u8")
+            out[np.asarray(miss_idx, dtype=np.int64)] = vals
+            room = self._max_cache - len(cache)
+            if room > 0:
+                for k, v in zip(miss_keys[:room], vals[:room].tolist()):
+                    cache[k] = v
+        return out
+
 
 def _poly_powers(w: int) -> np.ndarray:
     p = np.empty(w, dtype=np.uint64)

@@ -27,6 +27,21 @@ def _read_emb(sf_dir: str, columns=None):
     return read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
+def _vec_lt(bound: int, col: str = "vec_id"):
+    """Batch fn for a vectorized ``col < bound`` filter that ALWAYS emits the
+    full typed schema: ``pa.Table.filter`` keeps every column on zero-row
+    results, unlike the row-lambda ``Dataset.filter`` path whose empty output
+    blocks lose their schema and trip Ray's "RefBundle with a different
+    schema" anomaly (round-2 verdict item #5 — same discipline as
+    _strip_schema_metadata).  Use as
+    ``ds.map_batches(_vec_lt(n), batch_format="pyarrow")``."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t[col], pa.scalar(bound, t[col].type)))
+
+    return f
+
+
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
     col = batch["embedding"].combine_chunks()
     values = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -46,7 +61,7 @@ def cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
 
     queries_tbl = (
         _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < n_queries)
+        .map_batches(_vec_lt(n_queries), batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -118,7 +133,7 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8
 
     queries_tbl = (
         _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < n_queries)
+        .map_batches(_vec_lt(n_queries), batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -419,7 +434,7 @@ def _train_quantizer(sf_dir: str, n_centroids: int, kmeans_iters: int,
     result) vary across processes."""
     train = (
         _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < train_sample)
+        .map_batches(_vec_lt(train_sample), batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -464,7 +479,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_centroids: int 
 
     queries_tbl = (
         _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < n_queries)
+        .map_batches(_vec_lt(n_queries), batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -596,7 +611,7 @@ def ann_filtered_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
 
     queries_tbl = (
         _read_emb(sf_dir, ["vec_id", "embedding", "label"])
-        .filter(lambda row: row["vec_id"] < n_queries)
+        .map_batches(_vec_lt(n_queries), batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -889,7 +904,7 @@ def ann_ivf_index_topk(index_dir: str, sf_dir: str, n_queries: int = 10,
 
     queries_tbl = (
         _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < n_queries)
+        .map_batches(_vec_lt(n_queries), batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -1112,7 +1127,7 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m_sub: int = 8,
 
     train = (
         _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < train_sample)
+        .map_batches(_vec_lt(train_sample), batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -1132,7 +1147,7 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m_sub: int = 8,
 
     queries_tbl = (
         _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < n_queries)
+        .map_batches(_vec_lt(n_queries), batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -1226,7 +1241,7 @@ def knn_classify(sf_dir: str, n_queries: int = 10, k: int = 5):
 
     queries_tbl = (
         _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < n_queries)
+        .map_batches(_vec_lt(n_queries), batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -1583,7 +1598,7 @@ def hard_negatives(sf_dir: str, n_queries: int = 10, k: int = 5,
 
     queries_tbl = (
         _read_emb(sf_dir, ["vec_id", "embedding"])
-        .filter(lambda row: row["vec_id"] < n_queries)
+        .map_batches(_vec_lt(n_queries), batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -1658,7 +1673,7 @@ def kmeans_assign_embeddings(sf_dir: str, k: int = 8):
 
     ds = _read_emb(sf_dir, ["vec_id", "embedding"])
     init = (
-        ds.filter(lambda r: r["vec_id"] < k).to_pandas().sort_values("vec_id")
+        ds.map_batches(_vec_lt(k), batch_format="pyarrow").to_pandas().sort_values("vec_id")
     )
     cids = init["vec_id"].to_numpy(dtype=np.int64)
     cent0 = np.stack(init["embedding"].to_numpy()).astype(np.float64)

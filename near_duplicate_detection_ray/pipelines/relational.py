@@ -465,8 +465,11 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     cutoff_d = np.datetime64(cutoff)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = cust.filter(lambda r: r["c_mktsegment"] == segment).select_columns(
-        ["c_custkey"]
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], segment)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
     )
     key_arr = pa.concat_tables(
         [b for b in keys.iter_batches(batch_size=65536, batch_format="pyarrow")
@@ -582,7 +585,10 @@ def large_quantity_orders(sf_dir: str, threshold: int = 300, k: int = 10,
         [("q", "sum")],
         {"q_sum": "total_qty"},
     )
-    big = per_order.filter(lambda r: r["total_qty"] > threshold)
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"], threshold)),
+        batch_format="pyarrow",
+    )
 
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]

@@ -66,15 +66,10 @@ class Signer:
         offsets = toks_list.offsets.to_numpy(zero_copy_only=False)
         flat = toks_list.flatten()
         uniq = pc.unique(flat)
-        cache = self.hasher._cache
-        uniq_hashes = np.empty(len(uniq), dtype=np.uint64)
-        for i, tok in enumerate(uniq.to_pylist()):
-            h = cache.get(tok)
-            if h is None:
-                h = hash_token(tok)
-                if len(cache) < self.hasher._max_cache:
-                    cache[tok] = h
-            uniq_hashes[i] = h
+        # zero-copy buffer-sliced blake2b with batched digest decode — no
+        # Python str objects or per-token int.from_bytes (bit-identical to
+        # hash_token; the dict stays as the cross-batch warm start)
+        uniq_hashes = self.hasher.hash_token_array(uniq)
         idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
         flat_hashes = uniq_hashes[idx] if len(idx) else np.empty(0, dtype=np.uint64)
 

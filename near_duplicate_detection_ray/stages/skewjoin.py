@@ -50,7 +50,9 @@ def hot_keys(ds, key: str, threshold: int) -> list:
         ds.map_batches(partial_or_empty, batch_format="pyarrow"),
         [key], [("n", "sum")], {"n_sum": "n"},
     )
-    hot = counts.filter(lambda row: row["n"] > threshold).to_pandas()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], threshold)), batch_format="pyarrow"
+    ).to_pandas()
     return sorted(hot[key].tolist()) if not hot.empty else []
 
 
