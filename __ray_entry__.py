@@ -894,6 +894,89 @@ def _curate_sql() -> str:
     """
 
 
+def _media_cdc_sql() -> str:
+    """Gear-hash content-defined chunk dedup replayed EXACTLY in SQL
+    (graduates media_cdc_dedup from rows-only — round-2 verdict item #8).
+
+    The 64-byte-window gear recurrence h_i = sum_{k=0..63} gear[b_{i-k}]<<k
+    (mod 2^64) is pure integer math: the 256 gear constants are embedded as a
+    VALUES literal and the window sum is 64 LAG terms in HUGEINT with a
+    per-term mod (each product < 2^127 fits HUGEINT; the 64-term sum < 2^70).
+    The sequential min-size boundary walk is a recursive CTE over a
+    PRECOMPUTED next-candidate mapping (correlated subqueries silently
+    return NULL inside DuckDB recursive terms; cand/nxt MUST be MATERIALIZED
+    or the lag-window hash re-runs per iteration).  max_size forced cuts
+    cannot trigger on this corpus — max doc length 577 < max_size 1024 at
+    every test SF — so the walk is the exact greedy the engine executes.
+    Chunk fingerprints are md5_number_lower over the chunk substring (ASCII
+    corpus: char slices == byte slices), matching the engine's md5_low64.
+    """
+    from near_duplicate_detection_ray.pipelines.multimodal import _GEAR
+
+    gear_vals = ", ".join(f"({i}, {int(v)}::HUGEINT)" for i, v in enumerate(_GEAR))
+    lag_terms = " + ".join(
+        f"(COALESCE(lag(gv, {k}) OVER w, 0::HUGEINT) * {1 << k}::HUGEINT)"
+        f" % 18446744073709551616::HUGEINT"
+        for k in range(64)
+    )
+    return f"""
+        WITH RECURSIVE gear(b, v) AS (VALUES {gear_vals}),
+        docs AS MATERIALIZED (
+            SELECT doc_id, text, length(text) AS n FROM documents
+        ),
+        pos AS (
+            SELECT d.doc_id, p.p, g.v AS gv
+            FROM docs d,
+                 LATERAL (SELECT unnest(generate_series(1, d.n)) AS p) p
+            JOIN gear g
+              ON g.b = unicode(substring(d.text, CAST(p.p AS INTEGER), 1))
+        ),
+        hash AS (
+            SELECT doc_id, p,
+                   ({lag_terms}) % 18446744073709551616::HUGEINT AS h
+            FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        ),
+        cand AS MATERIALIZED (SELECT doc_id, p AS c FROM hash WHERE h % 128 = 0),
+        anchors AS (
+            SELECT doc_id, 0 AS e_from, n FROM docs WHERE n > 0
+            UNION ALL
+            SELECT c.doc_id, c.c AS e_from, d.n
+            FROM cand c JOIN docs d USING (doc_id)
+        ),
+        nxt AS MATERIALIZED (
+            SELECT a.doc_id, a.e_from, coalesce(min(c2.c), a.n) AS e_to
+            FROM anchors a
+            LEFT JOIN cand c2
+              ON c2.doc_id = a.doc_id AND c2.c >= a.e_from + 64
+            GROUP BY a.doc_id, a.e_from, a.n
+        ),
+        walk AS (
+            SELECT doc_id, 0 AS e, n FROM docs WHERE n > 0
+            UNION ALL
+            SELECT w.doc_id, x.e_to AS e, w.n
+            FROM walk w JOIN nxt x ON x.doc_id = w.doc_id AND x.e_from = w.e
+            WHERE w.e < w.n
+        ),
+        chunks AS (
+            SELECT doc_id, e AS chunk_end,
+                   lag(e) OVER (PARTITION BY doc_id ORDER BY e) AS chunk_start
+            FROM walk
+        ),
+        hashed AS (
+            SELECT c.doc_id,
+                   md5_number_lower(substring(
+                       d.text, CAST(c.chunk_start + 1 AS INTEGER),
+                       CAST(c.chunk_end - c.chunk_start AS INTEGER))) AS h
+            FROM chunks c JOIN docs d USING (doc_id)
+            WHERE c.chunk_start IS NOT NULL
+        )
+        SELECT h AS chunk_hash,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_media
+        FROM hashed GROUP BY h HAVING count(*) > 1
+    """
+
+
 def _lang_id_sql() -> str:
     """Stopword-voting language ID replayed in SQL from the same LANG_STOPWORDS
     lists (alphabetical tie-break, 'unknown' on zero votes)."""
@@ -934,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
     # decontamination (false positives are dropped by the confirm join),
     # so the SAME oracle gates both
     d["decontaminate_docs_bloom"] = d["decontaminate_docs"]
+    d["media_cdc_dedup"] = _media_cdc_sql()
     return d
 
 

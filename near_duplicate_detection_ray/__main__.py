@@ -194,6 +194,10 @@ def cmd_versions(args: argparse.Namespace) -> int:
     metadata, no Ray session."""
     from .stages.checkpoint import StageCheckpointer
 
+    if not os.path.isdir(args.checkpoints):
+        print(f"error: checkpoints dir not found: {args.checkpoints}",
+              file=sys.stderr)
+        return 1
     ck = StageCheckpointer(args.checkpoints)
     stages = (
         [args.stage]

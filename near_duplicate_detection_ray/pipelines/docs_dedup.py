@@ -22,14 +22,31 @@ from ..stages.verify import verify_pairs
 
 DOCS_DEDUP_CFG = NDDConfig()  # shared shingle/signature config for doc queries
 
-# session-lifetime memo of default-config near-dup pair sets per sf_dir
-# (materialized datasets; see near_dup_pairs_docs docstring)
-_DEFAULT_PAIRS_CACHE: dict[str, object] = {}
+# session-lifetime memo of default-config near-dup pair sets / component
+# labelings per sf_dir (materialized datasets; see near_dup_pairs_docs
+# docstring).  Keys carry the input parquet's (mtime, size) fingerprint and
+# the Ray job id, so entries self-invalidate when files change underneath or
+# Ray is shut down and re-initialized in the same process (dangling refs).
+_DEFAULT_PAIRS_CACHE: dict[tuple, object] = {}
+_COMPONENTS_CACHE: dict[tuple, object] = {}
+
+
+def _cache_key(sf_dir: str) -> tuple:
+    import os
+
+    import ray
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    job = (
+        ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    )
+    return (os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size, job)
 
 
 def clear_pairs_cache() -> None:
     """Drop memoized default-config pair sets (tests / post-shutdown)."""
     _DEFAULT_PAIRS_CACHE.clear()
+    _COMPONENTS_CACHE.clear()
 
 
 def _read_docs(sf_dir: str, columns=None):
@@ -102,8 +119,9 @@ def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
     """
     from ..state.partitioning import materialize_clean
 
-    if cfg is None and sf_dir in _DEFAULT_PAIRS_CACHE:
-        return _DEFAULT_PAIRS_CACHE[sf_dir]
+    key = _cache_key(sf_dir) if cfg is None else None
+    if key is not None and key in _DEFAULT_PAIRS_CACHE:
+        return _DEFAULT_PAIRS_CACHE[key]
     use_cache = cfg is None
     cfg = cfg or DOCS_DEDUP_CFG
     convs = docs_as_conversations(sf_dir)
@@ -127,7 +145,7 @@ def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
     out = dup.map_batches(finish, batch_format="pyarrow")
     if use_cache:
         out = out.materialize()
-        _DEFAULT_PAIRS_CACHE[sf_dir] = out
+        _DEFAULT_PAIRS_CACHE[key] = out
     return out
 
 
@@ -623,12 +641,35 @@ def _dedup_components(sf_dir: str, cfg: NDDConfig | None = None):
     from ..state.partitioning import key_partitioned, materialize_clean
     from ..stages.cluster import cluster as cluster_components
 
+    key = _cache_key(sf_dir) if cfg is None else None
+    if key is not None and key in _COMPONENTS_CACHE:
+        return _COMPONENTS_CACHE[key]
+    use_default = cfg is None
     cfg = cfg or DOCS_DEDUP_CFG
     convs = materialize_clean(docs_as_conversations(sf_dir))
-    sigs = materialize_clean(sign_conversations(convs, cfg))
-    dup = verify_pairs(candidate_pairs(explode_bands(sigs, cfg), cfg), sigs, cfg).map_batches(
-        lambda t: t.filter(pc.equal(t["method"], "minhash")), batch_format="pyarrow"
-    ).select_columns(["a", "b"])
+    if use_default:
+        # default config: derive near-dup edges from the MEMOIZED pair set
+        # (near_dup_pairs_docs) instead of re-running sign/LSH/verify — the
+        # dup-graph sweep family (keep/best/curate/pagerank/bfs/kcore) was
+        # re-executing the flagship stages once per downstream query
+        def to_conv_ids(batch: pa.Table) -> pa.Table:
+            a = [f"{d:012d}" for d in batch["a"].to_pylist()]
+            b = [f"{d:012d}" for d in batch["b"].to_pylist()]
+            return pa.table(
+                {"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())}
+            )
+
+        dup = near_dup_pairs_docs(sf_dir).map_batches(
+            to_conv_ids, batch_format="pyarrow"
+        )
+    else:
+        sigs = materialize_clean(sign_conversations(convs, cfg))
+        dup = verify_pairs(
+            candidate_pairs(explode_bands(sigs, cfg), cfg), sigs, cfg
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t["method"], "minhash")),
+            batch_format="pyarrow",
+        ).select_columns(["a", "b"])
 
     # exact-raw-text edges: md5(raw) -> keyed partition -> (min, member) star
     def raw_fp(batch: pa.Table) -> pa.Table:
@@ -659,7 +700,11 @@ def _dedup_components(sf_dir: str, cfg: NDDConfig | None = None):
         ["fp"],
     ).map_batches(star_block, batch_format="pyarrow", batch_size=None)
 
-    return cluster_components(convs, [dup, exact_edges])
+    out = cluster_components(convs, [dup, exact_edges])
+    if key is not None:
+        out = out.materialize()
+        _COMPONENTS_CACHE[key] = out
+    return out
 
 
 def dedup_keep_docs(sf_dir: str, cfg: NDDConfig | None = None):

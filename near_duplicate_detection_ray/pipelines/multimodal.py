@@ -371,10 +371,11 @@ def media_cdc_dedup(sf_dir: str, min_size: int = 64, avg_bits: int = 7,
     fingerprinted (md5_low64), then ONE keyed hash-partition on the
     fingerprint and a block-local census — the shuffle carries 8-byte
     hashes only.  Output: (chunk_hash, n_occurrences, n_media) for chunk
-    contents occurring more than once.  Rows-only in the driver gate (a
-    sequential rolling-hash recurrence is not SQL-expressible);
-    tests/test_cdc.py pins a from-scratch oracle, boundary bounds, and the
-    shift-robustness property."""
+    contents occurring more than once.  SQL-replayed EXACTLY in the driver
+    gate (__ray_entry__._media_cdc_sql: 64-LAG-term HUGEINT gear window +
+    recursive boundary walk over a precomputed next-candidate map);
+    tests/test_cdc.py additionally pins a from-scratch oracle, boundary
+    bounds, and the shift-robustness property."""
     import pandas as pd
 
     from ..functions.hashing import md5_low64

@@ -61,6 +61,10 @@ class StageCheckpointer:
         self.stage_hashes: dict[str, str] = {}
         self.stages_skipped: list[str] = []
         self.stages_computed: list[str] = []
+        # versions handed out as LAZY datasets this session (read_stage_version
+        # / diff_stage_versions): pruning skips them, so a later run_stage
+        # can't rmtree a snapshot out from under an unconsumed rd.read_parquet
+        self._pinned: set[str] = set()
         os.makedirs(root, exist_ok=True)
 
     def _lineage_hash(self, name: str, upstream: list[str]) -> str:
@@ -227,9 +231,9 @@ class StageCheckpointer:
             if os.path.exists(vman):
                 entries.append((os.path.getmtime(vman), v))
         entries.sort(reverse=True)  # newest first
-        keep = {keep_hash[:12]}
+        keep = {keep_hash[:12]} | self._pinned
         for _, v in entries:
-            if len(keep) < self.keep_versions:
+            if len(keep) < max(self.keep_versions, len(self._pinned) + 1):
                 keep.add(v)
         for _, v in entries:
             if v not in keep:
@@ -276,6 +280,7 @@ class StageCheckpointer:
                 f"version {version!r} of stage {name!r}: "
                 f"{len(matches)} matches ({matches})"
             )
+        self._pinned.add(matches[0])
         return rd.read_parquet(os.path.join(vroot, matches[0], "data"))
 
     def read_manifest(self, name: str) -> dict | None:
@@ -427,7 +432,7 @@ def diff_stage_versions(root: str, stage: str, version_a: str, version_b: str,
     Works for ANY key/value column types (string conv_ids included): both
     snapshots co-shuffle once on ``key``, and the block kernel is a pure
     Arrow ``group_by`` — min/max of the side tag classifies presence,
-    ``count_distinct`` of the (null-sentineled) value detects change.
+    ``count_distinct`` of the value plus an explicit null flag detects change.
     Exchange volume is the two snapshots' (key, value) columns, never the
     full rows.  Assumes ``key`` is unique per snapshot (true for every
     checkpointed stage here); with duplicate keys a same-multiset pair of
@@ -444,14 +449,17 @@ def diff_stage_versions(root: str, stage: str, version_a: str, version_b: str,
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
-            # NULL must count as a distinct value (Arrow count_distinct
-            # ignores nulls, which would classify NULL->x as 'unchanged');
-            # the \x00 sentinel cannot collide with a cast value
-            v = pc.fill_null(pc.cast(t[value_col], pa.string()), "\x00null")
+            # NULLs ride an EXPLICIT flag column instead of a string sentinel
+            # (a literal "\x00null" value in a string column would collide
+            # with the old sentinel and misread NULL<->"\x00null" as
+            # unchanged): count_distinct(v) ignores nulls, so change =
+            # distinct non-null values + whether any NULL was present > 1.
+            v = pc.cast(t[value_col], pa.string())
             return pa.table(
                 {
                     "k": t[key],
                     "v": v,
+                    "vn": pc.cast(pc.is_null(v), pa.int8()),
                     "side": pa.array([side] * t.num_rows, pa.int8()),
                 }
             )
@@ -468,11 +476,18 @@ def diff_stage_versions(root: str, stage: str, version_a: str, version_b: str,
                 [("key", pa.string()), ("change_type", pa.string())]
             ).empty_table()
         g = t.group_by("k").aggregate(
-            [("side", "min"), ("side", "max"), ("v", "count_distinct")]
+            [("side", "min"), ("side", "max"),
+             ("v", "count_distinct"), ("vn", "max")]
         )
         only_a = pc.equal(g["side_max"], pa.scalar(0, pa.int8()))
         only_b = pc.equal(g["side_min"], pa.scalar(1, pa.int8()))
-        changed = pc.greater(g["v_count_distinct"], 1)
+        # distinct non-null values plus one if any NULL appeared: {x, NULL}
+        # -> 2 (changed), {NULL, NULL} -> 1 (unchanged), {x, x} -> 1
+        n_vals = pc.add(
+            pc.cast(g["v_count_distinct"], pa.int64()),
+            pc.cast(g["vn_max"], pa.int64()),
+        )
+        changed = pc.greater(n_vals, 1)
         ct = pc.if_else(
             only_a, pa.scalar("removed"),
             pc.if_else(

@@ -245,3 +245,65 @@ def test_diff_detects_null_transitions(ray_session):
     assert dict(zip(got["key"], got["change_type"])) == {
         "k1": "changed", "k2": "changed",
     }
+
+
+def test_diff_null_vs_sentinel_literal_is_changed(ray_session):
+    """Regression (round-3 ADVICE): a literal "\\x00null" STRING value used to
+    collide with the old null sentinel, misreading NULL <-> "\\x00null" as
+    'unchanged'.  The explicit is-null flag must classify it as changed."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        StageCheckpointer,
+        diff_stage_versions,
+    )
+
+    root = "/tmp/ndd_ckpt_sentinel_test"
+    shutil.rmtree(root, ignore_errors=True)
+    t_a = pa.table({"k": ["k1", "k2"], "v": pa.array([None, None], pa.string())})
+    t_b = pa.table({"k": ["k1", "k2"],
+                    "v": pa.array(["\x00null", None], pa.string())})
+    ck_a = StageCheckpointer(root, NDDConfig(), input_token="a")
+    ck_a.run_stage("s", [], lambda: rd.from_arrow(t_a))
+    ha = ck_a.stage_hashes["s"][:12]
+    ck_b = StageCheckpointer(root, NDDConfig(), input_token="b")
+    ck_b.run_stage("s", [], lambda: rd.from_arrow(t_b))
+    hb = ck_b.stage_hashes["s"][:12]
+
+    got = diff_stage_versions(root, "s", ha, hb, "k", "v").to_pandas()
+    assert dict(zip(got["key"], got["change_type"])) == {
+        "k1": "changed", "k2": "unchanged",
+    }
+
+
+def test_pinned_version_survives_pruning(ray_session):
+    """Regression (round-3 ADVICE): a version handed out as a lazy dataset by
+    read_stage_version must not be rmtree'd by a later run_stage's pruning
+    before the handle is consumed."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    root = "/tmp/ndd_ckpt_pin_test"
+    shutil.rmtree(root, ignore_errors=True)
+    from near_duplicate_detection_ray.stages.checkpoint import StageCheckpointer
+
+    ck = StageCheckpointer(root, NDDConfig(), input_token="v0", keep_versions=1)
+    ck.run_stage("s", [], lambda: rd.from_arrow(pa.table({"k": [0], "v": [0]})))
+    h0 = ck.stage_hashes["s"][:12]
+
+    # hand out a LAZY handle to v0, then produce two newer versions through
+    # the same checkpointer (keep_versions=1 would normally prune v0)
+    handle = ck.read_stage_version("s", h0)
+    for tok in ("v1", "v2"):
+        ck2 = StageCheckpointer(root, NDDConfig(), input_token=tok,
+                                keep_versions=1)
+        ck2._pinned = ck._pinned  # same-session pin set
+        ck2.run_stage(
+            "s", [], lambda: rd.from_arrow(pa.table({"k": [1], "v": [1]}))
+        )
+
+    # the lazy handle must still be readable
+    assert handle.to_pandas()["k"].tolist() == [0]

@@ -21,9 +21,9 @@ def test_inventory_consistency():
         "distinct_stats_hll",      # HLL sketch (blake2b basis + 4096-float
                                    # harmonic sum are not SQL-replayable)
         "event_value_quantiles_sketch",  # mergeable sketch (error pytest-pinned)
-        "media_cdc_dedup",         # rolling-hash CDC boundaries (NumPy-oracle pytest)
         "semdedup_docs",           # k-means-bounded semantic dedup (NumPy-oracle pytest)
-    ], rows_only  # event_type_counts_cms and dup_kcore graduated to exact SQL
+    ], rows_only  # event_type_counts_cms, dup_kcore and media_cdc_dedup
+    # graduated to exact SQL replay
     for name, fn in q.items():
         assert callable(fn), name
     for name, sql in o.items():
