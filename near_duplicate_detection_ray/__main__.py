@@ -102,6 +102,30 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Serve the near-dup index over HTTP (stdlib; reference E3 parity:
+    the Flask edge at ``ndd/server_ndd.py:271-315``).  Blocks until killed."""
+    import ray
+
+    from .serve import NddHttpServer
+
+    _init_ray()
+    srv = NddHttpServer(
+        args.signatures, rep_map_path=args.rep_map,
+        host=args.host, port=args.port,
+    )
+    print(json.dumps({"serving": f"http://{srv.host}:{srv.port}",
+                      "size": len(srv.index.shingles)}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        ray.shutdown()
+    return 0
+
+
 def cmd_update(args: argparse.Namespace) -> int:
     """Incremental signature-store sync — the reference's ``update_index``
     semantics (``ndd/server_ndd.py:227-261``): recompute only buckets whose
@@ -286,6 +310,13 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--text", required=True)
     pq.add_argument("--k", type=int, default=30)
     pq.set_defaults(fn=cmd_query)
+
+    ps = sub.add_parser("serve", help="HTTP serving edge over a signatures checkpoint")
+    ps.add_argument("--signatures", required=True)
+    ps.add_argument("--rep-map", default=None)
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8977)
+    ps.set_defaults(fn=cmd_serve)
 
     pu = sub.add_parser(
         "update", help="incrementally sync the bucket-partitioned signature store"

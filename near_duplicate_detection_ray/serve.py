@@ -1,0 +1,145 @@
+"""Thin HTTP serving edge over the near-dup query index — completes the
+reference's E3 surface (``ndd/server_ndd.py:271-315`` Flask routes +
+``client_flask.py`` JSON client) with ONLY the stdlib ``http.server``; no new
+dependencies, no network beyond localhost.
+
+Routes (JSON in/out):
+
+    GET  /health            -> {"ok": true, "size": N}
+    GET  /size              -> {"size": N}
+    POST /query             -> {"results": [...]}; body {"text": str | null,
+                               "text_b64": base64-utf8 str | null, "k": int}
+    POST /update            -> {"ingested": N}; body {"signatures_path": str}
+    POST /evict             -> {"evicted": N}; body {"conv_ids": [str, ...]}
+
+``text_b64`` mirrors the reference's base64 upload edge
+(``server_ndd.py:280-288``, SURVEY §2 M15): the payload is decoded
+server-side before probing, so binary-safe transports work unchanged.
+
+The handler holds a driver-side :class:`NearDupIndex` (one process = one
+index shard).  At multi-node scale, run one server per index shard behind
+any HTTP load balancer and fan the probe out — the index itself already
+documents the ``hash(band) % n_actors`` sharding plan
+(``pipelines/query.py``).  Serving is read-mostly: queries take a shared
+lock-free path (dict reads are atomic under the GIL), mutations
+(``/update``, ``/evict``) serialize on a mutex.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .config import NDDConfig
+from .pipelines.query import NearDupIndex
+
+
+class NddHttpServer:
+    """Owns the index + a ThreadingHTTPServer; start()/shutdown() lifecycle.
+
+    Built from a signatures parquet path (same contract as ``IndexActor``)
+    so a restarted server re-loads from the checkpoint.
+    """
+
+    def __init__(self, signatures_path: str, cfg: NDDConfig | None = None,
+                 rep_map_path: str | None = None, host: str = "127.0.0.1",
+                 port: int = 0) -> None:
+        import ray.data as rd
+
+        sigs = rd.read_parquet(signatures_path)
+        rep_map = rd.read_parquet(rep_map_path) if rep_map_path else None
+        self.index = NearDupIndex(sigs, cfg or NDDConfig(), rep_map)
+        self._mutate_lock = threading.Lock()
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> None:
+        """Serve on a daemon thread (returns immediately; use serve_forever
+        for a foreground CLI server)."""
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    # -- request handling --------------------------------------------------
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # silence per-request stderr lines
+            def log_message(self, fmt, *args):  # noqa: N802
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802
+                n = len(server.index.shingles)
+                if self.path == "/health":
+                    self._reply(200, {"ok": True, "size": n})
+                elif self.path == "/size":
+                    self._reply(200, {"size": n})
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):  # noqa: N802
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._reply(400, {"error": f"bad JSON body: {e}"})
+                    return
+                try:
+                    if self.path == "/query":
+                        text = req.get("text")
+                        if text is None and "text_b64" in req:
+                            text = base64.b64decode(req["text_b64"]).decode(
+                                "utf-8"
+                            )
+                        if not isinstance(text, str):
+                            self._reply(
+                                400, {"error": "need 'text' or 'text_b64'"}
+                            )
+                            return
+                        k = int(req.get("k", 30))
+                        self._reply(
+                            200, {"results": server.index.query_text(text, k)}
+                        )
+                    elif self.path == "/update":
+                        import ray.data as rd
+
+                        path = req["signatures_path"]
+                        with server._mutate_lock:
+                            n = server.index.ingest(rd.read_parquet(path))
+                        self._reply(200, {"ingested": n})
+                    elif self.path == "/evict":
+                        ids = list(req["conv_ids"])
+                        with server._mutate_lock:
+                            n = server.index.evict(ids)
+                        self._reply(200, {"evicted": n})
+                    else:
+                        self._reply(404, {"error": f"unknown path {self.path}"})
+                except KeyError as e:
+                    self._reply(400, {"error": f"missing field {e}"})
+                except Exception as e:  # surface, don't kill the thread
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        return Handler
