@@ -30,26 +30,27 @@ from ..config import NDDConfig
 
 def _gram_windows(texts, n: int):
     """All word n-gram strings of each text (single-space split) plus the
-    per-gram doc index.  Fully vectorized: one Arrow split, shifted
-    object-array concatenation, one within-doc validity mask.  Mirrors the
+    per-gram doc index.  Fully vectorized IN ARROW: one split, then ONE
+    ``binary_join_element_wise`` over the n shifted zero-copy slices of the
+    flat token array (no Python str objects anywhere — the old object-array
+    concatenation was the last Python-level loop on the decontamination
+    path).  Returns (pa.StringArray, np.int64 doc indices).  Mirrors the
     SQL ``array_to_string(ws[i:i+n-1], ' ')`` windows exactly (docs with
     fewer than n tokens contribute nothing)."""
     toks = pc.split_pattern(texts, pattern=" ")
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    flat = toks.flatten()
     counts = np.diff(offsets)
     L = len(flat)
     if L == 0 or L < n:
-        return np.empty(0, object), np.empty(0, np.int64)
-    g = flat[: L - n + 1].copy()
-    for k in range(1, n):
-        g = g + " "
-        g = g + flat[k : L - n + 1 + k]
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    m = L - n + 1
+    g = pc.binary_join_element_wise(*[flat.slice(k, m) for k in range(n)], " ")
     doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     doc_end = offsets[1:][doc_of]
     pos = np.arange(L, dtype=np.int64)
-    valid = (pos + n - 1 < doc_end)[: L - n + 1]
-    return g[valid], doc_of[: L - n + 1][valid]
+    valid = (pos + n - 1 < doc_end)[:m]
+    return g.filter(pa.array(valid)), doc_of[:m][valid]
 
 
 def _eval_split_mask(ids: np.ndarray, pct: int) -> np.ndarray:
@@ -72,7 +73,7 @@ def _eval_gram_batch(n: int, pct: int):
         if t.num_rows == 0:
             return pa.table({"gram": pa.array([], pa.string())})
         g, _ = _gram_windows(t["text"].combine_chunks(), n)
-        return pa.table({"gram": pa.array(pc.unique(pa.array(g, pa.string())))})
+        return pa.table({"gram": pc.unique(g)})
 
     return eval_grams
 
@@ -246,7 +247,7 @@ def decontaminate_docs(sf_dir: str, n: int = 8, pct: int = 10):
         contaminated = np.zeros(t.num_rows, bool)
         if len(g):
             hits = pc.is_in(
-                pa.array(g, pa.string()), value_set=ray.get(eval_ref)
+                g, value_set=ray.get(eval_ref)
             ).to_numpy(zero_copy_only=False)
             np.logical_or.at(contaminated, doc_of[hits], True)
         out = t.filter(pa.array(~contaminated))
@@ -299,7 +300,7 @@ def contamination_report(sf_dir: str, n: int = 8, pct: int = 10):
         hits_per_doc = np.zeros(t.num_rows, np.int64)
         if len(g):
             hits = pc.is_in(
-                pa.array(g, pa.string()), value_set=ray.get(eval_ref)
+                g, value_set=ray.get(eval_ref)
             ).to_numpy(zero_copy_only=False)
             hits_per_doc = np.bincount(
                 doc_of, weights=hits.astype(np.float64), minlength=t.num_rows
@@ -431,14 +432,17 @@ def decontaminate_docs_bloom(sf_dir: str, n: int = 8, pct: int = 10,
         if not len(g):
             return empty
         words = ray.get(words_ref)
-        mask = _test_bits(words, _probe_positions(g, n_bits, k))
+        mask = _test_bits(
+            words,
+            _probe_positions(g.to_numpy(zero_copy_only=False), n_bits, k),
+        )
         if not mask.any():
             return empty
         d_ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_of[mask]]
         return pa.table(
             {
                 "doc_id": pa.array(d_ids, pa.int64()),
-                "gram": pa.array(g[mask], pa.string()),
+                "gram": g.filter(pa.array(mask)),
             }
         )
 
