@@ -393,7 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_pivot": relational.orders_priority_pivot,  # pivot / conditional agg
         "props_key_stats": relational.props_key_stats,        # JSON field extraction
         "small_order_revenue": relational.small_order_revenue,  # TPC-H Q17 shape (agg join-back)
-        "distinct_stats_hll": relational.distinct_stats_hll,   # rows-only (HLL sketch; merge-determinism + <=3% error pytest-pinned)
+        "distinct_stats_hll": relational.distinct_stats_hll,   # SQL-oracled exactly (md5 basis + integer register replay; see _hll_sql)
         "user_top_event": relational.user_top_event,           # mode / arg-max per group
         "customer_order_histogram": relational.customer_order_histogram,  # TPC-H Q13 shape (zero-fill histogram)
         "brand_supplier_counts": relational.brand_supplier_counts,  # grouped COUNT(DISTINCT) (Q16 family)
@@ -977,6 +977,78 @@ def _media_cdc_sql() -> str:
     """
 
 
+def _hll_sql() -> str:
+    """HyperLogLog distinct survey replayed EXACTLY in SQL (graduates
+    distinct_stats_hll from rows-only, round-3).
+
+    The sketch ESTIMATE is approximate vs true COUNT(DISTINCT), but it is a
+    deterministic pure function of the value set, and every step is
+    replayable: the hash basis is ``md5_number_lower`` over the value's
+    decimal/string form (engine: ``md5_low64(str(v))``); register index /
+    rank are pure integer bit math (rank via OR-smear + ``bit_count`` =
+    65 - bit_length, sentinel bit keeps rank <= 53 at p=12); the harmonic
+    sum is the EXACT dyadic integer sum(2^(64-reg)) in HUGEINT (zero
+    registers contribute 2^64 each), so the raw estimate is one IEEE
+    multiply chain + one divide on both sides — bit-identical.  The
+    small-range branch (est <= 2.5m and zeros > 0) uses ln() on both sides;
+    half-rounding is floor(est + 0.5) on both sides (Python round() is
+    banker's, DuckDB round() is half-away — neither is used).
+    """
+    from near_duplicate_detection_ray.pipelines.relational import _HLL_COLS
+
+    blocks = []
+    for i, (table, col) in enumerate(_HLL_COLS):
+        blocks.append(f"""
+        h_{i} AS (
+            SELECT DISTINCT md5_number_lower(CAST({col} AS VARCHAR)) AS h
+            FROM {table} WHERE {col} IS NOT NULL
+        ),
+        r_{i} AS (
+            SELECT h >> 52 AS idx,
+                   (h % CAST(4503599627370496 AS UBIGINT))
+                       * CAST(4096 AS UBIGINT) + CAST(2048 AS UBIGINT) AS rest
+            FROM h_{i}
+        ),
+        s_{i} AS (
+            SELECT idx, a | (a >> 32) AS a FROM (
+              SELECT idx, a | (a >> 16) AS a FROM (
+                SELECT idx, a | (a >> 8) AS a FROM (
+                  SELECT idx, a | (a >> 4) AS a FROM (
+                    SELECT idx, a | (a >> 2) AS a FROM (
+                      SELECT idx, rest | (rest >> 1) AS a FROM r_{i})))))
+        ),
+        reg_{i} AS (
+            SELECT idx, max(65 - bit_count(a)) AS reg FROM s_{i} GROUP BY idx
+        ),
+        agg_{i} AS (
+            SELECT count(*) AS nz,
+                   sum(CAST(CAST(1 AS UBIGINT) << (64 - reg) AS HUGEINT)) AS s_nz
+            FROM reg_{i}
+        ),
+        est_{i} AS (
+            SELECT CASE WHEN raw <= 10240e0 AND nz < 4096
+                        THEN 4096e0 * ln(4096e0 / CAST(4096 - nz AS DOUBLE))
+                        ELSE raw END AS est
+            FROM (
+                SELECT nz,
+                       0.7213e0 / (1.0e0 + 1.079e0 / 4096e0)
+                           * 4096e0 * 4096e0 * 18446744073709551616e0
+                           / CAST(COALESCE(s_nz, CAST(0 AS HUGEINT))
+                                  + CAST(4096 - nz AS HUGEINT)
+                                    * CAST(18446744073709551616 AS HUGEINT)
+                                  AS DOUBLE) AS raw
+                FROM agg_{i}
+            )
+        )""")
+        # NOTE: 18446744073709551616 = 2^64 (exact in DOUBLE); 10240 = 2.5*m.
+    selects = " UNION ALL ".join(
+        f"SELECT '{t}.{c}' AS \"column\", "
+        f"CAST(floor(est + 0.5e0) AS BIGINT) AS approx_distinct FROM est_{i}"
+        for i, (t, c) in enumerate(_HLL_COLS)
+    )
+    return "WITH " + ",".join(blocks) + "\n" + selects
+
+
 def _lang_id_sql() -> str:
     """Stopword-voting language ID replayed in SQL from the same LANG_STOPWORDS
     lists (alphabetical tie-break, 'unknown' on zero votes)."""
@@ -1018,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
     # so the SAME oracle gates both
     d["decontaminate_docs_bloom"] = d["decontaminate_docs"]
     d["media_cdc_dedup"] = _media_cdc_sql()
+    d["distinct_stats_hll"] = _hll_sql()
     return d
 
 

@@ -15,6 +15,8 @@ differs between engines at the last ULP).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2215,26 +2217,31 @@ def distinct_stats_hll(sf_dir: str):
     elementwise max — associative/commutative/idempotent, so any Ray merge
     tree yields bit-identical registers and a deterministic estimate
     (pinned by tests/test_hll.py along with error bounds: ~1.6% standard
-    error at p=12, <= 5% asserted at 3 sigma).  Rows-only
-    in the driver gate: an approximate answer cannot hash-match an exact
-    SQL oracle."""
+    error at p=12, <= 5% asserted at 3 sigma).
+
+    SQL-oracled exactly (round-3): the hash basis is ``md5_low64`` of the
+    value's decimal/string form — DuckDB's ``md5_number_lower`` — and the
+    register/rank math is pure integer bit manipulation, so the oracle
+    replays registers with smear+bit_count and the exact dyadic harmonic
+    sum (see ``hll_estimate``); the sketch ESTIMATE is approximate vs true
+    COUNT(DISTINCT), but it is a deterministic function the oracle
+    reproduces bit-for-bit, like the CMS/KMV replays."""
     import ray.data as rd
 
-    from ..functions.hashing import hash_token, splitmix64
+    from ..functions.hashing import md5_low64
     from ..state.sketch import HLL_P, hll_estimate, hll_merge, hll_registers
 
     def make_partial(colname: str):
         def partial(t: pa.Table) -> pa.Table:
             col = t[colname].combine_chunks()
+            uniq = pc.unique(col)
             if pa.types.is_integer(col.type):
-                h = splitmix64(
-                    col.to_numpy(zero_copy_only=False).astype(np.uint64)
-                )
+                vals = [str(v) for v in uniq.to_pylist()]
             else:
-                uniq = pc.unique(col)
-                h = np.fromiter(
-                    (hash_token(s) for s in uniq.to_pylist()), np.uint64, len(uniq)
-                )
+                vals = uniq.to_pylist()
+            h = np.fromiter(
+                (md5_low64(s) for s in vals), np.uint64, len(vals)
+            )
             regs = hll_registers(h, HLL_P)
             return pa.table(
                 {
@@ -2257,7 +2264,11 @@ def distinct_stats_hll(sf_dir: str):
             for r in b["regs"].to_pylist()
         ]
         merged = hll_merge(partials)
-        rows.append((f"{table}.{colname}", int(round(hll_estimate(merged)))))
+        # floor(est + 0.5): identical half-rounding on both sides (Python
+        # round() is banker's, DuckDB round() is half-away — use neither).
+        rows.append(
+            (f"{table}.{colname}", int(math.floor(hll_estimate(merged) + 0.5)))
+        )
 
     return rd.from_arrow(
         pa.table(

@@ -20,6 +20,8 @@ remains the default; this is the documented upgrade path noted in
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 DEFAULT_M = 1024
@@ -113,13 +115,21 @@ def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
 
 def hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimator with the small-range linear-counting
-    correction (large-range correction is irrelevant at 64-bit hashes)."""
+    correction (large-range correction is irrelevant at 64-bit hashes).
+
+    The harmonic sum ``sum(2^-reg)`` is computed as an EXACT integer scaled
+    by 2^64 (every term 2^(64-reg) is integral since the sentinel caps rank
+    at 65-p <= 64), so the float result is one IEEE divide away from exact
+    arithmetic and an SQL oracle summing the same integers reproduces it
+    bit-for-bit (same trick as the CMS/KMV exact replays)."""
     m = len(regs)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int(np.count_nonzero(regs == 0))
+    counts = np.bincount(regs)
+    s_scaled = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    est = alpha * m * m * 2**64 / float(s_scaled)
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros > 0:
-        est = m * np.log(m / zeros)
+        est = m * math.log(m / zeros)
     return float(est)
 
 
