@@ -51,9 +51,15 @@ def main() -> int:
     import duckdb
     import ray
 
+    import os
+
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        # RAY_GRAFT_CPUS override: sweeping at DIFFERENT widths (4 vs 32)
+        # changes Ray's block splits/merge order, so a pass at two widths
+        # evidences block-order-robust output (DuckDB is the fixed side).
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
