@@ -170,6 +170,33 @@ def _tool_usage(sf_dir: str):
     return tool_usage(transcripts_from_documents(sf_dir))
 
 
+def _conv_branch_groups(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import conv_branch_groups
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return conv_branch_groups(transcripts_from_documents(sf_dir))
+
+
+def _tool_sequence_dups(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import tool_sequence_dups
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return tool_sequence_dups(transcripts_from_documents(sf_dir))
+
+
+def _assistant_dup_convs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import assistant_dup_convs
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return assistant_dup_convs(transcripts_from_documents(sf_dir))
+
+
 def _role_transitions(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import role_transitions
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -560,6 +587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_usage": _tool_usage,                              # SQL-checked (role/tool aggregates)
         "strip_boilerplate_turns": _strip_boilerplate_turns,    # SQL-checked (turn boilerplate removal)
         "conversation_stats": _conversation_stats,              # SQL-checked (per-conv profile)
+        "conv_branch_groups": _conv_branch_groups,              # SQL-checked (shared-prefix branch/retry detection)
+        "tool_sequence_dups": _tool_sequence_dups,              # SQL-checked (tool-trace behavioral dedup)
+        "assistant_dup_convs": _assistant_dup_convs,            # SQL-checked (role-scoped dedup)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -4617,6 +4647,78 @@ def _oracle_sql_literal() -> dict[str, str]:
                                   AND (doc_id + tix) % 6 >= 3
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls
             FROM turn_all GROUP BY conv_id
+        """,
+        # branch/retry detection: groups sharing an identical first-3-turn
+        # prefix; n_variants = distinct full conversations behind the prefix
+        # (md5 + chr(31) join mirror pipelines/dedup._conv_fingerprint_rows;
+        # empty-doc convs have 1 turn < 3 so never qualify — same as engine)
+        "conv_branch_groups": "WITH " + _TURN_CTES + """
+            , convlen AS (
+                SELECT conv_id, count(*) AS n_turns FROM turns GROUP BY conv_id
+            ), pfx AS (
+                SELECT t.conv_id,
+                       md5(string_agg(t.turn_text, chr(31) ORDER BY t.tix))
+                           AS prefix_fp
+                FROM turns t JOIN convlen c USING (conv_id)
+                WHERE c.n_turns >= 3 AND t.tix < 3
+                GROUP BY t.conv_id
+            ), fullfp AS (
+                SELECT conv_id,
+                       md5(string_agg(turn_text, chr(31) ORDER BY tix)) AS fp
+                FROM turns GROUP BY conv_id
+            )
+            SELECT p.prefix_fp,
+                   count(*) AS n_convs,
+                   CAST(count(DISTINCT f.fp) AS BIGINT) AS n_variants,
+                   min(p.conv_id) AS rep_conv
+            FROM pfx p JOIN fullfp f USING (conv_id)
+            GROUP BY p.prefix_fp
+            HAVING count(*) >= 2
+        """,
+        # behavioral dedup: identical ordered assistant tool traces (tool =
+        # _TOOLS[(doc_id+tix) % 6] on odd turns, as in the tool_usage oracle;
+        # convs without an assistant turn drop on both sides)
+        "tool_sequence_dups": "WITH " + _TURN_CTES + """
+            , tseq AS (
+                SELECT conv_id,
+                       string_agg(['', '', '', 'search', 'python', 'browser']
+                                  [CAST((doc_id + tix) % 6 AS INT) + 1],
+                                  '>' ORDER BY tix) AS tool_seq
+                FROM turns WHERE tix % 2 = 1 GROUP BY conv_id
+            ), fullfp AS (
+                SELECT conv_id,
+                       md5(string_agg(turn_text, chr(31) ORDER BY tix)) AS fp
+                FROM turns GROUP BY conv_id
+            )
+            SELECT t.tool_seq,
+                   count(*) AS n_convs,
+                   CAST(count(DISTINCT f.fp) AS BIGINT) AS n_variants,
+                   min(t.conv_id) AS rep_conv
+            FROM tseq t JOIN fullfp f USING (conv_id)
+            GROUP BY t.tool_seq
+            HAVING count(*) >= 2
+        """,
+        # role-scoped dedup: identical assistant-side (odd-turn) text joins,
+        # whatever the user side says; n_variants > 1 = same completions for
+        # different prompts
+        "assistant_dup_convs": "WITH " + _TURN_CTES + """
+            , afp AS (
+                SELECT conv_id,
+                       md5(string_agg(turn_text, chr(31) ORDER BY tix))
+                           AS asst_fp
+                FROM turns WHERE tix % 2 = 1 GROUP BY conv_id
+            ), fullfp AS (
+                SELECT conv_id,
+                       md5(string_agg(turn_text, chr(31) ORDER BY tix)) AS fp
+                FROM turns GROUP BY conv_id
+            )
+            SELECT a.asst_fp,
+                   count(*) AS n_convs,
+                   CAST(count(DISTINCT f.fp) AS BIGINT) AS n_variants,
+                   min(a.conv_id) AS rep_conv
+            FROM afp a JOIN fullfp f USING (conv_id)
+            GROUP BY a.asst_fp
+            HAVING count(*) >= 2
         """,
         # per-(role, tool) usage census over the derived transcripts; the
         # role/tool derivation mirrors sources/transcripts constants

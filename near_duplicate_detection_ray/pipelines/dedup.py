@@ -616,3 +616,185 @@ def conv_depth_histogram(transcripts, num_partitions: int | None = None):
         stats.map_batches(partial, batch_format="pyarrow"),
         ["n_turns"], [("n", "sum")], {"n_sum": "n_convs"},
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversation-structure dedup family: prefix/branch detection, tool-trace
+# fingerprinting, and role-scoped dedup.  All three share the same two-stage
+# shape — ONE conv_id-keyed partition (per-conversation keys computed
+# block-locally over whole conversations, the assemble discipline) followed
+# by ONE key-keyed partition for the global group census — so each op costs
+# exactly two bounded exchanges at any corpus size.  Reference analogue: the
+# per-video frame-sequence grouping of ndd/extract_images.py:61 generalized
+# to turn sequences.
+# ---------------------------------------------------------------------------
+
+_SEP = "\x1f"  # turn separator inside per-conversation fingerprint keys;
+# matches chr(31) in the SQL oracles (cannot appear in whitespace-split
+# tokens only by convention — both sides use the identical join, so parity
+# holds even if a pathological token contained it)
+
+
+def _conv_fingerprint_rows(df: "pd.DataFrame", k: int | None,
+                           asst_only: bool) -> tuple[list, list, list]:
+    """Per-conversation (key_fp, full_fp, conv_id) triples from one conv-keyed
+    hash partition: sort by (conv_id, turn_idx), md5 the SEP-joined turn texts.
+
+    ``k``: fingerprint only the first k turns (convs shorter than k drop);
+    ``asst_only``: fingerprint only assistant turns (convs with none drop).
+    ``full_fp`` is always the whole-conversation fingerprint, so the caller
+    can count distinct continuations/user-sides per group.  Joins ride the
+    C-backed groupby-agg (the assemble-stage idiom), never a per-group
+    Python loop."""
+    import hashlib
+
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    g = df.groupby("conv_id", sort=True)
+    full = g["text"].agg(_SEP.join)
+    if k is not None:
+        keep = g.size() >= k
+        key = df.groupby("conv_id", sort=True).head(k) \
+                .groupby("conv_id", sort=True)["text"].agg(_SEP.join)[keep]
+    else:
+        key = df.loc[df["role"] == "assistant"] \
+                .groupby("conv_id", sort=True)["text"].agg(_SEP.join)
+    full = full[key.index]
+    keys = [hashlib.md5(s.encode()).hexdigest() for s in key.to_numpy()]
+    fulls = [hashlib.md5(s.encode()).hexdigest() for s in full.to_numpy()]
+    return keys, fulls, key.index.tolist()
+
+
+_GROUP_SCHEMA_COLS = [("n_convs", pa.int64()), ("n_variants", pa.int64()),
+                      ("rep_conv", pa.string())]
+
+
+def _group_census(pairs, key_col: str, num_partitions: int | None):
+    """Stage 2 shared by the family: ONE keyed partition on the fingerprint,
+    block-local count / count_distinct(full_fp) / min(conv_id); only groups
+    with >= 2 conversations survive."""
+    from ..state.partitioning import key_partitioned
+
+    schema = pa.schema([(key_col, pa.string())] + _GROUP_SCHEMA_COLS)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        a = t.group_by([key_col]).aggregate(
+            [("full_fp", "count_distinct"), ("conv_id", "min"), ([], "count_all")]
+        )
+        out = pa.table(
+            {
+                key_col: a[key_col],
+                "n_convs": pc.cast(a["count_all"], pa.int64()),
+                "n_variants": pc.cast(a["full_fp_count_distinct"], pa.int64()),
+                "rep_conv": a["conv_id_min"],
+            },
+            schema=schema,
+        )
+        return out.filter(pc.greater_equal(out["n_convs"], 2))
+
+    return key_partitioned(pairs, [key_col], num_partitions).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def conv_branch_groups(transcripts, k: int = 3,
+                       num_partitions: int | None = None):
+    """BRANCH/RETRY detection: groups of conversations sharing an identical
+    first-``k``-turn prefix — the agent-log pattern where one session was
+    retried, forked, or continued from a common opening.  ``n_variants``
+    counts the distinct full conversations behind the shared prefix (1 means
+    the group is pure exact copies; >1 means genuine branching worth a
+    dedup-to-branch-point pass).  Output: ``prefix_fp, n_convs, n_variants,
+    rep_conv`` for groups of >= 2 convs with >= k turns."""
+    from ..state.partitioning import key_partitioned
+
+    ds = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+    schema = pa.schema([("prefix_fp", pa.string()), ("full_fp", pa.string()),
+                        ("conv_id", pa.string())])
+
+    def per_conv(df) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=schema)
+        keys, fulls, cids = _conv_fingerprint_rows(df, k, False)
+        return pa.table(
+            {"prefix_fp": pa.array(keys, pa.string()),
+             "full_fp": pa.array(fulls, pa.string()),
+             "conv_id": pa.array(cids, pa.string())},
+            schema=schema,
+        )
+
+    pairs = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+        per_conv, batch_format="pandas", batch_size=None
+    )
+    return _group_census(pairs, "prefix_fp", num_partitions)
+
+
+def tool_sequence_dups(transcripts, num_partitions: int | None = None):
+    """BEHAVIORAL fingerprint dedup: groups of conversations with the
+    identical ordered tool-call trace (assistant turns' ``tool`` values,
+    empty slots preserved) — the transcript-domain analogue of call-graph
+    dedup: agent sessions that did the same thing, whatever they said.
+    ``n_variants`` counts distinct full conversations per trace (n_convs >
+    n_variants means exact copies inflate the group).  Output: ``tool_seq,
+    n_convs, n_variants, rep_conv`` for groups of >= 2 convs with >= 1
+    assistant turn."""
+    from ..state.partitioning import key_partitioned
+
+    ds = transcripts.select_columns(["conv_id", "turn_idx", "role", "text", "tool"])
+    schema = pa.schema([("tool_seq", pa.string()), ("full_fp", pa.string()),
+                        ("conv_id", pa.string())])
+
+    def per_conv(df) -> pa.Table:
+        import hashlib
+
+        if df.empty:
+            return pa.Table.from_pylist([], schema=schema)
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        seq = df.loc[df["role"] == "assistant"] \
+                .groupby("conv_id", sort=True)["tool"].agg(">".join)
+        full = df.groupby("conv_id", sort=True)["text"].agg(_SEP.join)[seq.index]
+        return pa.table(
+            {"tool_seq": pa.array(seq.to_numpy(), pa.string()),
+             "full_fp": pa.array(
+                 [hashlib.md5(s.encode()).hexdigest() for s in full.to_numpy()],
+                 pa.string()),
+             "conv_id": pa.array(seq.index.to_numpy(), pa.string())},
+            schema=schema,
+        )
+
+    pairs = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+        per_conv, batch_format="pandas", batch_size=None
+    )
+    return _group_census(pairs, "tool_seq", num_partitions)
+
+
+def assistant_dup_convs(transcripts, num_partitions: int | None = None):
+    """ROLE-SCOPED dedup: groups of conversations identical on the
+    assistant-side text alone (turn-ordered), however the user side differs —
+    canned/templated assistant responses that whole-conversation exact dedup
+    misses whenever any user turn varies.  ``n_variants`` > 1 flags groups
+    where the same completions answered different prompts.  Output:
+    ``asst_fp, n_convs, n_variants, rep_conv`` for groups of >= 2 convs with
+    >= 1 assistant turn."""
+    from ..state.partitioning import key_partitioned
+
+    ds = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+    schema = pa.schema([("asst_fp", pa.string()), ("full_fp", pa.string()),
+                        ("conv_id", pa.string())])
+
+    def per_conv(df) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=schema)
+        keys, fulls, cids = _conv_fingerprint_rows(df, None, True)
+        return pa.table(
+            {"asst_fp": pa.array(keys, pa.string()),
+             "full_fp": pa.array(fulls, pa.string()),
+             "conv_id": pa.array(cids, pa.string())},
+            schema=schema,
+        )
+
+    pairs = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+        per_conv, batch_format="pandas", batch_size=None
+    )
+    return _group_census(pairs, "asst_fp", num_partitions)
