@@ -144,6 +144,11 @@ def _attach_texts(candidates, conversations, num_partitions: int | None = None):
     texts = semi_filter(
         conversations.select_columns(["conv_id", "doc_text"]), "conv_id", ids_ref
     )
+    # candidate endpoint sets are tiny -> the semi-filtered right side is
+    # sparse by construction; scrub zero-column empties (which skip
+    # map_batches UDFs and would crash the Acero join's right side) before
+    # both joins read it
+    texts = materialize_clean(texts)
     j = candidates.join(
         texts,
         join_type="inner",

@@ -107,6 +107,16 @@ def attach_signatures(pairs, signatures, num_partitions: int | None = None,
     else:
         words_ref, n_bits, k = build_bloom(pairs, ["a", "b"], n_ids)
         side = bloom_filter(side, "conv_id", words_ref, n_bits, k)
+    # RIGHT-side empty-block scrub: zero-column empties (upstream shuffle
+    # remnants) SKIP map_batches UDFs, so the semi/bloom filter never touches
+    # them and they reach the join's right-side shuffle, crashing Acero with
+    # "No match ... FieldRef.Name(conv_id) on right side".  Same sparse-regime
+    # gate as the left-side barrier below: only plausible (and only cheap)
+    # when the surviving side is small relative to the partition count.
+    if n_ids < 64 * num_partitions:
+        from ..state.partitioning import materialize_clean
+
+        side = materialize_clean(side)
     j = pairs.join(
         side,
         join_type="inner",
