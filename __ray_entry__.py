@@ -170,6 +170,15 @@ def _tool_usage(sf_dir: str):
     return tool_usage(transcripts_from_documents(sf_dir))
 
 
+def _turn_burst_dedup(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import turn_burst_dedup
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return turn_burst_dedup(transcripts_from_documents(sf_dir), ttl_seconds=60)
+
+
 def _conv_branch_groups(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import conv_branch_groups
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -588,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_boilerplate_turns": _strip_boilerplate_turns,    # SQL-checked (turn boilerplate removal)
         "conversation_stats": _conversation_stats,              # SQL-checked (per-conv profile)
         "conv_branch_groups": _conv_branch_groups,              # SQL-checked (shared-prefix branch/retry detection)
+        "turn_burst_dedup": _turn_burst_dedup,                  # SQL-checked (TTL/burst streaming-dedup census)
         "tool_sequence_dups": _tool_sequence_dups,              # SQL-checked (tool-trace behavioral dedup)
         "assistant_dup_convs": _assistant_dup_convs,            # SQL-checked (role-scoped dedup)
         # --- similarity search over embeddings ---
@@ -4674,6 +4684,36 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pfx p JOIN fullfp f USING (conv_id)
             GROUP BY p.prefix_fp
             HAVING count(*) >= 2
+        """,
+        # TTL/burst streaming-dedup census: occurrences of an identical turn
+        # text within 60 s of their predecessor (ts = epoch + doc_id s +
+        # tix ms, as the derivation plants) are suppressed; a > 60 s gap
+        # starts a new burst.  Burst counts are ts-tie-order-invariant, so
+        # the window ordering needs no tiebreaker.
+        "turn_burst_dedup": "WITH " + _TURN_CTES + """
+            , occ AS (
+                SELECT turn_text,
+                       TIMESTAMP '2026-01-01'
+                           + to_microseconds(CAST(doc_id AS BIGINT) * 1000000
+                                             + tix * 1000) AS ts
+                FROM turns WHERE turn_text <> ''
+            ), lagged AS (
+                SELECT turn_text,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY turn_text ORDER BY ts)) AS gap_us
+                FROM occ
+            ), flagged AS (
+                SELECT turn_text,
+                       CASE WHEN gap_us IS NULL OR gap_us > 60000000
+                            THEN 1 ELSE 0 END AS is_burst_start
+                FROM lagged
+            )
+            SELECT turn_text,
+                   count(*) AS n_occurrences,
+                   CAST(sum(is_burst_start) AS BIGINT) AS n_bursts,
+                   CAST(count(*) - sum(is_burst_start) AS BIGINT)
+                       AS n_suppressed
+            FROM flagged GROUP BY turn_text HAVING count(*) >= 2
         """,
         # behavioral dedup: identical ordered assistant tool traces (tool =
         # _TOOLS[(doc_id+tix) % 6] on odd turns, as in the tool_usage oracle;

@@ -798,3 +798,61 @@ def assistant_dup_convs(transcripts, num_partitions: int | None = None):
         per_conv, batch_format="pandas", batch_size=None
     )
     return _group_census(pairs, "asst_fp", num_partitions)
+
+
+def turn_burst_dedup(transcripts, ttl_seconds: int = 60,
+                     num_partitions: int | None = None):
+    """STREAMING-dedup analogue (SURVEY §2.9): TTL/burst suppression of
+    repeated turn texts.  Occurrences of an identical turn text are scanned
+    in time order; one occurrence within ``ttl_seconds`` of its predecessor
+    is SUPPRESSED (cache hit), a gap greater than the TTL starts a new BURST
+    (cache expiry -> the text is kept again).  This is the dedup-with-TTL
+    primitive of a streaming ingest pipeline: ``n_bursts`` is what survives,
+    ``n_suppressed`` is the redundancy removed by a TTL cache of that size.
+
+    ONE text-keyed hash partition co-locates every occurrence; the
+    block-local scan is a vectorized diff over the (text, ts)-sorted block —
+    burst counts are order-invariant under ts ties (gap 0 is always a
+    suppression), so no cross-partition state is needed at any scale.
+    Output: ``turn_text, n_occurrences, n_bursts, n_suppressed`` for texts
+    seen >= 2 times."""
+    import numpy as np
+
+    from ..state.partitioning import key_partitioned
+
+    ttl_us = int(ttl_seconds) * 1_000_000
+    ds = transcripts.select_columns(["text", "ts"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["text"], "")), batch_format="pyarrow"
+    )
+    schema = pa.schema(
+        [("turn_text", pa.string()), ("n_occurrences", pa.int64()),
+         ("n_bursts", pa.int64()), ("n_suppressed", pa.int64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        enc = t["text"].combine_chunks().dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False) \
+                    .astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((ts, code))
+        code, ts = code[order], ts[order]
+        new_text = np.r_[True, code[1:] != code[:-1]]
+        burst = new_text | np.r_[False, (ts[1:] - ts[:-1]) > ttl_us]
+        starts = np.flatnonzero(new_text)
+        n_occ = np.diff(np.r_[starts, code.size])
+        n_bursts = np.add.reduceat(burst.astype(np.int64), starts)
+        keep = n_occ >= 2
+        texts = enc.dictionary.take(pa.array(code[starts][keep]))
+        return pa.table(
+            {"turn_text": texts,
+             "n_occurrences": pa.array(n_occ[keep], pa.int64()),
+             "n_bursts": pa.array(n_bursts[keep], pa.int64()),
+             "n_suppressed": pa.array(n_occ[keep] - n_bursts[keep], pa.int64())},
+            schema=schema,
+        )
+
+    return key_partitioned(ds, ["text"], num_partitions).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )

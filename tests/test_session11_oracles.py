@@ -18,6 +18,7 @@ NEW_QUERIES = [
     "conv_branch_groups",
     "tool_sequence_dups",
     "assistant_dup_convs",
+    "turn_burst_dedup",
 ]
 
 
@@ -109,3 +110,30 @@ def test_assistant_dups_are_superset_of_exact_conv_dups(ray_session):
     assert len(exact_like) > 0
     # and each group's rep conv is lexicographically minimal by construction
     assert (asst["rep_conv"] == asst["rep_conv"].str.lower()).all()
+
+
+def test_burst_dedup_ttl_limits(ray_session):
+    """TTL semantics pins: with an effectively infinite TTL every repeated
+    text collapses to ONE burst; with TTL=0 the burst count equals the number
+    of DISTINCT timestamps (ts ties are suppressed at any TTL since their gap
+    is 0)."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.pipelines.dedup import turn_burst_dedup
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    ds = transcripts_from_documents(SF)
+    inf = turn_burst_dedup(ds, ttl_seconds=10**9).to_pandas()
+    assert len(inf) > 0
+    assert (inf["n_bursts"] == 1).all()
+    assert (inf["n_suppressed"] == inf["n_occurrences"] - 1).all()
+
+    zero = turn_burst_dedup(ds, ttl_seconds=0).to_pandas()
+    # distinct-ts counts per repeated text, straight from the raw derivation
+    raw = transcripts_from_documents(SF).to_pandas()
+    raw = raw[raw.text != ""]
+    nts = raw.groupby("text")["ts"].nunique()
+    zero = zero.set_index("turn_text")
+    assert (zero["n_bursts"] == nts[zero.index]).all()
