@@ -615,7 +615,7 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
         if batch.num_rows == 0:
             return empty
         jac, _ = batch_jaccard_containment_arrow(
-            batch["shingles_a"], batch["shingles_b"]
+            batch["shingles"], batch["shingles_b"]
         )
         keep = jac >= tau
         if not keep.any():
@@ -1888,7 +1888,7 @@ def snm_dup_pairs(sf_dir: str, w: int = 6, tau: float = 0.7,
         if batch.num_rows == 0:
             return out_schema.empty_table()
         jac, _ = batch_jaccard_containment_arrow(
-            batch["shingles_a"], batch["shingles_b"]
+            batch["shingles"], batch["shingles_b"]
         )
         keep = jac >= tau
         if not keep.any():
@@ -2068,7 +2068,7 @@ def tf_cosine_pairs(sf_dir: str, tau: float = 0.8, max_df: int = 10,
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return out_schema.empty_table()
-        va, ma = _binary_column_view(batch["shingles_a"])
+        va, ma = _binary_column_view(batch["shingles"])
         vb, mb = _binary_column_view(batch["shingles_b"])
         n = len(ma)
         ka, kb = (ma // 2).astype(np.int64), (mb // 2).astype(np.int64)

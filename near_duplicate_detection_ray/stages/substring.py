@@ -89,11 +89,11 @@ class ContainmentVerifier:
         n = batch.num_rows
         if n == 0:
             return pa.Table.from_pylist([], schema=SUBSTRING_PAIRS_SCHEMA)
-        sim_a = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sim_a = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         sim_b = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ham = hamming_distance(sim_a, sim_b).astype(np.int32)
         jac, cont = batch_jaccard_containment_arrow(
-            batch["shingles_a"], batch["shingles_b"]
+            batch["shingles"], batch["shingles_b"]
         )
         # only pairs that are NOT already jaccard-dups but have high containment
         keep = (cont >= cfg.containment_tau) & (jac < cfg.tau)
@@ -120,7 +120,7 @@ def anchor_buckets(signatures, cfg: NDDConfig | None = None):
 
 
 def _attach_texts(candidates, conversations, num_partitions: int | None = None):
-    """Attach both endpoints' normalized doc_text (``text_a``/``text_b``) via
+    """Attach both endpoints' normalized doc_text (``doc_text``/``doc_text_b``) via
     two conv_id-keyed hash joins — NO driver-side id->text dict anywhere on
     the path (round-2 verdict item #4; the old ``iter_batches``->dict
     broadcast was the last flagship driver materialization).
@@ -149,6 +149,12 @@ def _attach_texts(candidates, conversations, num_partitions: int | None = None):
     # map_batches UDFs and would crash the Acero join's right side) before
     # both joins read it
     texts = materialize_clean(texts)
+    # No rename Project after either join: zero-row join partitions SKIP map
+    # operators, so a rename would leave stale pre-rename schemas on the
+    # empties (typed schema-divergence warnings at the sink).  The A text
+    # keeps the conversations table's own name (``doc_text``); the second
+    # join's collision suffix names the B text ``doc_text_b`` — the join
+    # stamps ONE schema on every bundle, empties included.
     j = candidates.join(
         texts,
         join_type="inner",
@@ -156,7 +162,7 @@ def _attach_texts(candidates, conversations, num_partitions: int | None = None):
         on=("a",),
         right_on=("conv_id",),
         right_suffix="_a",
-    ).rename_columns({"doc_text": "text_a"})
+    )
     # candidate sets are tiny by construction -> empty join partitions are
     # plausible; scrub zero-column blocks before the second Acero join (the
     # Ray 2.49 failure state/partitioning.materialize_clean documents)
@@ -168,26 +174,27 @@ def _attach_texts(candidates, conversations, num_partitions: int | None = None):
         on=("b",),
         right_on=("conv_id",),
         right_suffix="_b",
-    ).rename_columns({"doc_text": "text_b"})
+    )
 
 
 def _exact_confirm_batch(batch: pa.Table, with_lcs: bool) -> pa.Table:
     """Vectorized exact-containment confirm over a joined batch with aligned
-    ``text_a``/``text_b`` columns: rows are grouped by their SHORTER text so
+    ``doc_text`` (A endpoint) / ``doc_text_b`` (B endpoint) columns: rows are
+    grouped by their SHORTER text so
     each unique pattern runs ONE ``pc.match_substring`` kernel over the
     aligned longer texts (the adversarial many-containment case — one short
     doc embedded in many long ones — collapses to a single vectorized scan).
     ``lcs_tokens`` (generalized-suffix-array longest common token run,
     functions/suffix.py) is computed only for CONFIRMED pairs."""
-    drop = ["text_a", "text_b"]
+    drop = ["doc_text", "doc_text_b"]
     n = batch.num_rows
     if n == 0:
         out = batch.drop_columns(drop)
         if with_lcs:
             out = out.append_column("lcs_tokens", pa.array([], pa.int64()))
         return out
-    ta = pc.fill_null(batch["text_a"], "")
-    tb = pc.fill_null(batch["text_b"], "")
+    ta = pc.fill_null(batch["doc_text"], "")
+    tb = pc.fill_null(batch["doc_text_b"], "")
     la = pc.utf8_length(ta).to_numpy(zero_copy_only=False)
     lb = pc.utf8_length(tb).to_numpy(zero_copy_only=False)
     a_small = la <= lb

@@ -34,7 +34,8 @@ DUP_PAIRS_SCHEMA = pa.schema(
 
 class Verifier:
     """Actor-pool callable over joined pair batches with columns
-    a, b, shingles_a, shingles_b, simhash_a, simhash_b."""
+    a, b, shingles, simhash (A side — unsuffixed, see attach_signatures),
+    shingles_b, simhash_b."""
 
     def __init__(self, cfg: NDDConfig | None = None) -> None:
         self.cfg = cfg or NDDConfig()
@@ -48,11 +49,11 @@ class Verifier:
         # jaccard/containment for the whole batch come from ONE lexsort over
         # a zero-copy view of the Arrow binary buffers — no per-row bytes
         # objects and no per-pair loop (functions/similarity)
-        sim_a = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sim_a = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         sim_b = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         hamming = hamming_distance(sim_a, sim_b).astype(np.int32)
         jac, cont = batch_jaccard_containment_arrow(
-            batch["shingles_a"], batch["shingles_b"]
+            batch["shingles"], batch["shingles_b"]
         )
         # unified confirmation: jaccard-dups (method=minhash) AND
         # substring CANDIDATES (high containment, below-tau jaccard) in one
@@ -79,7 +80,9 @@ class Verifier:
 def attach_signatures(pairs, signatures, num_partitions: int | None = None,
                       semi_filter_max_ids: int = 5_000_000):
     """Join (a, b) pairs to both endpoints' shingle sets + simhash via two
-    hash-partitioned joins.
+    hash-partitioned joins.  Output columns: ``shingles``/``simhash`` are the
+    A endpoint's (unsuffixed — no rename Project runs after the joins, see the
+    inline note), ``shingles_b``/``simhash_b`` the B endpoint's.
 
     SEMI-JOIN REDUCTION first: candidate pairs touch only a fraction of the
     corpus, but a plain join would shuffle every signature row (wide shingle
@@ -125,10 +128,14 @@ def attach_signatures(pairs, signatures, num_partitions: int | None = None,
         right_on=("conv_id",),
         right_suffix="_a",
     )
-    # first join adds shingles/simhash (right cols); rename before second join
-    j = j.rename_columns(
-        {"shingles": "shingles_a", "simhash": "simhash_a"}
-    )
+    # NO rename Project after the joins: a zero-row join partition's block
+    # SKIPS every map operator (including rename_columns' projection), so a
+    # rename here leaves stale pre-rename schemas on the empties and floods
+    # the log with typed schema-divergence warnings.  Instead the A-side
+    # payload keeps the signature table's own names (shingles / simhash) and
+    # the SECOND join's collision suffix names the B side (shingles_b /
+    # simhash_b) — the join operator stamps ONE schema on every output
+    # bundle, empties included.
     # Empty-block scrub between the two joins: when distinct join keys are few
     # relative to num_partitions, join #1 emits zero-column blocks for its
     # empty partitions, which crash join #2 inside Acero ("No match or
@@ -145,7 +152,7 @@ def attach_signatures(pairs, signatures, num_partitions: int | None = None,
         from ..state.partitioning import materialize_clean
 
         j = materialize_clean(j)
-    j = j.join(
+    return j.join(
         side,
         join_type="inner",
         num_partitions=num_partitions,
@@ -153,7 +160,6 @@ def attach_signatures(pairs, signatures, num_partitions: int | None = None,
         right_on=("conv_id",),
         right_suffix="_b",
     )
-    return j.rename_columns({"shingles": "shingles_b", "simhash": "simhash_b"})
 
 
 def verify_pairs(pairs, signatures, cfg: NDDConfig | None = None, concurrency=None,

@@ -16,11 +16,49 @@ rejects keyed repartition).
 from __future__ import annotations
 
 
+class _EmptySchemaWarningFilter:
+    """Drop ONLY the benign zero-column variant of Ray 2.49's schema-divergence
+    warning.
+
+    The hash-shuffle operator emits ZERO-COLUMN blocks for empty partitions
+    (repro in ``materialize_clean``'s docstring); ``map_batches`` skips empty
+    blocks without calling the UDF, so the untyped empties coast to the sink
+    and the streaming executor logs "RefBundle with a different schema ...
+    new schema: ." for every one.  Those empties are harmless at sinks —
+    every Acero-join input in this engine is explicitly scrubbed
+    (``materialize_clean`` barriers at all join sites) — so the warning is
+    pure noise here.  The filter matches the exact empty-``pa.schema([])``
+    rendering, which a REAL typed-vs-typed divergence (the warning's useful
+    case — it caught a genuine mixed-schema union bug in round 1) can never
+    produce, so real divergences still log.
+    """
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        msg = record.getMessage()
+        return "new schema: . This may lead" not in msg
+
+
+_SCHEMA_WARN_FILTER_INSTALLED = False
+
+
+def _install_empty_schema_warning_filter() -> None:
+    global _SCHEMA_WARN_FILTER_INSTALLED
+    if _SCHEMA_WARN_FILTER_INSTALLED:
+        return
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaWarningFilter())
+    _SCHEMA_WARN_FILTER_INSTALLED = True
+
+
 def enable_hash_shuffle() -> None:
     import ray
     import ray.data as rd
     from ray.data.context import ShuffleStrategy
 
+    _install_empty_schema_warning_filter()
     ctx = rd.DataContext.get_current()
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
