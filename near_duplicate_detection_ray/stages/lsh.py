@@ -145,11 +145,25 @@ def _pairs_in_block(batch: pa.Table, cap: int) -> pa.Table:
     sorted_vocab = vocab.take(pa.array(sort_idx))
     ra = np.concatenate(out_a)
     rb = np.concatenate(out_b)
+    capped = np.concatenate(out_capped)
+    # MAP-SIDE pre-distinct (combiner): a true dup pair collides in many bands,
+    # so several of its band-buckets usually land in this same hash partition
+    # and emit the identical (a, b) row.  Dedup on int ranks BEFORE
+    # materializing strings — shrinks both the string-take cost here and the
+    # (a, b) exchange volume; the post-shuffle _distinct_pairs_block stays the
+    # global authority (capped folds with max/any on both levels).
+    key = ra * np.int64(len(vocab)) + rb
+    order2 = np.argsort(key, kind="stable")
+    key_s = key[order2]
+    first = np.concatenate(([True], key_s[1:] != key_s[:-1]))
+    seg_starts = np.flatnonzero(first)
+    cap_any = np.add.reduceat(capped[order2].astype(np.int64), seg_starts) > 0
+    uniq = order2[first]
     return pa.table(
         {
-            "a": sorted_vocab.take(pa.array(ra)).cast(pa.string()),
-            "b": sorted_vocab.take(pa.array(rb)).cast(pa.string()),
-            "capped": pa.array(np.concatenate(out_capped)),
+            "a": sorted_vocab.take(pa.array(ra[uniq])).cast(pa.string()),
+            "b": sorted_vocab.take(pa.array(rb[uniq])).cast(pa.string()),
+            "capped": pa.array(cap_any),
         },
         schema=PAIRS_SCHEMA,
     )
