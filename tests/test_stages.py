@@ -123,3 +123,38 @@ def test_hot_bucket_capping_preserves_connectivity(ray_session):
     )
     blabels = {clusters[c] for c in clusters if c.startswith("b")}
     assert len(blabels) == 1, "capped spanning edges must keep the family connected"
+
+
+def test_pairs_in_block_mapside_predistinct():
+    """The map-side combiner in _pairs_in_block must (1) emit each (a, b) at
+    most once per block even when several buckets in the block contain the
+    same member pair, and (2) fold ``capped`` with ANY across those bucket
+    occurrences (a pair seen once capped and once uncapped stays capped)."""
+    import pyarrow as pa
+
+    from near_duplicate_detection_ray.stages.lsh import _pairs_in_block
+
+    # bucket 1 and 2 both hold {x, y} (uncapped duplicates); bucket 3 holds
+    # {x, y, z, w, v} which exceeds cap=3 -> spanning edges flagged capped,
+    # including (x, y) again
+    rows = []
+    for b, members in [(1, ["x", "y"]), (2, ["y", "x"]),
+                       (3, ["x", "y", "z", "w", "v"])]:
+        rows += [{"bucket": b, "conv_id": m} for m in members]
+    t = pa.table(
+        {"bucket": pa.array([r["bucket"] for r in rows], pa.uint64()),
+         "conv_id": pa.array([r["conv_id"] for r in rows], pa.string())}
+    )
+    out = _pairs_in_block(t, cap=3)
+    pairs = list(zip(out["a"].to_pylist(), out["b"].to_pylist(),
+                     out["capped"].to_pylist()))
+    seen = [(a, b) for a, b, _ in pairs]
+    assert len(seen) == len(set(seen)), f"duplicate pairs in block output: {pairs}"
+    capped_map = {(a, b): c for a, b, c in pairs}
+    # (x, y) appeared uncapped (buckets 1, 2) AND capped (bucket 3's star
+    # from first member 'v'? star+chain over sorted ['v','w','x','y','z'])
+    # -> whatever edges bucket 3 emits, any pair it shares with buckets 1/2
+    # must fold capped=True
+    assert ("x", "y") in capped_map
+    # star from 'v' + chain: v-w v-x v-y v-z w-x x-y y-z  => (x, y) capped
+    assert capped_map[("x", "y")] is True
