@@ -53,12 +53,117 @@ def _install_empty_schema_warning_filter() -> None:
     _SCHEMA_WARN_FILTER_INSTALLED = True
 
 
+# --- Ray 2.49 hash-shuffle schema-broadcast fix -----------------------------
+#
+# The original ``_shuffle_block`` body, captured at import time BEFORE any
+# patching (on every fresh process — driver or worker — ``hash_shuffle``
+# starts unpatched, so this always binds the true upstream implementation;
+# the name check makes a re-import after patching a no-op instead of a
+# self-reference).
+try:  # pragma: no cover - exercised via the shuffle path
+    from ray.data._internal.execution.operators import hash_shuffle as _hs_mod
+
+    _ORIG_SHUFFLE_BLOCK_FN = (
+        _hs_mod._shuffle_block._function
+        if getattr(_hs_mod._shuffle_block, "_function", None) is not None
+        and _hs_mod._shuffle_block._function.__name__ == "_shuffle_block"
+        else None
+    )
+except Exception:  # pragma: no cover - ray internals moved
+    _ORIG_SHUFFLE_BLOCK_FN = None
+
+
+def _shuffle_block_schema_safe(
+    block,
+    input_index,
+    key_columns,
+    pool,
+    block_transformer=None,
+    send_empty_blocks=False,
+    override_partition_id=None,
+):
+    """Drop-in replacement for Ray 2.49's ``_shuffle_block`` remote task that
+    fixes an upstream schema-broadcast race.
+
+    The bug (ray/data/_internal/execution/operators/hash_shuffle.py:223-225
+    vs 548-589 and join.py:104-118): the operator marks an input sequence's
+    schema as broadcast when it SUBMITS the first shuffle task with
+    ``send_empty_blocks=True`` — but the task body early-returns on a
+    ZERO-ROW block before the fan-out loop that would have delivered typed
+    empty shards to every aggregator.  When the first-submitted block of a
+    join input happens to be empty (a filter that emptied a block, a sparse
+    checkpoint read — submission order is racy), NO aggregator ever receives
+    that side's schema; every partition that then gets no real rows builds a
+    zero-COLUMN table in ``finalize`` and Acero fails the join with "No match
+    or multiple matches for key field reference FieldRef.Name(...)".
+
+    Fix: when the zero-row block IS the designated schema carrier, fan its
+    typed empty schema out to every aggregator (exactly what the original
+    does for hash-empty partitions of a non-empty block), then return the
+    same metadata tuple.  Non-empty blocks delegate to the captured original
+    unchanged (transformer already applied, so passed as None).
+    """
+    import ray
+    from ray.data._internal.arrow_ops.transform_pyarrow import _create_empty_table
+    from ray.data._internal.table_block import TableBlockAccessor
+    from ray.data.block import BlockAccessor, BlockExecStats, BlockType
+
+    stats = BlockExecStats.builder()
+    if block_transformer is not None:
+        block = block_transformer(block)
+    block = TableBlockAccessor.try_convert_block_type(
+        block, block_type=BlockType.ARROW
+    )
+    if block.num_rows == 0:
+        meta = BlockAccessor.for_block(block).get_metadata(exec_stats=stats.build())
+        if send_empty_blocks and len(block.schema) > 0:
+            shard_ref = ray.put(_create_empty_table(block.schema))
+            waits = [
+                pool.get_aggregator_for_partition(pid).submit.remote(
+                    input_index, pid, shard_ref
+                )
+                for pid in range(pool.num_partitions)
+            ]
+            ray.wait(waits, num_returns=len(waits))
+        return (meta, {})
+    return _ORIG_SHUFFLE_BLOCK_FN(
+        block,
+        input_index,
+        key_columns,
+        pool,
+        block_transformer=None,
+        send_empty_blocks=send_empty_blocks,
+        override_partition_id=override_partition_id,
+    )
+
+
+_SHUFFLE_FIX_INSTALLED = False
+
+
+def _install_hash_shuffle_schema_fix() -> None:
+    """Replace ``hash_shuffle._shuffle_block`` with the schema-safe shim (the
+    operator resolves the name at submission time, so rebinding the module
+    attribute is sufficient).  Idempotent; skipped when the original could
+    not be captured (future Ray versions — the upstream fix makes this moot).
+    """
+    global _SHUFFLE_FIX_INSTALLED
+    if _SHUFFLE_FIX_INSTALLED or _ORIG_SHUFFLE_BLOCK_FN is None:
+        return
+    import ray
+    from ray.data._internal.execution.operators import hash_shuffle as hs
+
+    if getattr(hs._shuffle_block, "_function", None) is not _shuffle_block_schema_safe:
+        hs._shuffle_block = ray.remote(_shuffle_block_schema_safe)
+    _SHUFFLE_FIX_INSTALLED = True
+
+
 def enable_hash_shuffle() -> None:
     import ray
     import ray.data as rd
     from ray.data.context import ShuffleStrategy
 
     _install_empty_schema_warning_filter()
+    _install_hash_shuffle_schema_fix()
     ctx = rd.DataContext.get_current()
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
