@@ -324,6 +324,7 @@ _GATE_WINDOW_FIRST = [
     "dup_components_docs",
     "simhash_pairs_docs",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "edit_distance_pairs",
     "snm_dup_pairs",
     "tf_cosine_pairs",
@@ -569,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_coverage_stats": docs_dedup.span_coverage_stats,  # SQL-checked (duplication mass)
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
+        "ngram_containment_pairs": docs_dedup.ngram_containment_pairs,  # SQL-checked (exact directional containment join)
         "snm_dup_pairs": docs_dedup.snm_dup_pairs,              # SQL-checked (sorted-neighborhood windows)
         "tf_cosine_pairs": docs_dedup.tf_cosine_pairs,          # SQL-checked (weighted tf-cosine join, rare-term blocking)
         "dup_bfs_depths": docs_dedup.dup_bfs_depths,            # SQL-checked (multi-source BFS to canonical docs)
@@ -4279,6 +4281,38 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        """,
+        # Directional containment self-join: brute-force distinct-3-gram
+        # inverted index, |A∩B| / |A| >= 0.9 on ORDERED pairs (a contained
+        # in b); engine gram hashes stand in for gram strings (same parity
+        # argument as ngram_jaccard_pairs)
+        "ngram_containment_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), g AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM g a JOIN g b ON a.s = b.s AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 1.0 / sa.n, 6) AS containment
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            WHERE i * 1.0 / sa.n >= 0.9
         """,
         # Multi-source BFS to each component's min-id representative over the
         # same brute-force pair graph as dup_components; depth-bounded

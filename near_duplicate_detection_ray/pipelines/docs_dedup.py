@@ -631,6 +631,226 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+def _distinct_ordered_pairs_block(batch: pa.Table) -> pa.Table:
+    """Block-local distinct on ORDERED (a, b) — the containment join's pairs
+    are directional, so no canonicalization (unlike lsh._distinct_pairs_block
+    which assumes a < b)."""
+    if batch.num_rows == 0:
+        return batch
+    return batch.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+
+
+def _ordered_pairs_in_block(batch: pa.Table) -> pa.Table:
+    """Vectorized DIRECTIONAL pair generation over one bucket-keyed block:
+    for every bucket, emit (probe-row x, member-row y) for all x != y — the
+    probe/index asymmetry of the containment join (probe rows are the docs
+    whose prefix contains the bucket's gram; member rows are every doc
+    containing it).  Pure NumPy segment arithmetic, no per-bucket Python."""
+    empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+    conv = batch["conv_id"].combine_chunks()
+    probe = batch["probe"].to_numpy(zero_copy_only=False)
+    order = np.argsort(bucket, kind="stable")
+    bs = bucket[order]
+    ps = probe[order]
+    starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+    counts = np.diff(np.append(starts, len(bs)))
+    group_of = np.repeat(np.arange(len(starts)), counts)
+    # probe rows in buckets with >= 2 members pair against the whole bucket
+    pr = np.flatnonzero(ps & (counts[group_of] >= 2))
+    if len(pr) == 0:
+        return empty
+    c_pp = counts[group_of[pr]]          # bucket size per probe row
+    s_pp = starts[group_of[pr]]          # bucket start per probe row
+    tot = int(c_pp.sum())
+    csum = np.concatenate(([0], np.cumsum(c_pp[:-1])))
+    intra = np.arange(tot, dtype=np.int64) - np.repeat(csum, c_pp)
+    b_idx = np.repeat(s_pp, c_pp) + intra
+    a_idx = np.repeat(pr, c_pp)
+    keep = b_idx != a_idx                # drop self-pairs
+    sel = pa.array(order[a_idx[keep]])
+    selb = pa.array(order[b_idx[keep]])
+    return pa.table({"a": conv.take(sel), "b": conv.take(selb)})
+
+
+def ngram_containment_pairs(sf_dir: str, n: int = 3, tau: float = 0.9,
+                            hot_gram_cap: int = 5_000_000):
+    """EXACT directional n-gram CONTAINMENT self-join: all ORDERED doc pairs
+    (a, b), a != b, with |G(a) ∩ G(b)| / |G(a)| >= ``tau`` over distinct
+    token-``n``-gram sets — the asymmetric cousin of ``ngram_jaccard_pairs``
+    for quote/subset duplication (a short doc wholly embedded in a long one
+    scores containment ~1.0 but Jaccard ~|a|/|b|, invisible to a symmetric
+    threshold).  Reference parity: the containment_tau escape hatch of the
+    unified verifier (stages/substring.py) generalized to an exact corpus
+    self-join.
+
+    Scale path — prefix-probe x full-index (the standard exact containment
+    plan, e.g. Xiao et al.'s PPJoin family adapted to an overlap bound that
+    constrains only the CONTAINED side): a pair with containment >= tau
+    shares o >= ceil(tau*|a|) grams, so in ANY fixed global gram order at
+    least one shared gram lies in a's first |a| - ceil(tau*|a|) + 1 grams
+    (pigeonhole over the suffix) — a probes only that prefix, while every
+    doc indexes ALL its grams (the container side has no useful bound:
+    |b| is unconstrained by tau).  The canonical order is document-frequency
+    ascending (broadcast df map, same machinery as the Jaccard join), so
+    probe prefixes hold each doc's RAREST grams and hot boilerplate grams
+    pair probe-side almost never — candidate volume is sum_g probes(g)*df(g),
+    bounded by rare-gram probes, not df^2.  Partitioning assumption: one
+    keyed shuffle of the full gram-occurrence table by gram; a single
+    ultra-hot gram makes one partition large but pair output stays
+    probe-bounded.  Verification is exact set arithmetic over the packed
+    gram blobs; the float threshold compare mirrors the SQL oracle's
+    ``i * 1.0 / n >= tau`` double division bit-for-bit.
+
+    Returns a:int64 (contained doc), b:int64 (container), containment
+    rounded to 6 — mutual near-identical docs emit both directions.
+    """
+    import ray
+
+    from ..functions.similarity import _binary_column_view, batch_set_stats_arrow
+    from ..state.partitioning import key_partitioned, materialize_clean
+    from ..stages.verify import attach_signatures
+
+    tau_ppm = round(tau * 1_000_000)
+    sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
+    df_ref, n_hot = _gram_df_ref(sigs)
+    use_broadcast_df = n_hot <= hot_gram_cap
+
+    def explode_flagged(batch: pa.Table) -> pa.Table:
+        """(conv_id, grams blob) -> one (bucket, conv_id, probe) row per gram;
+        probe marks the doc's first m - ceil(tau*m) + 1 grams in (df, gram)
+        canonical order (df looked up in the broadcast hot-gram map; grams
+        absent from it have df 1 and sort first, tie-broken by hash)."""
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.uint64()),
+                 "conv_id": pa.array([], pa.string()),
+                 "probe": pa.array([], pa.bool_())}
+            )
+        vals, m = _binary_column_view(batch["shingles"])
+        row_idx = np.repeat(np.arange(len(m), dtype=np.int64), m)
+        if use_broadcast_df:
+            hot_grams, hot_df = ray.get(df_ref)
+            if len(hot_grams):
+                pos = np.clip(np.searchsorted(hot_grams, vals), 0, len(hot_grams) - 1)
+                found = hot_grams[pos] == vals
+                df = np.where(found, hot_df[pos], 1)
+            else:
+                df = np.ones(len(vals), dtype=np.int64)
+        else:  # pragma: no cover - exercised via hot_gram_cap=0 in tests
+            df = np.ones(len(vals), dtype=np.int64)
+        order = np.lexsort((vals, df, row_idx))
+        starts = np.zeros(len(m), dtype=np.int64)
+        np.cumsum(m[:-1], out=starts[1:])
+        alpha = -((-tau_ppm * m) // 1_000_000)  # ceil(tau*m), exact
+        plen = m - alpha + 1
+        pos_in_row = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, m)
+        probe = np.empty(len(vals), dtype=bool)
+        probe[order] = pos_in_row < np.repeat(plen, m)
+        return pa.table(
+            {
+                "bucket": pa.array(vals, pa.uint64()),
+                "conv_id": batch["conv_id"].take(pa.array(row_idx)),
+                "probe": pa.array(probe, pa.bool_()),
+            }
+        )
+
+    occ = sigs.map_batches(explode_flagged, batch_format="pyarrow")
+    if not use_broadcast_df:
+        # exact dfs via one gram-keyed shuffle, then re-derive probe flags in
+        # doc-keyed blocks (same two-shuffle fallback as the Jaccard join)
+        def attach_df_block(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            g = batch["bucket"].to_numpy(zero_copy_only=False)
+            order = np.argsort(g, kind="stable")
+            gs = g[order]
+            starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+            cnt = np.diff(np.append(starts, len(gs)))
+            df = np.empty(len(gs), dtype=np.int64)
+            df[order] = np.repeat(cnt, cnt)
+            return batch.set_column(
+                batch.schema.get_field_index("probe"), "probe",
+                pa.array(df, pa.int64()),  # reuse the slot as a df carrier
+            ).rename_columns(["bucket", "conv_id", "df"])
+
+        def reflag_block(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"bucket": pa.array([], pa.uint64()),
+                     "conv_id": pa.array([], pa.string()),
+                     "probe": pa.array([], pa.bool_())}
+                )
+            conv = batch["conv_id"].combine_chunks()
+            enc = conv.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            g = batch["bucket"].to_numpy(zero_copy_only=False)
+            df = batch["df"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((g, df, codes))
+            cs = codes[order]
+            starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+            m = np.diff(np.append(starts, len(cs)))
+            alpha = -((-tau_ppm * m) // 1_000_000)
+            plen = m - alpha + 1
+            pos = np.arange(len(cs), dtype=np.int64) - np.repeat(starts, m)
+            probe = np.empty(len(cs), dtype=bool)
+            probe[order] = pos < np.repeat(plen, m)
+            return pa.table(
+                {"bucket": batch["bucket"], "conv_id": batch["conv_id"],
+                 "probe": pa.array(probe, pa.bool_())}
+            )
+
+        with_df = key_partitioned(occ, ["bucket"]).map_batches(
+            attach_df_block, batch_format="pyarrow", batch_size=None
+        )
+        occ = key_partitioned(with_df, ["conv_id"]).map_batches(
+            reflag_block, batch_format="pyarrow", batch_size=None
+        )
+
+    raw = key_partitioned(occ, ["bucket"]).map_batches(
+        _ordered_pairs_in_block, batch_format="pyarrow", batch_size=None
+    )
+    cand = materialize_clean(
+        key_partitioned(raw, ["a", "b"]).map_batches(
+            _distinct_ordered_pairs_block, batch_format="pyarrow", batch_size=None
+        )
+    )
+    empty_out = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "containment": pa.array([], pa.float64())}
+    )
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty_out)
+
+    joined = attach_signatures(
+        cand, sigs.select_columns(["conv_id", "shingles", "simhash"])
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_out
+        inter, na, _nb = batch_set_stats_arrow(batch["shingles"], batch["shingles_b"])
+        cont = inter * 1.0 / np.maximum(na, 1)  # na >= 1 (blank docs dropped)
+        keep = cont >= tau  # double-division compare, bit-identical to DuckDB
+        if not keep.any():
+            return empty_out
+        return pa.table(
+            {
+                "a": pc.cast(batch["a"].filter(pa.array(keep)), pa.int64()),
+                "b": pc.cast(batch["b"].filter(pa.array(keep)), pa.int64()),
+                "containment": pa.array(np.round(cont[keep], 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def _dedup_components(sf_dir: str, cfg: NDDConfig | None = None):
     """Connected components over exact-raw-text ∪ near-dup (shingle Jaccard
     >= tau) edges: the shared labeling behind ``dedup_keep_docs`` and
