@@ -143,6 +143,15 @@ def _dup_turns(sf_dir: str):
     return dup_turns(transcripts_from_documents(sf_dir))
 
 
+def _dup_turn_windows(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import dup_turn_windows
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return dup_turn_windows(transcripts_from_documents(sf_dir))
+
+
 def _strip_boilerplate_turns(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import strip_boilerplate_turns
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -346,6 +355,7 @@ _GATE_WINDOW_FIRST = [
     "dup_jaccard_histogram",
     "cluster_size_histogram",
     "dup_turns",
+    "dup_turn_windows",
     "curate_docs",
     "decontaminate_docs",
     "decontaminate_docs_bloom",
@@ -592,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order_docs": _curriculum_order_docs,        # SQL-checked (NTILE buckets + source interleave)
         "source_quota_sample": _source_quota_sample,            # SQL-checked (largest-remainder apportionment)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
+        "dup_turn_windows": _dup_turn_windows,                  # SQL-checked (cross-conv k-turn window dedup)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "turn_length_stats": _turn_length_stats,                # SQL-checked (per-role turn-length census)
         "conv_depth_histogram": _conv_depth_histogram,          # SQL-checked (turns-per-conv histogram)
@@ -4659,6 +4670,27 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM turns
             GROUP BY turn_text
             HAVING count(*) > 1
+        """,
+        # cross-conversation duplicated 3-turn windows: contiguous turn
+        # triples (by tix) whose \x1f-joined text appears in >= 2 distinct
+        # conversations — copied sub-dialogues invisible to single-turn and
+        # whole-conversation dedup
+        "dup_turn_windows": "WITH " + _TURN_CTES + """
+            , w AS (
+                SELECT conv_id, tix,
+                       turn_text || chr(31) || lead(turn_text, 1) OVER cw
+                                 || chr(31) || lead(turn_text, 2) OVER cw AS win_text,
+                       lead(tix, 2) OVER cw AS t2
+                FROM turns
+                WINDOW cw AS (PARTITION BY conv_id ORDER BY tix)
+            )
+            SELECT win_text,
+                   count(*) AS n_occurrences,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM w
+            WHERE t2 = tix + 2
+            GROUP BY win_text
+            HAVING count(DISTINCT conv_id) >= 2
         """,
         # turn-level boilerplate strip: turns in > 3 distinct conversations
         # drop from every conversation; empty turns drop too

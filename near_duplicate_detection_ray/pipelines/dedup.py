@@ -170,6 +170,93 @@ def dup_turns(transcripts, num_partitions: int | None = None):
     )
 
 
+def dup_turn_windows(transcripts, k: int = 3, num_partitions: int | None = None):
+    """Cross-conversation duplicated ``k``-turn WINDOW census: every run of
+    ``k`` consecutive turns whose exact text sequence appears in >= 2 distinct
+    conversations — copied sub-dialogues (retried exchanges, pasted few-shot
+    blocks, templated multi-turn flows) that single-turn dedup (``dup_turns``)
+    and whole-conversation dedup both miss.
+
+    Two keyed shuffles: by ``conv_id`` so each conversation's turns are
+    block-local for vectorized window construction (one lexsort + one
+    ``binary_join_element_wise`` per block — no per-turn Python), then by the
+    window text for the global census (block-local Arrow count /
+    count_distinct are global after the key partition).  Windows require
+    CONTIGUOUS ``turn_idx`` (i, i+1, .., i+k-1) within one conversation, so
+    the operator is correct on any transcripts input, not just the dense
+    synthetic corpus.  Output: (win_text — the \\x1f-joined turn texts,
+    n_occurrences, n_convs) with n_convs >= 2.
+    """
+    import numpy as np
+
+    from ..state.partitioning import key_partitioned
+
+    sep = "\x1f"
+    ds = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+
+    def windows_block(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("conv_id", pa.string()), ("win_text", pa.string())])
+        if t.num_rows < k or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        conv = t["conv_id"].combine_chunks()
+        enc = conv.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tix = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tix, codes))
+        co = codes[order]
+        to = tix[order]
+        n = len(order)
+        m = n - (k - 1)
+        # window start i valid iff EVERY adjacent step within turns
+        # i..i+k-1 stays in the conv with turn_idx advancing by exactly 1
+        # (pairwise, so duplicate turn_idx values can't fake contiguity)
+        d = (co[1:] == co[:-1]) & (to[1:] - to[:-1] == 1)
+        valid = np.ones(m, dtype=bool)
+        for j in range(k - 1):
+            valid &= d[j : j + m]
+        starts = np.flatnonzero(valid)
+        if len(starts) == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        text = t["text"].combine_chunks()
+        cols = [text.take(pa.array(order[starts + j])) for j in range(k)]
+        win = pc.binary_join_element_wise(*cols, sep)
+        return pa.table(
+            {"conv_id": conv.take(pa.array(order[starts])), "win_text": win},
+            schema=schema,
+        )
+
+    wins = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+        windows_block, batch_format="pyarrow", batch_size=None
+    )
+
+    def census_block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("win_text", pa.string()), ("n_occurrences", pa.int64()),
+             ("n_convs", pa.int64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        a = t.group_by(["win_text"]).aggregate(
+            [("conv_id", "count_distinct"), ([], "count_all")]
+        )
+        out = pa.table(
+            {
+                "win_text": a["win_text"],
+                "n_occurrences": pa.array(
+                    a["count_all"].to_numpy(zero_copy_only=False), pa.int64()),
+                "n_convs": pa.array(
+                    a["conv_id_count_distinct"].to_numpy(zero_copy_only=False),
+                    pa.int64()),
+            },
+            schema=schema,
+        )
+        return out.filter(pc.greater_equal(out["n_convs"], 2))
+
+    return key_partitioned(wins, ["win_text"], num_partitions).map_batches(
+        census_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _turn_token_counts(t: pa.Table) -> "np.ndarray":
     """Whitespace-token count per turn text (single-space join), with empty
     turns counted as 0 — ONE kernel shared by tool_usage and
