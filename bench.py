@@ -78,6 +78,8 @@ def run_queries() -> dict[str, float]:
         "ann_cosine_topk",
         "grouped_topk_events",
         "ngram_jaccard_pairs",
+        "ngram_containment_pairs",
+        "dup_turn_windows",
         "ann_ivf_topk",
         "events_trailing_1h",
         "curate_docs",

@@ -751,6 +751,15 @@ def ngram_containment_pairs(sf_dir: str, n: int = 3, tau: float = 0.9,
         pos_in_row = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, m)
         probe = np.empty(len(vals), dtype=bool)
         probe[order] = pos_in_row < np.repeat(plen, m)
+        # global-df-1 grams occur in exactly ONE doc, so their buckets have a
+        # single member and can never pair — drop them AFTER the prefix flags
+        # are fixed over the doc's full set (the completeness lemma is about
+        # which of x's grams are probed, not which rows are shipped).  Unique
+        # grams dominate occurrence mass, so this cuts most of the bucket
+        # shuffle (measured ~2x wall at sf0.1).
+        if use_broadcast_df and len(vals):
+            keep = df >= 2
+            vals, row_idx, probe = vals[keep], row_idx[keep], probe[keep]
         return pa.table(
             {
                 "bucket": pa.array(vals, pa.uint64()),
@@ -799,10 +808,13 @@ def ngram_containment_pairs(sf_dir: str, n: int = 3, tau: float = 0.9,
             pos = np.arange(len(cs), dtype=np.int64) - np.repeat(starts, m)
             probe = np.empty(len(cs), dtype=bool)
             probe[order] = pos < np.repeat(plen, m)
+            # same df-1 drop as the broadcast path (single-member buckets
+            # can't pair); flags are already fixed over the full set
+            keep = pa.array(df >= 2)
             return pa.table(
                 {"bucket": batch["bucket"], "conv_id": batch["conv_id"],
                  "probe": pa.array(probe, pa.bool_())}
-            )
+            ).filter(keep)
 
         with_df = key_partitioned(occ, ["bucket"]).map_batches(
             attach_df_block, batch_format="pyarrow", batch_size=None
