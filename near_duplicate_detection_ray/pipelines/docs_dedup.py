@@ -517,6 +517,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
         pos = np.arange(len(cs), dtype=np.int64) - np.repeat(starts, m)
         keep = pos < np.repeat(plen, m)
         sel = order[keep]
+        # a pair-producing bucket gram is BY DEFINITION in >= 2 docs, so
+        # df-1 prefix entries (single-member buckets) can never pair — and
+        # the rare-first canonical order makes them the prefix MAJORITY;
+        # drop them after the prefix flags are fixed over the full set
+        sel = sel[df[sel] >= 2]
         return pa.table(
             {
                 "bucket": pa.array(g[sel], pa.uint64()),
@@ -566,6 +571,14 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
             pos_in_row = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, m)
             keep = pos_in_row < np.repeat(plen, m)
             sel = order[keep]
+            # df-1 prefix entries form single-member buckets — no pair can
+            # come from them (a shared gram is in >= 2 docs); the rare-first
+            # order makes them the prefix majority, so dropping them shrinks
+            # the bucket-shuffle exchange (single-box wall is flat — this
+            # stage isn't the local bottleneck — but exchanged bytes are
+            # what a multi-node cluster pays for).  Flags are fixed over
+            # the full set first, so completeness is untouched.
+            sel = sel[df[sel] >= 2]
             return pa.table(
                 {
                     "bucket": pa.array(vals[sel], pa.uint64()),
