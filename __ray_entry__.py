@@ -375,8 +375,6 @@ _GATE_WINDOW_FIRST = [
     "epoch_shuffle_docs",
     "media_chunk_dedup",
     "media_cdc_dedup",
-    "strip_boilerplate_turns",
-    "conversation_stats",
 ]
 
 

@@ -124,50 +124,57 @@ def near_dup_pipeline(
     return out
 
 
+def _occurrence_census(ds, text_col: str, out_col: str, min_occ: int,
+                       min_convs: int, num_partitions: int | None):
+    """Shared dedup-census kernel: one keyed hash-partition on ``text_col``
+    puts every identical value in one block, so the block-local Arrow
+    ``count`` / ``count_distinct`` are global — the same one-shuffle
+    discipline as ``functions/groupagg.highcard_groupagg``.  Output:
+    (``out_col``, n_occurrences, n_convs) filtered to ``min_occ``/
+    ``min_convs``."""
+    from ..state.partitioning import key_partitioned
+
+    schema = pa.schema(
+        [(out_col, pa.string()), ("n_occurrences", pa.int64()),
+         ("n_convs", pa.int64())]
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        a = t.group_by([text_col]).aggregate(
+            [("conv_id", "count_distinct"), ([], "count_all")]
+        )
+        out = pa.table(
+            {
+                out_col: a[text_col],
+                "n_occurrences": pc.cast(a["count_all"], pa.int64()),
+                "n_convs": pc.cast(a["conv_id_count_distinct"], pa.int64()),
+            },
+            schema=schema,
+        )
+        keep = pc.and_(
+            pc.greater_equal(out["n_occurrences"], min_occ),
+            pc.greater_equal(out["n_convs"], min_convs),
+        )
+        return out.filter(keep)
+
+    return key_partitioned(ds, [text_col], num_partitions).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def dup_turns(transcripts, num_partitions: int | None = None):
     """TURN-level exact dedup census: every non-empty turn text that occurs
     more than once across the corpus, with its occurrence count and the
     number of distinct conversations it appears in — the fine-grained
     companion to conversation-level exact dedup (repeated boilerplate turns,
-    canned assistant replies, copy-pasted tool outputs).
-
-    One keyed hash-partition on the turn text puts every identical turn in
-    one block, so the block-local Arrow ``count`` / ``count_distinct`` are
-    global — the same one-shuffle discipline as
-    ``functions/groupagg.highcard_groupagg``.  Output: (turn_text,
-    n_occurrences, n_convs) where n_occurrences > 1."""
-    from ..state.partitioning import key_partitioned
-
+    canned assistant replies, copy-pasted tool outputs).  Output:
+    (turn_text, n_occurrences, n_convs) where n_occurrences > 1."""
     ds = transcripts.select_columns(["conv_id", "text"]).map_batches(
         lambda t: t.filter(pc.not_equal(t["text"], "")), batch_format="pyarrow"
     )
-
-    def block(t: pa.Table) -> pa.Table:
-        schema = pa.schema(
-            [("turn_text", pa.string()), ("n_occurrences", pa.int64()),
-             ("n_convs", pa.int64())]
-        )
-        if t.num_rows == 0 or t.num_columns == 0:
-            return pa.Table.from_pylist([], schema=schema)
-        a = t.group_by(["text"]).aggregate(
-            [("conv_id", "count_distinct"), ([], "count_all")]
-        )
-        out = pa.table(
-            {
-                "turn_text": a["text"],
-                "n_occurrences": pa.array(
-                    a["count_all"].to_numpy(zero_copy_only=False), pa.int64()),
-                "n_convs": pa.array(
-                    a["conv_id_count_distinct"].to_numpy(zero_copy_only=False),
-                    pa.int64()),
-            },
-            schema=schema,
-        )
-        return out.filter(pc.greater(out["n_occurrences"], 1))
-
-    return key_partitioned(ds, ["text"], num_partitions).map_batches(
-        block, batch_format="pyarrow", batch_size=None
-    )
+    return _occurrence_census(ds, "text", "turn_text", 2, 1, num_partitions)
 
 
 def dup_turn_windows(transcripts, k: int = 3, num_partitions: int | None = None):
@@ -228,33 +235,7 @@ def dup_turn_windows(transcripts, k: int = 3, num_partitions: int | None = None)
     wins = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
         windows_block, batch_format="pyarrow", batch_size=None
     )
-
-    def census_block(t: pa.Table) -> pa.Table:
-        schema = pa.schema(
-            [("win_text", pa.string()), ("n_occurrences", pa.int64()),
-             ("n_convs", pa.int64())]
-        )
-        if t.num_rows == 0 or t.num_columns == 0:
-            return pa.Table.from_pylist([], schema=schema)
-        a = t.group_by(["win_text"]).aggregate(
-            [("conv_id", "count_distinct"), ([], "count_all")]
-        )
-        out = pa.table(
-            {
-                "win_text": a["win_text"],
-                "n_occurrences": pa.array(
-                    a["count_all"].to_numpy(zero_copy_only=False), pa.int64()),
-                "n_convs": pa.array(
-                    a["conv_id_count_distinct"].to_numpy(zero_copy_only=False),
-                    pa.int64()),
-            },
-            schema=schema,
-        )
-        return out.filter(pc.greater_equal(out["n_convs"], 2))
-
-    return key_partitioned(wins, ["win_text"], num_partitions).map_batches(
-        census_block, batch_format="pyarrow", batch_size=None
-    )
+    return _occurrence_census(wins, "win_text", "win_text", 1, 2, num_partitions)
 
 
 def _turn_token_counts(t: pa.Table) -> "np.ndarray":

@@ -109,17 +109,24 @@ class NddHttpServer:
                     return
                 try:
                     if self.path == "/query":
-                        text = req.get("text")
-                        if text is None and "text_b64" in req:
-                            text = base64.b64decode(req["text_b64"]).decode(
-                                "utf-8"
-                            )
+                        # malformed CLIENT input (bad base64/utf-8, non-int k)
+                        # is a 400, not a 500 — parse request fields before
+                        # touching the index
+                        try:
+                            text = req.get("text")
+                            if text is None and "text_b64" in req:
+                                text = base64.b64decode(
+                                    req["text_b64"], validate=True
+                                ).decode("utf-8")
+                            k = int(req.get("k", 30))
+                        except (ValueError, TypeError, UnicodeDecodeError) as e:
+                            self._reply(400, {"error": f"bad request field: {e}"})
+                            return
                         if not isinstance(text, str):
                             self._reply(
                                 400, {"error": "need 'text' or 'text_b64'"}
                             )
                             return
-                        k = int(req.get("k", 30))
                         self._reply(
                             200, {"results": server.index.query_text(text, k)}
                         )

@@ -40,6 +40,26 @@ from ..config import NDDConfig
 
 MANIFEST_NAME = "_MANIFEST.json"
 
+# Versions handed out as LAZY datasets this process (read_stage_version /
+# diff_stage_versions), keyed (abs checkpoint root, stage): pruning skips
+# them, so a later run_stage — through ANY StageCheckpointer instance, not
+# just the one that handed the dataset out — can't rmtree a snapshot out
+# from under an unconsumed rd.read_parquet handle.  Per-stage scoping keeps
+# one stage's pins from eating another stage's keep_versions budget.
+# Process-local by design (lazy handles don't outlive the process); call
+# clear_version_pins() in long-lived services once handles are consumed.
+_PIN_REGISTRY: dict[tuple[str, str], set[str]] = {}
+
+
+def clear_version_pins(root: str | None = None) -> None:
+    """Release version pins (all roots, or one checkpoint root)."""
+    if root is None:
+        _PIN_REGISTRY.clear()
+        return
+    key_root = os.path.abspath(root)
+    for k in [k for k in _PIN_REGISTRY if k[0] == key_root]:
+        del _PIN_REGISTRY[k]
+
 
 class StageCheckpointer:
     """Runs named stages with skip-if-unchanged Parquet checkpoints.
@@ -61,10 +81,6 @@ class StageCheckpointer:
         self.stage_hashes: dict[str, str] = {}
         self.stages_skipped: list[str] = []
         self.stages_computed: list[str] = []
-        # versions handed out as LAZY datasets this session (read_stage_version
-        # / diff_stage_versions): pruning skips them, so a later run_stage
-        # can't rmtree a snapshot out from under an unconsumed rd.read_parquet
-        self._pinned: set[str] = set()
         os.makedirs(root, exist_ok=True)
 
     def _lineage_hash(self, name: str, upstream: list[str]) -> str:
@@ -220,8 +236,12 @@ class StageCheckpointer:
         os.rename(mpath + ".tmp", mpath)
 
     def _prune_versions(self, name: str, keep_hash: str) -> None:
-        """Drop the oldest snapshots beyond ``keep_versions`` (never the one
-        just produced/used)."""
+        """Drop the oldest snapshots beyond ``keep_versions`` — never the one
+        just produced/used, and never a version PINNED for this (root, stage)
+        by an unconsumed lazy handle (pins are extra retention on top of the
+        ``keep_versions`` newest, so pinning stage A cannot shrink stage B's
+        retention, and pins made through one checkpointer instance protect
+        snapshots from pruning by any other instance in the process)."""
         vroot = os.path.join(self.root, name, "versions")
         if not os.path.isdir(vroot):
             return
@@ -231,10 +251,8 @@ class StageCheckpointer:
             if os.path.exists(vman):
                 entries.append((os.path.getmtime(vman), v))
         entries.sort(reverse=True)  # newest first
-        keep = {keep_hash[:12]} | self._pinned
-        for _, v in entries:
-            if len(keep) < max(self.keep_versions, len(self._pinned) + 1):
-                keep.add(v)
+        pins = _PIN_REGISTRY.get((os.path.abspath(self.root), name), set())
+        keep = {v for _, v in entries[: self.keep_versions]} | pins | {keep_hash[:12]}
         for _, v in entries:
             if v not in keep:
                 shutil.rmtree(os.path.join(vroot, v), ignore_errors=True)
@@ -280,7 +298,9 @@ class StageCheckpointer:
                 f"version {version!r} of stage {name!r}: "
                 f"{len(matches)} matches ({matches})"
             )
-        self._pinned.add(matches[0])
+        _PIN_REGISTRY.setdefault(
+            (os.path.abspath(self.root), name), set()
+        ).add(matches[0])
         return rd.read_parquet(os.path.join(vroot, matches[0], "data"))
 
     def read_manifest(self, name: str) -> dict | None:

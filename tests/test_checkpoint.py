@@ -288,22 +288,62 @@ def test_pinned_version_survives_pruning(ray_session):
 
     root = "/tmp/ndd_ckpt_pin_test"
     shutil.rmtree(root, ignore_errors=True)
-    from near_duplicate_detection_ray.stages.checkpoint import StageCheckpointer
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        StageCheckpointer,
+        clear_version_pins,
+    )
 
+    clear_version_pins(root)
     ck = StageCheckpointer(root, NDDConfig(), input_token="v0", keep_versions=1)
     ck.run_stage("s", [], lambda: rd.from_arrow(pa.table({"k": [0], "v": [0]})))
     h0 = ck.stage_hashes["s"][:12]
 
     # hand out a LAZY handle to v0, then produce two newer versions through
-    # the same checkpointer (keep_versions=1 would normally prune v0)
+    # FRESH checkpointer instances (keep_versions=1 would normally prune v0;
+    # the process-level pin registry must protect it across instances)
     handle = ck.read_stage_version("s", h0)
     for tok in ("v1", "v2"):
         ck2 = StageCheckpointer(root, NDDConfig(), input_token=tok,
                                 keep_versions=1)
-        ck2._pinned = ck._pinned  # same-session pin set
         ck2.run_stage(
             "s", [], lambda: rd.from_arrow(pa.table({"k": [1], "v": [1]}))
         )
 
     # the lazy handle must still be readable
     assert handle.to_pandas()["k"].tolist() == [0]
+
+
+def test_pins_are_stage_scoped(ray_session):
+    """Pinning versions of stage A must not shrink stage B's retained-version
+    budget (regression: a shared pin set inflated the keep computation)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    root = "/tmp/ndd_ckpt_pin_scope_test"
+    shutil.rmtree(root, ignore_errors=True)
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        StageCheckpointer,
+        clear_version_pins,
+    )
+
+    clear_version_pins(root)
+    hashes_a, hashes_b = [], []
+    for i, tok in enumerate(("v0", "v1", "v2")):
+        ck = StageCheckpointer(root, NDDConfig(), input_token=tok,
+                               keep_versions=3)
+        ck.run_stage("a", [], lambda i=i: rd.from_arrow(pa.table({"k": [i]})))
+        hashes_a.append(ck.stage_hashes["a"][:12])
+        if i == 0:
+            # pin TWO stage-A versions' worth of handles early
+            ck.read_stage_version("a", hashes_a[0])
+    for i, tok in enumerate(("v0", "v1", "v2")):
+        ck = StageCheckpointer(root, NDDConfig(), input_token=tok,
+                               keep_versions=3)
+        ck.run_stage("b", [], lambda i=i: rd.from_arrow(pa.table({"k": [i]})))
+        hashes_b.append(ck.stage_hashes["b"][:12])
+    ck = StageCheckpointer(root, NDDConfig(), keep_versions=3)
+    retained_b = {e["version"] for e in ck.list_versions("b")}
+    assert set(hashes_b) <= retained_b, (
+        f"stage B retained {len(retained_b)} of 3 despite keep_versions=3"
+    )

@@ -67,13 +67,21 @@ def test_documented_counts_match_live():
 
 def test_flagship_family_inside_gate_window():
     """The driver's hard gate reads only the first 50 queries() entries; the
-    flagship near-dup family must live there (round-2 verdict #2)."""
+    flagship near-dup family must live there (round-2 verdict #2), and the
+    curated window list must be EXACTLY 50 — entries past 50 silently fall
+    outside the gate (round-3 review finding: the list had grown to 52)."""
     import __ray_entry__ as e
 
+    assert len(e._GATE_WINDOW_FIRST) == 50, (
+        f"gate window list has {len(e._GATE_WINDOW_FIRST)} entries; "
+        "entries past 50 are invisible to the driver's hard gate"
+    )
     first50 = list(e.queries())[:50]
+    assert first50 == e._GATE_WINDOW_FIRST
     for name in (
         "ndd_dup_pairs", "ndd_clusters", "ndd_conversations",
         "near_dup_pairs_docs", "exact_dedup_docs", "ngram_jaccard_pairs",
+        "ngram_containment_pairs", "dup_turn_windows",
         "decontaminate_docs", "decontaminate_docs_fuzzy", "semdedup_docs",
         "curate_docs", "dedup_best_docs",
     ):
