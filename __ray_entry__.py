@@ -152,6 +152,15 @@ def _dup_turn_windows(sf_dir: str):
     return dup_turn_windows(transcripts_from_documents(sf_dir))
 
 
+def _turn_window_near_dups(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import turn_window_near_dups
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return turn_window_near_dups(transcripts_from_documents(sf_dir))
+
+
 def _strip_boilerplate_turns(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import strip_boilerplate_turns
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -601,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota_sample": _source_quota_sample,            # SQL-checked (largest-remainder apportionment)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "dup_turn_windows": _dup_turn_windows,                  # SQL-checked (cross-conv k-turn window dedup)
+        "turn_window_near_dups": _turn_window_near_dups,        # SQL-checked (fuzzy sub-dialogue PPJoin)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "turn_length_stats": _turn_length_stats,                # SQL-checked (per-role turn-length census)
         "conv_depth_histogram": _conv_depth_histogram,          # SQL-checked (turns-per-conv histogram)
@@ -4689,6 +4699,48 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE t2 = tix + 2
             GROUP BY win_text
             HAVING count(DISTINCT conv_id) >= 2
+        """,
+        # fuzzy sub-dialogue dedup: 3-turn windows as documents (id
+        # conv#start_tix, lowercased space-joined text), brute-force
+        # distinct-3-gram inverted-index Jaccard >= 0.7 between windows of
+        # DIFFERENT conversations (engine gram hashes stand in for gram
+        # strings — same parity argument as ngram_jaccard_pairs)
+        "turn_window_near_dups": "WITH " + _TURN_CTES + """
+            , w AS (
+                SELECT conv_id, tix,
+                       lower(turn_text || ' ' || lead(turn_text, 1) OVER cw
+                                       || ' ' || lead(turn_text, 2) OVER cw) AS wt,
+                       lead(tix, 2) OVER cw AS t2
+                FROM turns
+                WINDOW cw AS (PARTITION BY conv_id ORDER BY tix)
+            ), wins AS (
+                SELECT conv_id,
+                       conv_id || '#' || CAST(tix AS VARCHAR) AS wid,
+                       regexp_split_to_array(
+                           trim(regexp_replace(wt, '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM w WHERE t2 = tix + 2
+            ), g AS (
+                SELECT DISTINCT wid, conv_id, s
+                FROM wins, UNNEST(
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT wid, count(*) AS n FROM g GROUP BY wid
+            ), inter AS (
+                SELECT a.wid AS a, b.wid AS b, count(*) AS i
+                FROM g a JOIN g b
+                  ON a.s = b.s AND a.wid < b.wid AND a.conv_id <> b.conv_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.wid
+            JOIN sizes sb ON inter.b = sb.wid
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
         """,
         # turn-level boilerplate strip: turns in > 3 distinct conversations
         # drop from every conversation; empty turns drop too

@@ -194,15 +194,28 @@ def dup_turn_windows(transcripts, k: int = 3, num_partitions: int | None = None)
     synthetic corpus.  Output: (win_text — the \\x1f-joined turn texts,
     n_occurrences, n_convs) with n_convs >= 2.
     """
+    wins = _turn_windows(transcripts, k, "\x1f", num_partitions)
+    return _occurrence_census(wins, "win_text", "win_text", 1, 2, num_partitions)
+
+
+def _turn_windows(transcripts, k: int, sep: str, num_partitions: int | None):
+    """(conv_id, start_tix, win_text) rows for every run of ``k`` contiguous
+    turns, via one conv_id-keyed shuffle and a vectorized block kernel (one
+    lexsort + one ``binary_join_element_wise`` per block — no per-turn
+    Python).  Windows require CONTIGUOUS ``turn_idx`` (i, i+1, .., i+k-1)
+    within one conversation, so the builders are correct on any transcripts
+    input, not just the dense synthetic corpus."""
     import numpy as np
 
     from ..state.partitioning import key_partitioned
 
-    sep = "\x1f"
     ds = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+    schema = pa.schema(
+        [("conv_id", pa.string()), ("start_tix", pa.int64()),
+         ("win_text", pa.string())]
+    )
 
     def windows_block(t: pa.Table) -> pa.Table:
-        schema = pa.schema([("conv_id", pa.string()), ("win_text", pa.string())])
         if t.num_rows < k or t.num_columns == 0:
             return pa.Table.from_pylist([], schema=schema)
         conv = t["conv_id"].combine_chunks()
@@ -228,14 +241,68 @@ def dup_turn_windows(transcripts, k: int = 3, num_partitions: int | None = None)
         cols = [text.take(pa.array(order[starts + j])) for j in range(k)]
         win = pc.binary_join_element_wise(*cols, sep)
         return pa.table(
-            {"conv_id": conv.take(pa.array(order[starts])), "win_text": win},
+            {
+                "conv_id": conv.take(pa.array(order[starts])),
+                "start_tix": pa.array(to[starts], pa.int64()),
+                "win_text": win,
+            },
             schema=schema,
         )
 
-    wins = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+    return key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
         windows_block, batch_format="pyarrow", batch_size=None
     )
-    return _occurrence_census(wins, "win_text", "win_text", 1, 2, num_partitions)
+
+
+def turn_window_near_dups(transcripts, k: int = 3, n: int = 3,
+                          tau: float = 0.7,
+                          num_partitions: int | None = None):
+    """FUZZY sub-dialogue dedup: all CROSS-conversation pairs of ``k``-turn
+    windows whose normalized token-``n``-gram Jaccard >= ``tau`` — the
+    near-dup companion to ``dup_turn_windows``'s exact census (catches
+    lightly-edited copied exchanges, e.g. a pasted few-shot block with one
+    substituted value, that exact window dedup misses).
+
+    Windows become documents: id ``conv_id#start_tix``, text = the k turn
+    texts joined with single spaces and lowercased (the engine-standard
+    normalization), then the whole EXACT prefix-filter Jaccard join
+    (``docs_dedup.ngram_jaccard_join`` — PPJoin canonical order, broadcast
+    df map, packed-set verification) runs over the window corpus unchanged.
+    Same-conversation pairs are excluded (overlapping windows of one conv
+    trivially share k-1 turns).  Output: (a, b, jaccard) with window ids as
+    strings, a < b.
+    """
+    from .docs_dedup import ngram_grams_over, ngram_jaccard_join
+    from ..state.partitioning import materialize_clean
+
+    wins = _turn_windows(transcripts, k, " ", num_partitions)
+
+    def as_docs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "doc_text": pa.array([], pa.string())}
+            )
+        wid = pc.binary_join_element_wise(
+            t["conv_id"], pc.cast(t["start_tix"], pa.string()), "#"
+        )
+        return pa.table(
+            {"conv_id": wid, "doc_text": pc.utf8_lower(t["win_text"])}
+        )
+
+    sigs = materialize_clean(
+        ngram_grams_over(wins.map_batches(as_docs, batch_format="pyarrow"), n)
+    )
+    pairs = ngram_jaccard_join(sigs, tau=tau, int_ids=False)
+
+    def cross_conv_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        conv_a = pc.replace_substring_regex(t["a"], r"#[0-9]+$", "")
+        conv_b = pc.replace_substring_regex(t["b"], r"#[0-9]+$", "")
+        return t.filter(pc.not_equal(conv_a, conv_b))
+
+    return pairs.map_batches(cross_conv_only, batch_format="pyarrow")
 
 
 def _turn_token_counts(t: pa.Table) -> "np.ndarray":

@@ -283,74 +283,85 @@ def simhash_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None, radius: int | 
     return pairs.map_batches(finish, batch_format="pyarrow")
 
 
-def ngram_grams_docs(sf_dir: str, n: int = 3):
-    """Per-doc sorted-unique token-n-gram hash set, packed as a binary blob
-    (the join-safe set representation shared with the shingle signatures).
+class _GramSigner:
+    """Signer-style vectorized tokenize: ONE Arrow whitespace split per
+    batch (doc_text is already normalized), tokens hashed once per unique
+    value through the per-actor cache — no per-doc Python tokenize."""
+
+    def __init__(self, n: int) -> None:
+        from ..functions.hashing import TokenHasher
+
+        self.n = n
+        self.hasher = TokenHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_token, shingle_hashes
+
+        n_rows = batch.num_rows
+        col = batch["doc_text"].combine_chunks() if n_rows else pa.array([], pa.string())
+        toks_list = pc.utf8_split_whitespace(col)
+        offsets = toks_list.offsets.to_numpy(zero_copy_only=False)
+        flat = toks_list.flatten()
+        uniq = pc.unique(flat)
+        cache = self.hasher._cache
+        uniq_hashes = np.empty(len(uniq), dtype=np.uint64)
+        for i, tok in enumerate(uniq.to_pylist()):
+            h = cache.get(tok)
+            if h is None:
+                h = hash_token(tok)
+                if len(cache) < self.hasher._max_cache:
+                    cache[tok] = h
+            uniq_hashes[i] = h
+        idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
+        flat_hashes = uniq_hashes[idx] if len(idx) else np.empty(0, dtype=np.uint64)
+        is_blank = (
+            pc.equal(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False)
+            if n_rows
+            else np.zeros(0, dtype=bool)
+        )
+        keep_rows, blobs, sizes = [], [], []
+        for i in range(n_rows):
+            if is_blank[i]:
+                continue
+            th = flat_hashes[offsets[i] : offsets[i + 1]]
+            if len(th) == 0:
+                continue
+            grams = shingle_hashes(th, self.n)
+            keep_rows.append(i)
+            blobs.append(grams.tobytes())
+            sizes.append(len(grams))
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"].take(pa.array(keep_rows, pa.int64())),
+                "shingles": pa.array(blobs, pa.binary()),
+                "simhash": pa.array(np.zeros(len(blobs), np.uint64), pa.uint64()),
+                "n_grams": pa.array(sizes, pa.int32()),
+            }
+        )
+
+
+def ngram_grams_over(ds, n: int = 3):
+    """Per-row sorted-unique token-n-gram hash set over ANY (conv_id,
+    doc_text) dataset, packed as a binary blob (the join-safe set
+    representation shared with the shingle signatures).
 
     Tokenization is the engine-standard normalize + whitespace split, and the
     gram hash is the same blake2b-token polynomial as ``shingle_hashes`` with
     ``w = n`` — set sizes and intersections equal the SQL oracle's distinct
     n-gram STRING sets (hash collisions are negligible; the same parity
-    argument as ``near_dup_pairs_docs``).  Docs shorter than ``n`` tokens
-    contribute ONE gram over all their tokens; blank docs are dropped — both
-    rules mirror the oracle's CASE/WHERE.
+    argument as ``near_dup_pairs_docs``).  Rows shorter than ``n`` tokens
+    contribute ONE gram over all their tokens; blank rows are dropped — both
+    rules mirror the oracles' CASE/WHERE.
     """
-    from ..functions.hashing import TokenHasher, hash_token, shingle_hashes
-
-    class GramSigner:
-        """Signer-style vectorized tokenize: ONE Arrow whitespace split per
-        batch (doc_text is already normalized), tokens hashed once per unique
-        value through the per-actor cache — no per-doc Python tokenize."""
-
-        def __init__(self) -> None:
-            self.hasher = TokenHasher()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            n_rows = batch.num_rows
-            col = batch["doc_text"].combine_chunks() if n_rows else pa.array([], pa.string())
-            toks_list = pc.utf8_split_whitespace(col)
-            offsets = toks_list.offsets.to_numpy(zero_copy_only=False)
-            flat = toks_list.flatten()
-            uniq = pc.unique(flat)
-            cache = self.hasher._cache
-            uniq_hashes = np.empty(len(uniq), dtype=np.uint64)
-            for i, tok in enumerate(uniq.to_pylist()):
-                h = cache.get(tok)
-                if h is None:
-                    h = hash_token(tok)
-                    if len(cache) < self.hasher._max_cache:
-                        cache[tok] = h
-                uniq_hashes[i] = h
-            idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
-            flat_hashes = uniq_hashes[idx] if len(idx) else np.empty(0, dtype=np.uint64)
-            is_blank = (
-                pc.equal(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False)
-                if n_rows
-                else np.zeros(0, dtype=bool)
-            )
-            keep_rows, blobs, sizes = [], [], []
-            for i in range(n_rows):
-                if is_blank[i]:
-                    continue
-                th = flat_hashes[offsets[i] : offsets[i + 1]]
-                if len(th) == 0:
-                    continue
-                grams = shingle_hashes(th, n)
-                keep_rows.append(i)
-                blobs.append(grams.tobytes())
-                sizes.append(len(grams))
-            return pa.table(
-                {
-                    "conv_id": batch["conv_id"].take(pa.array(keep_rows, pa.int64())),
-                    "shingles": pa.array(blobs, pa.binary()),
-                    "simhash": pa.array(np.zeros(len(blobs), np.uint64), pa.uint64()),
-                    "n_grams": pa.array(sizes, pa.int32()),
-                }
-            )
-
-    return docs_as_conversations(sf_dir).map_batches(
-        GramSigner, batch_format="pyarrow", concurrency=(1, 8)
+    return ds.map_batches(
+        _GramSigner, fn_constructor_kwargs={"n": n},
+        batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+def ngram_grams_docs(sf_dir: str, n: int = 3):
+    """``ngram_grams_over`` applied to the normalized documents corpus."""
+    return ngram_grams_over(docs_as_conversations(sf_dir), n)
 
 
 def _gram_df_ref(sigs):
@@ -420,8 +431,19 @@ def _gram_df_ref(sigs):
 
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
                         hot_gram_cap: int = 5_000_000):
-    """EXACT n-gram Jaccard set-similarity self-join: all doc pairs with
-    token-``n``-gram Jaccard >= ``tau`` — no MinHash approximation.
+    """EXACT n-gram Jaccard self-join over the documents corpus — see
+    ``ngram_jaccard_join`` for the plan; ids cast to int64 doc_ids."""
+    from ..state.partitioning import materialize_clean
+
+    sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
+    return ngram_jaccard_join(sigs, tau=tau, hot_gram_cap=hot_gram_cap)
+
+
+def ngram_jaccard_join(sigs, tau: float = 0.7, hot_gram_cap: int = 5_000_000,
+                       int_ids: bool = True):
+    """EXACT n-gram Jaccard set-similarity self-join over pre-built gram
+    signatures (``ngram_grams_over``): all row pairs with token-n-gram
+    Jaccard >= ``tau`` — no MinHash approximation.
 
     Scale path is canonical-order prefix filtering (All-Pairs / PPJoin,
     public algorithms): with grams in a global total order (ascending hash),
@@ -456,8 +478,6 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
     # ceil(0.7*10) = ceil(7.000000000000001) = 8 would shorten prefixes and
     # break the completeness guarantee at the threshold boundary
     tau_ppm = round(tau * 1_000_000)
-
-    sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
 
     def explode_all(batch: pa.Table) -> pa.Table:
         """(conv_id, grams blob) -> one (gram, conv_id) row per gram."""
@@ -608,12 +628,13 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
         .map_batches(_distinct_pairs_block, batch_format="pyarrow", batch_size=None)
         .select_columns(["a", "b"])
     )
+    id_type = pa.int64() if int_ids else pa.string()
     if cand.count() == 0:
         import ray.data as rd
 
         return rd.from_arrow(
             pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                {"a": pa.array([], id_type), "b": pa.array([], id_type),
                  "jaccard": pa.array([], pa.float64())}
             )
         )
@@ -622,7 +643,7 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
 
     def verify(batch: pa.Table) -> pa.Table:
         empty = pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            {"a": pa.array([], id_type), "b": pa.array([], id_type),
              "jaccard": pa.array([], pa.float64())}
         )
         if batch.num_rows == 0:
@@ -633,10 +654,14 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
         keep = jac >= tau
         if not keep.any():
             return empty
+        a = batch["a"].filter(pa.array(keep))
+        b = batch["b"].filter(pa.array(keep))
+        if int_ids:
+            a, b = pc.cast(a, pa.int64()), pc.cast(b, pa.int64())
         return pa.table(
             {
-                "a": pc.cast(batch["a"].filter(pa.array(keep)), pa.int64()),
-                "b": pc.cast(batch["b"].filter(pa.array(keep)), pa.int64()),
+                "a": a,
+                "b": b,
                 "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
             }
         )

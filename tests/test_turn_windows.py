@@ -72,3 +72,30 @@ def test_within_conversation_repeat_is_not_cross_conv(ray_session):
     # the same 3-turn run twice INSIDE one conversation: n_convs == 1 -> out
     rows = [("A", i, f"line{i % 3}") for i in range(6)]
     assert _run(_transcripts(rows)) == []
+
+
+def test_turn_window_near_dups_finds_edited_copy(ray_session):
+    """A lightly-edited copied 3-turn exchange (one substituted token out of
+    ~36) must surface as a near-dup window pair, while exact window dedup
+    misses it; same-conversation overlapping windows must not pair."""
+    from near_duplicate_detection_ray.pipelines.dedup import (
+        dup_turn_windows,
+        turn_window_near_dups,
+    )
+
+    base = [" ".join(f"tok{t}_{j}" for j in range(12)) for t in range(3)]
+    edited = list(base)
+    edited[1] = edited[1].replace("tok1_5", "CHANGED")
+    rows = (
+        [("A", i, base[i]) for i in range(3)]
+        + [("B", i, edited[i]) for i in range(3)]
+        # unrelated filler conversation
+        + [("C", i, " ".join(f"x{i}_{j}" for j in range(12))) for i in range(3)]
+    )
+    ds = _transcripts(rows)
+    near = turn_window_near_dups(ds).to_pandas()
+    got = sorted(map(tuple, near[["a", "b"]].itertuples(index=False)))
+    assert got == [("A#0", "B#0")]
+    assert (near["jaccard"] >= 0.7).all() and (near["jaccard"] < 1.0).all()
+    # the exact census can't see the edited copy
+    assert dup_turn_windows(ds).count() == 0
