@@ -161,6 +161,17 @@ def _turn_window_near_dups(sf_dir: str):
     return turn_window_near_dups(transcripts_from_documents(sf_dir))
 
 
+def _assistant_near_dup_convs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import (
+        assistant_near_dup_convs,
+    )
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return assistant_near_dup_convs(transcripts_from_documents(sf_dir))
+
+
 def _strip_boilerplate_turns(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import strip_boilerplate_turns
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -621,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_burst_dedup": _turn_burst_dedup,                  # SQL-checked (TTL/burst streaming-dedup census)
         "tool_sequence_dups": _tool_sequence_dups,              # SQL-checked (tool-trace behavioral dedup)
         "assistant_dup_convs": _assistant_dup_convs,            # SQL-checked (role-scoped dedup)
+        "assistant_near_dup_convs": _assistant_near_dup_convs,  # SQL-checked (fuzzy role-scoped PPJoin)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -4875,6 +4887,40 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM afp a JOIN fullfp f USING (conv_id)
             GROUP BY a.asst_fp
             HAVING count(*) >= 2
+        """,
+        # fuzzy role-scoped dedup: per-conv assistant text (tix % 2 = 1,
+        # turn-ordered, lowercased), brute-force distinct-3-gram
+        # inverted-index Jaccard >= 0.8 between conv pairs (engine gram
+        # hashes stand in for gram strings — ngram_jaccard_pairs parity)
+        "assistant_near_dup_convs": "WITH " + _TURN_CTES + """
+            , atext AS (
+                SELECT conv_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(
+                               string_agg(lower(turn_text), ' ' ORDER BY tix),
+                               '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM turns WHERE tix % 2 = 1 GROUP BY conv_id
+            ), g AS (
+                SELECT DISTINCT conv_id, s
+                FROM atext, UNNEST(
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT conv_id, count(*) AS n FROM g GROUP BY conv_id
+            ), inter AS (
+                SELECT a.conv_id AS a, b.conv_id AS b, count(*) AS i
+                FROM g a JOIN g b ON a.s = b.s AND a.conv_id < b.conv_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.conv_id
+            JOIN sizes sb ON inter.b = sb.conv_id
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
         """,
         # per-(role, tool) usage census over the derived transcripts; the
         # role/tool derivation mirrors sources/transcripts constants

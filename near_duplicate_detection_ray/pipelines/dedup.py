@@ -904,6 +904,59 @@ def tool_sequence_dups(transcripts, num_partitions: int | None = None):
     return _group_census(pairs, "tool_seq", num_partitions)
 
 
+def assistant_near_dup_convs(transcripts, n: int = 3, tau: float = 0.8,
+                             num_partitions: int | None = None):
+    """FUZZY role-scoped dedup: conversation pairs whose ASSISTANT-side text
+    alone (turn-ordered, normalized) has token-``n``-gram Jaccard >= ``tau``
+    — near-identical model completions answering different or lightly-edited
+    prompts, which ``assistant_dup_convs``'s exact fingerprint census misses
+    the moment one assistant token differs.
+
+    One conv_id-keyed shuffle assembles each conversation's assistant text
+    block-locally (one Python join PER CONVERSATION, same granularity as the
+    assemble stage), then the exact prefix-filter Jaccard join
+    (``docs_dedup.ngram_jaccard_join``) runs over the assistant-texts corpus.
+    Output: (a, b, jaccard) conv-id pairs, a < b."""
+    import numpy as np
+
+    from ..state.partitioning import key_partitioned, materialize_clean
+    from .docs_dedup import ngram_grams_over, ngram_jaccard_join
+
+    ds = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+    schema = pa.schema([("conv_id", pa.string()), ("doc_text", pa.string())])
+
+    def assistant_text_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        t = t.filter(pc.equal(t["role"], "assistant"))
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        conv = t["conv_id"].combine_chunks()
+        enc = conv.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tix = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tix, codes))
+        texts = pc.utf8_lower(t["text"]).take(pa.array(order)).to_pylist()
+        co = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], co[1:] != co[:-1])))
+        bounds = np.append(starts, len(co))
+        cids = enc.dictionary.take(pa.array(co[starts])).to_pylist()
+        joined = [
+            " ".join(texts[bounds[i]: bounds[i + 1]]) for i in range(len(starts))
+        ]
+        return pa.table(
+            {"conv_id": pa.array(cids, pa.string()),
+             "doc_text": pa.array(joined, pa.string())},
+            schema=schema,
+        )
+
+    docs = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+        assistant_text_block, batch_format="pyarrow", batch_size=None
+    )
+    sigs = materialize_clean(ngram_grams_over(docs, n))
+    return ngram_jaccard_join(sigs, tau=tau, int_ids=False)
+
+
 def assistant_dup_convs(transcripts, num_partitions: int | None = None):
     """ROLE-SCOPED dedup: groups of conversations identical on the
     assistant-side text alone (turn-ordered), however the user side differs —
