@@ -80,6 +80,8 @@ def run_queries() -> dict[str, float]:
         "ngram_jaccard_pairs",
         "ngram_containment_pairs",
         "dup_turn_windows",
+        "turn_window_near_dups",
+        "assistant_near_dup_convs",
         "ann_ivf_topk",
         "events_trailing_1h",
         "curate_docs",
