@@ -199,6 +199,20 @@ def _tool_usage(sf_dir: str):
     return tool_usage(transcripts_from_documents(sf_dir))
 
 
+def _conv_prefix_dups(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import conv_prefix_dups
+    from near_duplicate_detection_ray.sources.transcripts import planted_transcripts
+
+    return conv_prefix_dups(planted_transcripts(sf_dir))
+
+
+def _shuffled_dup_convs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import shuffled_dup_convs
+    from near_duplicate_detection_ray.sources.transcripts import planted_transcripts
+
+    return shuffled_dup_convs(planted_transcripts(sf_dir))
+
+
 def _turn_burst_dedup(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import turn_burst_dedup
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -633,6 +647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_sequence_dups": _tool_sequence_dups,              # SQL-checked (tool-trace behavioral dedup)
         "assistant_dup_convs": _assistant_dup_convs,            # SQL-checked (role-scoped dedup)
         "assistant_near_dup_convs": _assistant_near_dup_convs,  # SQL-checked (fuzzy role-scoped PPJoin)
+        "conv_prefix_dups": _conv_prefix_dups,                  # SQL-checked (turn-boundary prefix containment)
+        "shuffled_dup_convs": _shuffled_dup_convs,              # SQL-checked (order-insensitive multiset dedup)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
@@ -712,6 +728,27 @@ _TURN_CTES = _BASE_VARIANT_CTES + r""", turns AS (
 )
 """
 
+
+# Turn derivation + the conv_prefix_dups / shuffled_dup_convs planted
+# families (mirrors sources/transcripts.docs_to_planted_batch): base convs
+# with >= 2 turns additionally emit a TRUNCATED copy ('t', first (n+1)//2
+# turns, doc_id % 10 = 5) and a ROTATED copy ('s', turn j = base turn
+# (j+1) % n, doc_id % 10 = 1).  Planting applies to the BASE conv only,
+# never to the 'e'/'m' variants.
+_PLANTED_TURN_CTES = _TURN_CTES + r""", base_turns AS (
+    SELECT conv_id, doc_id, tix, turn_text,
+           count(*) OVER (PARTITION BY conv_id) AS n
+    FROM turns WHERE conv_id = printf('doc%09d', doc_id)
+), planted AS (
+    SELECT conv_id, tix, turn_text FROM turns
+    UNION ALL
+    SELECT conv_id || 't', tix, turn_text FROM base_turns
+    WHERE doc_id % 10 = 5 AND n >= 2 AND tix < (n + 1) // 2
+    UNION ALL
+    SELECT conv_id || 's', (tix + n - 1) % n AS tix, turn_text FROM base_turns
+    WHERE doc_id % 10 = 1 AND n >= 2
+)
+"""
 
 _CONV_CTES = _BASE_VARIANT_CTES + r""", rebuilt AS (
     SELECT conv_id,
@@ -4886,6 +4923,49 @@ def _oracle_sql_literal() -> dict[str, str]:
                    min(a.conv_id) AS rep_conv
             FROM afp a JOIN fullfp f USING (conv_id)
             GROUP BY a.asst_fp
+            HAVING count(*) >= 2
+        """,
+        # turn-boundary prefix containment over the planted corpus: conv a's
+        # FULL \x1f-joined turn sequence equals conv b's first n_a turns with
+        # n_b > n_a (the engine's chained-md5 probe/index join compares the
+        # same per-turn sequences; chr(31) never occurs in turn texts)
+        "conv_prefix_dups": "WITH " + _PLANTED_TURN_CTES + """
+            , pre AS (
+                SELECT conv_id,
+                       row_number() OVER (
+                           PARTITION BY conv_id ORDER BY tix) AS rn,
+                       string_agg(turn_text, chr(31)) OVER (
+                           PARTITION BY conv_id ORDER BY tix
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS ptext,
+                       count(*) OVER (PARTITION BY conv_id) AS n_total
+                FROM planted
+            ), fulls AS (
+                SELECT conv_id, ptext AS ftext, n_total AS n
+                FROM pre WHERE rn = n_total
+            )
+            SELECT f.conv_id AS a, p.conv_id AS b,
+                   CAST(f.n AS INTEGER) AS n_shared_turns,
+                   CAST(p.n_total AS INTEGER) AS b_n_turns
+            FROM fulls f JOIN pre p
+              ON p.ptext = f.ftext AND p.rn = f.n AND p.n_total > f.n
+        """,
+        # order-insensitive multiset dedup over the planted corpus: groups
+        # with an identical sorted-turn-text fingerprint; n_orderings counts
+        # distinct ordered variants (rotated 's' copies make it > 1)
+        "shuffled_dup_convs": "WITH " + _PLANTED_TURN_CTES + """
+            , fp AS (
+                SELECT conv_id,
+                       md5(string_agg(turn_text, chr(31) ORDER BY tix))
+                           AS ofp,
+                       md5(string_agg(turn_text, chr(31) ORDER BY turn_text))
+                           AS mfp
+                FROM planted GROUP BY conv_id
+            )
+            SELECT min(conv_id) AS rep_id,
+                   count(*) AS n_convs,
+                   CAST(count(DISTINCT ofp) AS BIGINT) AS n_orderings
+            FROM fp GROUP BY mfp
             HAVING count(*) >= 2
         """,
         # fuzzy role-scoped dedup: per-conv assistant text (tix % 2 = 1,

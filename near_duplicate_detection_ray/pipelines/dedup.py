@@ -1044,3 +1044,170 @@ def turn_burst_dedup(transcripts, ttl_seconds: int = 60,
     return key_partitioned(ds, ["text"], num_partitions).map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def conv_prefix_dups(transcripts, num_partitions: int | None = None):
+    """TRUNCATION/CONTINUATION dedup: pairs ``(a, b)`` where conversation
+    ``a``'s full turn-text sequence equals the first ``n_a`` turns of a
+    LONGER conversation ``b`` — the "session cut short / resumed later"
+    pattern that exact dedup (different lengths) and near-dup (Jaccard
+    diluted by ``b``'s tail) both miss.  Reference analogue: the shot-prefix
+    reuse a video near-dup system sees when one upload truncates another.
+
+    Plan (all keyed, streams at 100 TB):
+
+    1. ONE conv_id-keyed partition; per conversation a CHAINED md5 over the
+       turn texts yields one 128-bit prefix hash per turn boundary — the
+       emission is O(total turns), never O(turns^2) text.
+    2. The per-conv FULL hash (position = n_turns) probes the proper-prefix
+       hash index (position < n_turns) with ONE keyed equi-join on
+       ``(hash, position)`` — no text ever re-shuffles.
+
+    128-bit chain collisions are the only approximation (~2^-128 per
+    candidate; the same trust the exact-dedup md5 fingerprint already
+    carries).  Empty turn texts are treated as absent (corpus-derivation
+    ``has_tokens`` parity).  Turn order is (conv_id, turn_idx) — never block
+    order.  Output: ``a, b, n_shared_turns, b_n_turns``."""
+    import hashlib
+
+    from ..state.partitioning import key_partitioned, resolve_partitions
+
+    num_partitions = resolve_partitions(num_partitions)
+    ds = transcripts.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["text"], "")), batch_format="pyarrow"
+    )
+    schema = pa.schema(
+        [("h", pa.string()), ("conv_id", pa.string()),
+         ("pos", pa.int32()), ("n_total", pa.int32())]
+    )
+
+    def per_conv(df) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=schema)
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        hs: list[str] = []
+        cids: list[str] = []
+        poss: list[int] = []
+        ns: list[int] = []
+        for cid, g in df.groupby("conv_id", sort=True)["text"]:
+            texts = g.to_numpy()
+            n = len(texts)
+            h = b""
+            for k, t in enumerate(texts):
+                h = hashlib.md5(h + b"\x1f" + t.encode()).digest()
+                hs.append(h.hex())
+                cids.append(cid)
+                poss.append(k + 1)
+                ns.append(n)
+        return pa.table(
+            {"h": pa.array(hs, pa.string()),
+             "conv_id": pa.array(cids, pa.string()),
+             "pos": pa.array(poss, pa.int32()),
+             "n_total": pa.array(ns, pa.int32())},
+            schema=schema,
+        )
+
+    hashed = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+        per_conv, batch_format="pandas", batch_size=None
+    )
+    probes = hashed.map_batches(
+        lambda t: t.filter(pc.equal(t["pos"], t["n_total"]))
+                   .select(["h", "pos", "conv_id"]),
+        batch_format="pyarrow",
+    )
+    index = hashed.map_batches(
+        lambda t: t.filter(pc.less(t["pos"], t["n_total"]))
+                   .rename_columns(["h", "conv_id_b", "pos", "n_total"]),
+        batch_format="pyarrow",
+    )
+    j = probes.join(
+        index,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("h", "pos"),
+    )
+    out_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()),
+         ("n_shared_turns", pa.int32()), ("b_n_turns", pa.int32())]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        return pa.table(
+            {"a": t["conv_id"], "b": t["conv_id_b"],
+             "n_shared_turns": t["pos"], "b_n_turns": t["n_total"]},
+            schema=out_schema,
+        )
+
+    return j.map_batches(project, batch_format="pyarrow")
+
+
+def shuffled_dup_convs(transcripts, num_partitions: int | None = None):
+    """ORDER-INSENSITIVE conversation dedup: groups of conversations whose
+    turn-text MULTISET is identical — catches reordered/rotated copies of a
+    dialogue (log re-serialization, retry interleaving) that every ordered
+    fingerprint misses.  ``n_orderings`` counts the distinct ORDERED variants
+    inside the group (1 = the group is pure exact copies; >1 = genuinely
+    shuffled duplicates worth an order-canonicalization pass).
+
+    Two keyed shuffles: conv_id-keyed partition for per-conversation
+    fingerprints (ordered md5 + sorted-turn md5, block-local), then a
+    multiset-fp-keyed group census.  Turn texts must not contain the \\x1f
+    separator (guaranteed by the corpus derivation); empty turn texts are
+    treated as absent.  Output: ``rep_id, n_convs, n_orderings`` for groups
+    of >= 2 conversations."""
+    import hashlib
+
+    from ..state.partitioning import key_partitioned
+
+    ds = transcripts.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["text"], "")), batch_format="pyarrow"
+    )
+    fp_schema = pa.schema(
+        [("mfp", pa.string()), ("ofp", pa.string()), ("conv_id", pa.string())]
+    )
+
+    def per_conv(df) -> pa.Table:
+        if df.empty:
+            return pa.Table.from_pylist([], schema=fp_schema)
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=True)["text"]
+        ordered = g.agg(_SEP.join)
+        mset = g.agg(lambda s: _SEP.join(sorted(s.tolist())))
+        return pa.table(
+            {"mfp": pa.array(
+                 [hashlib.md5(s.encode()).hexdigest() for s in mset.to_numpy()],
+                 pa.string()),
+             "ofp": pa.array(
+                 [hashlib.md5(s.encode()).hexdigest() for s in ordered.to_numpy()],
+                 pa.string()),
+             "conv_id": pa.array(ordered.index.to_numpy(), pa.string())},
+            schema=fp_schema,
+        )
+
+    fps = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+        per_conv, batch_format="pandas", batch_size=None
+    )
+    out_schema = pa.schema(
+        [("rep_id", pa.string()), ("n_convs", pa.int64()),
+         ("n_orderings", pa.int64())]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        a = t.group_by(["mfp"]).aggregate(
+            [("ofp", "count_distinct"), ("conv_id", "min"), ([], "count_all")]
+        )
+        out = pa.table(
+            {"rep_id": a["conv_id_min"],
+             "n_convs": pc.cast(a["count_all"], pa.int64()),
+             "n_orderings": pc.cast(a["ofp_count_distinct"], pa.int64())},
+            schema=out_schema,
+        )
+        return out.filter(pc.greater_equal(out["n_convs"], 2))
+
+    return key_partitioned(fps, ["mfp"], num_partitions).map_batches(
+        census, batch_format="pyarrow", batch_size=None
+    )

@@ -245,6 +245,84 @@ def transcripts_from_documents(sf_dir: str):
     return docs.map_batches(docs_to_transcript_batch, batch_format="pyarrow")
 
 
+def docs_to_planted_batch(batch: pa.Table) -> pa.Table:
+    """Row-local doc -> turns expansion with TWO extra planted dup families on
+    top of :func:`docs_to_transcript_batch` semantics (base + 'e' exact +
+    'm' near variants are emitted identically):
+
+    - docs with ``doc_id % 10 == 5`` and >= 2 turns also emit a TRUNCATED
+      copy (suffix ``t``): the first ``(n + 1) // 2`` turns — a proper
+      turn-boundary prefix (the "session cut short / continued later"
+      pattern that whole-conversation dedup misses);
+    - docs with ``doc_id % 10 == 1`` and >= 2 turns also emit a ROTATED copy
+      (suffix ``s``): turn ``j`` of the copy is base turn ``(j + 1) % n`` —
+      same turn-text multiset, different order (the reordered-log pattern
+      that ordered fingerprints miss).
+
+    Pure function of the row => independent of batch/block boundaries; used
+    by the ``conv_prefix_dups`` / ``shuffled_dup_convs`` queries so their
+    planted families exist at every scale factor."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+
+    def emit(conv_id: str, chunks: list[str], doc_id: int) -> None:
+        for i, chunk in enumerate(chunks):
+            out["conv_id"].append(conv_id)
+            out["turn_idx"].append(i)
+            out["role"].append(_ROLES[i % 2])
+            out["text"].append(chunk)
+            out["tool"].append(_TOOLS[(doc_id + i) % len(_TOOLS)] if i % 2 == 1 else "")
+            out["ts"].append(_EPOCH + datetime.timedelta(seconds=doc_id, milliseconds=i))
+
+    for doc_id, text in zip(doc_ids, texts):
+        tokens = text.split()
+        n = max(1, (len(tokens) + TURN_TOKENS - 1) // TURN_TOKENS)
+        chunks = [
+            " ".join(tokens[i * TURN_TOKENS : (i + 1) * TURN_TOKENS])
+            for i in range(n)
+        ]
+        cid = f"doc{doc_id:09d}"
+        emit(cid, chunks, doc_id)
+        if doc_id % 10 == 7:
+            emit(cid + "e", chunks, doc_id)
+        if doc_id % 10 == 3:
+            edited = list(tokens)
+            for pos in range(28, len(edited), 29):
+                edited[pos] = f"tok{doc_id}"
+            emit(
+                cid + "m",
+                [" ".join(edited[i * TURN_TOKENS : (i + 1) * TURN_TOKENS])
+                 for i in range(n)],
+                doc_id,
+            )
+        if doc_id % 10 == 5 and n >= 2:
+            emit(cid + "t", chunks[: (n + 1) // 2], doc_id)
+        if doc_id % 10 == 1 and n >= 2:
+            emit(cid + "s", chunks[1:] + chunks[:1], doc_id)
+
+    return pa.table(
+        {
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            "role": pa.array(out["role"], pa.string()),
+            "text": pa.array(out["text"], pa.string()),
+            "tool": pa.array(out["tool"], pa.string()),
+            "ts": pa.array(out["ts"], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+
+
+def planted_transcripts(sf_dir: str):
+    """Streaming transcripts Dataset with the truncation/rotation planted
+    families (see :func:`docs_to_planted_batch`)."""
+    from .io import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(docs_to_planted_batch, batch_format="pyarrow")
+
+
 def make_bench_expander(reps: int):
     """Row-local doc -> transcripts expansion at bench scale: each doc yields
     ``reps`` perturbed conversation variants.  Every 4TH token is made
