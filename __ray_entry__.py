@@ -390,6 +390,8 @@ _GATE_WINDOW_FIRST = [
     "cluster_size_histogram",
     "dup_turns",
     "dup_turn_windows",
+    "conv_prefix_dups",
+    "shuffled_dup_convs",
     "curate_docs",
     "decontaminate_docs",
     "decontaminate_docs_bloom",
@@ -404,12 +406,12 @@ _GATE_WINDOW_FIRST = [
     "chunk_docs",
     "quality_docs",
     "lang_id_docs",
-    "doc_fingerprints",
-    "normalize_docs",
     "epoch_shuffle_docs",
     "media_chunk_dedup",
     "media_cdc_dedup",
 ]
+# (doc_fingerprints / normalize_docs rotated out to make room for the new
+# dedup operators — both remain pinned by the local sweep + pytest.)
 
 
 def _flagship_first(qs: dict) -> dict:

@@ -81,6 +81,8 @@ def run_queries() -> dict[str, float]:
         "ngram_containment_pairs",
         "dup_turn_windows",
         "turn_window_near_dups",
+        "conv_prefix_dups",
+        "shuffled_dup_convs",
         "assistant_near_dup_convs",
         "ann_ivf_topk",
         "events_trailing_1h",
