@@ -387,7 +387,7 @@ _GATE_WINDOW_FIRST = [
     "span_coverage_stats",
     "dup_pair_turn_overlap",
     "dup_jaccard_histogram",
-    "cluster_size_histogram",
+    "incremental_dup_pairs",
     "dup_turns",
     "dup_turn_windows",
     "conv_prefix_dups",
@@ -410,8 +410,9 @@ _GATE_WINDOW_FIRST = [
     "media_chunk_dedup",
     "media_cdc_dedup",
 ]
-# (doc_fingerprints / normalize_docs rotated out to make room for the new
-# dedup operators — both remain pinned by the local sweep + pytest.)
+# (doc_fingerprints / normalize_docs / cluster_size_histogram rotated out to
+# make room for new dedup operators — all remain pinned by the local sweep +
+# pytest.)
 
 
 def _flagship_first(qs: dict) -> dict:
@@ -615,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": docs_dedup.simhash_pairs_docs,    # SQL-checked
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         "ngram_containment_pairs": docs_dedup.ngram_containment_pairs,  # SQL-checked (exact directional containment join)
+        "incremental_dup_pairs": docs_dedup.incremental_dup_pairs,  # SQL-checked (delta-constrained incremental join)
         "snm_dup_pairs": docs_dedup.snm_dup_pairs,              # SQL-checked (sorted-neighborhood windows)
         "tf_cosine_pairs": docs_dedup.tf_cosine_pairs,          # SQL-checked (weighted tf-cosine join, rare-term blocking)
         "dup_bfs_depths": docs_dedup.dup_bfs_depths,            # SQL-checked (multi-source BFS to canonical docs)
@@ -4351,6 +4353,40 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        """,
+        # Incremental (delta-constrained) exact 3-gram Jaccard join: the same
+        # brute-force inverted-index oracle as ngram_jaccard_pairs restricted
+        # to pairs touching the delta slice (doc_id % 10 = 0) — the engine
+        # never GENERATES base x base candidates (docs_dedup._delta_pairs_in_block)
+        "incremental_dup_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), g AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+              AND (a % 10 = 0 OR b % 10 = 0)
         """,
         # Directional containment self-join: brute-force distinct-3-gram
         # inverted index, |A∩B| / |A| >= 0.9 on ORDERED pairs (a contained

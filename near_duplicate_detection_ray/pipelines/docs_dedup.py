@@ -2506,3 +2506,180 @@ def dup_bfs_depths(sf_dir: str, cfg: NDDConfig | None = None,
         )
 
     return ray.get(emit.remote(*waves)).cast(out_schema)
+
+
+def _delta_pairs_in_block(batch: pa.Table) -> pa.Table:
+    """Vectorized DELTA-constrained pair generation over one bucket-keyed
+    block: for every bucket, emit canonical (a < b) pairs where at least one
+    endpoint is a delta (newly-arrived) row — base x base pairs are never
+    generated, which is the whole point of the incremental join (the base
+    corpus dwarfs the delta at steady state, so base x base is the quadratic
+    mass an index update must NOT pay).  Delta x delta pairs fall out twice
+    (once per probing endpoint) and collapse at the distinct stage.  Pure
+    NumPy segment arithmetic, no per-bucket Python."""
+    empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+    conv = batch["conv_id"].combine_chunks()
+    delta = batch["delta"].to_numpy(zero_copy_only=False)
+    order = np.argsort(bucket, kind="stable")
+    bs = bucket[order]
+    ds_ = delta[order]
+    starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+    counts = np.diff(np.append(starts, len(bs)))
+    group_of = np.repeat(np.arange(len(starts)), counts)
+    # delta rows in buckets with >= 2 members probe the whole bucket
+    pr = np.flatnonzero(ds_ & (counts[group_of] >= 2))
+    if len(pr) == 0:
+        return empty
+    c_pp = counts[group_of[pr]]
+    s_pp = starts[group_of[pr]]
+    tot = int(c_pp.sum())
+    csum = np.concatenate(([0], np.cumsum(c_pp[:-1])))
+    intra = np.arange(tot, dtype=np.int64) - np.repeat(csum, c_pp)
+    y_idx = np.repeat(s_pp, c_pp) + intra
+    x_idx = np.repeat(pr, c_pp)
+    keep = y_idx != x_idx
+    x_idx, y_idx = x_idx[keep], y_idx[keep]
+    # canonicalize a < b — ids are zero-padded fixed-width strings, so the
+    # sorted-position rank order IS numeric order
+    xg, yg = order[x_idx], order[y_idx]
+    col_rank = pc.array_sort_indices(conv).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(conv), dtype=np.int64)
+    rank[col_rank] = np.arange(len(conv), dtype=np.int64)
+    swap = rank[xg] > rank[yg]
+    a_g = np.where(swap, yg, xg)
+    b_g = np.where(swap, xg, yg)
+    return pa.table({"a": conv.take(pa.array(a_g)), "b": conv.take(pa.array(b_g))})
+
+
+def incremental_dup_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
+                          delta_mod: int = 10, hot_gram_cap: int = 5_000_000):
+    """INCREMENTAL exact n-gram Jaccard near-dup discovery: all pairs with
+    token-n-gram Jaccard >= ``tau`` where at least one side belongs to the
+    DELTA slice (``doc_id % delta_mod == 0`` — a deterministic stand-in for
+    "the docs that arrived since the last index build").  This is the
+    reference's ``update_index`` semantics (server_ndd.py:244-265 rebuilds
+    the in-memory matrix per refresh; stages/incremental.py re-signs changed
+    partitions) promoted to a first-class QUERY: the pairs a refresh must
+    discover, computed WITHOUT re-joining the base corpus against itself.
+
+    Scale plan: identical PPJoin prefix machinery as ``ngram_jaccard_join``
+    (df-ascending canonical order from the broadcast df map, exact integer
+    prefix math, df>=2 entries only), but every prefix entry carries a
+    ``delta`` flag and the bucket pair-gen emits ONLY pairs touching a delta
+    row (``_delta_pairs_in_block``).  Candidate volume is therefore
+    sum_g delta_probes(g) * bucket(g) — linear in the delta's prefix mass —
+    instead of the full join's sum_g bucket(g)^2: at steady state (delta <<
+    base) the incremental pass costs O(|delta|) shuffled candidate rows while
+    a from-scratch re-join pays the full corpus quadratic.  Completeness is
+    the symmetric PPJoin prefix lemma, unchanged: any J >= tau pair shares a
+    gram in BOTH prefixes, in particular every (delta, base) pair.
+
+    Returns a:int64, b:int64 (a < b, numeric), jaccard rounded to 6.
+    """
+    import ray.data as rd
+
+    from ..functions.similarity import (
+        _binary_column_view,
+        batch_jaccard_containment_arrow,
+    )
+    from ..state.partitioning import key_partitioned, materialize_clean
+    from ..stages.verify import attach_signatures
+
+    tau_ppm = round(tau * 1_000_000)
+    sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
+    df_ref, n_hot = _gram_df_ref(sigs)
+    if n_hot > hot_gram_cap:  # pragma: no cover - forced in tests
+        # honest fallback: a df>=2 vocabulary too large to broadcast means
+        # the corpus is dominated by repeated content — run the full exact
+        # join (its own two-shuffle df path) and keep the delta-touching
+        # pairs; output identical, cost = the from-scratch join
+        full = ngram_jaccard_join(sigs, tau=tau, hot_gram_cap=hot_gram_cap)
+        return full.filter(
+            lambda r: (r["a"] % delta_mod == 0) or (r["b"] % delta_mod == 0)
+        )
+
+    def prefix_flagged(batch: pa.Table) -> pa.Table:
+        """Prefix entries (first m - ceil(tau*m) + 1 grams in (df, gram)
+        order) for EVERY doc, each carrying its delta membership."""
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.uint64()),
+                 "conv_id": pa.array([], pa.string()),
+                 "delta": pa.array([], pa.bool_())}
+            )
+        import ray
+
+        vals, m = _binary_column_view(batch["shingles"])
+        row_idx = np.repeat(np.arange(len(m), dtype=np.int64), m)
+        hot_grams, hot_df = ray.get(df_ref)
+        if len(hot_grams):
+            pos = np.clip(np.searchsorted(hot_grams, vals), 0, len(hot_grams) - 1)
+            found = hot_grams[pos] == vals
+            df = np.where(found, hot_df[pos], 1)
+        else:
+            df = np.ones(len(vals), dtype=np.int64)
+        order = np.lexsort((vals, df, row_idx))
+        starts = np.zeros(len(m), dtype=np.int64)
+        np.cumsum(m[:-1], out=starts[1:])
+        alpha = -((-tau_ppm * m) // 1_000_000)  # ceil(tau*m), exact
+        plen = m - alpha + 1
+        pos_in_row = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, m)
+        keep = pos_in_row < np.repeat(plen, m)
+        sel = order[keep]
+        sel = sel[df[sel] >= 2]  # single-member buckets can never pair
+        ids_i64 = pc.cast(batch["conv_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(vals[sel], pa.uint64()),
+                "conv_id": batch["conv_id"].take(pa.array(row_idx[sel])),
+                "delta": pa.array(
+                    (ids_i64[row_idx[sel]] % delta_mod) == 0, pa.bool_()
+                ),
+            }
+        )
+
+    index = sigs.map_batches(prefix_flagged, batch_format="pyarrow")
+    raw = key_partitioned(index, ["bucket"]).map_batches(
+        _delta_pairs_in_block, batch_format="pyarrow", batch_size=None
+    )
+    cand = materialize_clean(
+        key_partitioned(raw, ["a", "b"]).map_batches(
+            _distinct_ordered_pairs_block, batch_format="pyarrow", batch_size=None
+        )
+    )
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+    )
+    if cand.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    joined = attach_signatures(
+        cand, sigs.select_columns(["conv_id", "shingles", "simhash"])
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        jac, _ = batch_jaccard_containment_arrow(
+            batch["shingles"], batch["shingles_b"]
+        )
+        keep = jac >= tau
+        if not keep.any():
+            return out_schema.empty_table()
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "a": pc.cast(batch["a"].filter(mask), pa.int64()),
+                "b": pc.cast(batch["b"].filter(mask), pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
