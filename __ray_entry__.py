@@ -363,6 +363,7 @@ _GATE_WINDOW_FIRST = [
     "ndd_clusters",
     "ndd_conversations",
     "near_dup_pairs_docs",
+    "dup_pair_recall",
     "exact_dedup_docs",
     "dup_components_docs",
     "simhash_pairs_docs",
@@ -386,7 +387,6 @@ _GATE_WINDOW_FIRST = [
     "dup_bfs_depths",
     "span_coverage_stats",
     "dup_pair_turn_overlap",
-    "dup_jaccard_histogram",
     "incremental_dup_pairs",
     "dup_turns",
     "dup_turn_windows",
@@ -410,9 +410,10 @@ _GATE_WINDOW_FIRST = [
     "media_chunk_dedup",
     "media_cdc_dedup",
 ]
-# (doc_fingerprints / normalize_docs / cluster_size_histogram rotated out to
-# make room for new dedup operators — all remain pinned by the local sweep +
-# pytest.)
+# (doc_fingerprints / normalize_docs / cluster_size_histogram /
+# dup_jaccard_histogram rotated out to make room for new dedup operators —
+# all remain pinned by the local sweep + pytest; dup_pair_recall's banding
+# subsumes the histogram's signal and adds the north-star recall dimension.)
 
 
 def _flagship_first(qs: dict) -> dict:
@@ -605,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
+        "dup_pair_recall": docs_dedup.dup_pair_recall,          # SQL-checked (north-star recall vs exact ground truth, banded)
         "dup_pagerank": docs_dedup.dup_pagerank,               # SQL-checked (5-iteration power method)
         "dup_components_docs": docs_dedup.dup_components_docs,  # SQL-checked (recursive-CTE closure oracle)
         "dup_loss_weights": docs_dedup.dup_loss_weights,       # SQL-checked (1/cluster-size soft dedup)
@@ -3627,6 +3629,52 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON inter.a = sa.doc_id
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        # North-star metric as a query: banded dup-pair recall of the LSH
+        # pipeline vs the exact ground truth.  LSH ⊆ exact holds because the
+        # engine verifies candidates with EXACT Jaccard, and at 32x4 banding
+        # the miss probability at j >= 0.8 is < 5e-8, so the oracle pins
+        # n_found = n_true (recall 1.0) per band — the same empirical fact
+        # the near_dup_pairs_docs brute-force oracle already pins pair-wise.
+        "dup_pair_recall": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT i * 1.0 / (sa.n + sb.n - i) AS j
+                FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            ), banded AS (
+                SELECT CASE WHEN j < 0.85 THEN '0.80-0.85'
+                            WHEN j < 0.90 THEN '0.85-0.90'
+                            WHEN j < 0.95 THEN '0.90-0.95'
+                            ELSE '0.95-1.00' END AS band
+                FROM pairs
+            )
+            SELECT band, count(*) AS n_true, count(*) AS n_found,
+                   CAST(1.0 AS DOUBLE) AS recall
+            FROM banded GROUP BY band
+            UNION ALL
+            SELECT 'all', count(*), count(*), CAST(1.0 AS DOUBLE) FROM banded
         """,
         # market-basket lift over distinct per-order brand sets: integer
         # counts, lift = (n_ab*N)/(n_a*n_b) written operation-for-operation

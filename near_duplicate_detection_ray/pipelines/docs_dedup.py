@@ -2683,3 +2683,163 @@ def incremental_dup_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+_RECALL_BAND_EDGES = np.array([0.85, 0.90, 0.95], dtype=np.float64)
+_RECALL_BAND_LABELS = np.array(
+    ["0.80-0.85", "0.85-0.90", "0.90-0.95", "0.95-1.00"]
+)
+
+
+def dup_pair_recall(sf_dir: str, cfg: NDDConfig | None = None):
+    """The repo's NORTH-STAR metric (dup-pair recall vs exact ground truth,
+    contract >= 0.99) surfaced as a first-class, driver-gated QUERY: the
+    flagship MinHash/LSH/verify pipeline's pair set is cross-validated
+    inside the engine against an independently-computed EXACT ground truth
+    — the PPJoin prefix-filter self-join (``ngram_jaccard_join``) at the
+    identical shingle config (w=5 token shingles, tau=0.8) — and recall is
+    reported per exact-Jaccard band plus an ``all`` total.
+
+    Both sides are fully distributed (LSH: band-bucket shuffle + exact
+    verify; ground truth: df-ascending prefix index, keyed shuffles only),
+    the reconciliation is ONE keyed (a, b) exchange of two bounded pair
+    tables, and the output is <= 5 rows — this is the audit you would run
+    at 100 TB to certify a dedup config before committing to it (the
+    reference certifies by eyeballing served matches, server_ndd.py:271ff).
+
+    LSH ⊆ exact holds mathematically (verify IS exact Jaccard over the same
+    shingle sets), so only recall can degrade; with 32x4 banding the miss
+    probability at j >= 0.8 is < 5e-8, hence the SQL oracle pins recall
+    = 1.0 band-by-band (n_found = n_true).  Columns: band:string,
+    n_true:int64, n_found:int64, recall:float64.
+    """
+    import ray.data as rd
+
+    from ..state.partitioning import key_partitioned, materialize_clean
+
+    cfg = cfg or DOCS_DEDUP_CFG
+    lsh = near_dup_pairs_docs(sf_dir, None if cfg is DOCS_DEDUP_CFG else cfg)
+    sigs = materialize_clean(ngram_grams_docs(sf_dir, cfg.shingle_w))
+    exact = ngram_jaccard_join(sigs, tau=cfg.tau)
+
+    def tag(src: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "a": pc.cast(t["a"], pa.int64()),
+                    "b": pc.cast(t["b"], pa.int64()),
+                    "jaccard": pc.cast(t["jaccard"], pa.float64()),
+                    "src": pa.array(
+                        np.full(t.num_rows, src, dtype=np.uint8), pa.uint8()
+                    ),
+                }
+            )
+
+        return fn
+
+    both = exact.map_batches(tag(0), batch_format="pyarrow").union(
+        lsh.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    partial_schema = pa.schema(
+        [("band", pa.string()), ("n_true", pa.int64()), ("n_found", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        """Block-local per-band (n_true, n_found) over whole (a, b) groups
+        — the keyed shuffle guarantees both sides of a pair land here."""
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        jac = t["jaccard"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, src, jac = a[order], b[order], src[order], jac[order]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        gid = np.cumsum(new) - 1
+        n_groups = int(gid[-1]) + 1
+        has_exact = np.zeros(n_groups, dtype=bool)
+        has_lsh = np.zeros(n_groups, dtype=bool)
+        has_exact[gid[src == 0]] = True
+        has_lsh[gid[src == 1]] = True
+        # band from the EXACT row's jaccard (both rows carry the identical
+        # value when present; LSH-only rows are impossible, see docstring —
+        # guarded anyway: they'd surface as a found>true recall > 1)
+        band_j = np.zeros(n_groups, dtype=np.float64)
+        band_j[gid] = jac  # last write per group wins; values equal anyway
+        band_idx = np.searchsorted(_RECALL_BAND_EDGES, band_j, side="right")
+        true_g = has_exact
+        found_g = has_exact & has_lsh
+        n_true = np.zeros(len(_RECALL_BAND_LABELS), dtype=np.int64)
+        n_found = np.zeros(len(_RECALL_BAND_LABELS), dtype=np.int64)
+        np.add.at(n_true, band_idx[true_g], 1)
+        np.add.at(n_found, band_idx[found_g], 1)
+        keep = n_true > 0
+        return pa.table(
+            {
+                "band": pa.array(_RECALL_BAND_LABELS[keep]),
+                "n_true": pa.array(n_true[keep], pa.int64()),
+                "n_found": pa.array(n_found[keep], pa.int64()),
+            }
+        )
+
+    partials = key_partitioned(both, ["a", "b"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+
+    out_schema = pa.schema(
+        [("band", pa.string()), ("n_true", pa.int64()),
+         ("n_found", pa.int64()), ("recall", pa.float64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        """Final tiny fold (<= 4 distinct bands arrive in ONE partition via
+        the width-1 band-keyed repartition): per-band sums + 'all' total."""
+        bands = t["band"].to_pylist()
+        nt = t["n_true"].to_numpy(zero_copy_only=False)
+        nf = t["n_found"].to_numpy(zero_copy_only=False)
+        agg: dict[str, list[int]] = {}
+        for bd, x, y in zip(bands, nt, nf):
+            cur = agg.setdefault(bd, [0, 0])
+            cur[0] += int(x)
+            cur[1] += int(y)
+        tot_t = sum(v[0] for v in agg.values())
+        tot_f = sum(v[1] for v in agg.values())
+        rows = sorted(agg.items())
+        out_bands = [bd for bd, _ in rows] + ["all"]
+        out_t = [v[0] for _, v in rows] + [tot_t]
+        out_f = [v[1] for _, v in rows] + [tot_f]
+        rec = [
+            round(f / tval, 6) if tval else 1.0
+            for tval, f in zip(out_t, out_f)
+        ]
+        return pa.table(
+            {
+                "band": pa.array(out_bands, pa.string()),
+                "n_true": pa.array(out_t, pa.int64()),
+                "n_found": pa.array(out_f, pa.int64()),
+                "recall": pa.array(rec, pa.float64()),
+            }
+        )
+
+    # materialize before the count guard — the result is <= 5 rows, and a
+    # lazy count() here would re-execute both pair pipelines (the lesson
+    # recorded in BASELINE.md: one execution, then branch)
+    folded = key_partitioned(partials, ["band"], num_partitions=1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    # guard the zero-pair corpus: emit the vacuous 'all' row the SQL oracle
+    # always produces
+    if folded.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "band": pa.array(["all"], pa.string()),
+                    "n_true": pa.array([0], pa.int64()),
+                    "n_found": pa.array([0], pa.int64()),
+                    "recall": pa.array([1.0], pa.float64()),
+                }
+            ).cast(out_schema)
+        )
+    return folded

@@ -17,6 +17,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 NEW_QUERIES = [
     "incremental_dup_pairs",
+    "dup_pair_recall",
 ]
 
 
@@ -82,3 +83,21 @@ def test_incremental_delta_mod_variants(ray_session):
         pd.testing.assert_frame_equal(
             _norm(inc), _norm(filt), check_dtype=False, rtol=0, atol=5e-9
         )
+
+
+def test_dup_pair_recall_structure(ray_session):
+    """Structural pins beyond the SQL oracle: recall is found/true (not a
+    constant), the 'all' row sums the bands, and n_found <= n_true per band
+    (LSH ⊆ exact is a theorem of the verify stage)."""
+    from near_duplicate_detection_ray.pipelines import docs_dedup
+
+    df = docs_dedup.dup_pair_recall(SF).to_pandas()
+    assert (df.n_found <= df.n_true).all()
+    assert ((df.recall - df.n_found / df.n_true.where(df.n_true > 0, 1))
+            .abs() < 1e-9).all()
+    bands = df[df.band != "all"]
+    allrow = df[df.band == "all"].iloc[0]
+    assert allrow.n_true == bands.n_true.sum()
+    assert allrow.n_found == bands.n_found.sum()
+    # the north-star contract itself
+    assert allrow.recall >= 0.99
