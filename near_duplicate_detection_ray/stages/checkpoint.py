@@ -34,14 +34,16 @@ import json
 import os
 import shutil
 import time
+import weakref
 from collections.abc import Callable
 
 from ..config import NDDConfig
 
 MANIFEST_NAME = "_MANIFEST.json"
 
-# Versions handed out as LAZY datasets this process (read_stage_version /
-# diff_stage_versions), keyed (abs checkpoint root, stage): pruning skips
+# Versions handed out as LAZY datasets this process (run_stage /
+# read_stage_version / diff_stage_versions), keyed (abs checkpoint root,
+# stage): pruning skips
 # them, so a later run_stage — through ANY StageCheckpointer instance, not
 # just the one that handed the dataset out — can't rmtree a snapshot out
 # from under an unconsumed rd.read_parquet handle.  Per-stage scoping keeps
@@ -50,15 +52,40 @@ MANIFEST_NAME = "_MANIFEST.json"
 # clear_version_pins() in long-lived services once handles are consumed.
 _PIN_REGISTRY: dict[tuple[str, str], set[str]] = {}
 
+# LIVENESS pins (round-3 ADVICE): every lazy dataset run_stage hands out
+# weak-pins its version — pruning skips a version while any handle is alive,
+# and the pin dissolves when the handle is garbage-collected, so repeated
+# run_stage loops that drop their handles still honor keep_versions exactly.
+# The weakref target is the dataset's logical-plan ROOT op when reachable
+# (derived datasets — ds.map_batches(...) chains — keep the upstream Read op
+# alive, so the pin survives the caller dropping the source wrapper), else
+# the Dataset wrapper itself.
+_WEAK_PINS: dict[tuple[str, str], dict[str, "weakref.WeakSet"]] = {}
+
+
+def _weak_pin(root: str, name: str, stage_hash: str, ds) -> None:
+    target = ds
+    try:
+        dag = ds._logical_plan.dag  # liveness-faithful for derived datasets
+        if dag is not None:
+            target = dag
+    except AttributeError:
+        pass
+    bucket = _WEAK_PINS.setdefault((os.path.abspath(root), name), {})
+    bucket.setdefault(stage_hash[:12], weakref.WeakSet()).add(target)
+
 
 def clear_version_pins(root: str | None = None) -> None:
-    """Release version pins (all roots, or one checkpoint root)."""
+    """Release version pins, explicit and liveness (all roots, or one
+    checkpoint root)."""
     if root is None:
         _PIN_REGISTRY.clear()
+        _WEAK_PINS.clear()
         return
     key_root = os.path.abspath(root)
-    for k in [k for k in _PIN_REGISTRY if k[0] == key_root]:
-        del _PIN_REGISTRY[k]
+    for reg in (_PIN_REGISTRY, _WEAK_PINS):
+        for k in [k for k in reg if k[0] == key_root]:
+            del reg[k]
 
 
 class StageCheckpointer:
@@ -139,7 +166,9 @@ class StageCheckpointer:
             self.stages_skipped.append(name)
             self._set_current(name, stage_hash)
             self._write_pointer_manifest(name, stage_hash)
-            return rd.read_parquet(os.path.join(vdir, "data"))
+            out = rd.read_parquet(os.path.join(vdir, "data"))
+            _weak_pin(self.root, name, stage_hash, out)
+            return out
 
         # 2. legacy (pre-versioning) layout hit
         mpath = self._manifest_path(name)
@@ -218,7 +247,13 @@ class StageCheckpointer:
         self._write_pointer_manifest(name, stage_hash, manifest)
         self._prune_versions(name, keep_hash=stage_hash)
         self.stages_computed.append(name)
-        return rd.read_parquet(data_dir)
+        out = rd.read_parquet(data_dir)
+        # weak-pin AFTER pruning: the just-produced hash is already in prune's
+        # keep set, and the liveness pin protects the returned LAZY handle
+        # from a LATER run_stage (different config) pruning this version
+        # before the caller consumes or drops the dataset.
+        _weak_pin(self.root, name, stage_hash, out)
+        return out
 
     def _write_pointer_manifest(self, name: str, stage_hash: str,
                                 manifest: dict | None = None) -> None:
@@ -251,8 +286,21 @@ class StageCheckpointer:
             if os.path.exists(vman):
                 entries.append((os.path.getmtime(vman), v))
         entries.sort(reverse=True)  # newest first
-        pins = _PIN_REGISTRY.get((os.path.abspath(self.root), name), set())
-        keep = {v for _, v in entries[: self.keep_versions]} | pins | {keep_hash[:12]}
+        key = (os.path.abspath(self.root), name)
+        pins = _PIN_REGISTRY.get(key, set())
+        weak = _WEAK_PINS.get(key, {})
+        if any(len(ws) for ws in weak.values()):
+            # Dataset plans can sit in reference cycles; one collection pass
+            # (prune runs once per computed stage — cost is negligible) makes
+            # "handle was dropped" visible to the WeakSet before we retain.
+            import gc
+
+            gc.collect()
+        live = {v for v, ws in weak.items() if len(ws)}
+        keep = (
+            {v for _, v in entries[: self.keep_versions]}
+            | pins | live | {keep_hash[:12]}
+        )
         for _, v in entries:
             if v not in keep:
                 shutil.rmtree(os.path.join(vroot, v), ignore_errors=True)

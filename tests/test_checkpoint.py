@@ -347,3 +347,56 @@ def test_pins_are_stage_scoped(ray_session):
     assert set(hashes_b) <= retained_b, (
         f"stage B retained {len(retained_b)} of 3 despite keep_versions=3"
     )
+
+
+def test_live_run_stage_handle_survives_pruning(ray_session):
+    """Regression (round-3 ADVICE): a lazy dataset returned by run_stage
+    itself (not just read_stage_version) must survive a LATER run_stage's
+    pruning while the handle — or a DERIVED dataset — is still alive, and a
+    dropped handle must not inflate retention beyond keep_versions."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    root = "/tmp/ndd_ckpt_live_handle_test"
+    shutil.rmtree(root, ignore_errors=True)
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        StageCheckpointer,
+        clear_version_pins,
+    )
+
+    clear_version_pins(root)
+    ck = StageCheckpointer(root, NDDConfig(), input_token="v0", keep_versions=1)
+    src = ck.run_stage(
+        "s", [], lambda: rd.from_arrow(pa.table({"k": [0], "v": [7]}))
+    )
+    # derive a lazy pipeline and DROP the source wrapper — the liveness pin
+    # must follow the plan, not the wrapper object
+    derived = src.map_batches(lambda b: b, batch_format="pyarrow")
+    del src
+    for i, tok in enumerate(("v1", "v2", "v3")):
+        ck2 = StageCheckpointer(root, NDDConfig(), input_token=tok,
+                                keep_versions=1)
+        ck2.run_stage(
+            "s", [], lambda i=i: rd.from_arrow(pa.table({"k": [i + 1],
+                                                         "v": [i + 1]}))
+        )
+    assert derived.to_pandas()["v"].tolist() == [7]
+
+    # once every handle is dropped, keep_versions reasserts itself on the
+    # next prune (no permanent retention leak from liveness pins)
+    del derived
+    ck3 = StageCheckpointer(root, NDDConfig(), input_token="v4",
+                            keep_versions=1)
+    ck3.run_stage("s", [], lambda: rd.from_arrow(pa.table({"k": [9],
+                                                           "v": [9]})))
+    hold = None  # noqa: F841 — nothing live except ck3's own handle
+    ck4 = StageCheckpointer(root, NDDConfig(), input_token="v5",
+                            keep_versions=1)
+    ck4.run_stage("s", [], lambda: rd.from_arrow(pa.table({"k": [10],
+                                                           "v": [10]})))
+    retained = {e["version"] for e in ck4.list_versions("s")}
+    # v5 (current) always kept; v4's handle died when ck3's return value was
+    # discarded, so at most keep_versions + the just-handed-out v5 remain
+    assert ck4.stage_hashes["s"][:12] in retained
+    assert len(retained) <= 2, retained
