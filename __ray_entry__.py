@@ -152,6 +152,15 @@ def _dup_turn_windows(sf_dir: str):
     return dup_turn_windows(transcripts_from_documents(sf_dir))
 
 
+def _qa_pair_dups(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import qa_pair_dups
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return qa_pair_dups(transcripts_from_documents(sf_dir))
+
+
 def _turn_window_near_dups(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import turn_window_near_dups
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -641,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota_sample": _source_quota_sample,            # SQL-checked (largest-remainder apportionment)
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "dup_turn_windows": _dup_turn_windows,                  # SQL-checked (cross-conv k-turn window dedup)
+        "qa_pair_dups": _qa_pair_dups,                          # SQL-checked (role-aware exchange dedup census)
         "turn_window_near_dups": _turn_window_near_dups,        # SQL-checked (fuzzy sub-dialogue PPJoin)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "turn_length_stats": _turn_length_stats,                # SQL-checked (per-role turn-length census)
@@ -4833,6 +4843,26 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM w
             WHERE t2 = tix + 2
             GROUP BY win_text
+            HAVING count(DISTINCT conv_id) >= 2
+        """,
+        # role-aware exchange dedup: (user turn -> immediately following
+        # assistant turn) pairs — adjacency is tix + 1 with user on even
+        # tix (roles alternate user/assistant in the derived transcripts) —
+        # whose exact (q, a) texts appear in >= 2 distinct conversations
+        "qa_pair_dups": "WITH " + _TURN_CTES + """
+            , qa AS (
+                SELECT conv_id, tix, turn_text AS q_text,
+                       lead(turn_text) OVER cw AS a_text,
+                       lead(tix) OVER cw AS t1
+                FROM turns
+                WINDOW cw AS (PARTITION BY conv_id ORDER BY tix)
+            )
+            SELECT q_text, a_text,
+                   count(*) AS n_occurrences,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM qa
+            WHERE t1 = tix + 1 AND tix % 2 = 0
+            GROUP BY q_text, a_text
             HAVING count(DISTINCT conv_id) >= 2
         """,
         # fuzzy sub-dialogue dedup: 3-turn windows as documents (id

@@ -254,6 +254,104 @@ def _turn_windows(transcripts, k: int, sep: str, num_partitions: int | None):
     )
 
 
+def qa_pair_dups(transcripts, num_partitions: int | None = None):
+    """Cross-conversation duplicated EXCHANGE census: every (user prompt ->
+    immediately following assistant reply) pair whose exact (q, a) texts
+    appear in >= 2 distinct conversations — canned prompt/completion pairs
+    repeated across a corpus (templated support replies, copied few-shot
+    exemplars, cached completions re-served to different sessions).  The
+    training-data signal is ROLE-aware: ``dup_turns`` finds repeated single
+    turns and ``dup_turn_windows`` repeated k-turn runs, but neither binds a
+    prompt to ITS reply, which is the unit instruction-tuning pipelines
+    dedupe on.
+
+    Reference analogue: the reference dedupes whole frame sequences
+    (``ndd/shotdetect.py:80-83``); the role-paired unit is this engine's
+    transcript-native refinement.
+
+    Two keyed shuffles, mirroring ``dup_turn_windows``: by ``conv_id`` so
+    each conversation's turns are block-local for the vectorized adjacent
+    (role='user', role='assistant', turn_idx contiguous) pairing — one
+    lexsort per block, no per-turn Python — then by ``(q_text, a_text)``
+    for the global census (block-local Arrow ``count`` / ``count_distinct``
+    are global after the key partition).  Adjacency requires ``turn_idx``
+    advancing by exactly 1 inside one conversation, so the operator is
+    correct on any transcripts input (missing turns never fake adjacency).
+    Output: (q_text, a_text, n_occurrences, n_convs) with n_convs >= 2.
+    """
+    import numpy as np
+
+    from ..state.partitioning import key_partitioned
+
+    ds = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+    pair_schema = pa.schema(
+        [("conv_id", pa.string()), ("q_text", pa.string()),
+         ("a_text", pa.string())]
+    )
+
+    def pairs_block(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=pair_schema)
+        conv = t["conv_id"].combine_chunks()
+        codes = conv.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        tix = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tix, codes))
+        co, to = codes[order], tix[order]
+        is_user = pc.equal(t["role"], "user").to_numpy(
+            zero_copy_only=False
+        )[order]
+        is_asst = pc.equal(t["role"], "assistant").to_numpy(
+            zero_copy_only=False
+        )[order]
+        starts = np.flatnonzero(
+            (co[1:] == co[:-1]) & (to[1:] - to[:-1] == 1)
+            & is_user[:-1] & is_asst[1:]
+        )
+        if len(starts) == 0:
+            return pa.Table.from_pylist([], schema=pair_schema)
+        text = t["text"].combine_chunks()
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(order[starts])),
+                "q_text": text.take(pa.array(order[starts])),
+                "a_text": text.take(pa.array(order[starts + 1])),
+            },
+            schema=pair_schema,
+        )
+
+    qa = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+        pairs_block, batch_format="pyarrow", batch_size=None
+    )
+
+    out_schema = pa.schema(
+        [("q_text", pa.string()), ("a_text", pa.string()),
+         ("n_occurrences", pa.int64()), ("n_convs", pa.int64())]
+    )
+
+    def census_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        a = t.group_by(["q_text", "a_text"]).aggregate(
+            [("conv_id", "count_distinct"), ([], "count_all")]
+        )
+        out = pa.table(
+            {
+                "q_text": a["q_text"],
+                "a_text": a["a_text"],
+                "n_occurrences": pc.cast(a["count_all"], pa.int64()),
+                "n_convs": pc.cast(a["conv_id_count_distinct"], pa.int64()),
+            },
+            schema=out_schema,
+        )
+        return out.filter(pc.greater_equal(out["n_convs"], 2))
+
+    return key_partitioned(
+        qa, ["q_text", "a_text"], num_partitions
+    ).map_batches(census_block, batch_format="pyarrow", batch_size=None)
+
+
 def turn_window_near_dups(transcripts, k: int = 3, n: int = 3,
                           tau: float = 0.7,
                           num_partitions: int | None = None):
