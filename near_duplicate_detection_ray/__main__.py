@@ -235,6 +235,22 @@ def cmd_versions(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_gc(args: argparse.Namespace) -> int:
+    """Explicit checkpoint GC: prune retained snapshots beyond --keep per
+    stage (current pointer and pinned versions always survive); pure
+    filesystem, no Ray session."""
+    from .stages.checkpoint import gc_versions
+
+    if not os.path.isdir(args.checkpoints):
+        print(f"error: checkpoints dir not found: {args.checkpoints}",
+              file=sys.stderr)
+        return 1
+    dropped = gc_versions(args.checkpoints, stage=args.stage,
+                          keep=args.keep, dry_run=args.dry_run)
+    print(json.dumps({"dry_run": args.dry_run, "dropped": dropped}, indent=2))
+    return 0
+
+
 def cmd_vdiff(args: argparse.Namespace) -> int:
     """Diff two retained snapshots of a checkpointed stage (added / removed /
     changed / unchanged keys)."""
@@ -342,6 +358,13 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--checkpoints", required=True)
     pv.add_argument("--stage", default=None)
     pv.set_defaults(fn=cmd_versions)
+
+    pg = sub.add_parser("gc", help="prune retained checkpoint snapshots")
+    pg.add_argument("--checkpoints", required=True)
+    pg.add_argument("--stage", default=None)
+    pg.add_argument("--keep", type=int, default=2)
+    pg.add_argument("--dry-run", action="store_true")
+    pg.set_defaults(fn=cmd_gc)
 
     pvd = sub.add_parser("vdiff", help="diff two checkpoint snapshots")
     pvd.add_argument("--checkpoints", required=True)

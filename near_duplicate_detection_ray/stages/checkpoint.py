@@ -489,6 +489,55 @@ def pipeline_report(root: str) -> list[dict]:
     return out
 
 
+def gc_versions(root: str, stage: str | None = None, keep: int = 2,
+                dry_run: bool = False) -> dict[str, list[str]]:
+    """Explicit checkpoint GC (the deferred-pruning companion to run_stage's
+    automatic keep_versions pruning): for each stage under ``root`` (or just
+    ``stage``), delete retained snapshots beyond the ``keep`` newest.  The
+    CURRENT pointer's version, explicitly pinned versions, and versions with
+    live lazy handles (this process) always survive.  Returns
+    {stage: [deleted version prefixes]}; ``dry_run`` reports without
+    deleting — the safe default for operators inspecting a shared root.
+    """
+    import gc as _gc
+
+    out: dict[str, list[str]] = {}
+    if not os.path.isdir(root):
+        return out
+    stages = [stage] if stage else sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d, "versions"))
+    )
+    _gc.collect()  # make dropped handles visible to the liveness pins
+    for name in stages:
+        vroot = os.path.join(root, name, "versions")
+        if not os.path.isdir(vroot):
+            continue
+        entries = []
+        for v in os.listdir(vroot):
+            vman = os.path.join(vroot, v, "manifest.json")
+            if os.path.exists(vman):
+                entries.append((os.path.getmtime(vman), v))
+        entries.sort(reverse=True)
+        key = (os.path.abspath(root), name)
+        protected = set(_PIN_REGISTRY.get(key, set()))
+        protected |= {v for v, ws in _WEAK_PINS.get(key, {}).items() if len(ws)}
+        link = os.path.join(root, name, "data")
+        if os.path.islink(link):
+            # current pointer: versions/<hash12>/data
+            parts = os.readlink(link).split(os.sep)
+            if len(parts) >= 2 and parts[0] == "versions":
+                protected.add(parts[1])
+        keep_set = {v for _, v in entries[:keep]} | protected
+        dropped = [v for _, v in entries if v not in keep_set]
+        for v in dropped:
+            if not dry_run:
+                shutil.rmtree(os.path.join(vroot, v), ignore_errors=True)
+        if dropped:
+            out[name] = dropped
+    return out
+
+
 def diff_stage_versions(root: str, stage: str, version_a: str, version_b: str,
                         key: str, value_col: str,
                         num_partitions: int | None = None):

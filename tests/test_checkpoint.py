@@ -400,3 +400,54 @@ def test_live_run_stage_handle_survives_pruning(ray_session):
     # discarded, so at most keep_versions + the just-handed-out v5 remain
     assert ck4.stage_hashes["s"][:12] in retained
     assert len(retained) <= 2, retained
+
+
+def test_gc_versions_explicit(ray_session):
+    """gc_versions prunes beyond --keep but never the current pointer's
+    version; dry_run reports without deleting; the CLI subcommand wires it."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    root = "/tmp/ndd_ckpt_gc_test"
+    shutil.rmtree(root, ignore_errors=True)
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        StageCheckpointer,
+        clear_version_pins,
+        gc_versions,
+    )
+
+    clear_version_pins(root)
+    hashes = []
+    for i, tok in enumerate(("v0", "v1", "v2", "v3")):
+        ck = StageCheckpointer(root, NDDConfig(), input_token=tok,
+                               keep_versions=99)  # no auto-prune
+        ck.run_stage("s", [], lambda i=i: rd.from_arrow(pa.table({"k": [i]})))
+        hashes.append(ck.stage_hashes["s"][:12])
+    clear_version_pins(root)  # release liveness pins from the loop handles
+
+    preview = gc_versions(root, keep=2, dry_run=True)
+    assert set(preview["s"]) == set(hashes[:2])
+    assert len(StageCheckpointer(root).list_versions("s")) == 4  # untouched
+
+    out = subprocess.run(
+        [sys.executable, "-m", "near_duplicate_detection_ray", "gc",
+         "--checkpoints", root, "--keep", "2"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    rep = json.loads(out.stdout)
+    assert set(rep["dropped"]["s"]) == set(hashes[:2])
+    retained = {e["version"] for e in StageCheckpointer(root).list_versions("s")}
+    assert retained == set(hashes[2:])
+    assert hashes[3] in retained  # current pointer survives
+
+    # missing root is a clean CLI error, not a traceback
+    bad = subprocess.run(
+        [sys.executable, "-m", "near_duplicate_detection_ray", "gc",
+         "--checkpoints", "/tmp/does_not_exist_ndd"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert bad.returncode == 1 and "not found" in bad.stderr
