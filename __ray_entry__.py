@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family over documents ---
         "exact_dedup_docs": docs_dedup.exact_dedup_docs,       # SQL-checked
         "near_dup_pairs_docs": docs_dedup.near_dup_pairs_docs,  # SQL-checked (brute-force oracle)
+        "near_dup_pairs_bbit": docs_dedup.near_dup_pairs_bbit,  # SQL-checked (b-bit prefilter, same oracle)
         "dup_pair_recall": docs_dedup.dup_pair_recall,          # SQL-checked (north-star recall vs exact ground truth, banded)
         "dup_pagerank": docs_dedup.dup_pagerank,               # SQL-checked (5-iteration power method)
         "dup_components_docs": docs_dedup.dup_components_docs,  # SQL-checked (recursive-CTE closure oracle)
@@ -1215,6 +1216,10 @@ def oracle_sql() -> dict[str, str]:
     # decontamination (false positives are dropped by the confirm join),
     # so the SAME oracle gates both
     d["decontaminate_docs_bloom"] = d["decontaminate_docs"]
+    # the b-bit minwise prefilter is output-identical to the flagship pair
+    # join (the estimate only gates which candidates pay the full shingle
+    # attach; exact verify decides the output), so the SAME oracle gates both
+    d["near_dup_pairs_bbit"] = d["near_dup_pairs_docs"]
     d["media_cdc_dedup"] = _media_cdc_sql()
     d["distinct_stats_hll"] = _hll_sql()
     return d

@@ -149,6 +149,52 @@ def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
     return out
 
 
+def near_dup_pairs_bbit(sf_dir: str, cfg: NDDConfig | None = None,
+                        z: float = 6.0):
+    """``near_dup_pairs_docs`` with the b-bit minwise-hashing candidate
+    prefilter (``stages/bbit.py``) between LSH banding and exact
+    verification: candidate pairs join 16-byte b=1 sketches first, pairs
+    whose Jaccard estimate sits more than ``z`` standard errors below tau
+    are dropped, and only the survivors join the full shingle blobs for the
+    exact verify — the signature-compression scale path that cuts the
+    verify exchange for garbage candidates by ~3 orders of magnitude.
+
+    The OUTPUT contract is identical to ``near_dup_pairs_docs`` (exact
+    token-5-shingle Jaccard >= tau, a < b): the estimate only gates which
+    pairs pay the full attach, never what is emitted, so the same
+    brute-force SQL oracle applies.  Tests additionally pin that the
+    surviving-candidate set loses no true tau-pair on the test corpora.
+    """
+    from ..stages.bbit import prefilter_candidates
+    from ..state.partitioning import materialize_clean
+
+    cfg = cfg or DOCS_DEDUP_CFG
+    convs = docs_as_conversations(sf_dir)
+    sigs = materialize_clean(sign_conversations(convs, cfg))
+    cand = candidate_pairs(explode_bands(sigs, cfg), cfg)
+    cand = prefilter_candidates(cand, sigs, cfg, z=z)
+    dup = verify_pairs(cand, sigs, cfg).map_batches(
+        lambda t: t.filter(pc.equal(t["method"], "minhash")),
+        batch_format="pyarrow",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.cast(batch["a"], pa.int64()),
+                "b": pc.cast(batch["b"], pa.int64()),
+                "jaccard": pa.array(
+                    np.round(
+                        batch["jaccard"].to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return dup.map_batches(finish, batch_format="pyarrow")
+
+
 def md5_simhash_docs(sf_dir: str, cfg: NDDConfig | None = None):
     """Per-doc 64-bit SimHash over ``md5_low64`` shingle-string hashes — the
     SQL-checkable basis: DuckDB recomputes the identical value via

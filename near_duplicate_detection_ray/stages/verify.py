@@ -78,11 +78,13 @@ class Verifier:
 
 
 def attach_signatures(pairs, signatures, num_partitions: int | None = None,
-                      semi_filter_max_ids: int = 5_000_000):
-    """Join (a, b) pairs to both endpoints' shingle sets + simhash via two
-    hash-partitioned joins.  Output columns: ``shingles``/``simhash`` are the
-    A endpoint's (unsuffixed — no rename Project runs after the joins, see the
-    inline note), ``shingles_b``/``simhash_b`` the B endpoint's.
+                      semi_filter_max_ids: int = 5_000_000,
+                      columns: list[str] | None = None):
+    """Join (a, b) pairs to both endpoints' signature payloads (``columns``,
+    default shingle sets + simhash) via two hash-partitioned joins.  Output
+    columns: the A endpoint's payload keeps the signature table's own names
+    (unsuffixed — no rename Project runs after the joins, see the inline
+    note), the B endpoint's gets the ``_b`` suffix.
 
     SEMI-JOIN REDUCTION first: candidate pairs touch only a fraction of the
     corpus, but a plain join would shuffle every signature row (wide shingle
@@ -101,7 +103,7 @@ def attach_signatures(pairs, signatures, num_partitions: int | None = None,
         # one partition per cluster CPU, never the single-box constant a
         # 256-node cluster would serialize on
         num_partitions = default_partitions()
-    side = signatures.select_columns(["conv_id", "shingles", "simhash"])
+    side = signatures.select_columns(["conv_id"] + (columns or ["shingles", "simhash"]))
     ids_ref, n_ids, key_counts = endpoint_stats(
         pairs, ["a", "b"], max_values=semi_filter_max_ids
     )
