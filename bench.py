@@ -79,6 +79,8 @@ def run_queries() -> dict[str, float]:
         "grouped_topk_events",
         "ngram_jaccard_pairs",
         "ngram_containment_pairs",
+        "near_dup_pairs_bbit",
+        "qa_pair_dups",
         "dup_turn_windows",
         "turn_window_near_dups",
         "conv_prefix_dups",

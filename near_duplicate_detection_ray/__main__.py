@@ -31,7 +31,10 @@ def _init_ray() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # RAY_ADDRESS (set to the cluster address inside `ray job submit`
+        # workers) wins; the sandboxed default is an in-process local node.
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
