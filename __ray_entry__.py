@@ -633,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_cosine_pairs": docs_dedup.tf_cosine_pairs,          # SQL-checked (weighted tf-cosine join, rare-term blocking)
         "dup_bfs_depths": docs_dedup.dup_bfs_depths,            # SQL-checked (multi-source BFS to canonical docs)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
+        "dedup_report_docs": docs_dedup.dedup_report_docs,      # SQL-checked (one-row corpus audit)
         "dedup_best_docs": docs_dedup.dedup_best_docs,          # SQL-checked (quality keep-rule)
         "dup_spans_docs": docs_dedup.dup_spans_docs,            # SQL-checked (exact repeated-span plan)
         "cut_spans_docs": docs_dedup.cut_spans_docs,            # SQL-checked (span-cut cleaned text)
@@ -4300,6 +4301,28 @@ def _oracle_sql_literal() -> dict[str, str]:
         # sets, mirroring the engine's connected-components stage.
         "dedup_keep_docs": _DEDUP_COMP_CTES
         + " SELECT rep AS doc_id, count(*) AS n_members FROM comp GROUP BY rep",
+        # One-row corpus dedup audit over the SAME components (exact ∪
+        # near-dup edges): totals, drop counts under keep-first (rep = min
+        # id), characters saved, overall dup rate.  sum(INTEGER) is HUGEINT
+        # in DuckDB, hence the explicit BIGINT casts.
+        "dedup_report_docs": _DEDUP_COMP_CTES
+        + """
+            , keeps AS (SELECT DISTINCT rep FROM comp)
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(DISTINCT md5(text)) FROM documents)
+                       AS n_exact_groups,
+                   (SELECT count(*) FROM jp) AS n_near_pairs,
+                   (SELECT count(*) FROM keeps) AS n_components,
+                   (SELECT count(*) FROM documents)
+                       - (SELECT count(*) FROM keeps) AS n_dropped,
+                   CAST(COALESCE((
+                       SELECT sum(d.n_chars) FROM comp c
+                       JOIN documents d USING (doc_id)
+                       WHERE c.doc_id <> c.rep
+                   ), 0) AS BIGINT) AS chars_dropped,
+                   round(1.0 - (SELECT count(*) FROM keeps) * 1.0
+                             / (SELECT count(*) FROM documents), 6) AS dup_rate
+        """,
         # Same components, QUALITY keep-rule: longest member wins (tie: min id)
         "dedup_best_docs": _DEDUP_COMP_CTES
         + """

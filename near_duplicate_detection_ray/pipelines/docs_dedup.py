@@ -1060,6 +1060,94 @@ def dedup_keep_docs(sf_dir: str, cfg: NDDConfig | None = None):
 
 
 
+def dedup_report_docs(sf_dir: str, cfg: NDDConfig | None = None):
+    """ONE-ROW corpus dedup audit — "what would dedup do to this corpus"
+    before committing a 100-TB run to it: total docs, exact-fingerprint
+    groups, near-dup pairs (shingle Jaccard >= tau), duplicate components
+    (exact ∪ near edges), docs dropped under keep-first, characters saved,
+    and the overall dup rate.  The operational companion to
+    ``dup_pair_recall`` (recall certifies the config; this sizes the win).
+
+    Everything reuses the memoized distributed pieces (pair set, component
+    labeling), so the extra cost over ``dedup_keep_docs`` is two keyed
+    aggregations and one bounded semi-join; every count is computed as
+    block-local partials merged off-driver, and only the final single-row
+    scalars reach the driver.  Columns: n_docs, n_exact_groups,
+    n_near_pairs, n_components, n_dropped (all int64), chars_dropped
+    (int64), dup_rate (float64, round 6).
+    """
+    import numpy as np
+
+    from ..functions.groupagg import highcard_groupagg
+    from ..state.partitioning import distinct_values_ref
+
+    n_docs = _read_docs(sf_dir, ["doc_id"]).count()
+    n_exact_groups = exact_dedup_docs(sf_dir).count()
+    n_near_pairs = near_dup_pairs_docs(sf_dir, cfg).count()
+
+    comp = _dedup_components(sf_dir, cfg)  # (conv_id, cluster_id)
+    per_cluster = highcard_groupagg(
+        comp,
+        ["cluster_id"],
+        [("conv_id", "min")],
+        {"conv_id_min": "kept"},
+    )
+    n_components = per_cluster.count()
+    n_dropped = n_docs - n_components
+
+    # chars_dropped = total corpus chars - chars of the kept representatives;
+    # kept ids (== n_components, bounded by the corpus) travel as an
+    # object-store ref and mask the doc read with pc.is_in — no driver loop.
+    def chars_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c": pa.array(
+                [pc.sum(pc.cast(t["n_chars"], pa.int64())).as_py() or 0],
+                pa.int64(),
+            )}
+        )
+
+    total_chars = int(
+        _read_docs(sf_dir, ["n_chars"])
+        .map_batches(chars_partial, batch_format="pyarrow")
+        .to_pandas()["c"]
+        .sum()
+    )
+    kept_ref, _n = distinct_values_ref(per_cluster, ["kept"])
+
+    def kept_chars_partial(t: pa.Table) -> pa.Table:
+        import ray
+
+        kept = ray.get(kept_ref)
+        ids = pa.array(
+            [f"{d:012d}" for d in t["doc_id"].to_pylist()], pa.string()
+        )
+        mask = pc.is_in(ids, value_set=kept)
+        chars = pc.cast(t["n_chars"], pa.int64())
+        s = pc.sum(pc.if_else(mask, chars, pa.scalar(0, pa.int64()))).as_py()
+        return pa.table({"c": pa.array([s or 0], pa.int64())})
+
+    kept_chars = int(
+        _read_docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(kept_chars_partial, batch_format="pyarrow")
+        .to_pandas()["c"]
+        .sum()
+    )
+
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_exact_groups": pa.array([n_exact_groups], pa.int64()),
+            "n_near_pairs": pa.array([n_near_pairs], pa.int64()),
+            "n_components": pa.array([n_components], pa.int64()),
+            "n_dropped": pa.array([n_dropped], pa.int64()),
+            "chars_dropped": pa.array([total_chars - kept_chars], pa.int64()),
+            "dup_rate": pa.array(
+                [float(np.round(1.0 - n_components / n_docs, 6))], pa.float64()
+            ),
+        }
+    )
+
+
 def dedup_best_docs(sf_dir: str, cfg: NDDConfig | None = None):
     """Dedup with a QUALITY keep-rule: per duplicate component keep the
     LONGEST document (``n_chars``; ties -> smallest ``doc_id``) instead of the

@@ -301,3 +301,35 @@ def test_prepare_training_docs_matches_oracle_sf0001(ray_session):
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
     assert (got["n_tokens"] >= 10).all()
+
+
+def test_dedup_report_consistency(ray_session):
+    """dedup_report_docs internal identities: n_dropped = n_docs -
+    n_components, dup_rate matches, chars_dropped equals the sum of n_chars
+    over non-representative members computed independently."""
+    import duckdb
+
+    from near_duplicate_detection_ray.pipelines.docs_dedup import (
+        dedup_keep_docs,
+        dedup_report_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rep = dedup_report_docs(sf).to_pandas().iloc[0]
+    assert rep["n_dropped"] == rep["n_docs"] - rep["n_components"]
+    assert abs(rep["dup_rate"] - (1 - rep["n_components"] / rep["n_docs"])) < 1e-6
+
+    keep = dedup_keep_docs(sf).to_pandas()
+    assert len(keep) == rep["n_components"]
+    assert int(keep["n_members"].sum()) == int(rep["n_docs"])
+
+    con = duckdb.connect()
+    total = con.sql(
+        f"SELECT CAST(sum(n_chars) AS BIGINT) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    kept_ids = ",".join(str(i) for i in keep["doc_id"])
+    kept_chars = con.sql(
+        f"SELECT CAST(sum(n_chars) AS BIGINT) FROM '{sf}/documents.parquet' "
+        f"WHERE doc_id IN ({kept_ids})"
+    ).fetchone()[0]
+    assert rep["chars_dropped"] == total - kept_chars
