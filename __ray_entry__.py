@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_bfs_depths": docs_dedup.dup_bfs_depths,            # SQL-checked (multi-source BFS to canonical docs)
         "dedup_keep_docs": docs_dedup.dedup_keep_docs,          # SQL-checked (recursive components)
         "dedup_report_docs": docs_dedup.dedup_report_docs,      # SQL-checked (one-row corpus audit)
+        "shingle_df_histogram": docs_dedup.shingle_df_histogram,  # SQL-checked (gram-df capacity diagnostic)
         "dedup_best_docs": docs_dedup.dedup_best_docs,          # SQL-checked (quality keep-rule)
         "dup_spans_docs": docs_dedup.dup_spans_docs,            # SQL-checked (exact repeated-span plan)
         "cut_spans_docs": docs_dedup.cut_spans_docs,            # SQL-checked (span-cut cleaned text)
@@ -4322,6 +4323,30 @@ def _oracle_sql_literal() -> dict[str, str]:
                    ), 0) AS BIGINT) AS chars_dropped,
                    round(1.0 - (SELECT count(*) FROM keeps) * 1.0
                              / (SELECT count(*) FROM documents), 6) AS dup_rate
+        """,
+        # shingle document-frequency histogram: how many distinct 5-token
+        # grams occur in exactly df documents (the df=1 row is the mass the
+        # prefix joins drop from their bucket exchanges)
+        "shingle_df_histogram": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), dfs AS (
+                SELECT s, count(*) AS df FROM sh GROUP BY s
+            )
+            SELECT CAST(df AS BIGINT) AS df, count(*) AS n_grams
+            FROM dfs GROUP BY df
         """,
         # Same components, QUALITY keep-rule: longest member wins (tie: min id)
         "dedup_best_docs": _DEDUP_COMP_CTES

@@ -410,6 +410,68 @@ def ngram_grams_docs(sf_dir: str, n: int = 3):
     return ngram_grams_over(docs_as_conversations(sf_dir), n)
 
 
+def shingle_df_histogram(sf_dir: str, n: int = 5):
+    """Histogram of shingle document frequencies: for each df value, how many
+    distinct token-``n``-grams occur in exactly df documents.
+
+    The capacity-planning diagnostic behind this engine's shuffle-volume
+    optimizations: the df=1 row is the gram mass the containment/Jaccard
+    joins now DROP from their bucket exchanges (single-member buckets can
+    never pair — measured 2.3x wall on the containment join), and the heavy
+    tail is the hot-bucket mass the LSH cap and hot-gram handling absorb.
+    You run this before tuning bucket_cap / hot_gram_cap on a new corpus.
+
+    Two exchanges, both bounded: per-block ``np.unique`` partials over the
+    packed gram sets, one keyed shuffle on gram hash so each gram's global
+    df is a block-local sum, then per-block histogram partials whose final
+    merge is domain-bounded (distinct df values; df <= n_docs).  Gram
+    hashes stand in for gram strings — the same 64-bit-collision parity
+    argument as ``near_dup_pairs_docs``.  Columns: df:int64, n_grams:int64.
+    """
+    from ..functions.similarity import _binary_column_view
+    from ..state.partitioning import key_partitioned
+
+    sigs = ngram_grams_docs(sf_dir, n)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, _m = _binary_column_view(t["shingles"])
+        g, c = np.unique(vals, return_counts=True)
+        return pa.table(
+            {"gram": pa.array(g, pa.uint64()),
+             "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    per_gram = sigs.select_columns(["shingles"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    hist_schema = pa.schema([("df", pa.int64()), ("n_grams", pa.int64())])
+
+    def df_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=hist_schema)
+        agg = t.group_by(["gram"]).aggregate([("n", "sum")])
+        df_vals, counts = np.unique(
+            agg["n_sum"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"df": pa.array(df_vals.astype(np.int64), pa.int64()),
+             "n_grams": pa.array(counts.astype(np.int64), pa.int64())},
+            schema=hist_schema,
+        )
+
+    partials = key_partitioned(per_gram, ["gram"]).map_batches(
+        df_block, batch_format="pyarrow", batch_size=None
+    )
+    # final merge: distinct df values are domain-bounded (<= corpus size,
+    # in practice dozens), so the partial histogram is a tiny table
+    out = partials.to_pandas().groupby("df", as_index=False)["n_grams"].sum()
+    return pa.table(
+        {"df": pa.array(out["df"].to_numpy(), pa.int64()),
+         "n_grams": pa.array(out["n_grams"].to_numpy(), pa.int64())}
+    )
+
+
 def _gram_df_ref(sigs):
     """Global gram document-frequencies, built OFF-DRIVER and broadcast.
 
