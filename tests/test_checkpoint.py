@@ -451,3 +451,40 @@ def test_gc_versions_explicit(ray_session):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert bad.returncode == 1 and "not found" in bad.stderr
+
+
+def test_crash_mid_write_recovers(ray_session):
+    """A crash DURING a stage's parquet write leaves data.tmp + no version
+    manifest; the rerun must discard the partial tmp, recompute, and produce
+    the correct output (manifest-last ordering makes the skip gate safe)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        StageCheckpointer,
+    )
+
+    root = "/tmp/ndd_ckpt_midwrite_test"
+    shutil.rmtree(root, ignore_errors=True)
+    ck = StageCheckpointer(root, NDDConfig(), input_token="v0")
+    stage_hash = ck._lineage_hash("s", [])
+    vdir = ck._version_dir("s", stage_hash)
+    tmp = os.path.join(vdir, "data.tmp")
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.table({"k": [999], "v": [999]}),
+                   os.path.join(tmp, "partial_0.parquet"))
+    # no manifest.json => the skip gate must NOT fire; the stale tmp must go
+    out = ck.run_stage(
+        "s", [], lambda: rd.from_arrow(pa.table({"k": [1, 2], "v": [3, 4]}))
+    )
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["k"].tolist() == [1, 2] and df["v"].tolist() == [3, 4]
+    assert not os.path.exists(tmp)
+    assert ck.stages_computed == ["s"]
+    # and the rerun skips
+    ck2 = StageCheckpointer(root, NDDConfig(), input_token="v0")
+    ck2.run_stage("s", [], lambda: (_ for _ in ()).throw(AssertionError))
+    assert ck2.stages_skipped == ["s"]
