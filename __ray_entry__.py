@@ -416,13 +416,16 @@ _GATE_WINDOW_FIRST = [
     "quality_docs",
     "lang_id_docs",
     "epoch_shuffle_docs",
-    "media_chunk_dedup",
+    "dedup_report_docs",
     "media_cdc_dedup",
 ]
 # (doc_fingerprints / normalize_docs / cluster_size_histogram /
 # dup_jaccard_histogram rotated out to make room for new dedup operators —
 # all remain pinned by the local sweep + pytest; dup_pair_recall's banding
-# subsumes the histogram's signal and adds the north-star recall dimension.)
+# subsumes the histogram's signal and adds the north-star recall dimension.
+# Round-3 continuation: media_chunk_dedup rotated out (media_cdc_dedup keeps
+# the multimodal family visible) for dedup_report_docs, the one-row corpus
+# audit that exercises pairs + components + exact dedup in a single gate row.)
 
 
 def _flagship_first(qs: dict) -> dict:
