@@ -254,6 +254,34 @@ def cmd_gc(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_forget(args: argparse.Namespace) -> int:
+    """Compliance deletion: purge conversations from every checkpointed
+    stage (current + history) and taint future lineage (stages/tombstone)."""
+    from .stages.tombstone import forget
+
+    if not os.path.isdir(args.checkpoints):
+        print(f"error: checkpoints dir not found: {args.checkpoints}",
+              file=sys.stderr)
+        return 1
+    ids: list[str] = []
+    if args.ids:
+        ids += [s for s in args.ids.split(",") if s]
+    if args.ids_file:
+        if not os.path.isfile(args.ids_file):
+            print(f"error: ids file not found: {args.ids_file}",
+                  file=sys.stderr)
+            return 1
+        with open(args.ids_file) as f:
+            ids += [line.strip() for line in f if line.strip()]
+    if not ids:
+        print("error: no ids given (--ids or --ids-file)", file=sys.stderr)
+        return 1
+    _init_ray()
+    print(json.dumps(forget(args.checkpoints, ids, dry_run=args.dry_run),
+                     indent=2))
+    return 0
+
+
 def cmd_vdiff(args: argparse.Namespace) -> int:
     """Diff two retained snapshots of a checkpointed stage (added / removed /
     changed / unchanged keys)."""
@@ -361,6 +389,14 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--checkpoints", required=True)
     pv.add_argument("--stage", default=None)
     pv.set_defaults(fn=cmd_versions)
+
+    pf = sub.add_parser("forget", help="compliance-delete conversations "
+                                       "from all checkpointed stages")
+    pf.add_argument("--checkpoints", required=True)
+    pf.add_argument("--ids", default=None, help="comma-separated conv_ids")
+    pf.add_argument("--ids-file", default=None, help="one conv_id per line")
+    pf.add_argument("--dry-run", action="store_true")
+    pf.set_defaults(fn=cmd_forget)
 
     pg = sub.add_parser("gc", help="prune retained checkpoint snapshots")
     pg.add_argument("--checkpoints", required=True)

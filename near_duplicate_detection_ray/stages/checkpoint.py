@@ -109,17 +109,25 @@ class StageCheckpointer:
         self.stages_skipped: list[str] = []
         self.stages_computed: list[str] = []
         os.makedirs(root, exist_ok=True)
+        # compliance taint (stages/tombstone.py): folding the rolling forget
+        # digest into every stage hash means a rerun can neither skip back
+        # to a pre-deletion snapshot nor silently reuse one
+        from .tombstone import tombstone_digest
+
+        self.tombstone_token = tombstone_digest(root)
 
     def _lineage_hash(self, name: str, upstream: list[str]) -> str:
-        payload = json.dumps(
-            {
-                "stage": name,
-                "config": self.cfg.config_hash(),
-                "input": self.input_token,
-                "upstream": [self.stage_hashes[u] for u in upstream],
-            },
-            sort_keys=True,
-        )
+        lineage = {
+            "stage": name,
+            "config": self.cfg.config_hash(),
+            "input": self.input_token,
+            "upstream": [self.stage_hashes[u] for u in upstream],
+        }
+        if self.tombstone_token:
+            # only folded in once a forget() exists, so every pre-tombstone
+            # checkpoint root keeps its hashes (no global invalidation)
+            lineage["tombstones"] = self.tombstone_token
+        payload = json.dumps(lineage, sort_keys=True)
         return hashlib.md5(payload.encode()).hexdigest()
 
     def _manifest_path(self, name: str) -> str:
@@ -387,6 +395,14 @@ def checkpointed_near_dup_pipeline(
 
     cfg = cfg or NDDConfig()
     ckpt = StageCheckpointer(root, cfg, input_token)
+
+    # ingest guard: the input corpus may still contain forgotten
+    # conversations (the engine does not own it); anti-filter at the read so
+    # the tombstone-tainted lineage recomputes WITHOUT them
+    if ckpt.tombstone_token:
+        from .tombstone import apply_tombstones
+
+        transcripts = apply_tombstones(transcripts, root, "conv_id")
 
     conversations = ckpt.run_stage(
         "conversations",

@@ -1,0 +1,263 @@
+"""Compliance deletion (tombstones): purge named conversations from every
+checkpointed stage output, immediately and permanently.
+
+The problem it solves: ``stages/incremental.py`` evicts conversations that
+VANISH FROM THE INPUT, but a right-to-be-forgotten request arrives as an
+explicit id list while the input corpus (which the engine does not own) may
+still contain the rows.  ``forget(root, ids)`` must therefore:
+
+1. **Purge now** — rewrite the CURRENT version of every checkpointed stage
+   with the ids (and any dup-pair/substring edge touching them) filtered
+   out, as a NEW tombstoned version;
+2. **Purge history** — delete every OTHER retained snapshot of each stage
+   (time travel would otherwise resurrect the data; compliance supersedes
+   ``keep_versions`` and version pins);
+3. **Taint lineage** — record a rolling tombstone digest that
+   ``StageCheckpointer`` mixes into every stage hash, so a later pipeline
+   run neither skips back to a pre-deletion snapshot nor recomputes the
+   deleted conversations from a stale input (the checkpointed pipeline
+   anti-filters its ingest against the tombstone set).
+
+Deletion ids travel as an object-store broadcast (``ray.put`` once, probed
+with vectorized ``pc.is_in`` inside map tasks) — compliance sets are small
+relative to the corpus; past ~5M ids the same Bloom-filter machinery the
+verify semi-join uses (``state/bloom.py``) is the drop-in upgrade.
+
+Reference analogue: the reference's ``update_index`` deletes vanished videos
+from the in-memory index (``ndd/server_ndd.py:246-261``) but has no story
+for persisted features on disk; this stage is the durable-storage
+completion of that semantic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TOMBSTONE_MANIFEST = "_TOMBSTONES.json"
+TOMBSTONE_DIR = "_tombstones"
+
+# stage schemas identify rows by these columns; a row dies when ANY of its
+# id columns is tombstoned (pairs/edges touching a forgotten conv must go)
+_ID_COLUMNS = ("conv_id", "a", "b")
+
+
+def tombstone_digest(root: str) -> str:
+    """Rolling digest of every forget() call at this root ('' if none) —
+    the value StageCheckpointer mixes into lineage hashes."""
+    path = os.path.join(root, TOMBSTONE_MANIFEST)
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        return json.load(f).get("digest", "")
+
+
+def tombstone_ids(root: str) -> pa.Array:
+    """All tombstoned ids at this root (deduped string array; empty if none)."""
+    d = os.path.join(root, TOMBSTONE_DIR)
+    if not os.path.isdir(d):
+        return pa.array([], pa.string())
+    tables = [
+        pq.read_table(os.path.join(d, f))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not tables:
+        return pa.array([], pa.string())
+    return pc.unique(pa.concat_tables(tables)["id"].combine_chunks())
+
+
+def apply_tombstones(ds, root: str, id_column: str = "conv_id"):
+    """Anti-filter a Dataset against this root's tombstone set (no-op when
+    none exist): the ingest guard the checkpointed pipeline applies so a
+    rerun over a stale input cannot recompute forgotten conversations."""
+    ids = tombstone_ids(root)
+    if len(ids) == 0:
+        return ds
+    import ray
+
+    ids_ref = ray.put(ids)
+
+    def drop(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_column not in t.schema.names:
+            return t
+        dead = pc.is_in(t[id_column], value_set=ray.get(ids_ref))
+        return t.filter(pc.invert(dead))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
+def forget(root: str, ids: list[str], dry_run: bool = False) -> dict:
+    """Tombstone ``ids`` at checkpoint root ``root`` (see module docstring).
+
+    Returns a report: per stage the rows dropped and versions purged, plus
+    the new rolling digest.  ``dry_run`` reports what WOULD be dropped
+    without touching disk.  Idempotent: forgetting already-forgotten ids
+    drops 0 rows but still advances the digest (auditable re-request).
+    """
+    import ray
+    import ray.data as rd
+
+    ids = sorted(set(ids))
+    if not ids:
+        raise ValueError("forget() requires at least one id")
+    old_digest = tombstone_digest(root)
+    new_digest = hashlib.md5(
+        (old_digest + "\n" + "\n".join(ids)).encode()
+    ).hexdigest()
+    ids_arr = pa.array(ids, pa.string())
+    ids_ref = ray.put(ids_arr)
+
+    report: dict = {"digest": new_digest, "n_ids": len(ids),
+                    "dry_run": dry_run, "stages": {}}
+
+    stages = sorted(
+        d for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if os.path.isdir(os.path.join(root, d, "versions"))
+    )
+    for stage in stages:
+        link = os.path.join(root, stage, "data")
+        if not os.path.islink(link):
+            continue
+        cur_version = os.readlink(link).split(os.sep)[1]
+        cur_data = os.path.join(root, stage, "versions", cur_version, "data")
+        schema = pq.read_schema(
+            os.path.join(
+                cur_data,
+                next(f for f in sorted(os.listdir(cur_data))
+                     if f.endswith(".parquet")),
+            )
+        )
+        id_cols = [c for c in _ID_COLUMNS if c in schema.names]
+        src = rd.read_parquet(cur_data)
+        n_before = src.count()
+        if not id_cols:
+            report["stages"][stage] = {
+                "rows_dropped": 0, "versions_purged": 0,
+                "note": "no id columns; untouched",
+            }
+            continue
+
+        def keep(t: pa.Table, cols=tuple(id_cols)) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            dead = None
+            vs = ray.get(ids_ref)
+            for c in cols:
+                m = pc.is_in(t[c], value_set=vs)
+                dead = m if dead is None else pc.or_(dead, m)
+            return t.filter(pc.invert(dead))
+
+        filtered = rd.read_parquet(cur_data).map_batches(
+            keep, batch_format="pyarrow"
+        )
+        if dry_run:
+            n_after = filtered.count()
+            report["stages"][stage] = {
+                "rows_dropped": n_before - n_after,
+                "versions_purged": len(
+                    os.listdir(os.path.join(root, stage, "versions"))
+                ) - 1,
+            }
+            continue
+
+        new_version = hashlib.md5(
+            (cur_version + ":" + new_digest).encode()
+        ).hexdigest()[:12]
+        vdir = os.path.join(root, stage, "versions", new_version)
+        data_dir = os.path.join(vdir, "data")
+        tmp = data_dir + ".tmp"
+        shutil.rmtree(vdir, ignore_errors=True)
+        os.makedirs(vdir, exist_ok=True)
+        filtered.write_parquet(tmp)
+        if not os.path.isdir(tmp):  # everything filtered out: keep the schema
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(schema.empty_table(),
+                           os.path.join(tmp, "empty_0.parquet"))
+        os.rename(tmp, data_dir)
+
+        n_after, partitions = 0, []
+        for fname in sorted(os.listdir(data_dir)):
+            try:
+                nr = pq.read_metadata(os.path.join(data_dir, fname)).num_rows
+            except Exception:
+                continue
+            partitions.append({"file": fname, "rows": nr})
+            n_after += nr
+
+        old_manifest = {}
+        old_man_path = os.path.join(
+            root, stage, "versions", cur_version, "manifest.json"
+        )
+        if os.path.exists(old_man_path):
+            with open(old_man_path) as f:
+                old_manifest = json.load(f)
+        manifest = dict(old_manifest)
+        manifest.update(
+            {
+                "stage": stage,
+                "stage_hash": new_version,
+                "tombstone_digest": new_digest,
+                "tombstoned_from": cur_version,
+                "row_count": n_after,
+                "partitions": partitions,
+                "metrics": {"forget_at": time.strftime("%Y-%m-%dT%H:%M:%S")},
+            }
+        )
+        with open(os.path.join(vdir, "manifest.json") + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(os.path.join(vdir, "manifest.json") + ".tmp",
+                  os.path.join(vdir, "manifest.json"))
+
+        # repoint current, mirror the pointer manifest, purge ALL other
+        # versions (history holds the forgotten rows) and drop pins
+        tmp_link = link + ".lnk.tmp"
+        if os.path.lexists(tmp_link):
+            os.unlink(tmp_link)
+        os.symlink(os.path.join("versions", new_version, "data"), tmp_link)
+        os.replace(tmp_link, link)
+        mpath = os.path.join(root, stage, "_MANIFEST.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(mpath + ".tmp", mpath)
+
+        from .checkpoint import _PIN_REGISTRY, _WEAK_PINS
+
+        key = (os.path.abspath(root), stage)
+        _PIN_REGISTRY.pop(key, None)
+        _WEAK_PINS.pop(key, None)
+        vroot = os.path.join(root, stage, "versions")
+        purged = 0
+        for v in os.listdir(vroot):
+            if v != new_version:
+                shutil.rmtree(os.path.join(vroot, v), ignore_errors=True)
+                purged += 1
+        report["stages"][stage] = {
+            "rows_dropped": n_before - n_after, "versions_purged": purged,
+        }
+
+    if not dry_run:
+        tdir = os.path.join(root, TOMBSTONE_DIR)
+        os.makedirs(tdir, exist_ok=True)
+        seq = len([f for f in os.listdir(tdir) if f.endswith(".parquet")])
+        pq.write_table(
+            pa.table({"id": ids_arr}),
+            os.path.join(tdir, f"ids-{seq:06d}.parquet"),
+        )
+        # digest manifest LAST: a crash above degrades to re-runnable
+        # partial state, never to a recorded-but-unapplied tombstone
+        path = os.path.join(root, TOMBSTONE_MANIFEST)
+        with open(path + ".tmp", "w") as f:
+            json.dump(
+                {"digest": new_digest, "n_files": seq + 1,
+                 "updated": time.strftime("%Y-%m-%dT%H:%M:%S")}, f, indent=2
+            )
+        os.rename(path + ".tmp", path)
+    return report

@@ -1,0 +1,134 @@
+"""Compliance deletion (stages/tombstone.py): immediate purge across every
+checkpointed stage, history purge, lineage taint, ingest guard, and the CLI."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import ray.data as rd
+
+from near_duplicate_detection_ray.config import NDDConfig
+from near_duplicate_detection_ray.sources.transcripts import synth_corpus
+
+ROOT = "/tmp/ndd_tombstone_test"
+
+
+def _run_pipeline(transcripts):
+    from near_duplicate_detection_ray.stages.checkpoint import (
+        checkpointed_near_dup_pipeline,
+    )
+
+    return checkpointed_near_dup_pipeline(
+        rd.from_arrow(transcripts), ROOT, NDDConfig(), input_token="synth42"
+    )
+
+
+def _stage_frames():
+    import pyarrow.parquet as pq
+
+    out = {}
+    for stage in sorted(os.listdir(ROOT)):
+        data = os.path.join(ROOT, stage, "data")
+        if os.path.isdir(data):
+            out[stage] = pq.read_table(data).to_pandas()
+    return out
+
+
+def _mentions(df, cid):
+    for col in ("conv_id", "a", "b"):
+        if col in df.columns and (df[col] == cid).any():
+            return True
+    return False
+
+
+def test_forget_purges_current_history_and_future(ray_session):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    transcripts, _ = synth_corpus()
+    _run_pipeline(transcripts)
+
+    # x00000 is an exact copy of u00000: both appear in pair/cluster outputs
+    target = "x00000"
+    before = _stage_frames()
+    assert any(_mentions(df, target) for df in before.values())
+
+    from near_duplicate_detection_ray.stages.tombstone import (
+        forget,
+        tombstone_digest,
+        tombstone_ids,
+    )
+
+    preview = forget(ROOT, [target], dry_run=True)
+    assert preview["dry_run"] and sum(
+        s["rows_dropped"] for s in preview["stages"].values()
+    ) > 0
+    assert tombstone_digest(ROOT) == ""  # dry run touches nothing
+
+    report = forget(ROOT, [target])
+    assert tombstone_digest(ROOT) == report["digest"] != ""
+    assert target in tombstone_ids(ROOT).to_pylist()
+
+    # 1. immediate purge: no stage output mentions the id
+    after = _stage_frames()
+    for stage, df in after.items():
+        assert not _mentions(df, target), stage
+    # every other conversation survives
+    assert set(after["conversations"]["conv_id"]) == (
+        set(before["conversations"]["conv_id"]) - {target}
+    )
+
+    # 2. history purge: exactly ONE retained version per rewritten stage
+    for stage, rep in report["stages"].items():
+        if rep.get("note"):
+            continue
+        vroot = os.path.join(ROOT, stage, "versions")
+        assert len(os.listdir(vroot)) == 1, stage
+
+    # 3. future: rerunning over the STALE input (still contains the target)
+    # recomputes under the tainted lineage and keeps the id out
+    _run_pipeline(transcripts)
+    rerun = _stage_frames()
+    for stage, df in rerun.items():
+        assert not _mentions(df, target), f"resurrected in {stage}"
+    # and a second rerun skips everything (stable tainted hashes): the
+    # version catalog gains no new snapshots
+    catalog = {
+        s: sorted(os.listdir(os.path.join(ROOT, s, "versions")))
+        for s in os.listdir(ROOT)
+        if os.path.isdir(os.path.join(ROOT, s, "versions"))
+    }
+    _run_pipeline(transcripts)
+    catalog2 = {
+        s: sorted(os.listdir(os.path.join(ROOT, s, "versions")))
+        for s in os.listdir(ROOT)
+        if os.path.isdir(os.path.join(ROOT, s, "versions"))
+    }
+    assert catalog2 == catalog
+
+
+def test_forget_cli(ray_session):
+    import subprocess
+    import sys
+
+    # reuse the root from the previous test (order-independent: rebuild)
+    shutil.rmtree(ROOT, ignore_errors=True)
+    transcripts, _ = synth_corpus()
+    _run_pipeline(transcripts)
+    out = subprocess.run(
+        [sys.executable, "-m", "near_duplicate_detection_ray", "forget",
+         "--checkpoints", ROOT, "--ids", "n00000"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    rep = json.loads(out.stdout)
+    assert rep["n_ids"] == 1 and rep["stages"]
+    frames = _stage_frames()
+    for stage, df in frames.items():
+        assert not _mentions(df, "n00000"), stage
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "near_duplicate_detection_ray", "forget",
+         "--checkpoints", ROOT],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert bad.returncode == 1 and "no ids" in bad.stderr
