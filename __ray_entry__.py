@@ -161,6 +161,15 @@ def _qa_pair_dups(sf_dir: str):
     return qa_pair_dups(transcripts_from_documents(sf_dir))
 
 
+def _qa_pair_near_dups(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines.dedup import qa_pair_near_dups
+    from near_duplicate_detection_ray.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    return qa_pair_near_dups(transcripts_from_documents(sf_dir))
+
+
 def _turn_window_near_dups(sf_dir: str):
     from near_duplicate_detection_ray.pipelines.dedup import turn_window_near_dups
     from near_duplicate_detection_ray.sources.transcripts import (
@@ -657,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_turns": _dup_turns,                                # SQL-checked (turn-level dedup census)
         "dup_turn_windows": _dup_turn_windows,                  # SQL-checked (cross-conv k-turn window dedup)
         "qa_pair_dups": _qa_pair_dups,                          # SQL-checked (role-aware exchange dedup census)
+        "qa_pair_near_dups": _qa_pair_near_dups,                # SQL-checked (fuzzy exchange PPJoin)
         "turn_window_near_dups": _turn_window_near_dups,        # SQL-checked (fuzzy sub-dialogue PPJoin)
         "role_transitions": _role_transitions,                  # SQL-checked (dialogue-structure census)
         "turn_length_stats": _turn_length_stats,                # SQL-checked (per-role turn-length census)
@@ -4920,6 +4930,46 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE t1 = tix + 1 AND tix % 2 = 0
             GROUP BY q_text, a_text
             HAVING count(DISTINCT conv_id) >= 2
+        """,
+        # fuzzy exchange dedup: (user -> assistant) pairs as documents (id
+        # conv#tix, lowercased 'q a'), distinct-3-gram inverted-index
+        # Jaccard >= 0.7 between exchanges of DIFFERENT conversations
+        "qa_pair_near_dups": "WITH " + _TURN_CTES + """
+            , qa AS (
+                SELECT conv_id, tix,
+                       lower(turn_text || ' ' || lead(turn_text) OVER cw)
+                           AS wt,
+                       lead(tix) OVER cw AS t1
+                FROM turns
+                WINDOW cw AS (PARTITION BY conv_id ORDER BY tix)
+            ), wins AS (
+                SELECT conv_id,
+                       conv_id || '#' || CAST(tix AS VARCHAR) AS wid,
+                       regexp_split_to_array(
+                           trim(regexp_replace(wt, '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM qa WHERE t1 = tix + 1 AND tix % 2 = 0
+            ), g AS (
+                SELECT DISTINCT wid, conv_id, s
+                FROM wins, UNNEST(
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT wid, count(*) AS n FROM g GROUP BY wid
+            ), inter AS (
+                SELECT a.wid AS a, b.wid AS b, count(*) AS i
+                FROM g a JOIN g b
+                  ON a.s = b.s AND a.wid < b.wid AND a.conv_id <> b.conv_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.wid
+            JOIN sizes sb ON inter.b = sb.wid
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
         """,
         # fuzzy sub-dialogue dedup: 3-turn windows as documents (id
         # conv#start_tix, lowercased space-joined text), brute-force

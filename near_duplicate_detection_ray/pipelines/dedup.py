@@ -254,39 +254,20 @@ def _turn_windows(transcripts, k: int, sep: str, num_partitions: int | None):
     )
 
 
-def qa_pair_dups(transcripts, num_partitions: int | None = None):
-    """Cross-conversation duplicated EXCHANGE census: every (user prompt ->
-    immediately following assistant reply) pair whose exact (q, a) texts
-    appear in >= 2 distinct conversations — canned prompt/completion pairs
-    repeated across a corpus (templated support replies, copied few-shot
-    exemplars, cached completions re-served to different sessions).  The
-    training-data signal is ROLE-aware: ``dup_turns`` finds repeated single
-    turns and ``dup_turn_windows`` repeated k-turn runs, but neither binds a
-    prompt to ITS reply, which is the unit instruction-tuning pipelines
-    dedupe on.
-
-    Reference analogue: the reference dedupes whole frame sequences
-    (``ndd/shotdetect.py:80-83``); the role-paired unit is this engine's
-    transcript-native refinement.
-
-    Two keyed shuffles, mirroring ``dup_turn_windows``: by ``conv_id`` so
-    each conversation's turns are block-local for the vectorized adjacent
-    (role='user', role='assistant', turn_idx contiguous) pairing — one
-    lexsort per block, no per-turn Python — then by ``(q_text, a_text)``
-    for the global census (block-local Arrow ``count`` / ``count_distinct``
-    are global after the key partition).  Adjacency requires ``turn_idx``
-    advancing by exactly 1 inside one conversation, so the operator is
-    correct on any transcripts input (missing turns never fake adjacency).
-    Output: (q_text, a_text, n_occurrences, n_convs) with n_convs >= 2.
-    """
+def _qa_exchanges(transcripts, num_partitions: int | None):
+    """(conv_id, start_tix, q_text, a_text) for every adjacent (role='user',
+    role='assistant') turn pair with ``turn_idx`` advancing by exactly 1 —
+    the shared builder behind ``qa_pair_dups`` (exact census) and
+    ``qa_pair_near_dups`` (fuzzy join).  One conv_id-keyed shuffle, one
+    lexsort per block, no per-turn Python."""
     import numpy as np
 
     from ..state.partitioning import key_partitioned
 
     ds = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
     pair_schema = pa.schema(
-        [("conv_id", pa.string()), ("q_text", pa.string()),
-         ("a_text", pa.string())]
+        [("conv_id", pa.string()), ("start_tix", pa.int64()),
+         ("q_text", pa.string()), ("a_text", pa.string())]
     )
 
     def pairs_block(t: pa.Table) -> pa.Table:
@@ -315,15 +296,46 @@ def qa_pair_dups(transcripts, num_partitions: int | None = None):
         return pa.table(
             {
                 "conv_id": conv.take(pa.array(order[starts])),
+                "start_tix": pa.array(to[starts], pa.int64()),
                 "q_text": text.take(pa.array(order[starts])),
                 "a_text": text.take(pa.array(order[starts + 1])),
             },
             schema=pair_schema,
         )
 
-    qa = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
+    return key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
         pairs_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def qa_pair_dups(transcripts, num_partitions: int | None = None):
+    """Cross-conversation duplicated EXCHANGE census: every (user prompt ->
+    immediately following assistant reply) pair whose exact (q, a) texts
+    appear in >= 2 distinct conversations — canned prompt/completion pairs
+    repeated across a corpus (templated support replies, copied few-shot
+    exemplars, cached completions re-served to different sessions).  The
+    training-data signal is ROLE-aware: ``dup_turns`` finds repeated single
+    turns and ``dup_turn_windows`` repeated k-turn runs, but neither binds a
+    prompt to ITS reply, which is the unit instruction-tuning pipelines
+    dedupe on.
+
+    Reference analogue: the reference dedupes whole frame sequences
+    (``ndd/shotdetect.py:80-83``); the role-paired unit is this engine's
+    transcript-native refinement.
+
+    Two keyed shuffles, mirroring ``dup_turn_windows``: by ``conv_id`` so
+    each conversation's turns are block-local for the vectorized adjacent
+    (role='user', role='assistant', turn_idx contiguous) pairing — one
+    lexsort per block, no per-turn Python — then by ``(q_text, a_text)``
+    for the global census (block-local Arrow ``count`` / ``count_distinct``
+    are global after the key partition).  Adjacency requires ``turn_idx``
+    advancing by exactly 1 inside one conversation, so the operator is
+    correct on any transcripts input (missing turns never fake adjacency).
+    Output: (q_text, a_text, n_occurrences, n_convs) with n_convs >= 2.
+    """
+    from ..state.partitioning import key_partitioned
+
+    qa = _qa_exchanges(transcripts, num_partitions)
 
     out_schema = pa.schema(
         [("q_text", pa.string()), ("a_text", pa.string()),
@@ -350,6 +362,52 @@ def qa_pair_dups(transcripts, num_partitions: int | None = None):
     return key_partitioned(
         qa, ["q_text", "a_text"], num_partitions
     ).map_batches(census_block, batch_format="pyarrow", batch_size=None)
+
+
+def qa_pair_near_dups(transcripts, n: int = 3, tau: float = 0.7,
+                      num_partitions: int | None = None):
+    """FUZZY role-aware exchange dedup: all CROSS-conversation pairs of
+    (user prompt -> assistant reply) exchanges whose normalized token
+    ``n``-gram Jaccard >= ``tau`` — the near-dup companion to
+    ``qa_pair_dups``'s exact census (catches templated replies with one
+    substituted value, lightly-edited canned answers), completing the
+    exact/fuzzy symmetry the turn-window and assistant-side families have.
+
+    Exchanges become documents (id ``conv_id#start_tix``, text = lowercased
+    ``q + ' ' + a``) and the EXACT prefix-filter Jaccard join
+    (``docs_dedup.ngram_jaccard_join``) runs over them unchanged.
+    Same-conversation pairs are excluded.  Output: (a, b, jaccard), a < b.
+    """
+    from .docs_dedup import ngram_grams_over, ngram_jaccard_join
+    from ..state.partitioning import materialize_clean
+
+    qa = _qa_exchanges(transcripts, num_partitions)
+
+    def as_docs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "doc_text": pa.array([], pa.string())}
+            )
+        wid = pc.binary_join_element_wise(
+            t["conv_id"], pc.cast(t["start_tix"], pa.string()), "#"
+        )
+        body = pc.binary_join_element_wise(t["q_text"], t["a_text"], " ")
+        return pa.table({"conv_id": wid, "doc_text": pc.utf8_lower(body)})
+
+    sigs = materialize_clean(
+        ngram_grams_over(qa.map_batches(as_docs, batch_format="pyarrow"), n)
+    )
+    pairs = ngram_jaccard_join(sigs, tau=tau, int_ids=False)
+
+    def cross_conv_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        conv_a = pc.replace_substring_regex(t["a"], r"#[0-9]+$", "")
+        conv_b = pc.replace_substring_regex(t["b"], r"#[0-9]+$", "")
+        return t.filter(pc.not_equal(conv_a, conv_b))
+
+    return pairs.map_batches(cross_conv_only, batch_format="pyarrow")
 
 
 def turn_window_near_dups(transcripts, k: int = 3, n: int = 3,

@@ -87,3 +87,25 @@ def test_block_boundary_independence(ray_session):
     expect = [("q2", "a2", 2, 2), ("q3", "a3", 3, 3)]
     assert _run(_transcripts(rows, blocks=1)) == expect
     assert _run(_transcripts(rows, blocks=5)) == expect
+
+
+def test_near_dup_exchange_found_and_same_conv_excluded(ray_session):
+    from near_duplicate_detection_ray.pipelines.dedup import qa_pair_near_dups
+
+    base_q = "how do i sort a list of tuples by the second field in python"
+    base_a = "use sorted with a key lambda taking the second element of each"
+    edited_a = "use sorted with a key lambda taking the SECOND element of all"
+    rows = (
+        _conv("A", [(base_q, base_a)])
+        + _conv("B", [(base_q, edited_a)])          # near-dup of A's exchange
+        + _conv("C", [(base_q, base_a), (base_q, base_a)])  # self-repeat only
+        + _conv("D", [("unrelated question entirely", "unrelated answer")])
+    )
+    out = qa_pair_near_dups(_transcripts(rows)).to_pandas()
+    convs = {
+        tuple(sorted((a.split("#")[0], b.split("#")[0])))
+        for a, b in zip(out["a"], out["b"])
+    }
+    assert ("A", "B") in convs                      # fuzzy match found
+    assert all(x != y for x, y in convs)            # never same-conv
+    assert not any("D" in p for p in convs)         # unrelated stays out
