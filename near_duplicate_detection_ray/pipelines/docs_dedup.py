@@ -57,12 +57,19 @@ def _default_signatures(sf_dir: str):
     sign stage (the pipeline's most expensive compute) runs once per
     process, not once per downstream query.  Same (mtime, size, job-id)
     self-invalidation as the pair cache."""
-    from ..state.partitioning import materialize_clean
+    from ..state.partitioning import materialize_clean, own_blocks
 
     key = _cache_key(sf_dir)
     if key not in _SIGS_CACHE:
-        _SIGS_CACHE[key] = materialize_clean(
-            sign_conversations(docs_as_conversations(sf_dir), DOCS_DEDUP_CFG)
+        # own_blocks: the sign stage's blocks are owned by its actor-pool
+        # workers, and a cached ref dangles with "owner is unknown" once
+        # those workers are torn down (state/partitioning.own_blocks) —
+        # re-own in the driver before caching for the process lifetime.
+        _SIGS_CACHE[key] = own_blocks(
+            materialize_clean(
+                sign_conversations(docs_as_conversations(sf_dir),
+                                   DOCS_DEDUP_CFG)
+            )
         )
     return _SIGS_CACHE[key]
 
