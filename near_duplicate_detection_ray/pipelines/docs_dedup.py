@@ -29,7 +29,6 @@ DOCS_DEDUP_CFG = NDDConfig()  # shared shingle/signature config for doc queries
 # Ray is shut down and re-initialized in the same process (dangling refs).
 _DEFAULT_PAIRS_CACHE: dict[tuple, object] = {}
 _COMPONENTS_CACHE: dict[tuple, object] = {}
-_SIGS_CACHE: dict[tuple, object] = {}
 
 
 def _cache_key(sf_dir: str) -> tuple:
@@ -48,30 +47,6 @@ def clear_pairs_cache() -> None:
     """Drop memoized default-config pair sets (tests / post-shutdown)."""
     _DEFAULT_PAIRS_CACHE.clear()
     _COMPONENTS_CACHE.clear()
-    _SIGS_CACHE.clear()
-
-
-def _default_signatures(sf_dir: str):
-    """Materialized default-config flagship signatures per ``sf_dir`` —
-    shared by ``near_dup_pairs_docs`` and ``near_dup_pairs_bbit`` so the
-    sign stage (the pipeline's most expensive compute) runs once per
-    process, not once per downstream query.  Same (mtime, size, job-id)
-    self-invalidation as the pair cache."""
-    from ..state.partitioning import materialize_clean, own_blocks
-
-    key = _cache_key(sf_dir)
-    if key not in _SIGS_CACHE:
-        # own_blocks: the sign stage's blocks are owned by its actor-pool
-        # workers, and a cached ref dangles with "owner is unknown" once
-        # those workers are torn down (state/partitioning.own_blocks) —
-        # re-own in the driver before caching for the process lifetime.
-        _SIGS_CACHE[key] = own_blocks(
-            materialize_clean(
-                sign_conversations(docs_as_conversations(sf_dir),
-                                   DOCS_DEDUP_CFG)
-            )
-        )
-    return _SIGS_CACHE[key]
 
 
 def _read_docs(sf_dir: str, columns=None):
@@ -149,12 +124,9 @@ def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
         return _DEFAULT_PAIRS_CACHE[key]
     use_cache = cfg is None
     cfg = cfg or DOCS_DEDUP_CFG
-    if use_cache:
-        sigs = _default_signatures(sf_dir)
-    else:
-        sigs = materialize_clean(
-            sign_conversations(docs_as_conversations(sf_dir), cfg)
-        )
+    sigs = materialize_clean(
+        sign_conversations(docs_as_conversations(sf_dir), cfg)
+    )
     cand = candidate_pairs(explode_bands(sigs, cfg), cfg)
     # The unified verifier also emits method='substring' rows (containment >=
     # containment_tau but jaccard < tau); this query's contract is exactly
@@ -197,14 +169,10 @@ def near_dup_pairs_bbit(sf_dir: str, cfg: NDDConfig | None = None,
     from ..stages.bbit import prefilter_candidates
     from ..state.partitioning import materialize_clean
 
-    use_default = cfg is None
     cfg = cfg or DOCS_DEDUP_CFG
-    if use_default:
-        sigs = _default_signatures(sf_dir)
-    else:
-        sigs = materialize_clean(
-            sign_conversations(docs_as_conversations(sf_dir), cfg)
-        )
+    sigs = materialize_clean(
+        sign_conversations(docs_as_conversations(sf_dir), cfg)
+    )
     cand = candidate_pairs(explode_bands(sigs, cfg), cfg)
     cand = prefilter_candidates(cand, sigs, cfg, z=z)
     dup = verify_pairs(cand, sigs, cfg).map_batches(

@@ -389,39 +389,6 @@ def semi_filter(ds, col: str, ids_ref):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def own_blocks(ds):
-    """Re-own a materialized Dataset's blocks in the DRIVER for process-long
-    caching.  Ray Data blocks are streaming-generator outputs owned by the
-    WORKER that produced them; actor-pool workers are killed at executor
-    shutdown and idle task workers can be culled, after which cached refs
-    fail with "owner is unknown".  (A task-based identity map does not help:
-    Ray Data fuses it into the preceding actor pool, so the blocks stay
-    actor-owned.)  Pulling each block to the driver once and re-putting it
-    pins ownership to the driver process — the only process guaranteed to
-    outlive a process-level cache.  Sequential get/put per block, so peak
-    driver heap is one block, not the dataset."""
-    import ray
-    import ray.data as rd
-
-    mat = ds.materialize()  # no-op copy for from_arrow_refs-backed datasets
-    try:
-        refs = [
-            ref
-            for bundle in mat.iter_internal_ref_bundles()
-            for ref, meta in bundle.blocks
-            if meta.num_rows
-        ]
-    except AttributeError:  # developer API moved — fall back, caller beware
-        return mat
-    owned = []
-    for ref in refs:
-        block = ray.get(ref)
-        owned.append(ray.put(block))
-    if not owned:
-        return mat
-    return rd.from_arrow_refs(owned)
-
-
 def materialize_clean(ds):
     """``materialize()`` that also drops 0-row blocks.
 

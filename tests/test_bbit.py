@@ -144,53 +144,3 @@ def test_bbit_query_equals_flagship_pairs(ray_session):
         .reset_index(drop=True)
     )
     assert base.equals(bbit)
-
-
-def test_sigs_cache_survives_worker_teardown():
-    """Regression: the shared signatures cache must hold DRIVER-owned blocks.
-    Ray Data blocks are owned by the worker that produced them (actor pools
-    are killed at executor shutdown, idle task workers get culled), so a
-    naively-cached materialized dataset fails later with "owner is unknown".
-    Reproduce the teardown with a hard kill of every idle Ray worker, then
-    consume the cache — runs in a fresh subprocess to keep the shared test
-    Ray session undisturbed."""
-    import os
-    import subprocess
-    import sys
-    import tempfile
-    import textwrap
-
-    # NOTE: must run from a FILE, not `python -c` — with -c the literal
-    # worker pattern sits in this process's argv and the pgrep kills the
-    # test subprocess itself (observed: returncode -9)
-    code = textwrap.dedent("""
-        import ray, subprocess, time
-        ray.init(address="local", num_cpus=4, include_dashboard=False,
-                 logging_level="ERROR")
-        from near_duplicate_detection_ray.pipelines.docs_dedup import (
-            _default_signatures, near_dup_pairs_bbit,
-        )
-        _default_signatures("/root/testdata/sf0.001")  # populate the cache
-        pattern = "ray::" + "IDLE"
-        subprocess.run(
-            f"for p in $(pgrep -f '{pattern}'); do kill -9 $p; done",
-            shell=True,
-        )
-        time.sleep(2)
-        out = near_dup_pairs_bbit("/root/testdata/sf0.001").to_pandas()
-        assert len(out) > 0, "cache consumption after worker cull"
-        print("OK", len(out))
-        ray.shutdown()
-    """)
-    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
-        f.write(code)
-        path = f.name
-    try:
-        res = subprocess.run(
-            [sys.executable, path], capture_output=True, text=True,
-            cwd="/root/repo",
-            env={**os.environ, "PYTHONPATH": "/root/repo"},
-        )
-        assert res.returncode == 0 and "OK" in res.stdout, res.stderr[-2000:]
-    finally:
-        os.unlink(path)
