@@ -21,7 +21,8 @@ attach), drops pairs whose estimate sits more than ``z`` standard errors
 BELOW tau, and hands the survivors to the unchanged exact verifier — so the
 operator's OUTPUT is decided by exact Jaccard, never by the estimate.
 
-Safety: sd(J_hat) <= 1 / (sqrt(num_perm) * (1 - 2**-b)); at num_perm=128,
+Safety: sd(c) <= 0.5 / sqrt(num_perm), so
+sd(J_hat) <= 1 / (2 * sqrt(num_perm) * (1 - 2**-b)); at num_perm=128,
 b=1, z=6 the keep threshold is tau - 0.53, i.e. a TRUE tau-pair is dropped
 only on a 6-sigma estimate deviation (P < 1e-9 per pair under the fixed
 seeded permutations) while boilerplate-band collisions at J ~ 0.2-0.35 are

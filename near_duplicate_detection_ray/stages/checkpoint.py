@@ -72,7 +72,14 @@ def _weak_pin(root: str, name: str, stage_hash: str, ds) -> None:
     except AttributeError:
         pass
     bucket = _WEAK_PINS.setdefault((os.path.abspath(root), name), {})
-    bucket.setdefault(stage_hash[:12], weakref.WeakSet()).add(target)
+    ws = bucket.setdefault(stage_hash[:12], weakref.WeakSet())
+    try:
+        ws.add(target)
+    except TypeError:  # plan op not weak-referenceable: pin the wrapper
+        try:
+            ws.add(ds)
+        except TypeError:
+            pass  # no liveness pin; keep_versions still protects current
 
 
 def clear_version_pins(root: str | None = None) -> None:

@@ -48,6 +48,103 @@ TOMBSTONE_DIR = "_tombstones"
 # id columns is tombstoned (pairs/edges touching a forgotten conv must go)
 _ID_COLUMNS = ("conv_id", "a", "b")
 
+# conv-id-VALUED label columns on surviving rows (rep_id = fingerprint
+# representative, cluster_id = min component member): when the labeling row
+# itself is forgotten, survivors that reference it are relabeled to the min
+# surviving conv_id of the same group, so forgotten identifiers do not
+# persist on disk as other rows' labels (round-3 ADVICE)
+_REF_COLUMNS = ("rep_id", "cluster_id")
+
+
+def _count_rows(data_dir: str) -> tuple[int, list[dict]]:
+    n, partitions = 0, []
+    for fname in sorted(os.listdir(data_dir)):
+        try:
+            nr = pq.read_metadata(os.path.join(data_dir, fname)).num_rows
+        except Exception:
+            continue
+        partitions.append({"file": fname, "rows": nr})
+        n += nr
+    return n, partitions
+
+
+def _build_ref_remap(filtered, ref_cols, ids_ref) -> dict:
+    """{forgotten label -> min surviving conv_id sharing it}, per ref col.
+
+    Bounded by the tombstone set: only rows whose label is forgotten are
+    projected out of the map tasks; partial per-block minima merge on the
+    driver."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        vs = ray.get(ids_ref)
+        for col in ref_cols:
+            if col not in t.schema.names or "conv_id" not in t.schema.names:
+                continue
+            sub = t.filter(pc.is_in(t[col], value_set=vs))
+            if sub.num_rows == 0:
+                continue
+            g = pa.table(
+                {"ref": sub[col], "conv_id": sub["conv_id"]}
+            ).group_by("ref").aggregate([("conv_id", "min")])
+            outs.append(pa.table({
+                "col": pa.array([col] * g.num_rows, pa.string()),
+                "ref": g["ref"].cast(pa.string()),
+                "new": g["conv_id_min"].cast(pa.string()),
+            }))
+        if not outs:
+            return pa.table({
+                "col": pa.array([], pa.string()),
+                "ref": pa.array([], pa.string()),
+                "new": pa.array([], pa.string()),
+            })
+        return pa.concat_tables(outs)
+
+    rows = filtered.map_batches(partial, batch_format="pyarrow").take_all()
+    remap: dict = {}
+    for r in rows:
+        key = (r["col"], r["ref"])
+        if key not in remap or r["new"] < remap[key]:
+            remap[key] = r["new"]
+    return remap
+
+
+def _apply_ref_remap(filtered, ref_cols, remap: dict):
+    import ray
+
+    per_col: dict = {}
+    for (col, ref), new in remap.items():
+        per_col.setdefault(col, {})[ref] = new
+    tables = {
+        col: pa.table({
+            "ref": pa.array(list(m.keys()), pa.string()),
+            "new": pa.array(list(m.values()), pa.string()),
+        })
+        for col, m in per_col.items()
+    }
+    maps_ref = ray.put(tables)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        for col, m in ray.get(maps_ref).items():
+            if col not in t.schema.names:
+                continue
+            idx = pc.index_in(t[col], value_set=m["ref"])
+            hit = pc.is_valid(idx)
+            if pc.any(hit).as_py() is not True:
+                continue
+            new_vals = pc.take(
+                m["new"], pc.fill_null(idx, 0)
+            )
+            col_i = t.schema.get_field_index(col)
+            merged = pc.if_else(hit, new_vals, t[col])
+            t = t.set_column(col_i, t.schema.field(col_i), merged)
+        return t
+
+    return filtered.map_batches(rewrite, batch_format="pyarrow")
+
 
 def tombstone_digest(root: str) -> str:
     """Rolling digest of every forget() call at this root ('' if none) —
@@ -120,22 +217,32 @@ def forget(root: str, ids: list[str], dry_run: bool = False) -> dict:
 
     stages = sorted(
         d for d in (os.listdir(root) if os.path.isdir(root) else [])
-        if os.path.isdir(os.path.join(root, d, "versions"))
+        if not d.startswith("_")
+        and (
+            os.path.islink(os.path.join(root, d, "data"))
+            or os.path.isdir(os.path.join(root, d, "data"))
+        )
     )
     for stage in stages:
         link = os.path.join(root, stage, "data")
-        if not os.path.islink(link):
-            continue
-        cur_version = os.readlink(link).split(os.sep)[1]
-        cur_data = os.path.join(root, stage, "versions", cur_version, "data")
-        schema = pq.read_schema(
-            os.path.join(
-                cur_data,
-                next(f for f in sorted(os.listdir(cur_data))
-                     if f.endswith(".parquet")),
+        # legacy pre-versioning layout: a REAL data dir (no versions/
+        # symlink).  run_stage still reads it, so forget() must still purge
+        # it — rewritten in place below (round-3 ADVICE: never skip silently)
+        legacy = not os.path.islink(link)
+        if legacy:
+            cur_version, cur_data = None, link
+        else:
+            cur_version = os.readlink(link).split(os.sep)[1]
+            cur_data = os.path.join(
+                root, stage, "versions", cur_version, "data"
             )
-        )
+        pq_files = [f for f in sorted(os.listdir(cur_data))
+                    if f.endswith(".parquet")]
+        if not pq_files:
+            continue
+        schema = pq.read_schema(os.path.join(cur_data, pq_files[0]))
         id_cols = [c for c in _ID_COLUMNS if c in schema.names]
+        ref_cols = [c for c in _REF_COLUMNS if c in schema.names]
         src = rd.read_parquet(cur_data)
         n_before = src.count()
         if not id_cols:
@@ -158,13 +265,56 @@ def forget(root: str, ids: list[str], dry_run: bool = False) -> dict:
         filtered = rd.read_parquet(cur_data).map_batches(
             keep, batch_format="pyarrow"
         )
+        remap = (
+            _build_ref_remap(filtered, ref_cols, ids_ref) if ref_cols else {}
+        )
+        if remap:
+            filtered = _apply_ref_remap(filtered, ref_cols, remap)
         if dry_run:
             n_after = filtered.count()
+            vroot = os.path.join(root, stage, "versions")
             report["stages"][stage] = {
                 "rows_dropped": n_before - n_after,
-                "versions_purged": len(
-                    os.listdir(os.path.join(root, stage, "versions"))
-                ) - 1,
+                # the real run replaces EVERY existing version (including
+                # the old current) with the single tombstoned one
+                "versions_purged": (
+                    0 if legacy else len(os.listdir(vroot))
+                ),
+                "refs_rewritten": len(remap),
+                **({"note": "legacy layout; would rewrite in place"}
+                   if legacy else {}),
+            }
+            continue
+
+        if legacy:
+            tmp = link + ".purged.tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            filtered.write_parquet(tmp)
+            if not os.path.isdir(tmp):  # all rows filtered: keep the schema
+                os.makedirs(tmp, exist_ok=True)
+                pq.write_table(schema.empty_table(),
+                               os.path.join(tmp, "empty_0.parquet"))
+            old = link + ".pretombstone.tmp"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(link, old)
+            os.rename(tmp, link)
+            shutil.rmtree(old, ignore_errors=True)
+            n_after, partitions = _count_rows(link)
+            mpath = os.path.join(root, stage, "_MANIFEST.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    man = json.load(f)
+                man.update({
+                    "row_count": n_after, "partitions": partitions,
+                    "tombstone_digest": new_digest,
+                })
+                with open(mpath + ".tmp", "w") as f:
+                    json.dump(man, f, indent=2)
+                os.rename(mpath + ".tmp", mpath)
+            report["stages"][stage] = {
+                "rows_dropped": n_before - n_after, "versions_purged": 0,
+                "refs_rewritten": len(remap),
+                "note": "legacy layout; rewritten in place",
             }
             continue
 
@@ -183,14 +333,7 @@ def forget(root: str, ids: list[str], dry_run: bool = False) -> dict:
                            os.path.join(tmp, "empty_0.parquet"))
         os.rename(tmp, data_dir)
 
-        n_after, partitions = 0, []
-        for fname in sorted(os.listdir(data_dir)):
-            try:
-                nr = pq.read_metadata(os.path.join(data_dir, fname)).num_rows
-            except Exception:
-                continue
-            partitions.append({"file": fname, "rows": nr})
-            n_after += nr
+        n_after, partitions = _count_rows(data_dir)
 
         old_manifest = {}
         old_man_path = os.path.join(
@@ -241,6 +384,7 @@ def forget(root: str, ids: list[str], dry_run: bool = False) -> dict:
                 purged += 1
         report["stages"][stage] = {
             "rows_dropped": n_before - n_after, "versions_purged": purged,
+            "refs_rewritten": len(remap),
         }
 
     if not dry_run:

@@ -132,3 +132,90 @@ def test_forget_cli(ray_session):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert bad.returncode == 1 and "no ids" in bad.stderr
+
+
+def _write_stage_versioned(root, stage, table, version="aaaaaaaaaaaa"):
+    import pyarrow.parquet as pq
+
+    vdir = os.path.join(root, stage, "versions", version)
+    os.makedirs(os.path.join(vdir, "data"), exist_ok=True)
+    pq.write_table(table, os.path.join(vdir, "data", "part_0.parquet"))
+    with open(os.path.join(vdir, "manifest.json"), "w") as f:
+        json.dump({"stage": stage, "stage_hash": version,
+                   "row_count": table.num_rows}, f)
+    link = os.path.join(root, stage, "data")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(os.path.join("versions", version, "data"), link)
+
+
+def test_forget_legacy_layout_and_ref_remap(ray_session):
+    """Round-3 ADVICE: (a) legacy real-`data`-dir stages are purged in place,
+    not silently skipped; (b) forgotten conv_ids are rewritten out of other
+    rows' rep_id/cluster_id labels; (c) dry_run reports the exact number of
+    versions the real run purges."""
+    import pyarrow.parquet as pq
+
+    from near_duplicate_detection_ray.stages.tombstone import forget
+
+    root = "/tmp/ndd_tombstone_unit"
+    shutil.rmtree(root, ignore_errors=True)
+
+    # legacy pre-versioning stage: a REAL data dir, rep_id labels
+    legacy_data = os.path.join(root, "conversations", "data")
+    os.makedirs(legacy_data)
+    pq.write_table(
+        pa.table({
+            "conv_id": ["c1", "c2", "c3"],
+            "rep_id": ["c1", "c1", "c3"],
+        }),
+        os.path.join(legacy_data, "part_0.parquet"),
+    )
+    with open(os.path.join(root, "conversations", "_MANIFEST.json"), "w") as f:
+        json.dump({"stage": "conversations", "row_count": 3}, f)
+
+    # versioned stage with TWO retained versions, cluster_id labels
+    _write_stage_versioned(
+        root, "clusters",
+        pa.table({"conv_id": ["c1", "c2", "c3"],
+                  "cluster_id": ["c1", "c1", "c3"]}),
+        version="bbbbbbbbbbbb",
+    )
+    _write_stage_versioned(
+        root, "clusters",
+        pa.table({"conv_id": ["c1", "c2"], "cluster_id": ["c1", "c1"]}),
+        version="cccccccccccc",
+    )
+    # point current back at the 3-row snapshot
+    link = os.path.join(root, "clusters", "data")
+    os.unlink(link)
+    os.symlink(os.path.join("versions", "bbbbbbbbbbbb", "data"), link)
+
+    preview = forget(root, ["c1"], dry_run=True)
+    conv_prev = preview["stages"]["conversations"]
+    clus_prev = preview["stages"]["clusters"]
+    assert conv_prev["rows_dropped"] == 1 and conv_prev["versions_purged"] == 0
+    assert "legacy" in conv_prev["note"]
+    assert clus_prev["rows_dropped"] == 1
+    # the real run replaces BOTH existing versions with the tombstoned one
+    assert clus_prev["versions_purged"] == 2
+
+    report = forget(root, ["c1"])
+    assert report["stages"]["clusters"]["versions_purged"] == 2
+    assert report["stages"]["conversations"]["refs_rewritten"] == 1
+    assert report["stages"]["clusters"]["refs_rewritten"] == 1
+
+    conv = pq.read_table(legacy_data).to_pandas().sort_values("conv_id")
+    assert list(conv["conv_id"]) == ["c2", "c3"]
+    # c2's rep (c1) was forgotten -> relabeled to min surviving member (c2)
+    assert list(conv["rep_id"]) == ["c2", "c3"]
+    man = json.load(open(os.path.join(root, "conversations",
+                                      "_MANIFEST.json")))
+    assert man["row_count"] == 2
+
+    clus = pq.read_table(os.path.join(root, "clusters", "data")).to_pandas()
+    clus = clus.sort_values("conv_id")
+    assert list(clus["conv_id"]) == ["c2", "c3"]
+    assert list(clus["cluster_id"]) == ["c2", "c3"]
+    assert len(os.listdir(os.path.join(root, "clusters", "versions"))) == 1
+    shutil.rmtree(root, ignore_errors=True)
