@@ -55,20 +55,71 @@ def _read_docs(sf_dir: str, columns=None):
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def docs_as_conversations(sf_dir: str):
-    """Adapt documents to the conversations schema consumed by the signature
-    stage: conv_id (zero-padded doc_id), normalized doc_text, fingerprint."""
+def _md5_hex_column(arr: pa.Array) -> pa.Array:
+    """md5 hexdigest per row, fed straight from the Arrow utf-8 data buffer
+    (memoryview slices; no per-row ``str``/``bytes`` materialization).  md5
+    itself is inherently per-row — this strips everything else."""
     import hashlib
 
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.string())
+    off = arr.offset
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=odt)[off : off + n + 1]
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    return pa.array(
+        [md5(mv[offsets[i] : offsets[i + 1]]).hexdigest() for i in range(n)],
+        pa.string(),
+    )
+
+
+def docs_as_conversations(sf_dir: str):
+    """Adapt documents to the conversations schema consumed by the signature
+    stage: conv_id (zero-padded doc_id), normalized doc_text, fingerprint.
+
+    Normalization is vectorized for the common case (round-3 verdict item
+    #5): ASCII rows ride ``utf8_lower`` + ONE RE2 whitespace-collapse +
+    ``utf8_trim`` — the explicit char class ``[\\t\\n\\x0b\\f\\r\\x1c-\\x1f ]``
+    is exactly Python's ``\\s`` restricted to ASCII, so the kernel is
+    bit-identical to the scalar ``normalize_text`` there (pinned in tests).
+    Rows containing non-ASCII fall back to the scalar per row (NFC /
+    Unicode casing / Unicode whitespace can all diverge from the Arrow
+    kernels on those)."""
+    _ASCII_WS = "[\\t\\n\\x0b\\f\\r\\x1c-\\x1f ]+"
+
     def fn(batch: pa.Table) -> pa.Table:
-        ids = [f"{d:012d}" for d in batch["doc_id"].to_pylist()]
-        norm = [normalize_text(t) for t in batch["text"].to_pylist()]
-        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+        n = batch.num_rows
+        text = (
+            batch["text"].combine_chunks() if n else pa.array([], pa.string())
+        )
+        ids = pc.utf8_lpad(
+            pc.cast(batch["doc_id"], pa.string()), width=12, padding="0"
+        )
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(text), pattern=_ASCII_WS, replacement=" "
+            ),
+            characters=" ",
+        )
+        ascii_mask = pc.equal(pc.utf8_length(text), pc.binary_length(text))
+        if n and not pc.all(ascii_mask).as_py():
+            am = ascii_mask.to_numpy(zero_copy_only=False)
+            raw = text.to_pylist()
+            out = norm.to_pylist()
+            for i in np.flatnonzero(~am):
+                out[i] = normalize_text(raw[i])
+            norm = pa.array(out, pa.string())
         return pa.table(
             {
-                "conv_id": pa.array(ids, pa.string()),
-                "doc_text": pa.array(norm, pa.string()),
-                "fingerprint": pa.array(fps, pa.string()),
+                "conv_id": ids,
+                "doc_text": norm,
+                "fingerprint": _md5_hex_column(
+                    norm.combine_chunks()
+                    if isinstance(norm, pa.ChunkedArray) else norm
+                ),
             }
         )
 
@@ -82,14 +133,14 @@ def exact_dedup_docs(sf_dir: str):
     Pattern: vectorized hash column -> keyed hash-partition -> block-local
     Arrow group_by (D1/M17; fingerprints are high-cardinality so map-side
     combining would not reduce — see functions/groupagg.py)."""
-    import hashlib
-
     from ..functions.groupagg import highcard_groupagg
 
     def fp(batch: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
         return pa.table(
-            {"fingerprint": pa.array(fps, pa.string()), "doc_id": batch["doc_id"]}
+            {"fingerprint": _md5_hex_column(text), "doc_id": batch["doc_id"]}
         )
 
     return highcard_groupagg(
@@ -332,18 +383,23 @@ def simhash_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None, radius: int | 
 
 
 class _GramSigner:
-    """Signer-style vectorized tokenize: ONE Arrow whitespace split per
-    batch (doc_text is already normalized), tokens hashed once per unique
-    value through the per-actor cache — no per-doc Python tokenize."""
+    """Signer-style vectorized tokenize shared by the unweighted n-gram
+    joins (Jaccard/containment: sorted-unique gram-hash sets) and the
+    tf-weighted cosine join (``weighted=True``: packed terms||tfs blobs,
+    both halves uint64): ONE Arrow whitespace split per batch (doc_text is
+    already normalized), unique tokens hashed zero-copy off the Arrow
+    string buffer via ``TokenHasher.hash_token_array`` — no per-token
+    Python (round-3 verdict item #2)."""
 
-    def __init__(self, n: int) -> None:
+    def __init__(self, n: int, weighted: bool = False) -> None:
         from ..functions.hashing import TokenHasher
 
         self.n = n
+        self.weighted = weighted
         self.hasher = TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import hash_token, shingle_hashes
+        from ..functions.hashing import shingle_hashes
 
         n_rows = batch.num_rows
         col = batch["doc_text"].combine_chunks() if n_rows else pa.array([], pa.string())
@@ -351,15 +407,7 @@ class _GramSigner:
         offsets = toks_list.offsets.to_numpy(zero_copy_only=False)
         flat = toks_list.flatten()
         uniq = pc.unique(flat)
-        cache = self.hasher._cache
-        uniq_hashes = np.empty(len(uniq), dtype=np.uint64)
-        for i, tok in enumerate(uniq.to_pylist()):
-            h = cache.get(tok)
-            if h is None:
-                h = hash_token(tok)
-                if len(cache) < self.hasher._max_cache:
-                    cache[tok] = h
-            uniq_hashes[i] = h
+        uniq_hashes = self.hasher.hash_token_array(uniq)
         idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
         flat_hashes = uniq_hashes[idx] if len(idx) else np.empty(0, dtype=np.uint64)
         is_blank = (
@@ -374,18 +422,23 @@ class _GramSigner:
             th = flat_hashes[offsets[i] : offsets[i + 1]]
             if len(th) == 0:
                 continue
-            grams = shingle_hashes(th, self.n)
+            if self.weighted:
+                grams = shingle_hashes(th, self.n, unique=False)
+                terms, tfs = np.unique(grams, return_counts=True)
+                blobs.append(terms.tobytes() + tfs.astype(np.uint64).tobytes())
+            else:
+                grams = shingle_hashes(th, self.n)
+                blobs.append(grams.tobytes())
+                sizes.append(len(grams))
             keep_rows.append(i)
-            blobs.append(grams.tobytes())
-            sizes.append(len(grams))
-        return pa.table(
-            {
-                "conv_id": batch["conv_id"].take(pa.array(keep_rows, pa.int64())),
-                "shingles": pa.array(blobs, pa.binary()),
-                "simhash": pa.array(np.zeros(len(blobs), np.uint64), pa.uint64()),
-                "n_grams": pa.array(sizes, pa.int32()),
-            }
-        )
+        cols = {
+            "conv_id": batch["conv_id"].take(pa.array(keep_rows, pa.int64())),
+            "shingles": pa.array(blobs, pa.binary()),
+            "simhash": pa.array(np.zeros(len(blobs), np.uint64), pa.uint64()),
+        }
+        if not self.weighted:
+            cols["n_grams"] = pa.array(sizes, pa.int32())
+        return pa.table(cols)
 
 
 def ngram_grams_over(ds, n: int = 3):
@@ -2403,7 +2456,6 @@ def tf_cosine_pairs(sf_dir: str, tau: float = 0.8, max_df: int = 10,
     (a < b), cosine`` (round 6)."""
     import ray.data as rd
 
-    from ..functions.hashing import TokenHasher, hash_token, shingle_hashes
     from ..functions.similarity import _binary_column_view
     from ..state.partitioning import key_partitioned, materialize_clean
     from ..stages.lsh import PAIRS_SCHEMA, _pairs_in_block, _distinct_pairs_block
@@ -2413,69 +2465,13 @@ def tf_cosine_pairs(sf_dir: str, tau: float = 0.8, max_df: int = 10,
         [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
     )
 
-    class TfSigner:
-        """Per-doc packed (sorted unique term hashes || matching tfs) blob —
-        both halves uint64, so the blob rides the standard shingles column
-        and the binary zero-copy view."""
-
-        def __init__(self) -> None:
-            self.hasher = TokenHasher()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            n_rows = batch.num_rows
-            col = (
-                batch["doc_text"].combine_chunks()
-                if n_rows
-                else pa.array([], pa.string())
-            )
-            toks_list = pc.utf8_split_whitespace(col)
-            offsets = toks_list.offsets.to_numpy(zero_copy_only=False)
-            flat = toks_list.flatten()
-            uniq = pc.unique(flat)
-            cache = self.hasher._cache
-            uniq_hashes = np.empty(len(uniq), dtype=np.uint64)
-            for i, tok in enumerate(uniq.to_pylist()):
-                h = cache.get(tok)
-                if h is None:
-                    h = hash_token(tok)
-                    if len(cache) < self.hasher._max_cache:
-                        cache[tok] = h
-                uniq_hashes[i] = h
-            idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
-            flat_hashes = uniq_hashes[idx] if len(idx) else np.empty(0, np.uint64)
-            is_blank = (
-                pc.equal(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False)
-                if n_rows
-                else np.zeros(0, dtype=bool)
-            )
-            keep_rows, blobs = [], []
-            for i in range(n_rows):
-                if is_blank[i]:
-                    continue
-                th = flat_hashes[offsets[i]: offsets[i + 1]]
-                if len(th) == 0:
-                    continue
-                grams = shingle_hashes(th, n, unique=False)
-                terms, tfs = np.unique(grams, return_counts=True)
-                keep_rows.append(i)
-                blobs.append(
-                    terms.tobytes() + tfs.astype(np.uint64).tobytes()
-                )
-            return pa.table(
-                {
-                    "conv_id": batch["conv_id"].take(
-                        pa.array(keep_rows, pa.int64())
-                    ),
-                    "shingles": pa.array(blobs, pa.binary()),
-                    "simhash": pa.array(
-                        np.zeros(len(blobs), np.uint64), pa.uint64()
-                    ),
-                }
-            )
-
+    # per-doc packed (sorted unique term hashes || matching tfs) blob — the
+    # weighted mode of the shared gram signer; both halves uint64 so the
+    # blob rides the standard shingles column and the binary zero-copy view
     sigs = materialize_clean(
         docs_as_conversations(sf_dir).map_batches(
-            TfSigner, batch_format="pyarrow", concurrency=(1, 8)
+            _GramSigner, fn_constructor_kwargs={"n": n, "weighted": True},
+            batch_format="pyarrow", concurrency=(1, 8),
         )
     )
 

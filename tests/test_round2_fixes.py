@@ -561,3 +561,51 @@ def test_batch_jaccard_arrow_zero_copy_matches_blob_path():
     np.testing.assert_array_equal(
         vals, np.frombuffer(b"".join(blobs_a), np.uint64)
     )
+
+
+def test_docs_as_conversations_matches_scalar_normalize(ray_session, tmp_path):
+    """Round-3 verdict item #5: the vectorized docs_as_conversations kernel
+    must be bit-identical to the scalar normalize_text on every row —
+    including non-ASCII (NFC recomposition, Unicode whitespace) and the odd
+    ASCII control whitespace Python's \\s matches but RE2's ASCII \\s does
+    not (\\x0b, \\x1c-\\x1f)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.functions.text import normalize_text
+    from near_duplicate_detection_ray.pipelines.docs_dedup import (
+        docs_as_conversations,
+    )
+
+    texts = [
+        "Plain ASCII   with  runs",
+        "tabs\tand\nnewlines\r\nmixed",
+        "vertical\x0btab and\x1c\x1dseparators\x1f here",
+        "  leading and trailing   ",
+        "",
+        "Café déjà vu",          # combining marks -> NFC
+        "nbsp and em-space line",  # Unicode whitespace
+        "UPPER lower İstanbul STRASSE ß",
+        "emoji \U0001f600 stays",
+    ]
+    table = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    out = (
+        docs_as_conversations(str(tmp_path))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for i, raw in enumerate(texts):
+        expect = normalize_text(raw)
+        assert out["conv_id"][i] == f"{i:012d}"
+        assert out["doc_text"][i] == expect, repr(raw)
+        assert out["fingerprint"][i] == hashlib.md5(
+            expect.encode("utf-8")
+        ).hexdigest()
