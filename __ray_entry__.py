@@ -686,7 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
         "ann_ivf_topk": ann.ann_ivf_topk,                      # rows-only (approximate; full-probe==exact pinned in pytest)
         "ann_filtered_topk": ann.ann_filtered_topk,            # SQL-checked (label-filtered exact search)
-        "semdedup_docs": ann.semdedup_embeddings,              # rows-only (SemDeDup; NumPy-oracle pytest)
+        "semdedup_docs": _semdedup_docs,                       # SQL-checked (Forgy init + 8 Lloyd steps + recursive greedy prune)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
         "embedding_covariance": ann.embedding_covariance,      # SQL-checked (PCA-prep moment matrix)
         "embedding_outliers": ann.embedding_outliers,          # SQL-checked (per-dim z-score screen)
@@ -1225,6 +1225,113 @@ def _lang_id_sql() -> str:
     """
 
 
+def _semdedup_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines import ann
+
+    # threshold 0.3 (not the paper's 0.92) so the epsilon-ball prune actually
+    # fires on this corpus (max pairwise cosine ~0.51 — at 0.92 the prune is
+    # a no-op and the gate row would not exercise the greedy at all);
+    # init="first" is the SQL-expressible Forgy rule (the PCG64 sample draw
+    # was the only non-replayable step — round-3 verdict item #1)
+    return ann.semdedup_embeddings(sf_dir, threshold=0.3, init="first")
+
+
+def _semdedup_sql(n_clusters: int = 32, threshold: str = "0.3e0",
+                  iters: int = 8, train_sample: int = 4096) -> str:
+    """SemDeDup replayed exactly in DuckDB (graduates ``semdedup_docs`` from
+    rows-only — round-3 verdict item #1): Forgy init on the ``n_clusters``
+    smallest train vec_ids, ``iters`` spherical Lloyd steps as chained
+    MATERIALIZED CTEs (inlined CTEs would re-evaluate the unroll
+    exponentially — the dup_kcore lesson), assignment by argmax dot
+    (row_number tie-break = np.argmax first-max), then the within-cluster
+    greedy epsilon-ball prune as ONE recursive CTE over (csim ASC, vec_id
+    ASC) rank order carrying the kept-id list, with the kept-vs-candidate
+    max cosine read from a precomputed within-cluster pairwise table.
+    Engine parity verified bit-exact at sf0.001 and sf0.01."""
+    sql = [f"""
+        WITH RECURSIVE x AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), xn AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(v, e -> e /
+                       CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1
+                            ELSE sqrt(list_inner_product(v, v)) END) AS vn
+            FROM x
+        ), tr AS MATERIALIZED (
+            SELECT vec_id, vn FROM xn WHERE vec_id < {train_sample}
+        ), init AS MATERIALIZED (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM tr ORDER BY vec_id LIMIT {n_clusters}
+        ), trainexp AS MATERIALIZED (
+            SELECT vec_id, unnest(generate_series(0, len(vn) - 1)) AS i,
+                   unnest(vn) AS val
+            FROM tr
+        ), c0 AS MATERIALIZED (
+            SELECT init.cid, tr.vn AS c FROM init JOIN tr USING (vec_id)
+        )"""]
+    for n in range(iters):
+        sql.append(f""", a{n} AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT t.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY t.vec_id
+                           ORDER BY list_inner_product(t.vn, c.c) DESC, c.cid) AS rn
+                FROM tr t, c{n} c
+            ) WHERE rn = 1
+        ), m{n} AS MATERIALIZED (
+            SELECT a.cid, e.i, sum(e.val) / count(*) AS mval
+            FROM a{n} a JOIN trainexp e USING (vec_id)
+            GROUP BY a.cid, e.i
+        ), l{n} AS MATERIALIZED (
+            SELECT cid, list(mval ORDER BY i) AS c FROM m{n} GROUP BY cid
+        ), c{n + 1} AS MATERIALIZED (
+            SELECT p.cid,
+                   list_transform(COALESCE(l.c, p.c), e -> e /
+                       CASE WHEN sqrt(list_inner_product(COALESCE(l.c, p.c),
+                                                         COALESCE(l.c, p.c))) = 0 THEN 1
+                            ELSE sqrt(list_inner_product(COALESCE(l.c, p.c),
+                                                         COALESCE(l.c, p.c))) END) AS c
+            FROM c{n} p LEFT JOIN l{n} l USING (cid)
+        )""")
+    sql.append(f""", asg AS MATERIALIZED (
+            SELECT vec_id, cid AS cluster, sim AS csim FROM (
+                SELECT xn.vec_id, c.cid,
+                       list_inner_product(xn.vn, c.c) AS sim,
+                       row_number() OVER (PARTITION BY xn.vec_id
+                           ORDER BY list_inner_product(xn.vn, c.c) DESC, c.cid) AS rn
+                FROM xn, c{iters} c
+            ) WHERE rn = 1
+        ), ordr AS MATERIALIZED (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY csim ASC, vec_id ASC) AS rn
+            FROM asg
+        ), pw AS MATERIALIZED (
+            SELECT a.cluster, a.vec_id AS ia, b.vec_id AS ib,
+                   list_inner_product(xa.vn, xb.vn) AS s
+            FROM ordr a JOIN ordr b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN xn xa ON xa.vec_id = a.vec_id
+            JOIN xn xb ON xb.vec_id = b.vec_id
+        ), g AS (
+            SELECT cluster, rn, vec_id, TRUE AS keep, [vec_id] AS kept
+            FROM ordr WHERE rn = 1
+            UNION ALL
+            SELECT o.cluster, o.rn, o.vec_id, d.ok,
+                   CASE WHEN d.ok THEN list_append(g.kept, o.vec_id)
+                        ELSE g.kept END
+            FROM g
+            JOIN ordr o ON o.cluster = g.cluster AND o.rn = g.rn + 1,
+            LATERAL (
+                SELECT COALESCE(max(p.s), -2) < {threshold} AS ok
+                FROM pw p
+                WHERE p.cluster = o.cluster
+                  AND ((p.ia = o.vec_id AND list_contains(g.kept, p.ib))
+                    OR (p.ib = o.vec_id AND list_contains(g.kept, p.ia)))
+            ) d
+        )
+        SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, keep FROM g""")
+    return "".join(sql)
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_literal()
     # the Bloom-screened scale path is output-identical to the exact
@@ -1237,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
     d["near_dup_pairs_bbit"] = d["near_dup_pairs_docs"]
     d["media_cdc_dedup"] = _media_cdc_sql()
     d["distinct_stats_hll"] = _hll_sql()
+    d["semdedup_docs"] = _semdedup_sql()
     return d
 
 

@@ -401,17 +401,27 @@ def embedding_dup_pairs_lsh(
     )
 
 
-def _kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+def _kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int, seed: int,
+                      init: str = "random") -> np.ndarray:
     """Seeded spherical k-means (Lloyd) over L2-normalized rows — the IVF
     coarse quantizer train step, deterministic and fully vectorized.  Empty
-    cells keep their previous centroid."""
+    cells keep their previous centroid.
+
+    ``init="random"``: seeded sorted sample of rows (PCG64 — deterministic
+    but not SQL-replayable).  ``init="first"``: Forgy on the first
+    ``n_centroids`` rows of the (vec_id-sorted) sample — the SQL-expressible
+    rule the DuckDB-oracled SemDeDup path uses (the RNG stream was the only
+    genuinely non-SQL step of the whole operator)."""
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = mat / norms
-    rng = np.random.default_rng(seed)
     n_centroids = min(n_centroids, len(x))
-    init = np.sort(rng.choice(len(x), size=n_centroids, replace=False))
-    c = x[init].copy()
+    if init == "first":
+        idx = np.arange(n_centroids)
+    else:
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(len(x), size=n_centroids, replace=False))
+    c = x[idx].copy()
     for _ in range(iters):
         assign = np.argmax(x @ c.T, axis=1)
         sums = np.zeros_like(c)
@@ -426,7 +436,8 @@ def _kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int, seed: int) 
 
 
 def _train_quantizer(sf_dir: str, n_centroids: int, kmeans_iters: int,
-                     seed: int, train_sample: int) -> np.ndarray:
+                     seed: int, train_sample: int,
+                     init: str = "random") -> np.ndarray:
     """Deterministic quantizer train shared by every k-means consumer
     (ann_ivf_topk, semdedup_embeddings, build_ivf_index): vec_id-bounded,
     id-SORTED sample — ``limit()`` over a streaming read takes whichever
@@ -439,7 +450,7 @@ def _train_quantizer(sf_dir: str, n_centroids: int, kmeans_iters: int,
         .sort_values("vec_id")
     )
     t_mat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
-    return _kmeans_centroids(t_mat, n_centroids, kmeans_iters, seed)
+    return _kmeans_centroids(t_mat, n_centroids, kmeans_iters, seed, init=init)
 
 
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
@@ -666,7 +677,8 @@ def ann_filtered_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
 def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.92,
                         seed: int = 42, kmeans_iters: int = 8,
                         train_sample: int = 4096,
-                        max_cluster_rows: int | None = None):
+                        max_cluster_rows: int | None = None,
+                        init: str = "random"):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public knowledge):
     semantic deduplication by k-means clustering of the embedding space
     followed by WITHIN-CLUSTER epsilon-ball pruning, the curation step modern
@@ -709,7 +721,7 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 32, threshold: float = 0.
     from ..state.partitioning import default_partitions, key_partitioned
 
     centroids = _train_quantizer(sf_dir, n_clusters, kmeans_iters, seed,
-                                 train_sample)
+                                 train_sample, init=init)
     cents_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:

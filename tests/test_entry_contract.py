@@ -19,9 +19,8 @@ def test_inventory_consistency():
         "ann_lsh_topk",            # approximate ANN (recall pytest-pinned)
         "ann_pq_topk",             # PQ/ADC ANN (full-refine equality + recall pinned)
         "event_value_quantiles_sketch",  # mergeable sketch (error pytest-pinned)
-        "semdedup_docs",           # k-means-bounded semantic dedup (NumPy-oracle pytest)
-    ], rows_only  # event_type_counts_cms, dup_kcore, media_cdc_dedup and
-    # distinct_stats_hll graduated to exact SQL replay
+    ], rows_only  # event_type_counts_cms, dup_kcore, media_cdc_dedup,
+    # distinct_stats_hll and semdedup_docs graduated to exact SQL replay
     for name, fn in q.items():
         assert callable(fn), name
     for name, sql in o.items():

@@ -154,3 +154,46 @@ def test_semdedup_salting_cap(ray_session):
         for d in grp[~grp["keep"]]["vec_id"].map(pos).to_numpy():
             assert (x[kept] @ x[d]).max() >= thr, \
                 f"cluster {c} shard {sh}: unexplained drop"
+
+
+def test_semdedup_first_init_matches_numpy_oracle(ray_session):
+    """The SQL-oracled gate path (init="first", threshold 0.3) must match the
+    from-scratch NumPy oracle with the same Forgy-on-first-k init."""
+    import numpy as np
+
+    from near_duplicate_detection_ray.pipelines.ann import (
+        _kmeans_centroids,
+        semdedup_embeddings,
+    )
+
+    got = (
+        semdedup_embeddings(SF, threshold=0.3, init="first")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids, mat = _load(SF)
+    train = mat[ids < 4096]
+    cents = _kmeans_centroids(train, 32, 8, 42, init="first")
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    x = mat / n
+    sims = x @ cents.T
+    cl = np.argmax(sims, axis=1)
+    csim = sims[np.arange(len(cl)), cl]
+    keep = np.zeros(len(ids), bool)
+    for c in np.unique(cl):
+        idx = np.flatnonzero(cl == c)
+        order = idx[np.lexsort((ids[idx], csim[idx]))]
+        kept_rows = []
+        for i in order:
+            if not kept_rows or max(
+                float(x[j] @ x[i]) for j in kept_rows
+            ) < 0.3:
+                kept_rows.append(i)
+                keep[i] = True
+    assert got["cluster"].to_numpy().tolist() == cl.tolist()
+    assert got["keep"].to_numpy().tolist() == keep.tolist()
+    # the prune must actually fire at this threshold (the gate row would be
+    # vacuous otherwise)
+    assert 0 < got["keep"].sum() < len(got)
