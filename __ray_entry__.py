@@ -1332,6 +1332,113 @@ def _semdedup_sql(n_clusters: int = 32, threshold: str = "0.3e0",
     return "".join(sql)
 
 
+def _quantile_sketch_sql(m: int = 1024, chunk_rows: int = 8192) -> str:
+    """The two-level compaction quantile sketch replayed op-for-op in DuckDB
+    (graduates ``event_value_quantiles_sketch`` from rows-only — round-3
+    verdict item #9).  Level 1: per deterministic (event_type,
+    event_id // chunk_rows) slice, sorted values pass through exact (w=1)
+    below ``m`` or compact to ``m`` center-of-mass entries
+    (``trunc((i+0.5)*n/m)`` positions, uniform ``n/m`` weight).  Level 2:
+    entries ordered by (v, chunk, pos) with RUNNING window sums (sequential
+    float adds == np.cumsum), one re-compaction above ``m`` via
+    ``count(cum < target)`` (== searchsorted left), then weighted
+    inverted-CDF quantile reads.  Engine mirrors every float op in the
+    identical order."""
+    return f"""
+        WITH ev AS MATERIALIZED (
+            SELECT event_type, event_id // {chunk_rows} AS chunk, value AS v
+            FROM events
+        ), cstat AS MATERIALIZED (
+            SELECT event_type, chunk, count(*) AS n_c
+            FROM ev GROUP BY event_type, chunk
+        ), ranked AS MATERIALIZED (
+            SELECT event_type, chunk, v,
+                   row_number() OVER (PARTITION BY event_type, chunk
+                                      ORDER BY v) - 1 AS r
+            FROM ev
+        ), small AS (
+            SELECT e.event_type, e.chunk, e.r AS pos, e.v, 1e0 AS w
+            FROM ranked e JOIN cstat c USING (event_type, chunk)
+            WHERE c.n_c <= {m}
+        ), big AS (
+            SELECT c.event_type, c.chunk, i.i AS pos, e.v,
+                   CAST(c.n_c AS DOUBLE) / {m} AS w
+            FROM cstat c
+            JOIN (SELECT unnest(generate_series(0, {m} - 1)) AS i) i
+              ON c.n_c > {m}
+            JOIN ranked e
+              ON e.event_type = c.event_type AND e.chunk = c.chunk
+             AND e.r = LEAST(GREATEST(CAST(trunc(
+                     ((i.i + 0.5e0) * c.n_c) / {m}) AS BIGINT), 0),
+                     c.n_c - 1)
+        ), ent AS MATERIALIZED (
+            SELECT event_type, chunk, pos, v, w,
+                   sum(w) OVER (PARTITION BY event_type
+                                ORDER BY v, chunk, pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_w,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v, chunk, pos) AS rn
+            FROM (SELECT * FROM small UNION ALL SELECT * FROM big)
+        ), tstat AS MATERIALIZED (
+            SELECT event_type, max(rn) AS n_ent, max(cum_w) AS total
+            FROM ent GROUP BY event_type
+        ), big2 AS (
+            SELECT t.event_type, j.j,
+                   (SELECT count(*) FROM ent e
+                    WHERE e.event_type = t.event_type
+                      AND e.cum_w - 0.5e0 * e.w
+                          < ((j.j + 0.5e0) * t.total) / {m}) AS idx0
+            FROM tstat t
+            JOIN (SELECT unnest(generate_series(0, {m} - 1)) AS j) j
+              ON t.n_ent > {m}
+        ), fin AS MATERIALIZED (
+            SELECT event_type, k, v2, w2,
+                   sum(w2) OVER (PARTITION BY event_type ORDER BY k
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum2,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY k) AS rn2
+            FROM (
+                SELECT b.event_type, b.j AS k, e.v AS v2,
+                       t.total / {m} AS w2
+                FROM big2 b JOIN tstat t USING (event_type)
+                JOIN ent e ON e.event_type = b.event_type
+                          AND e.rn = LEAST(b.idx0, t.n_ent - 1) + 1
+                UNION ALL
+                SELECT e.event_type, e.rn - 1 AS k, e.v AS v2, e.w AS w2
+                FROM ent e JOIN tstat t USING (event_type)
+                WHERE t.n_ent <= {m}
+            )
+        ), fstat AS MATERIALIZED (
+            SELECT event_type, max(rn2) AS n2, max(cum2) AS total2
+            FROM fin GROUP BY event_type
+        ), qval AS (
+            SELECT s.event_type, s.qname, e.v2 AS val
+            FROM (
+                SELECT f.event_type, q.qname, f.n2,
+                       (SELECT count(*) FROM fin e
+                        WHERE e.event_type = f.event_type
+                          AND e.cum2 < q.qv * f.total2) AS i0
+                FROM fstat f, (VALUES (0.25e0, 'p25'), (0.5e0, 'p50'),
+                                      (0.9e0, 'p90'), (0.99e0, 'p99'))
+                              q(qv, qname)
+            ) s
+            JOIN fin e ON e.event_type = s.event_type
+                      AND e.rn2 = LEAST(s.i0, s.n2 - 1) + 1
+        )
+        SELECT n.event_type, n.n_events,
+               max(CASE WHEN qname = 'p25' THEN val END) AS p25,
+               max(CASE WHEN qname = 'p50' THEN val END) AS p50,
+               max(CASE WHEN qname = 'p90' THEN val END) AS p90,
+               max(CASE WHEN qname = 'p99' THEN val END) AS p99
+        FROM (SELECT event_type, CAST(sum(n_c) AS BIGINT) AS n_events
+              FROM cstat GROUP BY event_type) n
+        JOIN qval USING (event_type)
+        GROUP BY n.event_type, n.n_events
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_literal()
     # the Bloom-screened scale path is output-identical to the exact
@@ -1345,6 +1452,7 @@ def oracle_sql() -> dict[str, str]:
     d["media_cdc_dedup"] = _media_cdc_sql()
     d["distinct_stats_hll"] = _hll_sql()
     d["semdedup_docs"] = _semdedup_sql()
+    d["event_value_quantiles_sketch"] = _quantile_sketch_sql()
     return d
 
 

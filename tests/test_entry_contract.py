@@ -18,9 +18,10 @@ def test_inventory_consistency():
         "ann_ivf_topk",            # approximate ANN (recall pytest-pinned)
         "ann_lsh_topk",            # approximate ANN (recall pytest-pinned)
         "ann_pq_topk",             # PQ/ADC ANN (full-refine equality + recall pinned)
-        "event_value_quantiles_sketch",  # mergeable sketch (error pytest-pinned)
     ], rows_only  # event_type_counts_cms, dup_kcore, media_cdc_dedup,
-    # distinct_stats_hll and semdedup_docs graduated to exact SQL replay
+    # distinct_stats_hll, semdedup_docs and event_value_quantiles_sketch
+    # graduated to exact SQL replay; the three honestly-approximate ANN
+    # entries are the only rows-only queries left
     for name, fn in q.items():
         assert callable(fn), name
     for name, sql in o.items():
