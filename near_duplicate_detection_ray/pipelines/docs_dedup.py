@@ -202,7 +202,9 @@ def near_dup_pairs_docs(sf_dir: str, cfg: NDDConfig | None = None):
 
 
 def near_dup_pairs_bbit(sf_dir: str, cfg: NDDConfig | None = None,
-                        z: float = 6.0):
+                        z: float = 6.0,
+                        engage_above: int | None = 50_000,
+                        force: bool = False):
     """``near_dup_pairs_docs`` with the b-bit minwise-hashing candidate
     prefilter (``stages/bbit.py``) between LSH banding and exact
     verification: candidate pairs join 16-byte b=1 sketches first, pairs
@@ -216,6 +218,16 @@ def near_dup_pairs_bbit(sf_dir: str, cfg: NDDConfig | None = None,
     pairs pay the full attach, never what is emitted, so the same
     brute-force SQL oracle applies.  Tests additionally pin that the
     surviving-candidate set loses no true tau-pair on the test corpora.
+
+    AUTO-ENGAGE (round-3 verdict item #6): the prefilter costs one extra
+    sketch join over the candidates, which only pays for itself once the
+    corpus is large enough that candidate volume x kilobyte shingle blobs
+    dominates the exchange (at sf0.1 the measured sketch-join overhead made
+    bbit ~1.5x SLOWER than the flagship).  Below ``engage_above``
+    signatures the prefilter is skipped — the operator degrades to exactly
+    the flagship plan, so it never reads slower than its baseline at small
+    scale.  ``force=True`` keeps the always-on mode for tests; the output
+    contract is identical either way.
     """
     from ..stages.bbit import prefilter_candidates
     from ..state.partitioning import materialize_clean
@@ -225,7 +237,8 @@ def near_dup_pairs_bbit(sf_dir: str, cfg: NDDConfig | None = None,
         sign_conversations(docs_as_conversations(sf_dir), cfg)
     )
     cand = candidate_pairs(explode_bands(sigs, cfg), cfg)
-    cand = prefilter_candidates(cand, sigs, cfg, z=z)
+    if force or engage_above is None or sigs.count() > engage_above:
+        cand = prefilter_candidates(cand, sigs, cfg, z=z)
     dup = verify_pairs(cand, sigs, cfg).map_batches(
         lambda t: t.filter(pc.equal(t["method"], "minhash")),
         batch_format="pyarrow",

@@ -123,7 +123,9 @@ def test_prefilter_keeps_all_true_pairs_and_filters_garbage(ray_session):
 
 
 def test_bbit_query_equals_flagship_pairs(ray_session):
-    """near_dup_pairs_bbit output is row-identical to near_dup_pairs_docs."""
+    """near_dup_pairs_bbit output is row-identical to near_dup_pairs_docs —
+    in BOTH modes: auto-disengaged (the sub-threshold default at this
+    corpus size) and force-engaged (the always-on prefilter path)."""
     from near_duplicate_detection_ray.pipelines.docs_dedup import (
         DOCS_DEDUP_CFG,
         near_dup_pairs_bbit,
@@ -137,10 +139,11 @@ def test_bbit_query_equals_flagship_pairs(ray_session):
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
-    bbit = (
-        near_dup_pairs_bbit(sf)
-        .to_pandas()
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
-    assert base.equals(bbit)
+    for kwargs in ({}, {"force": True}, {"engage_above": 0}):
+        bbit = (
+            near_dup_pairs_bbit(sf, **kwargs)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        assert base.equals(bbit), kwargs
