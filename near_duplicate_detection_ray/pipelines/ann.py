@@ -896,7 +896,8 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 64,
 
 
 def ann_ivf_index_topk(index_dir: str, sf_dir: str, n_queries: int = 10,
-                       k: int = 5, nprobe: int = 8):
+                       k: int = 5, nprobe: int = 8,
+                       tombstone_root: str | None = None):
     """Query a :func:`build_ivf_index` artifact: load the tiny centroid
     matrix, pick each query's ``nprobe`` nearest cells, and ``read_parquet``
     ONLY the union of probed cell directories — storage-level pruning (the
@@ -969,8 +970,20 @@ def ann_ivf_index_topk(index_dir: str, sf_dir: str, n_queries: int = 10,
         return rd.from_pandas(
             pd.DataFrame({"query_id": [], "rank": [], "neighbor_id": []})
         )
+    cells_ds = read_parquet_clean(
+        paths, columns=["vec_id", "embedding", "cell_v"]
+    )
+    if tombstone_root is not None:
+        # compliance guard (round-3 verdict item #8): probed cell dirs can
+        # hold since-forgotten vectors; anti-filter so no query returns a
+        # tombstoned vec_id (the persisted cells shrink at the next
+        # rebuild/upsert-delete)
+        from ..stages.tombstone import apply_tombstones
+
+        cells_ds = apply_tombstones(cells_ds, tombstone_root,
+                                    id_column="vec_id")
     partials = (
-        read_parquet_clean(paths, columns=["vec_id", "embedding", "cell_v"])
+        cells_ds
         .map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
         .to_pandas()
     )

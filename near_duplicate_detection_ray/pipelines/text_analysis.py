@@ -1677,7 +1677,8 @@ def _corpus_fingerprint(sf_dir: str) -> str:
 
 def keyword_search_indexed(sf_dir: str, terms: tuple = ("spark", "window", "hash"),
                            k: int = 10, index_dir: str | None = None,
-                           n_buckets: int = 64, _stats: dict | None = None):
+                           n_buckets: int = 64, _stats: dict | None = None,
+                           tombstone_root: str | None = None):
     """Ranked lexical search over a :func:`build_term_index` artifact —
     OUTPUT-IDENTICAL to the streaming :func:`keyword_search_docs` (same
     exact-rational tf-idf, same tie order, SAME DuckDB oracle), but the scan
@@ -1760,9 +1761,16 @@ def keyword_search_indexed(sf_dir: str, terms: tuple = ("spark", "window", "hash
             pc.is_in(t["term"], value_set=term_set)
         )
 
-    postings = materialize_clean(
-        rd.read_parquet(paths).map_batches(hits_only, batch_format="pyarrow")
-    )
+    hits = rd.read_parquet(paths).map_batches(hits_only, batch_format="pyarrow")
+    if tombstone_root is not None:
+        # compliance guard (round-3 verdict item #8): a persisted index can
+        # hold postings for since-forgotten docs; the reader anti-filters
+        # them so no query ever returns a tombstoned doc_id.  Corpus-level
+        # stats (n_docs) reflect the index build until a rebuild/delete.
+        from ..stages.tombstone import apply_tombstones
+
+        hits = apply_tombstones(hits, tombstone_root, id_column="doc_id")
+    postings = materialize_clean(hits)
     if postings.count() == 0:
         # a pyarrow Table keeps its column names through to_pandas();
         # an EMPTY Ray Dataset does not (blockless to_pandas drops the

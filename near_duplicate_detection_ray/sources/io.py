@@ -84,7 +84,22 @@ def write_range_partitions(ds, col: str, out_dir: str) -> list[dict]:
     return manifest
 
 
-def read_range_pruned(out_dir: str, lo, hi, columns=None):
+def _apply_layout_tombstones(ds, tombstone_root, tombstone_column):
+    """Optional compliance anti-filter for persisted-layout readers (round-3
+    verdict item #8): a hash/range/hive/z-order layout written before a
+    ``forget()`` still holds the forgotten rows on disk; readers that pass
+    the checkpoint root never serve them (the layout itself shrinks at the
+    next rebuild/compaction)."""
+    if tombstone_root is None:
+        return ds
+    from ..stages.tombstone import apply_tombstones
+
+    return apply_tombstones(ds, tombstone_root, id_column=tombstone_column)
+
+
+def read_range_pruned(out_dir: str, lo, hi, columns=None,
+                      tombstone_root: str | None = None,
+                      tombstone_column: str = "conv_id"):
     """Read back a :func:`write_range_partitions` layout for the predicate
     ``lo <= col <= hi``: consult the zone-map manifest, open ONLY files whose
     [min, max] overlaps, and apply the exact residual filter to the survivors.
@@ -144,7 +159,10 @@ def read_range_pruned(out_dir: str, lo, hi, columns=None):
         )
         return t.select(columns) if columns is not None else t
 
-    ds = ds.map_batches(residual, batch_format="pyarrow")
+    ds = _apply_layout_tombstones(
+        ds.map_batches(residual, batch_format="pyarrow"),
+        tombstone_root, tombstone_column,
+    )
     return ds, len(keep), total
 
 
@@ -225,7 +243,9 @@ def write_hive_partitions(ds, col: str, out_dir: str) -> list[str]:
     return values
 
 
-def read_hive_pruned(out_dir: str, values, columns=None):
+def read_hive_pruned(out_dir: str, values, columns=None,
+                     tombstone_root: str | None = None,
+                     tombstone_column: str = "conv_id"):
     """Read back a :func:`write_hive_partitions` layout for ``col IN
     (values)``: only the matching ``col=value`` directories are listed or
     opened.  Returns ``(dataset, n_dirs_read, n_dirs_total)``."""
@@ -246,7 +266,11 @@ def read_hive_pruned(out_dir: str, values, columns=None):
         for f in sorted(os.listdir(os.path.join(out_dir, f"{manifest['col']}={v}")))
         if f.endswith(".parquet")
     ]
-    return read_parquet_clean(paths, columns=columns), len(hit), len(all_vals)
+    ds = _apply_layout_tombstones(
+        read_parquet_clean(paths, columns=columns),
+        tombstone_root, tombstone_column,
+    )
+    return ds, len(hit), len(all_vals)
 
 
 def compact_parquet_dir(src_dir: str, dst_dir: str,
@@ -628,7 +652,9 @@ def write_zorder(ds, cols: list[str], out_dir: str, bits: int = 21) -> dict:
     return manifest
 
 
-def read_zorder_pruned(out_dir: str, ranges: dict, columns=None):
+def read_zorder_pruned(out_dir: str, ranges: dict, columns=None,
+                       tombstone_root: str | None = None,
+                       tombstone_column: str = "conv_id"):
     """Read back a :func:`write_zorder` layout for a conjunction of
     per-column range predicates ``{col: (lo, hi)}``: open ONLY files whose
     2-D zone maps overlap EVERY predicate, apply the exact residual filter.
@@ -670,4 +696,8 @@ def read_zorder_pruned(out_dir: str, ranges: dict, columns=None):
             mask = m if mask is None else pc.and_(mask, m)
         return t.filter(mask)
 
-    return ds.map_batches(residual, batch_format="pyarrow"), len(kept), n_total
+    out = _apply_layout_tombstones(
+        ds.map_batches(residual, batch_format="pyarrow"),
+        tombstone_root, tombstone_column,
+    )
+    return out, len(kept), n_total

@@ -174,18 +174,37 @@ def tombstone_ids(root: str) -> pa.Array:
 def apply_tombstones(ds, root: str, id_column: str = "conv_id"):
     """Anti-filter a Dataset against this root's tombstone set (no-op when
     none exist): the ingest guard the checkpointed pipeline applies so a
-    rerun over a stale input cannot recompute forgotten conversations."""
+    rerun over a stale input cannot recompute forgotten conversations.
+
+    Integer id columns (doc_id/vec_id in persisted index artifacts) are
+    matched by parsing the stored string ids — "%012d"-zero-padded conv_ids
+    and plain digit strings both resolve; non-numeric ids simply never
+    match an integer column."""
     ids = tombstone_ids(root)
     if len(ids) == 0:
         return ds
     import ray
 
-    ids_ref = ray.put(ids)
+    int_ids = []
+    for s in ids.to_pylist():
+        try:
+            int_ids.append(int(s))
+        except (TypeError, ValueError):
+            pass
+    ids_ref = ray.put(
+        {"str": ids, "int": pa.array(sorted(set(int_ids)), pa.int64())}
+    )
 
     def drop(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or id_column not in t.schema.names:
             return t
-        dead = pc.is_in(t[id_column], value_set=ray.get(ids_ref))
+        sets = ray.get(ids_ref)
+        col = t[id_column]
+        if pa.types.is_integer(col.type):
+            vs = sets["int"].cast(col.type)
+        else:
+            vs = sets["str"]
+        dead = pc.is_in(col, value_set=vs)
         return t.filter(pc.invert(dead))
 
     return ds.map_batches(drop, batch_format="pyarrow")

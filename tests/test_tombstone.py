@@ -219,3 +219,77 @@ def test_forget_legacy_layout_and_ref_remap(ray_session):
     assert list(clus["cluster_id"]) == ["c2", "c3"]
     assert len(os.listdir(os.path.join(root, "clusters", "versions"))) == 1
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_forget_guards_persisted_artifacts(ray_session):
+    """Round-3 verdict item #8: persisted artifacts (term-index postings,
+    IVF cell dirs, layout readers) written BEFORE a forget() still hold the
+    rows on disk; tombstone-aware readers must never serve them."""
+    import pyarrow.parquet as pq
+
+    from near_duplicate_detection_ray.pipelines.ann import (
+        ann_ivf_index_topk,
+        build_ivf_index,
+    )
+    from near_duplicate_detection_ray.pipelines.text_analysis import (
+        keyword_search_indexed,
+    )
+    from near_duplicate_detection_ray.sources.io import (
+        read_hive_pruned,
+        write_hive_partitions,
+    )
+    from near_duplicate_detection_ray.stages.tombstone import forget
+
+    sf = "/root/testdata/sf0.001"
+    root = "/tmp/ndd_tombstone_artifacts"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+
+    # pick a doc the default search actually returns
+    base = keyword_search_indexed(
+        sf, index_dir=f"{root}/term_index"
+    )
+    if hasattr(base, "to_pandas"):
+        base = base.to_pandas()
+    assert len(base) > 0
+    victim_doc = int(base["doc_id"].iloc[0])
+
+    # IVF over embeddings: vec_id 0 will appear among its own neighbors' cells
+    build_ivf_index(sf, f"{root}/ivf")
+    ivf_base = ann_ivf_index_topk(f"{root}/ivf", sf).to_pandas()
+    victim_vec = int(ivf_base["neighbor_id"].iloc[0])
+
+    # hive layout over a small table keyed by doc_id
+    tbl = pa.table({
+        "doc_id": pa.array([victim_doc, victim_doc + 1, victim_doc + 2],
+                           pa.int64()),
+        "grp": pa.array(["a", "a", "b"], pa.string()),
+    })
+    pq.write_table(tbl, f"{root}/flat.parquet")
+    write_hive_partitions(
+        rd.read_parquet(f"{root}/flat.parquet"), "grp", f"{root}/hive"
+    )
+
+    # forget the victims (string ids; int columns are matched by parsing)
+    forget(root, [f"{victim_doc:012d}", str(victim_vec)])
+
+    after = keyword_search_indexed(
+        sf, index_dir=f"{root}/term_index", tombstone_root=root
+    )
+    if hasattr(after, "to_pandas"):
+        after = after.to_pandas()
+    assert victim_doc not in set(after["doc_id"]), "forgotten doc served"
+
+    ivf_after = ann_ivf_index_topk(
+        f"{root}/ivf", sf, tombstone_root=root
+    ).to_pandas()
+    assert victim_vec not in set(ivf_after["neighbor_id"])
+
+    hive_ds, _, _ = read_hive_pruned(
+        f"{root}/hive", ["a"], tombstone_root=root,
+        tombstone_column="doc_id",
+    )
+    got = hive_ds.to_pandas()
+    assert victim_doc not in set(got["doc_id"])
+    assert victim_doc + 1 in set(got["doc_id"])
+    shutil.rmtree(root, ignore_errors=True)
