@@ -407,34 +407,38 @@ _GATE_WINDOW_FIRST = [
     "dup_pair_turn_overlap",
     "incremental_dup_pairs",
     "dup_turns",
-    "dup_turn_windows",
-    "conv_prefix_dups",
-    "shuffled_dup_convs",
-    "curate_docs",
-    "decontaminate_docs",
-    "decontaminate_docs_bloom",
-    "decontaminate_docs_fuzzy",
-    "contamination_report",
     "semdedup_docs",
-    "embedding_dup_pairs",
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "token_counts_docs",
-    "pack_sequences_docs",
-    "chunk_docs",
-    "quality_docs",
-    "lang_id_docs",
-    "epoch_shuffle_docs",
-    "dedup_report_docs",
-    "media_cdc_dedup",
+    "near_dup_pairs_bbit",
+    "qa_pair_dups",
+    "qa_pair_near_dups",
+    "turn_window_near_dups",
+    "assistant_dup_convs",
+    "assistant_near_dup_convs",
+    "conv_branch_groups",
+    "tool_sequence_dups",
+    "turn_burst_dedup",
+    "event_value_quantiles_sketch",
+    "kmeans_assign_embeddings",
+    "normalize_docs",
+    "keyword_search_indexed",
+    "bm25_search_docs",
+    "mask_tokens_docs",
+    "curriculum_order_docs",
+    "prepare_training_docs",
+    "dup_jaccard_histogram",
+    "source_distinctive_terms",
 ]
-# (doc_fingerprints / normalize_docs / cluster_size_histogram /
-# dup_jaccard_histogram rotated out to make room for new dedup operators —
-# all remain pinned by the local sweep + pytest; dup_pair_recall's banding
-# subsumes the histogram's signal and adds the north-star recall dimension.
-# Round-3 continuation: media_chunk_dedup rotated out (media_cdc_dedup keeps
-# the multimodal family visible) for dedup_report_docs, the one-row corpus
-# audit that exercises pairs + components + exact dedup in a single gate row.)
+# Round-4 rotation (verdict item #10): the flagship first-30 stays fixed;
+# the back 20 rotated to 19 queries never driver-checked before (the bbit
+# prefilter, the whole conversation-structure dedup family, both newly
+# SQL-graduated operators, the persisted-index search path, and the
+# training-prep composition), plus the kept semdedup_docs whose fresh SQL
+# oracle needs its first green driver row.  Rotated-out entries
+# (curate/decontaminate family, token/chunk/pack/quality/lang/epoch,
+# embedding_dup_pairs, ann_cosine/filtered, dedup_report_docs,
+# media_cdc_dedup, dup_turn_windows, conv_prefix_dups, shuffled_dup_convs)
+# all carry green CORRECTNESS_r0{1,2,3} rows and remain pinned by the
+# local 248-query sweep + pytest.
 
 
 def _flagship_first(qs: dict) -> dict:
