@@ -78,12 +78,16 @@ def test_flagship_family_inside_gate_window():
     )
     first50 = list(e.queries())[:50]
     assert first50 == e._GATE_WINDOW_FIRST
+    # round-4 rotation: the curation/decontamination entries and the
+    # round-3 conversation additions rotated out with green r03 rows; the
+    # pinned core is the flagship near-dup family plus this round's
+    # graduations and rotation leads
     for name in (
         "ndd_dup_pairs", "ndd_clusters", "ndd_conversations",
         "near_dup_pairs_docs", "exact_dedup_docs", "ngram_jaccard_pairs",
-        "ngram_containment_pairs", "dup_turn_windows",
-        "decontaminate_docs", "decontaminate_docs_fuzzy", "semdedup_docs",
-        "curate_docs", "dedup_best_docs",
+        "ngram_containment_pairs", "near_dup_pairs_bbit",
+        "qa_pair_dups", "semdedup_docs",
+        "event_value_quantiles_sketch", "dedup_best_docs",
     ):
         assert name in first50, f"{name} fell outside the 50-query gate window"
 
