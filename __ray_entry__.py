@@ -645,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": docs_dedup.ngram_jaccard_pairs,  # SQL-checked (exact prefix-filter join)
         "ngram_containment_pairs": docs_dedup.ngram_containment_pairs,  # SQL-checked (exact directional containment join)
         "incremental_dup_pairs": docs_dedup.incremental_dup_pairs,  # SQL-checked (delta-constrained incremental join)
+        "incremental_clusters": docs_dedup.incremental_clusters,    # SQL-checked (incremental component maintenance == full rebuild)
         "snm_dup_pairs": docs_dedup.snm_dup_pairs,              # SQL-checked (sorted-neighborhood windows)
         "tf_cosine_pairs": docs_dedup.tf_cosine_pairs,          # SQL-checked (weighted tf-cosine join, rare-term blocking)
         "dup_bfs_depths": docs_dedup.dup_bfs_depths,            # SQL-checked (multi-source BFS to canonical docs)
@@ -4731,6 +4732,53 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
               AND (a % 10 = 0 OR b % 10 = 0)
+        """,
+        # Incremental cluster maintenance: the engine unions the retained
+        # base pair set with the delta-constrained pairs and labels
+        # components; the oracle is the from-scratch recursive transitive
+        # closure over the FULL brute-force 3-gram tau=0.7 pair graph —
+        # equality is the incremental-==-rebuild invariant
+        "incremental_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), g AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+            ), e AS (
+                SELECT a AS src, b AS dst FROM p
+                UNION ALL
+                SELECT b AS src, a AS dst FROM p
+            ), reach AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+            ), lab AS (
+                SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                FROM reach GROUP BY src
+            )
+            SELECT d.doc_id,
+                   COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
         """,
         # Directional containment self-join: brute-force distinct-3-gram
         # inverted index, |A∩B| / |A| >= 0.9 on ORDERED pairs (a contained

@@ -3050,3 +3050,93 @@ def dup_pair_recall(sf_dir: str, cfg: NDDConfig | None = None):
             ).cast(out_schema)
         )
     return folded
+
+
+def incremental_clusters(sf_dir: str, n: int = 3, tau: float = 0.7,
+                         delta_mod: int = 10,
+                         max_driver_edges: int | None = None):
+    """INCREMENTAL cluster maintenance — the T3/D5 semantics promoted from
+    the pair level (:func:`incremental_dup_pairs`) to the CLUSTER level:
+    full-corpus component labels after a delta arrives, computed from the
+    retained base pair set plus ONLY the delta-touching pairs — the base
+    corpus is never re-joined against itself.
+
+    The base slice (``doc_id % delta_mod != 0``) stands in for the previous
+    index build whose pair set a real deployment retains as a checkpoint
+    (``stages/checkpoint.py``); the delta pass reuses the
+    delta-side-constrained PPJoin.  Exactness is structural, not
+    approximate: every tau-pair either touches the delta or lies within the
+    base, so ``base_pairs UNION delta_pairs`` IS the full pair set and the
+    incrementally maintained labels equal a from-scratch clustering
+    bit-for-bit — the SQL oracle computes the recursive transitive closure
+    over the full brute-force pair set and must hash-match.
+
+    Reference analogue: ``update_index`` refreshes only changed videos but
+    must leave the SERVED index equal to a full rebuild
+    (``ndd/server_ndd.py:244-265``).  Output: ``doc_id, cluster_id`` (both
+    int64; cluster_id = min doc_id of the component)."""
+    from ..stages.cluster import cluster
+    from ..state.partitioning import materialize_clean
+
+    def base_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = pc.cast(t["conv_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % delta_mod != 0))
+
+    base_sigs = materialize_clean(
+        ngram_grams_docs(sf_dir, n).map_batches(
+            base_only, batch_format="pyarrow"
+        )
+    )
+    base_pairs = ngram_jaccard_join(base_sigs, tau=tau)
+    delta_pairs = incremental_dup_pairs(
+        sf_dir, n=n, tau=tau, delta_mod=delta_mod
+    )
+
+    def to_str(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(
+                    [f"{v:012d}" for v in t["a"].to_pylist()], pa.string()
+                ),
+                "b": pa.array(
+                    [f"{v:012d}" for v in t["b"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    edges = [
+        base_pairs.map_batches(to_str, batch_format="pyarrow"),
+        delta_pairs.select_columns(["a", "b"]).map_batches(
+            to_str, batch_format="pyarrow"
+        ),
+    ]
+
+    def ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    [f"{v:012d}" for v in t["doc_id"].to_pylist()], pa.string()
+                )
+            }
+        )
+
+    convs = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        ids, batch_format="pyarrow"
+    )
+    labeled = (
+        cluster(convs, edges, max_driver_edges=max_driver_edges)
+        if max_driver_edges is not None
+        else cluster(convs, edges)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["conv_id"], pa.int64()),
+                "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
+
+    return labeled.map_batches(finish, batch_format="pyarrow")

@@ -101,3 +101,41 @@ def test_dup_pair_recall_structure(ray_session):
     assert allrow.n_found == bands.n_found.sum()
     # the north-star contract itself
     assert allrow.recall >= 0.99
+
+
+def test_incremental_clusters_equals_full_rebuild(ray_session):
+    """The incremental maintenance invariant directly: labels from
+    (retained base pairs) UNION (delta-constrained pairs) must equal a
+    from-scratch clustering over the full corpus pair set."""
+    import duckdb
+
+    from near_duplicate_detection_ray.pipelines.docs_dedup import (
+        incremental_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        incremental_clusters(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(e.oracle_sql()["incremental_clusters"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+    # the delta actually merges something: at least one cluster must span
+    # base and delta membership (doc_id % 10 == 0 vs != 0)
+    merged = got[got["cluster_id"] != got["doc_id"]]
+    assert len(merged) > 0
