@@ -701,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_coherence": ann.label_coherence,                # SQL-checked (cluster-tightness census)
         "quantize_embeddings": ann.quantize_embeddings,        # SQL-checked (int8 scalar quantization)
         "ann_pq_topk": ann.ann_pq_topk,                        # rows-only (PQ+ADC; full-refine==exact pinned in pytest)
+        "ann_nsw_topk": ann.ann_nsw_topk,                      # rows-only (sharded NSW graph ANN; ef>=shard==exact pinned in pytest)
         "label_quality_join": ann.label_quality_join,          # SQL-checked (cross-table feature join)
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
         "media_feature_summary": multimodal.media_feature_summary,

@@ -1751,3 +1751,155 @@ def kmeans_assign_embeddings(sf_dir: str, k: int = 8):
         )
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def ann_nsw_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m: int = 8,
+                 ef: int = 48, n_shards: int = 4):
+    """Graph-based ANN (Navigable Small World — Malkov et al. 2014, public
+    literature; the single-layer core of HNSW): completes the ANN family
+    next to brute-force (:func:`cosine_topk`), LSH, IVF and PQ with the
+    graph-traversal scale path modern vector stores use.
+
+    Distributed shape — the standard SHARDED serving pattern (a graph build
+    is sequential per shard, so shards are the unit of parallelism):
+
+    1. Shard the corpus by ``vec_id % n_shards`` (deterministic); one keyed
+       shuffle co-locates each shard.
+    2. Per shard (block-local, one actor-side NumPy build): insert vectors
+       in vec_id order, linking each new vector to its ``m`` nearest among
+       the already-inserted (found by the same beam search), bidirectional
+       edges pruned to ``m`` per node by (distance, id) — every tie broken
+       by id, so the graph is a pure function of the data.
+    3. Queries (first ``n_queries`` vec_ids) broadcast once; each shard
+       answers with a beam search of width ``ef`` from entry node 0 and
+       emits bounded top-k partials; the driver merges
+       (score DESC, neighbor_id ASC), exactly like the IVF/PQ merges.
+
+    Approximate by construction (beam search can miss), hence rows-only in
+    the driver gate; pinned in tests: with ``ef`` >= shard size the beam
+    visits every reachable node and NSW insertion keeps each shard's graph
+    connected, so the result EQUALS the exact scan; bounded ``ef`` is
+    recall-pinned.  Self-hits are excluded to match ``cosine_topk``."""
+    import ray
+
+    from ..state.partitioning import key_partitioned
+
+    queries_tbl = (
+        _read_emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(_vec_lt(n_queries), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries_tbl["vec_id"].to_numpy()
+    q_mat = _normalize_rows(
+        np.stack(queries_tbl["embedding"].to_numpy()).astype(np.float64)
+    )
+    q_ref = ray.put((q_ids, q_mat))
+
+    def _beam(x, neighbors, q, ef_width, n_alive):
+        """Deterministic beam search from node 0: returns (ids, sims) of
+        the best <= ef_width visited nodes, ties broken by id."""
+        import heapq
+
+        sims0 = float(x[0] @ q)
+        visited = {0}
+        # candidate heap: max-first by (sim, -id) via negation
+        cand = [(-sims0, 0)]
+        # result: keep the best ef_width as a min-heap of (sim, -id)
+        best = [(sims0, -0)]
+        worst = sims0
+        while cand:
+            negs, node = heapq.heappop(cand)
+            if -negs < worst and len(best) >= ef_width:
+                break
+            for nb in neighbors[node]:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(x[nb] @ q)
+                if len(best) < ef_width or s > best[0][0] or (
+                    s == best[0][0] and -nb > best[0][1]
+                ):
+                    heapq.heappush(best, (s, -nb))
+                    if len(best) > ef_width:
+                        heapq.heappop(best)
+                    worst = best[0][0]
+                    heapq.heappush(cand, (-s, nb))
+        out = sorted(((s, -ni) for s, ni in best),
+                     key=lambda t: (-t[0], t[1]))
+        return [(ni, s) for s, ni in out]
+
+    def shard_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = _normalize_rows(_emb_matrix(t))[order]
+        n = len(ids)
+        neighbors = [set() for _ in range(n)]
+        # NSW build: insert in vec_id order; node i links to its m nearest
+        # among 0..i-1 found by the same beam (ef_construction = max(ef, m))
+        efc = max(ef, m)
+        for i in range(1, n):
+            found = _beam(x, neighbors, x[i], efc, i)
+            links = [ni for ni, _ in found if ni < i][:m]
+            for j in links:
+                neighbors[i].add(j)
+                neighbors[j].add(i)
+                if len(neighbors[j]) > m:
+                    # prune to m by (distance asc == sim desc, id asc)
+                    ranked = sorted(
+                        neighbors[j],
+                        key=lambda v: (-float(x[j] @ x[v]), v),
+                    )
+                    for drop in ranked[m:]:
+                        neighbors[j].discard(drop)
+                        neighbors[drop].discard(j)
+        qi, qm = ray.get(q_ref)
+        out_q, out_n, out_s = [], [], []
+        for qx in range(len(qi)):
+            for ni, s in _beam(x, neighbors, qm[qx], ef, n)[: k + 1]:
+                if int(ids[ni]) == int(qi[qx]):
+                    continue
+                out_q.append(int(qi[qx]))
+                out_n.append(int(ids[ni]))
+                out_s.append(s)
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "neighbor_id": pa.array(out_n, pa.int64()),
+             "score": pa.array(out_s, pa.float64())}
+        )
+
+    def with_shard(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array(ids % n_shards, pa.int64())
+        )
+
+    sharded = key_partitioned(
+        _read_emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+            with_shard, batch_format="pyarrow"
+        ),
+        ["shard"],
+        min(n_shards, 32),
+    )
+    partials = sharded.map_batches(
+        shard_topk, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"],
+        ascending=[True, False, True],
+    )
+    topk = partials.groupby("query_id", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    import ray.data as rd
+
+    return rd.from_pandas(
+        topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+    )

@@ -17,10 +17,11 @@ def test_inventory_consistency():
     assert rows_only == [
         "ann_ivf_topk",            # approximate ANN (recall pytest-pinned)
         "ann_lsh_topk",            # approximate ANN (recall pytest-pinned)
+        "ann_nsw_topk",            # graph ANN (ef>=shard == exact pinned)
         "ann_pq_topk",             # PQ/ADC ANN (full-refine equality + recall pinned)
     ], rows_only  # event_type_counts_cms, dup_kcore, media_cdc_dedup,
     # distinct_stats_hll, semdedup_docs and event_value_quantiles_sketch
-    # graduated to exact SQL replay; the three honestly-approximate ANN
+    # graduated to exact SQL replay; the honestly-approximate ANN
     # entries are the only rows-only queries left
     for name, fn in q.items():
         assert callable(fn), name

@@ -276,3 +276,37 @@ def test_media_chunk_dedup_planted_and_oracle(ray_session, tmp_path_factory):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ann_nsw_full_ef_equals_exact(ray_session):
+    """Sharded NSW with ef >= shard size visits every reachable node (NSW
+    insertion keeps each shard connected), so the merged result must EQUAL
+    the exact brute-force scan."""
+    from near_duplicate_detection_ray.pipelines.ann import (
+        ann_nsw_topk,
+        cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = cosine_topk(sf).to_pandas().reset_index(drop=True)
+    got = ann_nsw_topk(sf, ef=100_000).to_pandas().reset_index(drop=True)
+    assert exact[["query_id", "rank", "neighbor_id"]].equals(
+        got[["query_id", "rank", "neighbor_id"]]
+    )
+
+
+def test_ann_nsw_bounded_ef_recall(ray_session):
+    """Default bounded beam stays approximate but must keep high recall vs
+    the exact scan."""
+    from near_duplicate_detection_ray.pipelines.ann import (
+        ann_nsw_topk,
+        cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = cosine_topk(sf).to_pandas()
+    got = ann_nsw_topk(sf).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    g = set(zip(got["query_id"], got["neighbor_id"]))
+    recall = len(e & g) / len(e)
+    assert recall >= 0.8, f"NSW recall {recall:.2f} too low"
