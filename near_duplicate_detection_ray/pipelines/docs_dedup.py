@@ -467,10 +467,14 @@ def ngram_grams_over(ds, n: int = 3):
     contribute ONE gram over all their tokens; blank rows are dropped — both
     rules mirror the oracles' CASE/WHERE.
     """
-    return ds.map_batches(
-        _GramSigner, fn_constructor_kwargs={"n": n},
-        batch_format="pyarrow", concurrency=(1, 8)
-    )
+    # task-based, not an actor pool: since the per-unique-token hashing went
+    # zero-copy vectorized (round-4), the signer's only state is a warm-start
+    # hash cache whose benefit is already captured per-block by unique();
+    # an actor pool pays ~2 s of fresh-process spin-up on EVERY execution
+    # (measured at sf0.1: 2.2-2.4 s actors vs 0.1-0.8 s tasks for the same
+    # 5000 docs), while tasks inherit the session's warm worker pool —
+    # and eight fuzzy-join queries run this stage per bench pass
+    return ds.map_batches(_GramSigner(n), batch_format="pyarrow")
 
 
 def ngram_grams_docs(sf_dir: str, n: int = 3):
@@ -2483,8 +2487,7 @@ def tf_cosine_pairs(sf_dir: str, tau: float = 0.8, max_df: int = 10,
     # blob rides the standard shingles column and the binary zero-copy view
     sigs = materialize_clean(
         docs_as_conversations(sf_dir).map_batches(
-            _GramSigner, fn_constructor_kwargs={"n": n, "weighted": True},
-            batch_format="pyarrow", concurrency=(1, 8),
+            _GramSigner(n, weighted=True), batch_format="pyarrow",
         )
     )
 
