@@ -99,6 +99,7 @@ def attach_signatures(pairs, signatures, num_partitions: int | None = None,
     from ..state.bloom import bloom_filter, build_bloom
     from ..state.partitioning import default_partitions, endpoint_stats, semi_filter
 
+    auto_partitions = num_partitions is None
     if num_partitions is None:
         # one partition per cluster CPU, never the single-box constant a
         # 256-node cluster would serialize on
@@ -107,6 +108,19 @@ def attach_signatures(pairs, signatures, num_partitions: int | None = None,
     ids_ref, n_ids, key_counts = endpoint_stats(
         pairs, ["a", "b"], max_values=semi_filter_max_ids
     )
+    if auto_partitions and ids_ref is not None:
+        # adaptive exchange width: the endpoint count is already known
+        # off-driver, and a candidate set touching few endpoints makes both
+        # joins tiny — full-width partitions of a kilobyte join are pure
+        # fixed cost (measured: the two Join ops dominated the whole
+        # ngram-join tail at sf0.1 with ~240 ms/partition of overhead).
+        # Keep >= ~2048 endpoint rows per partition, never above the
+        # cluster default (large joins keep full width).  Floor 8: the
+        # PAIRS side can be much larger than its endpoint set (rare-gram
+        # blocking emits many candidates over few docs — tf_cosine
+        # regressed 10.6 -> 14 s at floor 2), so the shrink trims fixed
+        # per-partition cost without ever serializing a wide pair side.
+        num_partitions = max(8, min(num_partitions, -(-n_ids // 2048)))
     if ids_ref is not None:
         side = semi_filter(side, "conv_id", ids_ref)
     else:
