@@ -115,12 +115,16 @@ def attach_signatures(pairs, signatures, num_partitions: int | None = None,
         # fixed cost (measured: the two Join ops dominated the whole
         # ngram-join tail at sf0.1 with ~240 ms/partition of overhead).
         # Keep >= ~2048 endpoint rows per partition, never above the
-        # cluster default (large joins keep full width).  Floor 8: the
-        # PAIRS side can be much larger than its endpoint set (rare-gram
-        # blocking emits many candidates over few docs — tf_cosine
-        # regressed 10.6 -> 14 s at floor 2), so the shrink trims fixed
-        # per-partition cost without ever serializing a wide pair side.
-        num_partitions = max(8, min(num_partitions, -(-n_ids // 2048)))
+        # cluster default (large joins keep full width).  Floor 8 (capped
+        # by the default — a floor ABOVE the cluster width spawns more
+        # join aggregator actors than CPUs and starves the pool on small
+        # sessions): the PAIRS side can be much larger than its endpoint
+        # set (rare-gram blocking emits many candidates over few docs —
+        # tf_cosine regressed 10.6 -> 14 s at floor 2), so the shrink
+        # trims fixed per-partition cost without ever serializing a wide
+        # pair side.
+        floor = min(8, num_partitions)
+        num_partitions = max(floor, min(num_partitions, -(-n_ids // 2048)))
     if ids_ref is not None:
         side = semi_filter(side, "conv_id", ids_ref)
     else:
@@ -185,8 +189,9 @@ def verify_pairs(pairs, signatures, cfg: NDDConfig | None = None, concurrency=No
     Autoscaling (1, N) actor pool — min=1 so the stage can always make
     progress next to the join's aggregator actors on small clusters.
     """
-    from ..state.partitioning import resolve_partitions
-    num_partitions = resolve_partitions(num_partitions)
+    # num_partitions=None flows through to attach_signatures, whose
+    # endpoint-count adaptive width then applies; explicit values are
+    # respected verbatim
     if concurrency is None:
         import ray
 

@@ -147,3 +147,46 @@ def test_bbit_query_equals_flagship_pairs(ray_session):
             .reset_index(drop=True)
         )
         assert base.equals(bbit), kwargs
+
+
+def test_attach_adaptive_width_output_invariant(ray_session):
+    """The adaptive verify-attach exchange width is a pure physical choice:
+    auto-sized, explicitly narrow and explicitly wide partitioning must all
+    produce the identical attached pair set."""
+    import ray.data as rd
+
+    from near_duplicate_detection_ray.config import NDDConfig
+    from near_duplicate_detection_ray.sources.transcripts import synth_corpus
+    from near_duplicate_detection_ray.stages.assemble import (
+        assemble_conversations,
+    )
+    from near_duplicate_detection_ray.stages.lsh import (
+        candidate_pairs,
+        explode_bands,
+    )
+    from near_duplicate_detection_ray.stages.signatures import (
+        sign_conversations,
+    )
+    from near_duplicate_detection_ray.stages.verify import verify_pairs
+    from near_duplicate_detection_ray.state.partitioning import (
+        materialize_clean,
+    )
+
+    transcripts, _ = synth_corpus()
+    cfg = NDDConfig()
+    sigs = materialize_clean(
+        sign_conversations(
+            assemble_conversations(rd.from_arrow(transcripts)), cfg
+        )
+    )
+    cand = materialize_clean(candidate_pairs(explode_bands(sigs, cfg), cfg))
+
+    def pairset(nparts):
+        df = verify_pairs(cand, sigs, cfg, num_partitions=nparts).to_pandas()
+        return sorted(zip(df["a"], df["b"], df["method"]))
+
+    # explicit widths stay within the test session's CPU count — a Join
+    # wider than the cluster cannot place all its aggregator actors
+    auto = pairset(None)
+    assert auto == pairset(2)
+    assert auto == pairset(4)
