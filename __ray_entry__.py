@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": docs_dedup.ngram_containment_pairs,  # SQL-checked (exact directional containment join)
         "incremental_dup_pairs": docs_dedup.incremental_dup_pairs,  # SQL-checked (delta-constrained incremental join)
         "incremental_clusters": docs_dedup.incremental_clusters,    # SQL-checked (incremental component maintenance == full rebuild)
+        "lsh_plan": docs_dedup.lsh_plan,                            # SQL-checked (banding s-curve planner)
         "snm_dup_pairs": docs_dedup.snm_dup_pairs,              # SQL-checked (sorted-neighborhood windows)
         "tf_cosine_pairs": docs_dedup.tf_cosine_pairs,          # SQL-checked (weighted tf-cosine join, rare-term blocking)
         "dup_bfs_depths": docs_dedup.dup_bfs_depths,            # SQL-checked (multi-source BFS to canonical docs)
@@ -1459,6 +1460,21 @@ def oracle_sql() -> dict[str, str]:
     d["distinct_stats_hll"] = _hll_sql()
     d["semdedup_docs"] = _semdedup_sql()
     d["event_value_quantiles_sketch"] = _quantile_sketch_sql()
+    # the banding planner: identical float expressions via DuckDB pow
+    d["lsh_plan"] = """
+        WITH b AS (SELECT unnest(generate_series(1, 128)) AS bands),
+        f AS (
+            SELECT bands, 128 // bands AS rows_per_band
+            FROM b WHERE 128 % bands = 0
+        ),
+        t AS (
+            SELECT unnest([0.5e0, 0.6e0, 0.7e0, 0.8e0, 0.9e0]) AS tau
+        )
+        SELECT bands, rows_per_band, tau,
+               round(1e0 - pow(1e0 - pow(tau, rows_per_band), bands), 8)
+                   AS p_collide
+        FROM f, t
+    """
     return d
 
 

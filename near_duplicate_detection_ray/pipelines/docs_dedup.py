@@ -3143,3 +3143,40 @@ def incremental_clusters(sf_dir: str, n: int = 3, tau: float = 0.7,
         )
 
     return labeled.map_batches(finish, batch_format="pyarrow")
+
+
+def lsh_plan(sf_dir: str, num_perm: int = 128,
+             taus=(0.5, 0.6, 0.7, 0.8, 0.9)):
+    """LSH banding-parameter planner: for every (bands, rows) factorization
+    of ``num_perm``, the collision probability ``1 - (1 - j^r)^b`` of the
+    banding s-curve at each candidate threshold — the table an engineer
+    reads to pick the flagship's 32x4 config — the tuning companion to
+    ``dup_jaccard_histogram``, which supplies the corpus's actual
+    similarity mass per bin (cross the two tables to estimate verify
+    load per config).
+
+    Pure deterministic math (``sf_dir`` accepted for the uniform query
+    signature, unused); every float expression is replayed verbatim by
+    the SQL oracle (DuckDB ``pow``), so the planner itself is
+    hash-checked.  Output: ``bands, rows_per_band, tau, p_collide``
+    (round 8).
+    """
+    import ray.data as rd
+
+    rows = []
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        for tau in taus:
+            p = 1.0 - (1.0 - tau ** r) ** b
+            rows.append((b, r, float(tau), round(p, 8)))
+    out = pa.table(
+        {
+            "bands": pa.array([x[0] for x in rows], pa.int64()),
+            "rows_per_band": pa.array([x[1] for x in rows], pa.int64()),
+            "tau": pa.array([x[2] for x in rows], pa.float64()),
+            "p_collide": pa.array([x[3] for x in rows], pa.float64()),
+        }
+    )
+    return rd.from_arrow(out)
