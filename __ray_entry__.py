@@ -430,10 +430,13 @@ _GATE_WINDOW_FIRST = [
 ]
 # Round-4 rotation (verdict item #10): the flagship first-30 stays fixed;
 # the back 20 rotated to 19 queries never driver-checked before (the bbit
-# prefilter, the whole conversation-structure dedup family, both newly
-# SQL-graduated operators, the persisted-index search path, and the
-# training-prep composition), plus the kept semdedup_docs whose fresh SQL
-# oracle needs its first green driver row.  Rotated-out entries
+# query — which auto-disengages its prefilter at gate corpus sizes per
+# verdict item #6, so the driver row checks its flagship-degraded path
+# while the force-engaged prefilter stays pytest-pinned — the whole
+# conversation-structure dedup family, both newly SQL-graduated
+# operators, the persisted-index search path, and the training-prep
+# composition), plus the kept semdedup_docs whose fresh SQL oracle needs
+# its first green driver row.  Rotated-out entries
 # (curate/decontaminate family, token/chunk/pack/quality/lang/epoch,
 # embedding_dup_pairs, ann_cosine/filtered, dedup_report_docs,
 # media_cdc_dedup, dup_turn_windows, conv_prefix_dups, shuffled_dup_convs)

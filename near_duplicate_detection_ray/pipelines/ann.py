@@ -1796,7 +1796,7 @@ def ann_nsw_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m: int = 8,
     )
     q_ref = ray.put((q_ids, q_mat))
 
-    def _beam(x, neighbors, q, ef_width, n_alive):
+    def _beam(x, neighbors, q, ef_width):
         """Deterministic beam search from node 0: returns (ids, sims) of
         the best <= ef_width visited nodes, ties broken by id."""
         import heapq
@@ -1830,6 +1830,10 @@ def ann_nsw_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m: int = 8,
         return [(ni, s) for s, ni in out]
 
     def shard_topk(t: pa.Table) -> pa.Table:
+        """One NSW graph PER SHARD KEY: the keyed partition co-locates
+        whole shards, but hash partitioning can land several shard keys
+        in one block (review finding) — group by the shard column so the
+        per-shard build contract holds regardless of hash layout."""
         empty = pa.table(
             {"query_id": pa.array([], pa.int64()),
              "neighbor_id": pa.array([], pa.int64()),
@@ -1837,34 +1841,79 @@ def ann_nsw_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m: int = 8,
         )
         if t.num_rows == 0 or t.num_columns == 0:
             return empty
+        shards = t["shard"].to_numpy(zero_copy_only=False)
+        outs = [empty]
+        for s in np.unique(shards):
+            outs.append(_one_shard_topk(
+                t.filter(pa.array(shards == s))
+            ))
+        return pa.concat_tables(outs)
+
+    def _one_shard_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
         ids = ids[order]
         x = _normalize_rows(_emb_matrix(t))[order]
         n = len(ids)
+        qi, qm = ray.get(q_ref)
+        if ef >= n:
+            # the full beam is DEFINED as the exact scan: implement it
+            # literally so the ef>=shard equality pin is structural, not
+            # a connectivity argument (review finding)
+            sims = qm @ x.T
+            out_q, out_n, out_s = [], [], []
+            for qx in range(len(qi)):
+                rank = sorted(range(n), key=lambda j: (-sims[qx, j], ids[j]))
+                taken = 0
+                for j in rank:
+                    if int(ids[j]) == int(qi[qx]):
+                        continue
+                    out_q.append(int(qi[qx]))
+                    out_n.append(int(ids[j]))
+                    out_s.append(float(sims[qx, j]))
+                    taken += 1
+                    if taken > k:
+                        break
+            return pa.table(
+                {"query_id": pa.array(out_q, pa.int64()),
+                 "neighbor_id": pa.array(out_n, pa.int64()),
+                 "score": pa.array(out_s, pa.float64())}
+            )
         neighbors = [set() for _ in range(n)]
         # NSW build: insert in vec_id order; node i links to its m nearest
         # among 0..i-1 found by the same beam (ef_construction = max(ef, m))
         efc = max(ef, m)
         for i in range(1, n):
-            found = _beam(x, neighbors, x[i], efc, i)
+            found = _beam(x, neighbors, x[i], efc)
             links = [ni for ni, _ in found if ni < i][:m]
             for j in links:
                 neighbors[i].add(j)
                 neighbors[j].add(i)
                 if len(neighbors[j]) > m:
-                    # prune to m by (distance asc == sim desc, id asc)
+                    # prune to m by (distance asc == sim desc, id asc);
+                    # NEVER remove a node's last edge — repeated
+                    # bidirectional prunes could otherwise isolate an
+                    # early node entirely (review finding), leaving it
+                    # unreachable at any ef
                     ranked = sorted(
                         neighbors[j],
                         key=lambda v: (-float(x[j] @ x[v]), v),
                     )
                     for drop in ranked[m:]:
+                        if len(neighbors[drop]) <= 1:
+                            continue
                         neighbors[j].discard(drop)
                         neighbors[drop].discard(j)
-        qi, qm = ray.get(q_ref)
         out_q, out_n, out_s = [], [], []
         for qx in range(len(qi)):
-            for ni, s in _beam(x, neighbors, qm[qx], ef, n)[: k + 1]:
+            for ni, s in _beam(x, neighbors, qm[qx], ef)[: k + 1]:
                 if int(ids[ni]) == int(qi[qx]):
                     continue
                 out_q.append(int(qi[qx]))

@@ -934,7 +934,8 @@ def ngram_containment_pairs(sf_dir: str, n: int = 3, tau: float = 0.9,
     from ..stages.verify import attach_signatures
 
     tau_ppm = round(tau * 1_000_000)
-    sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
+    if sigs is None:
+        sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
     df_ref, n_hot = _gram_df_ref(sigs)
     use_broadcast_df = n_hot <= hot_gram_cap
 
@@ -2767,7 +2768,8 @@ def _delta_pairs_in_block(batch: pa.Table) -> pa.Table:
 
 
 def incremental_dup_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
-                          delta_mod: int = 10, hot_gram_cap: int = 5_000_000):
+                          delta_mod: int = 10, hot_gram_cap: int = 5_000_000,
+                          sigs=None):
     """INCREMENTAL exact n-gram Jaccard near-dup discovery: all pairs with
     token-n-gram Jaccard >= ``tau`` where at least one side belongs to the
     DELTA slice (``doc_id % delta_mod == 0`` — a deterministic stand-in for
@@ -2801,7 +2803,8 @@ def incremental_dup_pairs(sf_dir: str, n: int = 3, tau: float = 0.7,
     from ..stages.verify import attach_signatures
 
     tau_ppm = round(tau * 1_000_000)
-    sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
+    if sigs is None:
+        sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
     df_ref, n_hot = _gram_df_ref(sigs)
     if n_hot > hot_gram_cap:  # pragma: no cover - forced in tests
         # honest fallback: a df>=2 vocabulary too large to broadcast means
@@ -3081,6 +3084,11 @@ def incremental_clusters(sf_dir: str, n: int = 3, tau: float = 0.7,
     from ..stages.cluster import cluster
     from ..state.partitioning import materialize_clean
 
+    # ONE signature pass over the corpus, shared by the base join and the
+    # delta pass (review finding: signing is the dominant cost of the
+    # n-gram family, and this query was paying it twice)
+    full_sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
+
     def base_only(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
@@ -3088,23 +3096,21 @@ def incremental_clusters(sf_dir: str, n: int = 3, tau: float = 0.7,
         return t.filter(pa.array(ids % delta_mod != 0))
 
     base_sigs = materialize_clean(
-        ngram_grams_docs(sf_dir, n).map_batches(
-            base_only, batch_format="pyarrow"
-        )
+        full_sigs.map_batches(base_only, batch_format="pyarrow")
     )
     base_pairs = ngram_jaccard_join(base_sigs, tau=tau)
     delta_pairs = incremental_dup_pairs(
-        sf_dir, n=n, tau=tau, delta_mod=delta_mod
+        sf_dir, n=n, tau=tau, delta_mod=delta_mod, sigs=full_sigs
     )
 
     def to_str(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "a": pa.array(
-                    [f"{v:012d}" for v in t["a"].to_pylist()], pa.string()
+                "a": pc.utf8_lpad(
+                    pc.cast(t["a"], pa.string()), width=12, padding="0"
                 ),
-                "b": pa.array(
-                    [f"{v:012d}" for v in t["b"].to_pylist()], pa.string()
+                "b": pc.utf8_lpad(
+                    pc.cast(t["b"], pa.string()), width=12, padding="0"
                 ),
             }
         )
@@ -3119,8 +3125,8 @@ def incremental_clusters(sf_dir: str, n: int = 3, tau: float = 0.7,
     def ids(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "conv_id": pa.array(
-                    [f"{v:012d}" for v in t["doc_id"].to_pylist()], pa.string()
+                "conv_id": pc.utf8_lpad(
+                    pc.cast(t["doc_id"], pa.string()), width=12, padding="0"
                 )
             }
         )
@@ -3128,11 +3134,7 @@ def incremental_clusters(sf_dir: str, n: int = 3, tau: float = 0.7,
     convs = _read_docs(sf_dir, ["doc_id"]).map_batches(
         ids, batch_format="pyarrow"
     )
-    labeled = (
-        cluster(convs, edges, max_driver_edges=max_driver_edges)
-        if max_driver_edges is not None
-        else cluster(convs, edges)
-    )
+    labeled = cluster(convs, edges, max_driver_edges=max_driver_edges)
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -28,7 +28,15 @@ DEFAULT_M = 1024
 
 
 def sketch_from_values(values: np.ndarray, m: int = DEFAULT_M):
-    """Build a (values, weights) sketch from raw values."""
+    """Build a (values, weights) sketch from raw values.
+
+    NOTE: the ``event_value_quantiles_sketch`` pipeline operator no longer
+    calls this generic API — its SQL-oracled rewrite (round 4) inlines a
+    deterministic two-level plan with fixed float-op order in
+    ``pipelines/relational.py`` so DuckDB can replay it exactly.  These
+    functions remain the generic mergeable-sketch library surface (any
+    merge tree, no ordering contract) and keep their own error-bound
+    tests."""
     v = np.sort(np.asarray(values, dtype=np.float64))
     n = len(v)
     if n == 0:

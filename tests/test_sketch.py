@@ -1,5 +1,8 @@
-"""Mergeable compaction quantile sketch: determinism, merge associativity
-in rank error, and end-to-end per-group accuracy vs the exact operator."""
+"""Mergeable compaction quantile sketch (the GENERIC library API in
+state/sketch.py — the event_value_quantiles_sketch operator now inlines its
+own SQL-replayable two-level plan, tested below against the exact
+operator): determinism, merge-tree rank error, and the operator's own
+rank-error bound at a scale where both compaction levels fire."""
 
 import numpy as np
 import pytest
@@ -180,3 +183,32 @@ def test_cms_query_matches_exact_counts(ray_session):
     for t, e in got.items():
         assert e >= exact[t]
         assert e <= exact[t] + int(np.ceil(eps * n_total)) + 1
+
+
+def test_operator_rank_error_with_compaction(ray_session):
+    """The LIVE operator's error bound at sf0.01, where both level-1 and
+    level-2 compaction fire (group sizes ~2000 > m would be false; here
+    chunk slices ~1000 with some > 1024 and level-2 entries ~1400 > 1024):
+    every reported quantile must sit within 1% rank error of the exact
+    per-group distribution."""
+    import pyarrow.parquet as pq
+
+    from near_duplicate_detection_ray.pipelines.relational import (
+        event_value_quantiles_sketch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        event_value_quantiles_sketch(sf)
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    for et, g in ev.groupby("event_type"):
+        x = g["value"].to_numpy()
+        for q in QS:
+            est = got.loc[et, f"p{int(q*100):02d}"]
+            assert _rank_error(x, q, est) < 0.01, (et, q)
