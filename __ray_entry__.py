@@ -650,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dup_pairs": docs_dedup.incremental_dup_pairs,  # SQL-checked (delta-constrained incremental join)
         "incremental_clusters": docs_dedup.incremental_clusters,    # SQL-checked (incremental component maintenance == full rebuild)
         "lsh_plan": docs_dedup.lsh_plan,                            # SQL-checked (banding s-curve planner)
+        "winnow_overlap_pairs": docs_dedup.winnow_overlap_pairs,    # SQL-checked (MOSS-style fingerprint-overlap join)
         "snm_dup_pairs": docs_dedup.snm_dup_pairs,              # SQL-checked (sorted-neighborhood windows)
         "tf_cosine_pairs": docs_dedup.tf_cosine_pairs,          # SQL-checked (weighted tf-cosine join, rare-term blocking)
         "dup_bfs_depths": docs_dedup.dup_bfs_depths,            # SQL-checked (multi-source BFS to canonical docs)
@@ -1463,6 +1464,51 @@ def oracle_sql() -> dict[str, str]:
     d["distinct_stats_hll"] = _hll_sql()
     d["semdedup_docs"] = _semdedup_sql()
     d["event_value_quantiles_sketch"] = _quantile_sketch_sql()
+    # MOSS-style winnowing-overlap join: the doc_fingerprints winnowing CTE
+    # (md5_number_lower basis, rightmost-tie window minima, small-doc
+    # single-fingerprint branch) reduced to DISTINCT fingerprint VALUES per
+    # doc, self-joined on shared values, scored n_shared/least(|Fa|,|Fb|)
+    d["winnow_overlap_pairs"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ), shl AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                        ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                   END AS sl
+            FROM toks
+        ), sh0 AS (
+            SELECT doc_id, unnest(sl) AS s, unnest(range(1, len(sl) + 1)) AS pos FROM shl
+        ), sh AS (SELECT doc_id, pos, md5_number_lower(s) AS h FROM sh0),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        wins AS (
+            SELECT s.doc_id, w.pos AS win, min(s.h) AS m
+            FROM (SELECT sh.doc_id, sh.pos FROM sh JOIN cnt ON sh.doc_id = cnt.doc_id
+                  WHERE sh.pos <= cnt.n - 3 AND cnt.n > 4) w
+            JOIN sh s ON s.doc_id = w.doc_id AND s.pos BETWEEN w.pos AND w.pos + 3
+            GROUP BY s.doc_id, w.pos
+        ), fpv AS (
+            SELECT DISTINCT doc_id, m FROM wins
+            UNION
+            SELECT sh.doc_id, min(sh.h) AS m
+            FROM sh JOIN cnt ON sh.doc_id = cnt.doc_id WHERE cnt.n <= 4
+            GROUP BY sh.doc_id
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_fps FROM fpv GROUP BY doc_id
+        ), shared AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+            FROM fpv x JOIN fpv y ON x.m = y.m AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b, n_shared,
+               round(n_shared * 1.0 / least(sa.n_fps, sb.n_fps), 6) AS overlap
+        FROM shared
+        JOIN sizes sa ON shared.a = sa.doc_id
+        JOIN sizes sb ON shared.b = sb.doc_id
+        WHERE n_shared >= 2
+    """
     # the banding planner: identical float expressions via DuckDB pow
     d["lsh_plan"] = """
         WITH b AS (SELECT unnest(generate_series(1, 128)) AS bands),

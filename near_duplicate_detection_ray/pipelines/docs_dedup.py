@@ -3182,3 +3182,142 @@ def lsh_plan(sf_dir: str, num_perm: int = 128,
         }
     )
     return rd.from_arrow(out)
+
+
+def winnow_overlap_pairs(sf_dir: str, window: int = 4, min_shared: int = 2):
+    """MOSS-style winnowing-overlap similarity join (Schleimer et al.
+    SIGMOD'03 — the plagiarism-detection application of the winnowing
+    fingerprints ``doc_fingerprints`` computes): document pairs sharing at
+    least ``min_shared`` distinct winnow fingerprint VALUES, scored by
+    ``overlap = n_shared / min(|F_a|, |F_b|)``.  Winnowing guarantees a
+    shared fingerprint for any sufficiently long shared substring, so this
+    is the guaranteed-recall exact-substring-overlap census next to the
+    probabilistic MinHash family.
+
+    Distributed shape: per-doc fingerprint SETS from one pass (md5_low64
+    basis so the SQL oracle replays the winnowing exactly), one
+    fingerprint-keyed shuffle builds the inverted index and emits pairs
+    block-locally, one (a, b)-keyed count, sizes attached through the
+    endpoint-bounded semi-join.  Fingerprint df is bounded by winnowing
+    density (~2/(window+1) of shingles), so candidate mass stays linear in
+    shared content.  Output: ``a, b (a < b), n_shared, overlap`` (round 6).
+    """
+    import ray.data as rd
+
+    from ..config import DEFAULT_CONFIG
+    from ..functions.groupagg import highcard_groupagg
+    from ..functions.hashing import md5_low64
+    from ..functions.text import (
+        normalize_text,
+        shingle_tokens,
+        tokenize,
+        winnow_fingerprints,
+    )
+    from ..state.partitioning import (
+        default_partitions,
+        endpoint_stats,
+        key_partitioned,
+        materialize_clean,
+        semi_filter,
+    )
+
+    w = DEFAULT_CONFIG.shingle_w
+    fp_schema = pa.schema([("fp", pa.uint64()), ("doc_id", pa.int64())])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_fp: list = []
+        out_doc: list = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sh = shingle_tokens(tokenize(normalize_text(text)), w)
+            if not sh:
+                continue
+            fps = set(winnow_fingerprints([md5_low64(s) for s in sh], window))
+            out_fp.extend(fps)
+            out_doc.extend([doc_id] * len(fps))
+        return pa.table(
+            {"fp": pa.array(np.array(out_fp, dtype=np.uint64), pa.uint64()),
+             "doc_id": pa.array(out_doc, pa.int64())},
+        )
+
+    fp_rows = materialize_clean(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            explode, batch_format="pyarrow"
+        )
+    )
+    sizes = highcard_groupagg(
+        fp_rows, ["doc_id"], [([], "count_all")], {"count_all": "n_fps"}
+    )
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def gen_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pair_schema.empty_table()
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, fp))
+        fp, doc = fp[order], doc[order]
+        bounds = np.flatnonzero(
+            np.r_[True, fp[1:] != fp[:-1], True]
+        )
+        out_a: list = []
+        out_b: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = doc[s:e]
+            for i in range(len(g) - 1):
+                for j2 in range(i + 1, len(g)):
+                    out_a.append(g[i])
+                    out_b.append(g[j2])
+        return pa.table(
+            {"a": pa.array(np.array(out_a, np.int64), pa.int64()),
+             "b": pa.array(np.array(out_b, np.int64), pa.int64())},
+        )
+
+    shared = highcard_groupagg(
+        key_partitioned(fp_rows, ["fp"]).map_batches(
+            gen_pairs, batch_format="pyarrow", batch_size=None
+        ),
+        ["a", "b"], [([], "count_all")], {"count_all": "n_shared"},
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
+        batch_format="pyarrow",
+    )
+    shared = materialize_clean(shared)
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()),
+         ("n_shared", pa.int64()), ("overlap", pa.float64())]
+    )
+    if shared.count() == 0:  # all-empty Acero join sides crash
+        return rd.from_arrow(out_schema.empty_table())
+
+    ids_ref, _n, _c = endpoint_stats(shared, ["a", "b"])
+    side = materialize_clean(semi_filter(sizes, "doc_id", ids_ref))
+    j = shared.join(
+        side, join_type="inner", num_partitions=default_partitions(),
+        on=("a",), right_on=("doc_id",),
+    ).rename_columns({"n_fps": "n_a"})
+    j = materialize_clean(j)
+    j = j.join(
+        side, join_type="inner", num_partitions=default_partitions(),
+        on=("b",), right_on=("doc_id",),
+    ).rename_columns({"n_fps": "n_b"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_shared = t["n_shared"].to_numpy(zero_copy_only=False)
+        denom = np.minimum(
+            t["n_a"].to_numpy(zero_copy_only=False),
+            t["n_b"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "a": t["a"], "b": t["b"],
+                "n_shared": pa.array(n_shared, pa.int64()),
+                "overlap": pa.array(
+                    np.round(n_shared / denom, 6), pa.float64()
+                ),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
