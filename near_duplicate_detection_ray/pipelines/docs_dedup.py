@@ -934,8 +934,7 @@ def ngram_containment_pairs(sf_dir: str, n: int = 3, tau: float = 0.9,
     from ..stages.verify import attach_signatures
 
     tau_ppm = round(tau * 1_000_000)
-    if sigs is None:
-        sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
+    sigs = materialize_clean(ngram_grams_docs(sf_dir, n))
     df_ref, n_hot = _gram_df_ref(sigs)
     use_broadcast_df = n_hot <= hot_gram_cap
 
