@@ -98,6 +98,9 @@ def run_queries() -> dict[str, float]:
         "pack_sequences_docs",
         "unigram_logprob_docs",
         "cross_source_dup_pairs",
+        "winnow_overlap_pairs",
+        "incremental_clusters",
+        "ann_nsw_topk",
     ]
     out: dict[str, float] = {}
     for name in picks:
