@@ -694,7 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
         "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
-        "ann_ivf_topk": ann.ann_ivf_topk,                      # rows-only (approximate; full-probe==exact pinned in pytest)
+        "ann_ivf_topk": _ann_ivf_docs,                         # SQL-checked (init='first' Lloyd replay + probe + exact cosine top-k)
         "ann_filtered_topk": ann.ann_filtered_topk,            # SQL-checked (label-filtered exact search)
         "semdedup_docs": _semdedup_docs,                       # SQL-checked (Forgy init + 8 Lloyd steps + recursive greedy prune)
         "embedding_dup_pairs": ann.embedding_dup_pairs,        # SQL-checked
@@ -1236,6 +1236,15 @@ def _lang_id_sql() -> str:
     """
 
 
+def _ann_ivf_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines import ann
+
+    # init="first" is the SQL-expressible Forgy rule (see _semdedup_docs);
+    # the default PCG64-sampled init stays the library default and keeps
+    # its full-probe==exact + recall pytest pins
+    return ann.ann_ivf_topk(sf_dir, init="first")
+
+
 def _semdedup_docs(sf_dir: str):
     from near_duplicate_detection_ray.pipelines import ann
 
@@ -1245,6 +1254,112 @@ def _semdedup_docs(sf_dir: str):
     # init="first" is the SQL-expressible Forgy rule (the PCG64 sample draw
     # was the only non-replayable step — round-3 verdict item #1)
     return ann.semdedup_embeddings(sf_dir, threshold=0.3, init="first")
+
+
+def _lloyd_sql_prefix(n_clusters: int, iters: int, train_sample: int,
+                      recursive: bool = False) -> str:
+    """Shared DuckDB replay of the engine's init='first' spherical k-means
+    (``_kmeans_centroids``): Forgy init on the ``n_clusters`` smallest
+    train vec_ids, ``iters`` Lloyd steps as chained MATERIALIZED CTEs
+    (inlined CTEs would re-evaluate the unroll exponentially — the
+    dup_kcore lesson), assignment by argmax dot with row_number tie-break
+    (= np.argmax first-max), dead cells keeping their previous centroid,
+    every centroid re-normalized every step.  Ends at ``c{iters}`` —
+    consumers append their own suffix CTEs (semdedup prune / IVF probe)."""
+    head = "WITH RECURSIVE " if recursive else "WITH "
+    sql = [head + f"""x AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), xn AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(v, e -> e /
+                       CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1
+                            ELSE sqrt(list_inner_product(v, v)) END) AS vn
+            FROM x
+        ), tr AS MATERIALIZED (
+            SELECT vec_id, vn FROM xn WHERE vec_id < {train_sample}
+        ), init AS MATERIALIZED (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM tr ORDER BY vec_id LIMIT {n_clusters}
+        ), trainexp AS MATERIALIZED (
+            SELECT vec_id, unnest(generate_series(0, len(vn) - 1)) AS i,
+                   unnest(vn) AS val
+            FROM tr
+        ), c0 AS MATERIALIZED (
+            SELECT init.cid, tr.vn AS c FROM init JOIN tr USING (vec_id)
+        )"""]
+    for n in range(iters):
+        sql.append(f""", a{n} AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT t.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY t.vec_id
+                           ORDER BY list_inner_product(t.vn, c.c) DESC, c.cid) AS rn
+                FROM tr t, c{n} c
+            ) WHERE rn = 1
+        ), m{n} AS MATERIALIZED (
+            SELECT a.cid, e.i, sum(e.val) / count(*) AS mval
+            FROM a{n} a JOIN trainexp e USING (vec_id)
+            GROUP BY a.cid, e.i
+        ), l{n} AS MATERIALIZED (
+            SELECT cid, list(mval ORDER BY i) AS c FROM m{n} GROUP BY cid
+        ), c{n + 1} AS MATERIALIZED (
+            SELECT p.cid,
+                   list_transform(COALESCE(l.c, p.c), e -> e /
+                       CASE WHEN sqrt(list_inner_product(COALESCE(l.c, p.c),
+                                                         COALESCE(l.c, p.c))) = 0 THEN 1
+                            ELSE sqrt(list_inner_product(COALESCE(l.c, p.c),
+                                                         COALESCE(l.c, p.c))) END) AS c
+            FROM c{n} p LEFT JOIN l{n} l USING (cid)
+        )""")
+    return "".join(sql)
+
+
+def _ivf_sql(n_queries: int = 10, k: int = 5, n_centroids: int = 64,
+             nprobe: int = 8, iters: int = 8,
+             train_sample: int = 4096) -> str:
+    """IVF-Flat ANN replayed exactly in DuckDB (graduates the gate's
+    ``ann_ivf_topk`` row from rows-only): the shared init='first' Lloyd
+    prefix, per-query top-``nprobe`` cells by normalized centroid dot
+    (row_number DESC, cid ASC == np.argsort tie discipline on this data),
+    corpus cell assignment by argmax, then exact cosine top-k within the
+    probed union — the same ranked-output shape as the ``cosine_topk``
+    oracle, self-hits excluded."""
+    prefix = _lloyd_sql_prefix(n_centroids, iters, train_sample)
+    return prefix + f""", qc AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_inner_product(q.vn, c.c) DESC,
+                                    c.cid) AS rn
+                FROM (SELECT vec_id, vn FROM xn
+                      WHERE vec_id < {n_queries}) q, c{iters} c
+            ) WHERE rn <= {nprobe}
+        ), cells AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT xn.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY xn.vec_id
+                           ORDER BY list_inner_product(xn.vn, c.c) DESC,
+                                    c.cid) AS rn
+                FROM xn, c{iters} c
+            ) WHERE rn = 1
+        ), scored AS (
+            SELECT qc.vec_id AS query_id, ce.vec_id AS neighbor_id,
+                   list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])
+                   ) AS score
+            FROM qc
+            JOIN cells ce ON ce.cid = qc.cid
+            JOIN embeddings q ON q.vec_id = qc.vec_id
+            JOIN embeddings c ON c.vec_id = ce.vec_id
+            WHERE ce.vec_id <> qc.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+    """
 
 
 def _semdedup_sql(n_clusters: int = 32, threshold: str = "0.3e0",
@@ -1464,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
     d["distinct_stats_hll"] = _hll_sql()
     d["semdedup_docs"] = _semdedup_sql()
     d["event_value_quantiles_sketch"] = _quantile_sketch_sql()
+    d["ann_ivf_topk"] = _ivf_sql()
     # MOSS-style winnowing-overlap join: the doc_fingerprints winnowing CTE
     # (md5_number_lower basis, rightmost-tie window minima, small-doc
     # single-fingerprint branch) reduced to DISTINCT fingerprint VALUES per

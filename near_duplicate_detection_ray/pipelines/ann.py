@@ -461,7 +461,7 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
 
 def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_centroids: int = 64,
                  nprobe: int = 8, seed: int = 42, kmeans_iters: int = 8,
-                 train_sample: int = 4096):
+                 train_sample: int = 4096, init: str = "random"):
     """IVF-Flat ANN (the classic inverted-file index, public knowledge):
 
     1. TRAIN: seeded spherical k-means over a bounded corpus sample (the
@@ -484,7 +484,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_centroids: int 
     import ray
 
     centroids = _train_quantizer(sf_dir, n_centroids, kmeans_iters, seed,
-                                 train_sample)
+                                 train_sample, init=init)
     n_cells = len(centroids)
     nprobe_eff = min(nprobe, n_cells)
 
