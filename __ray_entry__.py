@@ -1374,50 +1374,8 @@ def _semdedup_sql(n_clusters: int = 32, threshold: str = "0.3e0",
     ASC) rank order carrying the kept-id list, with the kept-vs-candidate
     max cosine read from a precomputed within-cluster pairwise table.
     Engine parity verified bit-exact at sf0.001 and sf0.01."""
-    sql = [f"""
-        WITH RECURSIVE x AS MATERIALIZED (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ), xn AS MATERIALIZED (
-            SELECT vec_id,
-                   list_transform(v, e -> e /
-                       CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1
-                            ELSE sqrt(list_inner_product(v, v)) END) AS vn
-            FROM x
-        ), tr AS MATERIALIZED (
-            SELECT vec_id, vn FROM xn WHERE vec_id < {train_sample}
-        ), init AS MATERIALIZED (
-            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-            FROM tr ORDER BY vec_id LIMIT {n_clusters}
-        ), trainexp AS MATERIALIZED (
-            SELECT vec_id, unnest(generate_series(0, len(vn) - 1)) AS i,
-                   unnest(vn) AS val
-            FROM tr
-        ), c0 AS MATERIALIZED (
-            SELECT init.cid, tr.vn AS c FROM init JOIN tr USING (vec_id)
-        )"""]
-    for n in range(iters):
-        sql.append(f""", a{n} AS MATERIALIZED (
-            SELECT vec_id, cid FROM (
-                SELECT t.vec_id, c.cid,
-                       row_number() OVER (PARTITION BY t.vec_id
-                           ORDER BY list_inner_product(t.vn, c.c) DESC, c.cid) AS rn
-                FROM tr t, c{n} c
-            ) WHERE rn = 1
-        ), m{n} AS MATERIALIZED (
-            SELECT a.cid, e.i, sum(e.val) / count(*) AS mval
-            FROM a{n} a JOIN trainexp e USING (vec_id)
-            GROUP BY a.cid, e.i
-        ), l{n} AS MATERIALIZED (
-            SELECT cid, list(mval ORDER BY i) AS c FROM m{n} GROUP BY cid
-        ), c{n + 1} AS MATERIALIZED (
-            SELECT p.cid,
-                   list_transform(COALESCE(l.c, p.c), e -> e /
-                       CASE WHEN sqrt(list_inner_product(COALESCE(l.c, p.c),
-                                                         COALESCE(l.c, p.c))) = 0 THEN 1
-                            ELSE sqrt(list_inner_product(COALESCE(l.c, p.c),
-                                                         COALESCE(l.c, p.c))) END) AS c
-            FROM c{n} p LEFT JOIN l{n} l USING (cid)
-        )""")
+    sql = [_lloyd_sql_prefix(n_clusters, iters, train_sample,
+                             recursive=True)]
     sql.append(f""", asg AS MATERIALIZED (
             SELECT vec_id, cid AS cluster, sim AS csim FROM (
                 SELECT xn.vec_id, c.cid,
