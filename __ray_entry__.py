@@ -693,7 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_dup_convs": _shuffled_dup_convs,              # SQL-checked (order-insensitive multiset dedup)
         # --- similarity search over embeddings ---
         "ann_cosine_topk": ann.cosine_topk,                    # SQL-checked
-        "ann_lsh_topk": ann.ann_lsh_topk,                      # rows-only (approximate)
+        "ann_lsh_topk": _ann_lsh_docs,                         # SQL-checked (splitmix hyperplane replay + H<=2 probe + exact cosine)
         "ann_ivf_topk": _ann_ivf_docs,                         # SQL-checked (init='first' Lloyd replay + probe + exact cosine top-k)
         "ann_filtered_topk": ann.ann_filtered_topk,            # SQL-checked (label-filtered exact search)
         "semdedup_docs": _semdedup_docs,                       # SQL-checked (Forgy init + 8 Lloyd steps + recursive greedy prune)
@@ -1236,6 +1236,14 @@ def _lang_id_sql() -> str:
     """
 
 
+def _ann_lsh_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines import ann
+
+    # splitmix hyperplane basis is the SQL-replayable variant (see
+    # _lsh_ann_sql); the PCG64 Gaussian default stays the library basis
+    return ann.ann_lsh_topk(sf_dir, basis="splitmix")
+
+
 def _ann_ivf_docs(sf_dir: str):
     from near_duplicate_detection_ray.pipelines import ann
 
@@ -1352,6 +1360,96 @@ def _ivf_sql(n_queries: int = 10, k: int = 5, n_centroids: int = 64,
             JOIN embeddings q ON q.vec_id = qc.vec_id
             JOIN embeddings c ON c.vec_id = ce.vec_id
             WHERE ce.vec_id <> qc.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+    """
+
+
+def _lsh_ann_sql(n_queries: int = 10, k: int = 5, n_planes: int = 8,
+                 n_tables: int = 6, dim: int = 64) -> str:
+    """Multi-table hyperplane LSH ANN replayed exactly in DuckDB
+    (graduates the gate's ``ann_lsh_topk`` row from rows-only): the
+    splitmix64 counter stream is replayed in HUGEINT (32-bit-halves
+    wraparound multiplies, xor-shifts via // — the CMS-oracle
+    machinery) and mapped to the identical uniform [-1, 1) hyperplane
+    weights ((h >> 11) * 2^-53 * 2 - 1, every float op in engine
+    order); codes are per-table sign bits of the raw-vector dots;
+    candidates are pairs whose codes match within Hamming <= 2 in ANY
+    table (== the engine's multiprobe set), scored by exact cosine and
+    ranked (score DESC, neighbor ASC) with self-hits excluded."""
+    W = 18446744073709551616  # 2^64
+    H32 = 4294967296
+
+    def mulwrap(z: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (f"(({z} % {H32}) * {lo} + ((({z} % {H32}) * {hi} + "
+                f"({z} // {H32}) * {lo}) % {H32}) * {H32}) % {W}")
+
+    def xshift(z: str, shift: int) -> str:
+        return (f"CAST(xor(CAST({z} AS UBIGINT), "
+                f"CAST({z} // {1 << shift} AS UBIGINT)) AS HUGEINT)")
+
+    n_idx = n_tables * dim * n_planes
+    db = dim * n_planes
+    return f"""
+        WITH pidx AS (
+            SELECT unnest(generate_series(0, {n_idx - 1})) AS i
+        ), pl0 AS MATERIALIZED (
+            SELECT i, (CAST(i AS HUGEINT) + 11400714819323198485) % {W} AS z
+            FROM pidx
+        ), pl1 AS MATERIALIZED (
+            SELECT i, {xshift('z', 30)} AS z FROM pl0
+        ), pl2 AS MATERIALIZED (
+            SELECT i, {mulwrap('z', 0xBF58476D1CE4E5B9)} AS z FROM pl1
+        ), pl3 AS MATERIALIZED (
+            SELECT i, {xshift('z', 27)} AS z FROM pl2
+        ), pl4 AS MATERIALIZED (
+            SELECT i, {mulwrap('z', 0x94D049BB133111EB)} AS z FROM pl3
+        ), pl5 AS MATERIALIZED (
+            SELECT i, {xshift('z', 31)} AS h FROM pl4
+        ), planes AS MATERIALIZED (
+            SELECT CAST(i // {db} AS BIGINT) AS t,
+                   CAST((i % {db}) // {n_planes} AS BIGINT) AS d,
+                   CAST(i % {n_planes} AS BIGINT) AS b,
+                   CAST(h // 2048 AS DOUBLE)
+                       * 1.1102230246251565e-16 * 2e0 - 1e0 AS w
+            FROM pl5
+        ), x AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), xe AS MATERIALIZED (
+            SELECT vec_id, unnest(generate_series(0, len(v) - 1)) AS d,
+                   unnest(v) AS xv
+            FROM x
+        ), dots AS MATERIALIZED (
+            SELECT e.vec_id, p.t, p.b, sum(e.xv * p.w) AS dp
+            FROM xe e JOIN planes p ON p.d = e.d
+            GROUP BY e.vec_id, p.t, p.b
+        ), codes AS MATERIALIZED (
+            SELECT vec_id, t,
+                   CAST(sum(CASE WHEN dp > 0 THEN 1 << b ELSE 0 END)
+                        AS BIGINT) AS code
+            FROM dots GROUP BY vec_id, t
+        ), cand AS MATERIALIZED (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM codes q JOIN codes c ON q.t = c.t
+             AND bit_count(CAST(xor(CAST(q.code AS UBIGINT),
+                                    CAST(c.code AS UBIGINT))
+                                AS BIGINT)) <= 2
+            WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+        ), scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])
+                   ) AS score
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
         ), ranked AS (
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
@@ -1538,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
     d["semdedup_docs"] = _semdedup_sql()
     d["event_value_quantiles_sketch"] = _quantile_sketch_sql()
     d["ann_ivf_topk"] = _ivf_sql()
+    d["ann_lsh_topk"] = _lsh_ann_sql()
     # MOSS-style winnowing-overlap join: the doc_fingerprints winnowing CTE
     # (md5_number_lower basis, rightmost-tie window minima, small-doc
     # single-fingerprint branch) reduced to DISTINCT fingerprint VALUES per

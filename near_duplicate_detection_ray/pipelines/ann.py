@@ -107,7 +107,7 @@ def cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
 
 
 def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8,
-                 n_tables: int = 6, seed: int = 42):
+                 n_tables: int = 6, seed: int = 42, basis: str = "normal"):
     """LSH-bucketed ANN (scale path): MULTI-TABLE random-hyperplane LSH —
     ``n_tables`` independent sign signatures of ``n_planes`` bits; a corpus
     vector is scanned iff its code matches the query's code within Hamming 1
@@ -119,10 +119,24 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8
     so no SQL oracle (rows-only check + recall unit test vs exact)."""
     import ray
 
-    rng = np.random.default_rng(seed)
     first = _read_emb(sf_dir, ["embedding"]).limit(1).to_pandas()
     dim = len(first["embedding"].iloc[0])
-    planes = rng.standard_normal((n_tables, dim, n_planes))
+    if basis == "splitmix":
+        # SQL-replayable hyperplanes: uniform [-1, 1) deviates from the
+        # splitmix64 counter stream ((h >> 11) * 2^-53 * 2 - 1) — sign
+        # hyperplane LSH only needs a symmetric continuous direction
+        # distribution, and splitmix64 replays exactly in HUGEINT SQL
+        # (the CMS-oracle precedent), which graduates the gate entry from
+        # rows-only.  The default PCG64 Gaussian basis stays for library
+        # use and keeps the recall pins.
+        from ..functions.hashing import splitmix64
+
+        idx = np.arange(n_tables * dim * n_planes, dtype=np.uint64)
+        u = (splitmix64(idx) >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+        planes = (u * 2.0 - 1.0).reshape(n_tables, dim, n_planes)
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, dim, n_planes))
     planes_ref = ray.put(planes)
 
     def codes_for(mat: np.ndarray, pl: np.ndarray) -> np.ndarray:

@@ -15,15 +15,15 @@ def test_inventory_consistency():
     assert set(o) <= set(q), f"oracles without queries: {sorted(set(o) - set(q))}"
     rows_only = sorted(set(q) - set(o))
     assert rows_only == [
-        "ann_lsh_topk",            # approximate ANN (recall pytest-pinned)
         "ann_nsw_topk",            # graph ANN (ef>=shard == exact pinned)
         "ann_pq_topk",             # PQ/ADC ANN (full-refine equality + recall pinned)
     ], rows_only  # event_type_counts_cms, dup_kcore, media_cdc_dedup,
     # distinct_stats_hll, semdedup_docs, event_value_quantiles_sketch and
     # (round 4) ann_ivf_topk (init='first' Lloyd replay + probe + exact
-    # cosine top-k) graduated to exact SQL replay; the RNG-basis ANN
-    # entries (LSH hyperplanes, PQ codebooks, NSW beam) are the only
-    # rows-only queries left
+    # cosine top-k) plus ann_lsh_topk (splitmix hyperplane replay in
+    # HUGEINT + Hamming<=2 probe) graduated to exact SQL replay; only the
+    # PQ codebook (PCG64 subspace k-means) and the NSW beam remain
+    # rows-only
     for name, fn in q.items():
         assert callable(fn), name
     for name, sql in o.items():
