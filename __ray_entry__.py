@@ -705,7 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": ann.label_centroids,                # SQL-checked (vector agg)
         "label_coherence": ann.label_coherence,                # SQL-checked (cluster-tightness census)
         "quantize_embeddings": ann.quantize_embeddings,        # SQL-checked (int8 scalar quantization)
-        "ann_pq_topk": ann.ann_pq_topk,                        # rows-only (PQ+ADC; full-refine==exact pinned in pytest)
+        "ann_pq_topk": _ann_pq_docs,                           # SQL-checked (init='first' subspace Lloyd + ADC + global two-pass refine)
         "ann_nsw_topk": ann.ann_nsw_topk,                      # rows-only (sharded NSW graph ANN; ef>=shard==exact pinned in pytest)
         "label_quality_join": ann.label_quality_join,          # SQL-checked (cross-table feature join)
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
@@ -1236,6 +1236,15 @@ def _lang_id_sql() -> str:
     """
 
 
+def _ann_pq_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines import ann
+
+    # deterministic=True: init='first' codebooks + global two-pass refine
+    # (the per-block argpartition refine is block-boundary-dependent and
+    # could never hash-match); PCG64 codebooks stay the library default
+    return ann.ann_pq_topk(sf_dir, deterministic=True)
+
+
 def _ann_lsh_docs(sf_dir: str):
     from near_duplicate_detection_ray.pipelines import ann
 
@@ -1460,6 +1469,115 @@ def _lsh_ann_sql(n_queries: int = 10, k: int = 5, n_planes: int = 8,
     """
 
 
+def _pq_sql(n_queries: int = 10, k: int = 5, m_sub: int = 8,
+            n_codes: int = 16, refine: int = 64, iters: int = 8,
+            train_sample: int = 4096, dim: int = 64) -> str:
+    """Product-quantization ANN replayed exactly in DuckDB (graduates the
+    gate's ``ann_pq_topk`` row from rows-only): init='first' EUCLIDEAN
+    Lloyd per subspace carried as one (s, cid)-keyed CTE chain (argmin by
+    ``-2*dot + |c|^2`` with row_number tie-break = np.argmin first-min,
+    dead cells keep their centroid, NO renormalization), corpus codes by
+    the same argmin, ADC approx = sum over subspaces of the
+    (query, s, code) lookup dots, GLOBAL top-``refine`` per query by
+    (approx DESC, vec_id ASC) — the engine's deterministic two-pass
+    variant — then exact cosine rank over the refine set, self excluded."""
+    sd = dim // m_sub
+    sql = [f"""
+        WITH x AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), xn AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(v, e -> e /
+                       CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1
+                            ELSE sqrt(list_inner_product(v, v)) END) AS vn
+            FROM x
+        ), subexp AS MATERIALIZED (
+            SELECT vec_id, i // {sd} AS s, i % {sd} AS j, val FROM (
+                SELECT vec_id, unnest(generate_series(0, len(vn) - 1)) AS i,
+                       unnest(vn) AS val
+                FROM xn
+            )
+        ), subv AS MATERIALIZED (
+            SELECT vec_id, s, list(val ORDER BY j) AS sv
+            FROM subexp GROUP BY vec_id, s
+        ), init AS MATERIALIZED (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM xn WHERE vec_id < {train_sample}
+            ORDER BY vec_id LIMIT {n_codes}
+        ), c0 AS MATERIALIZED (
+            SELECT sv.s, init.cid, sv.sv AS c
+            FROM init JOIN subv sv USING (vec_id)
+        )"""]
+    for n in range(iters):
+        sql.append(f""", a{n} AS MATERIALIZED (
+            SELECT vec_id, s, cid FROM (
+                SELECT t.vec_id, t.s, c.cid,
+                       row_number() OVER (PARTITION BY t.vec_id, t.s
+                           ORDER BY -2e0 * list_inner_product(t.sv, c.c)
+                                    + list_inner_product(c.c, c.c) ASC,
+                                    c.cid ASC) AS rn
+                FROM (SELECT * FROM subv WHERE vec_id < {train_sample}) t
+                JOIN c{n} c ON c.s = t.s
+            ) WHERE rn = 1
+        ), m{n} AS MATERIALIZED (
+            SELECT a.s, a.cid, e.j, sum(e.val) / count(*) AS mval
+            FROM a{n} a
+            JOIN subexp e ON e.vec_id = a.vec_id AND e.s = a.s
+            GROUP BY a.s, a.cid, e.j
+        ), l{n} AS MATERIALIZED (
+            SELECT s, cid, list(mval ORDER BY j) AS c
+            FROM m{n} GROUP BY s, cid
+        ), c{n + 1} AS MATERIALIZED (
+            SELECT p.s, p.cid, COALESCE(l.c, p.c) AS c
+            FROM c{n} p LEFT JOIN l{n} l ON l.s = p.s AND l.cid = p.cid
+        )""")
+    sql.append(f""", codes AS MATERIALIZED (
+            SELECT vec_id, s, cid AS code FROM (
+                SELECT v.vec_id, v.s, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id, v.s
+                           ORDER BY -2e0 * list_inner_product(v.sv, c.c)
+                                    + list_inner_product(c.c, c.c) ASC,
+                                    c.cid ASC) AS rn
+                FROM subv v JOIN c{iters} c ON c.s = v.s
+            ) WHERE rn = 1
+        ), lut AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, c.s, c.cid,
+                   list_inner_product(q.sv, c.c) AS dp
+            FROM (SELECT * FROM subv WHERE vec_id < {n_queries}) q
+            JOIN c{iters} c ON c.s = q.s
+        ), approx AS MATERIALIZED (
+            SELECT l.query_id, co.vec_id, sum(l.dp) AS approx
+            FROM codes co
+            JOIN lut l ON l.s = co.s AND l.cid = co.code
+            GROUP BY l.query_id, co.vec_id
+        ), ref AS MATERIALIZED (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx DESC, vec_id ASC) AS rn
+                FROM approx
+            ) WHERE rn <= {refine}
+        ), scored AS (
+            SELECT r.query_id, r.vec_id AS neighbor_id,
+                   list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])
+                   ) AS score
+            FROM ref r
+            JOIN embeddings q ON q.vec_id = r.query_id
+            JOIN embeddings c ON c.vec_id = r.vec_id
+            WHERE r.vec_id <> r.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+    """)
+    return "".join(sql)
+
+
 def _semdedup_sql(n_clusters: int = 32, threshold: str = "0.3e0",
                   iters: int = 8, train_sample: int = 4096) -> str:
     """SemDeDup replayed exactly in DuckDB (graduates ``semdedup_docs`` from
@@ -1637,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
     d["event_value_quantiles_sketch"] = _quantile_sketch_sql()
     d["ann_ivf_topk"] = _ivf_sql()
     d["ann_lsh_topk"] = _lsh_ann_sql()
+    d["ann_pq_topk"] = _pq_sql()
     # MOSS-style winnowing-overlap join: the doc_fingerprints winnowing CTE
     # (md5_number_lower basis, rightmost-tie window minima, small-doc
     # single-fingerprint branch) reduced to DISTINCT fingerprint VALUES per

@@ -1118,15 +1118,19 @@ def label_quality_join(sf_dir: str, num_partitions: int | None = None):
 
 
 def _kmeans_plain(mat: np.ndarray, n_centroids: int, iters: int,
-                  seed: int) -> np.ndarray:
+                  seed: int, init: str = "random") -> np.ndarray:
     """Seeded EUCLIDEAN k-means (Lloyd) — the PQ sub-quantizer train step
     (sub-vectors of L2-normalized rows are not themselves unit vectors, so
     the spherical variant does not apply).  Deterministic; empty cells keep
-    their previous centroid."""
-    rng = np.random.default_rng(seed)
+    their previous centroid.  ``init="first"`` is the SQL-expressible Forgy
+    rule (see ``_kmeans_centroids``)."""
     n_centroids = min(n_centroids, len(mat))
-    init = np.sort(rng.choice(len(mat), size=n_centroids, replace=False))
-    c = mat[init].copy()
+    if init == "first":
+        idx = np.arange(n_centroids)
+    else:
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(len(mat), size=n_centroids, replace=False))
+    c = mat[idx].copy()
     for _ in range(iters):
         # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
         d = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
@@ -1141,7 +1145,8 @@ def _kmeans_plain(mat: np.ndarray, n_centroids: int, iters: int,
 
 def ann_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m_sub: int = 8,
                 n_codes: int = 16, refine: int = 64, seed: int = 42,
-                kmeans_iters: int = 8, train_sample: int = 4096):
+                kmeans_iters: int = 8, train_sample: int = 4096,
+                deterministic: bool = False):
     """PRODUCT-QUANTIZATION ANN (Jegou et al., public knowledge) with
     asymmetric distance + exact refine — the memory-bound scale path of the
     ANN family (8 bytes/vector here vs 256 for raw float32[64]):
@@ -1179,6 +1184,7 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m_sub: int = 8,
             _kmeans_plain(
                 t_mat[:, s * sub_d:(s + 1) * sub_d], n_codes, kmeans_iters,
                 seed + s,
+                init="first" if deterministic else "random",
             )
             for s in range(m_sub)
         ]
@@ -1198,6 +1204,117 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5, m_sub: int = 8,
         "qsd,scd->qsc", q_norm.reshape(len(q_norm), m_sub, sub_d), codebooks
     )
     state_ref = ray.put((q_ids, q_mat, lut, codebooks))
+
+    if deterministic:
+        # SQL-replayable two-pass variant (gate path): the default per-block
+        # argpartition refine is BLOCK-BOUNDARY-DEPENDENT (each block keeps
+        # its own top-``refine`` ADC candidates) and tie-unstable, so it can
+        # never hash-match an oracle.  Pass 1 emits per-block ADC partials
+        # ordered (approx DESC, vec_id ASC) and the driver keeps the GLOBAL
+        # top-``refine`` per query (bounded: n_queries x refine x n_blocks
+        # partial rows); pass 2 exactly cosine-scores only the refine set.
+        def block_adc(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "approx": pa.array([], pa.float64())}
+            )
+            if batch.num_rows == 0:
+                return empty
+            ids, _qm, lut_, cbs = ray.get(state_ref)
+            corpus = _emb_matrix(batch)
+            vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            cn = _normalize_rows(corpus)
+            n, ms, sd = len(cn), cbs.shape[0], cbs.shape[2]
+            sub = cn.reshape(n, ms, sd)
+            codes = np.empty((n, ms), dtype=np.int64)
+            for s in range(ms):
+                dist = -2.0 * (sub[:, s, :] @ cbs[s].T) + (
+                    cbs[s] * cbs[s]
+                ).sum(axis=1)[None, :]
+                codes[:, s] = np.argmin(dist, axis=1)
+            out_q, out_v, out_a = [], [], []
+            r = min(refine, n)
+            for qi in range(len(ids)):
+                approx = lut_[qi][
+                    np.arange(ms)[None, :], codes
+                ].sum(axis=1)
+                order = np.lexsort((vec_ids, -approx))[:r]
+                out_q.extend([int(ids[qi])] * len(order))
+                out_v.extend(vec_ids[order].tolist())
+                out_a.extend(approx[order].tolist())
+            return pa.table(
+                {"query_id": pa.array(out_q, pa.int64()),
+                 "vec_id": pa.array(out_v, pa.int64()),
+                 "approx": pa.array(out_a, pa.float64())}
+            )
+
+        adc = (
+            _read_emb(sf_dir, ["vec_id", "embedding"])
+            .map_batches(block_adc, batch_format="pyarrow", batch_size=4096)
+            .to_pandas()
+        )
+        adc = adc.sort_values(
+            ["query_id", "approx", "vec_id"],
+            ascending=[True, False, True],
+        )
+        refine_set = adc.groupby("query_id", sort=True).head(refine)
+        ref_ids = {
+            int(q): set(g["vec_id"].tolist())
+            for q, g in refine_set.groupby("query_id")
+        }
+        ref_ref = ray.put(ref_ids)
+
+        def block_exact(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+            if batch.num_rows == 0:
+                return empty
+            ids, qm, _lut, _cbs = ray.get(state_ref)
+            rids = ray.get(ref_ref)
+            corpus = _emb_matrix(batch)
+            vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(ids)):
+                mask = np.isin(vec_ids, list(rids.get(int(ids[qi]), ())))
+                if not mask.any():
+                    continue
+                sub_ids = vec_ids[mask]
+                scores, idx = cosine_topk_block(
+                    qm[qi : qi + 1], corpus[mask],
+                    min(k + 1, int(mask.sum())),
+                )
+                for j in range(idx.shape[1]):
+                    out_q.append(int(ids[qi]))
+                    out_n.append(int(sub_ids[idx[0, j]]))
+                    out_s.append(float(scores[0, j]))
+            return pa.table(
+                {"query_id": pa.array(out_q, pa.int64()),
+                 "neighbor_id": pa.array(out_n, pa.int64()),
+                 "score": pa.array(out_s, pa.float64())}
+            )
+
+        partials = (
+            _read_emb(sf_dir, ["vec_id", "embedding"])
+            .map_batches(block_exact, batch_format="pyarrow",
+                         batch_size=4096)
+            .to_pandas()
+        )
+        partials = partials[partials["query_id"] != partials["neighbor_id"]]
+        partials = partials.sort_values(
+            ["query_id", "score", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        topk = partials.groupby("query_id", sort=True).head(k).copy()
+        topk["rank"] = topk.groupby("query_id").cumcount() + 1
+        import ray.data as rd
+
+        return rd.from_pandas(
+            topk[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+        )
 
     pq_schema = pa.schema(
         [("query_id", pa.int64()), ("neighbor_id", pa.int64()),

@@ -16,14 +16,14 @@ def test_inventory_consistency():
     rows_only = sorted(set(q) - set(o))
     assert rows_only == [
         "ann_nsw_topk",            # graph ANN (ef>=shard == exact pinned)
-        "ann_pq_topk",             # PQ/ADC ANN (full-refine equality + recall pinned)
     ], rows_only  # event_type_counts_cms, dup_kcore, media_cdc_dedup,
     # distinct_stats_hll, semdedup_docs, event_value_quantiles_sketch and
-    # (round 4) ann_ivf_topk (init='first' Lloyd replay + probe + exact
-    # cosine top-k) plus ann_lsh_topk (splitmix hyperplane replay in
-    # HUGEINT + Hamming<=2 probe) graduated to exact SQL replay; only the
-    # PQ codebook (PCG64 subspace k-means) and the NSW beam remain
-    # rows-only
+    # (round 4) ann_ivf_topk (init='first' Lloyd replay), ann_lsh_topk
+    # (splitmix hyperplanes in HUGEINT + Hamming<=2 probe) and
+    # ann_pq_topk (init='first' subspace Lloyd + ADC + deterministic
+    # global two-pass refine) graduated to exact SQL replay; only the NSW
+    # sequential beam search — a graph traversal SQL genuinely cannot
+    # express — remains rows-only, with its ef>=shard==exact pin
     for name, fn in q.items():
         assert callable(fn), name
     for name, sql in o.items():
