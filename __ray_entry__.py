@@ -422,11 +422,11 @@ _GATE_WINDOW_FIRST = [
     "normalize_docs",
     "keyword_search_indexed",
     "bm25_search_docs",
-    "mask_tokens_docs",
-    "curriculum_order_docs",
     "prepare_training_docs",
     "dup_jaccard_histogram",
-    "source_distinctive_terms",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
 ]
 # Round-4 rotation (verdict item #10): the flagship first-30 stays fixed;
 # the back 20 rotated to 19 queries never driver-checked before (the bbit
@@ -436,7 +436,12 @@ _GATE_WINDOW_FIRST = [
 # conversation-structure dedup family, both newly SQL-graduated
 # operators, the persisted-index search path, and the training-prep
 # composition), plus the kept semdedup_docs whose fresh SQL oracle needs
-# its first green driver row.  Rotated-out entries
+# its first green driver row.  Late-round swap: the three newly
+# SQL-graduated ANN entries (ivf/lsh/pq — previously rows-only driver
+# checks) replace mask_tokens/curriculum_order/source_distinctive so all
+# six round-4 oracle graduations are driver-visible; the never-checked
+# count stays >= 15 (the swapped-out trio remains sweep + pytest
+# pinned).  Rotated-out entries
 # (curate/decontaminate family, token/chunk/pack/quality/lang/epoch,
 # embedding_dup_pairs, ann_cosine/filtered, dedup_report_docs,
 # media_cdc_dedup, dup_turn_windows, conv_prefix_dups, shuffled_dup_convs)
