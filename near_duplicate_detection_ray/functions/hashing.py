@@ -31,6 +31,59 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> U64(31))
 
 
+def md5_hex_column(arr) -> "pa.Array":
+    """md5 hexdigest per row of a string Arrow array, fed straight from the
+    Arrow utf-8 data buffer (memoryview slices; no per-row ``str``/``bytes``
+    materialization).  md5 itself is inherently per-row — this strips
+    everything else.  Shared by the documents adapter, the flagship assemble
+    stage, and turn-level hashing (round-4 verdict items #1/#3)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.string())
+    off = arr.offset
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=odt)[off : off + n + 1]
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    return pa.array(
+        [md5(mv[offsets[i] : offsets[i + 1]]).hexdigest() for i in range(n)],
+        pa.string(),
+    )
+
+
+def md5_low64_column(arr) -> np.ndarray:
+    """``md5_low64`` per row of a string Arrow array via buffer slices —
+    the uint64 twin of :func:`md5_hex_column` (same DuckDB
+    ``md5_number_lower`` parity as :func:`md5_low64`)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off = arr.offset
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=odt)[off : off + n + 1]
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    ib = int.from_bytes
+    return np.fromiter(
+        (
+            ib(md5(mv[offsets[i] : offsets[i + 1]]).digest()[8:], "little")
+            for i in range(n)
+        ),
+        dtype=np.uint64,
+        count=n,
+    )
+
+
 def md5_low64(data: bytes | str) -> int:
     """Low 64 bits of MD5 — bit-identical to DuckDB's ``md5_number_lower``
     (verified: DuckDB's "lower" is bytes 8..16 of the digest, little-endian).

@@ -56,6 +56,64 @@ def normalize_text(text: str) -> str:
     return t
 
 
+# Python's ``\s`` restricted to ASCII — the RE2 char class used by the Arrow
+# fast path below.  [\t\n\x0b\f\r\x1c-\x1f ] is exactly the set of ASCII chars
+# ``\s`` matches, so on pure-ASCII rows the Arrow kernel is bit-identical to
+# ``normalize_text`` (NFC is the identity on ASCII; ``utf8_lower`` matches
+# ``str.lower`` on ASCII).  Pinned in tests/test_text.py.
+_ASCII_WS_RE2 = "[\\t\\n\\x0b\\f\\r\\x1c-\\x1f ]+"
+
+
+def normalize_column(arr):
+    """Vectorized :func:`normalize_text` over a string Arrow array.
+
+    ASCII rows (the overwhelming majority of transcript text) ride
+    ``utf8_lower`` + ONE RE2 whitespace-collapse + ``utf8_trim``; rows
+    containing any non-ASCII byte fall back to the scalar ``normalize_text``
+    (NFC / Unicode casing / Unicode whitespace can all diverge from the Arrow
+    kernels there).  Shared by the documents adapter and the flagship
+    assemble stage (round-4 verdict item #1)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.string())
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.utf8_lower(arr), pattern=_ASCII_WS_RE2, replacement=" "
+        ),
+        characters=" ",
+    )
+    ascii_mask = pc.equal(pc.utf8_length(arr), pc.binary_length(arr))
+    if not pc.all(ascii_mask).as_py():
+        am = ascii_mask.to_numpy(zero_copy_only=False)
+        raw = arr.to_pylist()
+        out = norm.to_pylist()
+        for i in np.flatnonzero(~am):
+            out[i] = normalize_text(raw[i])
+        norm = pa.array(out, pa.string())
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    return norm
+
+
+def token_count_normalized_column(norm):
+    """Whitespace-token count per row of ALREADY-normalized text (single-space
+    separated, trimmed): 0 for empty, else space-count + 1 — exactly
+    ``len(tokenize(row))``.  int32 Arrow array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    counts = pc.add(pc.count_substring(norm, " "), 1)
+    return pc.if_else(
+        pc.equal(pc.binary_length(norm), 0), pa.scalar(0, pa.int64()), counts
+    ).cast(pa.int32())
+
+
 def tokenize(normalized: str) -> list[str]:
     """Whitespace tokens of already-normalized text.
 

@@ -55,40 +55,22 @@ def _read_docs(sf_dir: str, columns=None):
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _md5_hex_column(arr: pa.Array) -> pa.Array:
-    """md5 hexdigest per row, fed straight from the Arrow utf-8 data buffer
-    (memoryview slices; no per-row ``str``/``bytes`` materialization).  md5
-    itself is inherently per-row — this strips everything else."""
-    import hashlib
-
-    n = len(arr)
-    if n == 0:
-        return pa.array([], pa.string())
-    off = arr.offset
-    bufs = arr.buffers()
-    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-    offsets = np.frombuffer(bufs[1], dtype=odt)[off : off + n + 1]
-    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-    md5 = hashlib.md5
-    return pa.array(
-        [md5(mv[offsets[i] : offsets[i + 1]]).hexdigest() for i in range(n)],
-        pa.string(),
-    )
+# Shared buffer-sliced md5 kernel (functions/hashing.py) — kept under the
+# historical private name used throughout this module.
+from ..functions.hashing import md5_hex_column as _md5_hex_column
 
 
 def docs_as_conversations(sf_dir: str):
     """Adapt documents to the conversations schema consumed by the signature
     stage: conv_id (zero-padded doc_id), normalized doc_text, fingerprint.
 
-    Normalization is vectorized for the common case (round-3 verdict item
-    #5): ASCII rows ride ``utf8_lower`` + ONE RE2 whitespace-collapse +
-    ``utf8_trim`` — the explicit char class ``[\\t\\n\\x0b\\f\\r\\x1c-\\x1f ]``
-    is exactly Python's ``\\s`` restricted to ASCII, so the kernel is
-    bit-identical to the scalar ``normalize_text`` there (pinned in tests).
-    Rows containing non-ASCII fall back to the scalar per row (NFC /
-    Unicode casing / Unicode whitespace can all diverge from the Arrow
-    kernels on those)."""
-    _ASCII_WS = "[\\t\\n\\x0b\\f\\r\\x1c-\\x1f ]+"
+    Normalization rides the shared ASCII-fast-path kernel
+    ``functions.text.normalize_column`` (round-3 verdict item #5; factored
+    out in round 5 so the flagship assemble stage shares it): ASCII rows get
+    ``utf8_lower`` + ONE RE2 whitespace-collapse + ``utf8_trim``, bit-identical
+    to the scalar ``normalize_text`` (pinned in tests); rows containing
+    non-ASCII fall back to the scalar per row."""
+    from ..functions.text import normalize_column
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -98,28 +80,12 @@ def docs_as_conversations(sf_dir: str):
         ids = pc.utf8_lpad(
             pc.cast(batch["doc_id"], pa.string()), width=12, padding="0"
         )
-        norm = pc.utf8_trim(
-            pc.replace_substring_regex(
-                pc.utf8_lower(text), pattern=_ASCII_WS, replacement=" "
-            ),
-            characters=" ",
-        )
-        ascii_mask = pc.equal(pc.utf8_length(text), pc.binary_length(text))
-        if n and not pc.all(ascii_mask).as_py():
-            am = ascii_mask.to_numpy(zero_copy_only=False)
-            raw = text.to_pylist()
-            out = norm.to_pylist()
-            for i in np.flatnonzero(~am):
-                out[i] = normalize_text(raw[i])
-            norm = pa.array(out, pa.string())
+        norm = normalize_column(text)
         return pa.table(
             {
                 "conv_id": ids,
                 "doc_text": norm,
-                "fingerprint": _md5_hex_column(
-                    norm.combine_chunks()
-                    if isinstance(norm, pa.ChunkedArray) else norm
-                ),
+                "fingerprint": _md5_hex_column(norm),
             }
         )
 
