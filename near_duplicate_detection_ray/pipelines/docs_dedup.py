@@ -1089,10 +1089,11 @@ def _dedup_components(sf_dir: str, cfg: NDDConfig | None = None):
 
     # exact-raw-text edges: md5(raw) -> keyed partition -> (min, member) star
     def raw_fp(batch: pa.Table) -> pa.Table:
-        ids = [f"{d:012d}" for d in batch["doc_id"].to_pylist()]
-        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        ids = pc.utf8_lpad(
+            pc.cast(batch["doc_id"], pa.string()), width=12, padding="0"
+        )
         return pa.table(
-            {"conv_id": pa.array(ids, pa.string()), "fp": pa.array(fps, pa.string())}
+            {"conv_id": ids, "fp": _md5_hex_column(batch["text"])}
         )
 
     def star_block(batch: pa.Table) -> pa.Table:

@@ -1324,17 +1324,19 @@ def source_report(sf_dir: str):
     from ..state.partitioning import key_partitioned
 
     def prep(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_hex_column
+
         texts = batch["text"]
-        fps = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts.to_pylist()
-        ]
+        fps = md5_hex_column(
+            texts if isinstance(texts, pa.Array) else pc.cast(texts, pa.string())
+        )
         blank = pc.equal(pc.utf8_trim_whitespace(texts), pa.scalar(""))
         ntok = pc.cast(
             pc.count_substring_regex(texts, pattern=_TOKEN_PAT), pa.int64()
         )
         return pa.table(
             {
-                "h": pa.array(fps, pa.string()),
+                "h": fps,
                 "source": batch["source"],
                 "blank": pc.cast(blank, pa.int64()),
                 "ntok": ntok,
