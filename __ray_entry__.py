@@ -711,7 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_coherence": ann.label_coherence,                # SQL-checked (cluster-tightness census)
         "quantize_embeddings": ann.quantize_embeddings,        # SQL-checked (int8 scalar quantization)
         "ann_pq_topk": _ann_pq_docs,                           # SQL-checked (init='first' subspace Lloyd + ADC + global two-pass refine)
-        "ann_nsw_topk": ann.ann_nsw_topk,                      # rows-only (sharded NSW graph ANN; ef>=shard==exact pinned in pytest)
+        "ann_nsw_topk": _ann_nsw_docs,                         # SQL-checked (NSW prune + guaranteed-exact global threshold refine)
         "label_quality_join": ann.label_quality_join,          # SQL-checked (cross-table feature join)
         # --- multimodal binary-column plumbing (stubbed decode; SQL-checked rollup) ---
         "media_feature_summary": multimodal.media_feature_summary,
@@ -1250,6 +1250,17 @@ def _ann_pq_docs(sf_dir: str):
     return ann.ann_pq_topk(sf_dir, deterministic=True)
 
 
+def _ann_nsw_docs(sf_dir: str):
+    from near_duplicate_detection_ray.pipelines import ann
+
+    # refine="global": the NSW beam's k-th-best score per query becomes a
+    # provable lower bound on the true k-th-best cosine, and a second
+    # streamed threshold pass returns the EXACT top-k — graduating the last
+    # rows-only gate entry to the exact-scan SQL oracle (round-4 verdict
+    # item #3).  The bounded-ef library default keeps its recall pins.
+    return ann.ann_nsw_topk(sf_dir, refine="global")
+
+
 def _ann_lsh_docs(sf_dir: str):
     from near_duplicate_detection_ray.pipelines import ann
 
@@ -1761,6 +1772,11 @@ def oracle_sql() -> dict[str, str]:
     d["ann_ivf_topk"] = _ivf_sql()
     d["ann_lsh_topk"] = _lsh_ann_sql()
     d["ann_pq_topk"] = _pq_sql()
+    # NSW + guaranteed-exact global refine: the graph pass only PRUNES (its
+    # k-th-best found score lower-bounds the true k-th-best), so the output
+    # is the exact cosine top-k and the oracle is the plain exact scan —
+    # same form as ann_cosine_topk, reached via a different engine path
+    d["ann_nsw_topk"] = d["ann_cosine_topk"]
     # MOSS-style winnowing-overlap join: the doc_fingerprints winnowing CTE
     # (md5_number_lower basis, rightmost-tie window minima, small-doc
     # single-fingerprint branch) reduced to DISTINCT fingerprint VALUES per

@@ -14,16 +14,16 @@ def test_inventory_consistency():
     o = e.oracle_sql()
     assert set(o) <= set(q), f"oracles without queries: {sorted(set(o) - set(q))}"
     rows_only = sorted(set(q) - set(o))
-    assert rows_only == [
-        "ann_nsw_topk",            # graph ANN (ef>=shard == exact pinned)
-    ], rows_only  # event_type_counts_cms, dup_kcore, media_cdc_dedup,
-    # distinct_stats_hll, semdedup_docs, event_value_quantiles_sketch and
-    # (round 4) ann_ivf_topk (init='first' Lloyd replay), ann_lsh_topk
-    # (splitmix hyperplanes in HUGEINT + Hamming<=2 probe) and
-    # ann_pq_topk (init='first' subspace Lloyd + ADC + deterministic
-    # global two-pass refine) graduated to exact SQL replay; only the NSW
-    # sequential beam search — a graph traversal SQL genuinely cannot
-    # express — remains rows-only, with its ef>=shard==exact pin
+    assert rows_only == [], rows_only
+    # 252/252 exact SQL oracles: event_type_counts_cms, dup_kcore,
+    # media_cdc_dedup, distinct_stats_hll, semdedup_docs,
+    # event_value_quantiles_sketch graduated in rounds 2-3; round 4 added
+    # ann_ivf_topk (init='first' Lloyd replay), ann_lsh_topk (splitmix
+    # hyperplanes in HUGEINT + Hamming<=2 probe) and ann_pq_topk
+    # (init='first' subspace Lloyd + ADC + deterministic global two-pass
+    # refine); round 5 graduated the last one, ann_nsw_topk, via
+    # refine="global" — the NSW beam prunes, a guaranteed-superset
+    # threshold pass refines, and the output is the exact cosine top-k
     for name, fn in q.items():
         assert callable(fn), name
     for name, sql in o.items():

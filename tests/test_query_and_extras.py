@@ -295,6 +295,29 @@ def test_ann_nsw_full_ef_equals_exact(ray_session):
     )
 
 
+def test_ann_nsw_global_refine_equals_exact(ray_session):
+    """refine="global" (the SQL-graduation mode): the NSW pass only PRUNES —
+    its k-th-best score lower-bounds the true k-th-best cosine — so the
+    threshold-refined output must EQUAL the exact scan at ANY bounded ef,
+    including a deliberately tiny beam."""
+    from near_duplicate_detection_ray.pipelines.ann import (
+        ann_nsw_topk,
+        cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = cosine_topk(sf).to_pandas().reset_index(drop=True)
+    for ef in (8, 48):
+        got = (
+            ann_nsw_topk(sf, ef=ef, refine="global")
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert exact[["query_id", "rank", "neighbor_id"]].equals(
+            got[["query_id", "rank", "neighbor_id"]]
+        ), f"refine mismatch at ef={ef}"
+
+
 def test_ann_nsw_bounded_ef_recall(ray_session):
     """Default bounded beam stays approximate but must keep high recall vs
     the exact scan."""
