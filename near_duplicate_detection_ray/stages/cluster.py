@@ -243,15 +243,27 @@ def kcore_decomposition(edges, max_rounds: int = 10_000):
     a chain is a 1-core), flagging template-explosion neighborhoods that
     union-find alone cannot see.
 
-    Distributed shape per peel round: degrees = one vectorized per-block
-    count partial + tiny combine (degree table rows = surviving vertices,
-    never edges); survivors broadcast as a ``pc.is_in`` mask that filters
-    the edge Dataset — edges stream through every round, the driver only
-    ever holds per-vertex degree partials.  Each round peels ONE cascade
-    wave, so the round count is bounded by the total number of peel waves
-    (a long chain peels two vertices per wave) — exhausting ``max_rounds``
-    before the fixpoint raises rather than returning silently-low core
-    numbers (review fix).  Returns a Dataset ``(node, core)``.
+    Distributed shape (round-4 verdict item #2 — no per-round O(V) driver
+    state): degrees live as a KEYED DATASET (per-block count partial + one
+    hash groupby-sum), never as a driver table or dict.  Each peel wave
+    broadcasts only the FRONTIER — the deg<k nodes, bounded by that wave's
+    removals — via ``ray.put``; edges are filtered by anti-membership
+    against it, and the removed vertices are emitted with ``core = k-1``
+    as small Arrow blocks unioned at the end.  Cascade removals (nodes
+    whose last edge vanished without their degree ever dropping below k)
+    are necessarily NEIGHBORS of the frontier, so the wave collects the
+    frontier's neighborhood, semi-joins it against the new degree Dataset,
+    and emits the absentees — every driver-side set is frontier-sized
+    (worst case: edges incident to the wave's removals), never the vertex
+    set.  Each wave peels ONE cascade level, so the wave count is bounded
+    by the total number of peel waves — exhausting ``max_rounds`` before
+    the fixpoint raises rather than returning silently-low core numbers.
+    Returns a Dataset ``(node, core)``.
+
+    Core-number bookkeeping: a vertex removed while the peel level is k
+    has survived every "all degrees >= j" advance for j < k and no later
+    one, so its core is exactly ``k-1`` — removal-time emission replaces
+    the per-advance full-vertex-set snapshot the old driver dict made.
 
     Non-SQL-expressible (iterative fixpoint per k); pinned against a
     from-scratch NumPy peeling oracle in tests/test_kcore.py.
@@ -261,13 +273,13 @@ def kcore_decomposition(edges, max_rounds: int = 10_000):
     import ray
     import ray.data as rd
 
+    from ..functions.groupagg import highcard_groupagg
     from ..state.partitioning import materialize_clean
 
+    out_schema = pa.schema([("node", pa.int64()), ("core", pa.int64())])
     edges = materialize_clean(edges)
     if edges.count() == 0:
-        return rd.from_arrow(
-            pa.schema([("node", pa.int64()), ("core", pa.int64())]).empty_table()
-        )
+        return rd.from_arrow(out_schema.empty_table())
 
     def degree_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
@@ -283,49 +295,103 @@ def kcore_decomposition(edges, max_rounds: int = 10_000):
             {"node": pa.array(u, pa.int64()), "d": pa.array(c, pa.int64())}
         )
 
-    def degrees(es) -> "pd.DataFrame":
-        parts = es.map_batches(degree_partial, batch_format="pyarrow").to_pandas()
-        return parts.groupby("node")["d"].sum()
+    def degrees_ds(es):
+        """(node, d) degree Dataset: block partials + one keyed groupby-sum."""
+        return materialize_clean(
+            highcard_groupagg(
+                es.map_batches(degree_partial, batch_format="pyarrow"),
+                ["node"],
+                [("d", "sum")],
+                {"d_sum": "d"},
+            )
+        )
 
-    core: dict[int, int] = {}
     cur = edges
+    active = degrees_ds(cur)
     k = 1
+    out_parts: list = []
     for _ in range(max_rounds):
-        deg = degrees(cur)
-        if deg.empty:
+        if active.count() == 0:
             break
-        # peel everything below k until stable, then k is done
-        low = deg[deg < k]
-        if low.empty:
-            # all survivors have degree >= k: record provisional core k
-            for n in deg.index:
-                core[int(n)] = k
+        # the wave's frontier: nodes with degree < k (collected to the
+        # driver — bounded by this wave's removals, NOT the vertex set)
+        low_df = active.map_batches(
+            lambda t: t.filter(pc.less(t["d"], pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow",
+        ).to_pandas()
+        if low_df.empty:
+            # all survivors have degree >= k: advance the level
             k += 1
             continue
-        survivors = pa.array(deg[deg >= k].index.to_numpy(np.int64), pa.int64())
-        surv_ref = ray.put(survivors)
+        low = np.unique(low_df["node"].to_numpy(np.int64))
+        low_ref = ray.put(pa.array(low, pa.int64()))
 
-        def keep(t: pa.Table, _s=surv_ref) -> pa.Table:
-            s = ray.get(_s)
+        def nbrs(t: pa.Table, _l=low_ref) -> pa.Table:
+            """Other endpoints of edges incident to the frontier — the only
+            possible cascade removals."""
+            lo = ray.get(_l)
+            a = pc.cast(t["a"], pa.int64())
+            b = pc.cast(t["b"], pa.int64())
+            in_a, in_b = pc.is_in(a, value_set=lo), pc.is_in(b, value_set=lo)
+            cand = pa.concat_arrays(
+                [b.filter(in_a).combine_chunks(), a.filter(in_b).combine_chunks()]
+            )
+            return pa.table({"node": pc.unique(cand)})
+
+        cand = np.unique(
+            cur.map_batches(nbrs, batch_format="pyarrow")
+            .to_pandas()["node"].to_numpy(np.int64)
+        )
+        cand = np.setdiff1d(cand, low, assume_unique=True)
+
+        def keep(t: pa.Table, _l=low_ref) -> pa.Table:
+            lo = ray.get(_l)
             m = pc.and_(
-                pc.is_in(pc.cast(t["a"], pa.int64()), value_set=s),
-                pc.is_in(pc.cast(t["b"], pa.int64()), value_set=s),
+                pc.invert(pc.is_in(pc.cast(t["a"], pa.int64()), value_set=lo)),
+                pc.invert(pc.is_in(pc.cast(t["b"], pa.int64()), value_set=lo)),
             )
             return t.filter(m)
 
         cur = materialize_clean(cur.map_batches(keep, batch_format="pyarrow"))
-        if cur.count() == 0:
-            break
-
+        active = degrees_ds(cur)
+        # cascade removals: frontier neighbors that vanished from the new
+        # degree Dataset (their last edge was incident to the frontier)
+        if cand.size:
+            cand_ref = ray.put(pa.array(cand, pa.int64()))
+            present = (
+                active.map_batches(
+                    lambda t, _c=cand_ref: t.filter(
+                        pc.is_in(t["node"], value_set=ray.get(_c))
+                    ),
+                    batch_format="pyarrow",
+                ).to_pandas()["node"].to_numpy(np.int64)
+                if active.count() > 0 else np.empty(0, np.int64)
+            )
+            gone = np.setdiff1d(cand, np.unique(present), assume_unique=False)
+        else:
+            gone = np.empty(0, np.int64)
+        removed = np.concatenate([low, gone])
+        out_parts.append(
+            rd.from_arrow(
+                pa.table(
+                    {"node": pa.array(np.sort(removed), pa.int64()),
+                     "core": pa.array(
+                         np.full(removed.size, k - 1, np.int64), pa.int64()
+                     )},
+                    schema=out_schema,
+                )
+            )
+        )
     else:
-        deg = degrees(cur)
-        if not deg.empty:
+        if active.count() > 0:
             raise RuntimeError(
                 f"kcore_decomposition did not converge in {max_rounds} "
-                f"rounds ({len(deg)} vertices still active at k={k}); "
+                f"rounds ({active.count()} vertices still active at k={k}); "
                 "raise max_rounds"
             )
-    rows = [{"node": n, "core": c} for n, c in sorted(core.items())]
-    return rd.from_items(rows) if rows else rd.from_arrow(
-        pa.schema([("node", pa.int64()), ("core", pa.int64())]).empty_table()
-    )
+    if not out_parts:
+        return rd.from_arrow(out_schema.empty_table())
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out
