@@ -115,10 +115,11 @@ def cmd_serve(args: argparse.Namespace) -> int:
     _init_ray()
     srv = NddHttpServer(
         args.signatures, rep_map_path=args.rep_map,
-        host=args.host, port=args.port,
+        host=args.host, port=args.port, n_shards=args.n_shards,
     )
     print(json.dumps({"serving": f"http://{srv.host}:{srv.port}",
-                      "size": len(srv.index.shingles)}), flush=True)
+                      "size": srv.index.size(),
+                      "n_shards": args.n_shards}), flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -363,6 +364,8 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--rep-map", default=None)
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8977)
+    ps.add_argument("--n-shards", type=int, default=1,
+                    help="conv-sharded IndexShardActor fan-out (1 = in-process index)")
     ps.set_defaults(fn=cmd_serve)
 
     pu = sub.add_parser(

@@ -16,13 +16,13 @@ Routes (JSON in/out):
 (``server_ndd.py:280-288``, SURVEY §2 M15): the payload is decoded
 server-side before probing, so binary-safe transports work unchanged.
 
-The handler holds a driver-side :class:`NearDupIndex` (one process = one
-index shard).  At multi-node scale, run one server per index shard behind
-any HTTP load balancer and fan the probe out — the index itself already
-documents the ``hash(band) % n_actors`` sharding plan
-(``pipelines/query.py``).  Serving is read-mostly: queries take a shared
-lock-free path (dict reads are atomic under the GIL), mutations
-(``/update``, ``/evict``) serialize on a mutex.
+With ``n_shards=1`` (default) the handler holds a driver-side
+:class:`NearDupIndex`; with ``n_shards>1`` it holds a
+:class:`ShardedNearDupIndex` — N conv-sharded ``IndexShardActor``s, the
+probe signature computed once and fanned out, results merged bit-identical
+to the single-index path (pytest-pinned; per-actor memory ~1/N).  Serving
+is read-mostly: queries take a shared lock-free path (dict reads are atomic
+under the GIL), mutations (``/update``, ``/evict``) serialize on a mutex.
 """
 
 from __future__ import annotations
@@ -45,12 +45,19 @@ class NddHttpServer:
 
     def __init__(self, signatures_path: str, cfg: NDDConfig | None = None,
                  rep_map_path: str | None = None, host: str = "127.0.0.1",
-                 port: int = 0) -> None:
+                 port: int = 0, n_shards: int = 1) -> None:
         import ray.data as rd
 
-        sigs = rd.read_parquet(signatures_path)
-        rep_map = rd.read_parquet(rep_map_path) if rep_map_path else None
-        self.index = NearDupIndex(sigs, cfg or NDDConfig(), rep_map)
+        if n_shards > 1:
+            from .pipelines.query import ShardedNearDupIndex
+
+            self.index = ShardedNearDupIndex(
+                signatures_path, n_shards, cfg or NDDConfig(), rep_map_path
+            )
+        else:
+            sigs = rd.read_parquet(signatures_path)
+            rep_map = rd.read_parquet(rep_map_path) if rep_map_path else None
+            self.index = NearDupIndex(sigs, cfg or NDDConfig(), rep_map)
         self._mutate_lock = threading.Lock()
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.host, self.port = self._httpd.server_address[:2]
@@ -92,7 +99,7 @@ class NddHttpServer:
                 self.wfile.write(body)
 
             def do_GET(self):  # noqa: N802
-                n = len(server.index.shingles)
+                n = server.index.size()
                 if self.path == "/health":
                     self._reply(200, {"ok": True, "size": n})
                 elif self.path == "/size":

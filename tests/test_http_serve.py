@@ -93,6 +93,64 @@ def test_update_and_evict_roundtrip(server):
     assert after["size"] == before["size"]
 
 
+def test_sharded_index_matches_single(server):
+    """Round-5 (verdict item #6): ShardedNearDupIndex — 4 conv-sharded
+    IndexShardActors, probe signature computed once and fanned out — must
+    answer every probe IDENTICALLY to the single in-process index, with
+    per-shard sizes summing to the corpus and no shard holding it all."""
+    import ray
+
+    from near_duplicate_detection_ray.pipelines.query import ShardedNearDupIndex
+
+    base, srv, transcripts, sig_path = server
+    rep_path = sig_path[: -len("sigs")] + "reps"
+    sharded = ShardedNearDupIndex(sig_path, 4, CFG, rep_path)
+    assert sharded.size() == srv.index.size()
+    per_shard = ray.get([a.size.remote() for a in sharded.actors])
+    assert sum(per_shard) == sharded.size()
+    assert max(per_shard) < sharded.size()  # memory genuinely split
+    docs = corpus_docs(transcripts)
+    probes = list(docs)[:10]
+    for cid in probes:
+        assert sharded.query_text(docs[cid], k=5) == srv.index.query_text(
+            docs[cid], k=5
+        ), cid
+    # partial-text containment probe parity (anchor buckets)
+    snippet = docs["x00000"][: len(docs["x00000"]) // 2]
+    assert sharded.query_text(snippet, k=5) == srv.index.query_text(snippet, k=5)
+    # evict + re-ingest route to the right shards
+    import ray.data as rd
+
+    n0 = sharded.size()
+    assert sharded.evict(["u00000"]) == 1
+    assert sharded.size() == n0 - 1
+    assert sharded.ingest(rd.read_parquet(sig_path)) >= 1
+    assert sharded.size() == n0
+    assert sharded.query_text(docs["x00000"], k=5) == srv.index.query_text(
+        docs["x00000"], k=5
+    )
+
+
+def test_sharded_http_server(ray_session, tmp_path_factory, server):
+    """serve.py drops the sharded index in unchanged (n_shards>1)."""
+    from near_duplicate_detection_ray.serve import NddHttpServer
+
+    base, srv, transcripts, sig_path = server
+    rep_path = sig_path[: -len("sigs")] + "reps"
+    s2 = NddHttpServer(sig_path, CFG, rep_map_path=rep_path, port=0, n_shards=3)
+    s2.start()
+    try:
+        b2 = f"http://{s2.host}:{s2.port}"
+        st, body = _get(b2 + "/health")
+        assert st == 200 and body["size"] == srv.index.size()
+        docs = corpus_docs(transcripts)
+        st, body = _post(b2 + "/query", {"text": docs["x00000"], "k": 5})
+        assert st == 200
+        assert body["results"] == srv.index.query_text(docs["x00000"], k=5)
+    finally:
+        s2.shutdown()
+
+
 def test_error_paths(server):
     base, _, _, _ = server
     st, body = _post(base + "/query", {"k": 3})
