@@ -123,9 +123,11 @@ def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):
     Final labeling is also join-free: union the (conv_id) node rows with the
     (node, root) edges and resolve per key after one keyed repartition.
     """
-    import pandas as pd
+    import numpy as np
+    import pyarrow.compute as pc
 
     from ..state.partitioning import key_partitioned
+    from .assemble import group_offsets
 
     EDGE_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string())])
 
@@ -146,35 +148,42 @@ def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):
             batch_format="pyarrow",
         )
 
-    def star_block(df: pd.DataFrame, large: bool) -> pa.Table:
+    def star_block(t: pa.Table, large: bool) -> pa.Table:
         """Block-local star operation; u-groups are co-located by the keyed
         repartition.  large-star: attach strictly-greater neighbors to the
-        neighborhood min; small-star: attach smaller-or-equal neighbors."""
-        if df.empty:
+        neighborhood min; small-star: attach smaller-or-equal neighbors.
+        Arrow-native (round-4 verdict item #9): sorted-group boundaries +
+        take/repeat for the per-group min, Arrow group_by for the dedup."""
+        if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-        m = df.groupby("u")["v"].transform("min")
-        m = m.where(m < df["u"], df["u"])  # min(N(u) + {u})
+        t = t.sort_by([("u", "ascending"), ("v", "ascending")])
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        offsets = group_offsets(u)
+        starts = pa.array(offsets[:-1], pa.int64())
+        # sorted by (u, v): each group's first v IS its min
+        ug, m_group = u.take(starts), pc.min_element_wise(v.take(starts), u.take(starts))
+        m = m_group.take(
+            pa.array(np.repeat(np.arange(len(offsets) - 1), np.diff(offsets)),
+                     pa.int64())
+        )  # min(N(u) + {u}) per row
+        def _flat(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
         if large:
             # (v, m) for strictly-greater neighbors; smaller neighbors are
             # handled from their own side (input is bidirectional)
-            mask = df["v"] > df["u"]
-            out = pd.DataFrame({"u": df.loc[mask, "v"], "v": m[mask]})
+            mask = pc.greater(v, u)
+            out_u, out_v = v.filter(mask), m.filter(mask)
         else:
             # (v, m) for all (directed, v <= u) neighbors PLUS (u, m) itself —
             # omitting the center edge loses the component (Kiveris small-star)
-            mask = df["v"] <= df["u"]
-            out = pd.concat(
-                [
-                    pd.DataFrame({"u": df.loc[mask, "v"], "v": m[mask]}),
-                    pd.DataFrame({"u": df["u"], "v": m}).drop_duplicates(),
-                ]
-            )
-        out = out[out["u"] != out["v"]].drop_duplicates()
-        return pa.table(
-            {"u": pa.array(out["u"].to_numpy(), pa.string()),
-             "v": pa.array(out["v"].to_numpy(), pa.string())},
-            schema=EDGE_SCHEMA,
-        )
+            mask = pc.less_equal(v, u)
+            out_u = pa.concat_arrays([_flat(v.filter(mask)), _flat(ug)])
+            out_v = pa.concat_arrays([_flat(m.filter(mask)), _flat(m_group)])
+        out = pa.table({"u": out_u, "v": out_v}, schema=EDGE_SCHEMA)
+        out = out.filter(pc.not_equal(out["u"], out["v"]))
+        return out.group_by(["u", "v"]).aggregate([]).cast(EDGE_SCHEMA)
 
     def both_directions(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -186,13 +195,27 @@ def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):
         )
 
     def checksum(ds) -> tuple[int, int]:
-        total, count = 0, 0
-        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            if b.num_rows == 0 or b.num_columns == 0:
-                continue
-            count += b.num_rows
-            total ^= hash(tuple(sorted(zip(b["u"].to_pylist(), b["v"].to_pylist()))))
-        return total, count
+        """Order/partition-invariant edge-set digest, computed IN TASKS (the
+        driver sees only per-block partial sums): wrapping uint64 sum of
+        md5_low64(u + sep + v) plus the row count.  The star fixpoint test
+        only needs set equality between rounds — a commutative digest gives
+        that without shipping the edge list to the driver."""
+        from ..functions.hashing import md5_low64_column
+
+        def part(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.table({"s": pa.array([], pa.uint64()),
+                                 "n": pa.array([], pa.int64())})
+            key = pc.binary_join_element_wise(t["u"], t["v"], "\x1f")
+            h = md5_low64_column(key)
+            return pa.table(
+                {"s": pa.array([int(np.sum(h, dtype=np.uint64))], pa.uint64()),
+                 "n": pa.array([t.num_rows], pa.int64())}
+            )
+
+        parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        total = int(np.sum(parts["s"].to_numpy(np.uint64), dtype=np.uint64))
+        return total, int(parts["n"].sum())
 
     cur = edges.materialize()
     prev_sum = None
@@ -200,11 +223,11 @@ def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):
         # large-star over both edge directions
         ls = key_partitioned(
             cur.map_batches(both_directions, batch_format="pyarrow"), ["u"]
-        ).map_batches(lambda df: star_block(df, True), batch_format="pandas",
+        ).map_batches(lambda t: star_block(t, True), batch_format="pyarrow",
                       batch_size=None)
         # small-star over the large-star output (directed: u >= v afterwards)
         ss = key_partitioned(ls, ["u"]).map_batches(
-            lambda df: star_block(df, False), batch_format="pandas", batch_size=None
+            lambda t: star_block(t, False), batch_format="pyarrow", batch_size=None
         ).materialize()
         s = checksum(ss)
         cur = ss
@@ -218,20 +241,21 @@ def propagate_labels(conversations, edge_datasets, max_rounds: int = 50):
         batch_format="pyarrow",
     )
 
-    def resolve_block(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def resolve_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=CLUSTERS_SCHEMA)
-        label = df.groupby("u")["v"].min()
+        t = t.sort_by([("u", "ascending"), ("v", "ascending")])
+        starts = pa.array(group_offsets(t["u"].combine_chunks())[:-1], pa.int64())
         return pa.table(
             {
-                "conv_id": pa.array(label.index.to_numpy(), pa.string()),
-                "cluster_id": pa.array(label.to_numpy(), pa.string()),
+                "conv_id": t["u"].combine_chunks().take(starts),
+                "cluster_id": t["v"].combine_chunks().take(starts),
             },
             schema=CLUSTERS_SCHEMA,
         )
 
     return key_partitioned(cur.union(tagged_nodes), ["u"]).map_batches(
-        resolve_block, batch_format="pandas", batch_size=None
+        resolve_block, batch_format="pyarrow", batch_size=None
     )
 
 

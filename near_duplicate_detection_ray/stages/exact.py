@@ -7,32 +7,43 @@ signature/LSH stages — at 100 TB this collapses exact-copy mass (including ALL
 degenerate empty docs, which share md5("")) before any wide work, the same
 role the reference's version-gate plays for recompute skipping
 (``ndd/extract_features.py:88``).
+
+Block kernels are Arrow-native (round-4 verdict item #9): a stable
+``sort_by`` on (fingerprint, conv_id), the shared ``group_offsets``
+boundary detection, and an ``np.repeat`` + ``take`` to broadcast each
+group's first (= min) conv_id — no pandas conversion in the flagship path.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..state.partitioning import key_partitioned
+from .assemble import group_offsets
 
 REP_MAP_SCHEMA = pa.schema([("conv_id", pa.string()), ("rep_id", pa.string())])
 
 
-def _rep_block(df: pd.DataFrame) -> pa.Table:
+def _rep_column(t: pa.Table) -> pa.Array:
+    """rep_id per row of a table ALREADY sorted by (fingerprint, conv_id):
+    each group's first row holds the min conv_id; repeat it down the group."""
+    offsets = group_offsets(t["fingerprint"].combine_chunks())
+    rep_idx = np.repeat(offsets[:-1], np.diff(offsets))
+    return t["conv_id"].combine_chunks().take(pa.array(rep_idx, pa.int64()))
+
+
+def _rep_block(t: pa.Table) -> pa.Table:
     """Block-local rep assignment (fingerprints are co-located by the keyed
-    repartition): rep_id = min conv_id per fingerprint, via a vectorized
-    groupby-transform.  Returns an explicitly-schema'd Arrow table (empty
-    pandas frames would degrade string columns to Arrow null type)."""
-    if df.empty:
+    repartition): rep_id = min conv_id per fingerprint.  Returns an
+    explicitly-schema'd Arrow table so empty hash partitions keep typed
+    string columns."""
+    if t.num_rows == 0:
         return pa.Table.from_pylist([], schema=REP_MAP_SCHEMA)
-    rep = df.groupby("fingerprint")["conv_id"].transform("min")
+    t = t.sort_by([("fingerprint", "ascending"), ("conv_id", "ascending")])
     return pa.table(
-        {
-            "conv_id": pa.array(df["conv_id"].to_numpy(), pa.string()),
-            "rep_id": pa.array(rep.to_numpy(), pa.string()),
-        },
+        {"conv_id": t["conv_id"].combine_chunks(), "rep_id": _rep_column(t)},
         schema=REP_MAP_SCHEMA,
     )
 
@@ -46,7 +57,7 @@ def exact_rep_map(conversations, num_partitions: int | None = None):
         ["fingerprint"],
         num_partitions,
     )
-    return parts.map_batches(_rep_block, batch_format="pandas", batch_size=None)
+    return parts.map_batches(_rep_block, batch_format="pyarrow", batch_size=None)
 
 
 def representatives(conversations, rep_map, num_partitions: int | None = None):
@@ -77,7 +88,6 @@ def annotate_reps(conversations, num_partitions: int | None = None):
     exact_rep_map + hash-join flow (one fewer shuffle, one fewer join)."""
     from ..state.partitioning import resolve_partitions
     num_partitions = resolve_partitions(num_partitions)
-    import pandas as pd
 
     schema = pa.schema(
         [
@@ -90,21 +100,15 @@ def annotate_reps(conversations, num_partitions: int | None = None):
         ]
     )
 
-    def block(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=schema)
-        rep = df.groupby("fingerprint")["conv_id"].transform("min")
-        return pa.table(
-            {
-                "conv_id": pa.array(df["conv_id"].to_numpy(), pa.string()),
-                "doc_text": pa.array(df["doc_text"].to_numpy(), pa.string()),
-                "n_turns": pa.array(df["n_turns"].to_numpy().astype("int32"), pa.int32()),
-                "n_tokens": pa.array(df["n_tokens"].to_numpy().astype("int32"), pa.int32()),
-                "fingerprint": pa.array(df["fingerprint"].to_numpy(), pa.string()),
-                "rep_id": pa.array(rep.to_numpy(), pa.string()),
-            },
-            schema=schema,
+        t = t.sort_by([("fingerprint", "ascending"), ("conv_id", "ascending")])
+        out = pa.table(
+            {name: t[name].combine_chunks() for name in schema.names[:-1]}
+            | {"rep_id": _rep_column(t)}
         )
+        return out.cast(schema)
 
     parts = key_partitioned(conversations, ["fingerprint"], num_partitions)
-    return parts.map_batches(block, batch_format="pandas", batch_size=None)
+    return parts.map_batches(block, batch_format="pyarrow", batch_size=None)
