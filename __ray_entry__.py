@@ -377,6 +377,9 @@ def _assemble_transcripts(sf_dir: str):
 # queries(); keep the flagship near-dup / dedup / LLM-curation family inside
 # that window (round-2 verdict item #2), with breadth rotating behind it.
 _GATE_WINDOW_FIRST = [
+    # -- flagship core + every query whose code path changed in round 5
+    #    (assemble vectorization, shared md5 kernels, Arrow star/rep-map,
+    #    frontier k-core, checkpointed incremental base, NSW graduation) --
     "ndd_dup_pairs",
     "ndd_clusters",
     "ndd_conversations",
@@ -384,69 +387,60 @@ _GATE_WINDOW_FIRST = [
     "dup_pair_recall",
     "exact_dedup_docs",
     "dup_components_docs",
-    "simhash_pairs_docs",
-    "ngram_jaccard_pairs",
-    "ngram_containment_pairs",
-    "edit_distance_pairs",
-    "snm_dup_pairs",
-    "tf_cosine_pairs",
-    "prefix_dup_docs",
-    "cross_source_dup_pairs",
-    "dup_spans_docs",
-    "cut_spans_docs",
-    "dedup_keep_docs",
-    "dedup_best_docs",
-    "dedup_rate_by_source",
-    "dup_pair_degrees",
-    "dup_loss_weights",
-    "dup_pagerank",
     "dup_kcore",
-    "dup_triangles",
-    "dup_bfs_depths",
-    "span_coverage_stats",
     "dup_pair_turn_overlap",
-    "incremental_dup_pairs",
-    "dup_turns",
-    "semdedup_docs",
-    "near_dup_pairs_bbit",
-    "qa_pair_dups",
-    "qa_pair_near_dups",
-    "turn_window_near_dups",
-    "assistant_dup_convs",
-    "assistant_near_dup_convs",
-    "conv_branch_groups",
-    "tool_sequence_dups",
-    "turn_burst_dedup",
-    "event_value_quantiles_sketch",
-    "kmeans_assign_embeddings",
-    "normalize_docs",
-    "keyword_search_indexed",
-    "bm25_search_docs",
-    "prepare_training_docs",
-    "dup_jaccard_histogram",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
+    "incremental_clusters",
+    "ann_nsw_topk",
+    "winnow_overlap_pairs",
+    "source_report",
+    # -- round-5 rotation (verdict item #8): 37 never-driver-checked
+    #    entries from the relational/TPC-H and text-analysis families that
+    #    have never appeared in any window, plus transcript-structure and
+    #    embedding analytics --
+    "qty_discount_corr",
+    "revenue_cube",
+    "supplier_balance_rank",
+    "customer_first_order",
+    "nation_market_share",
+    "monthly_revenue_growth",
+    "events_hopping_counts",
+    "click_attribution",
+    "weekday_hour_heatmap",
+    "shipping_delay_histogram",
+    "hourly_error_rate",
+    "customer_spend_deciles",
+    "events_rolling_stats",
+    "late_event_stats",
+    "heavy_hitter_users",
+    "debounce_events",
+    "fk_violations",
+    "skyline_orders",
+    "customer_rfm_scores",
+    "bpe_token_counts_docs",
+    "repetition_docs",
+    "top_ngrams_corpus",
+    "vocab_stats",
+    "redact_docs",
+    "stratified_sample_docs",
+    "token_pmi_pairs",
+    "quality_percentile_docs",
+    "lexical_diversity_docs",
+    "zipf_slope_corpus",
+    "sentence_stats_docs",
+    "bpe_merge_candidates",
+    "role_transitions",
+    "conv_depth_histogram",
+    "tool_usage",
+    "conversation_stats",
+    "embedding_covariance",
+    "hard_negatives",
 ]
-# Round-4 rotation (verdict item #10): the flagship first-30 stays fixed;
-# the back 20 rotated to 19 queries never driver-checked before (the bbit
-# query — which auto-disengages its prefilter at gate corpus sizes per
-# verdict item #6, so the driver row checks its flagship-degraded path
-# while the force-engaged prefilter stays pytest-pinned — the whole
-# conversation-structure dedup family, both newly SQL-graduated
-# operators, the persisted-index search path, and the training-prep
-# composition), plus the kept semdedup_docs whose fresh SQL oracle needs
-# its first green driver row.  Late-round swap: the three newly
-# SQL-graduated ANN entries (ivf/lsh/pq — previously rows-only driver
-# checks) replace mask_tokens/curriculum_order/source_distinctive so all
-# six round-4 oracle graduations are driver-visible; the never-checked
-# count stays >= 15 (the swapped-out trio remains sweep + pytest
-# pinned).  Rotated-out entries
-# (curate/decontaminate family, token/chunk/pack/quality/lang/epoch,
-# embedding_dup_pairs, ann_cosine/filtered, dedup_report_docs,
-# media_cdc_dedup, dup_turn_windows, conv_prefix_dups, shuffled_dup_convs)
-# all carry green CORRECTNESS_r0{1,2,3} rows and remain pinned by the
-# local 248-query sweep + pytest.
+# Rotated-out round-4 entries (simhash/ngram/edit/snm/tf-cosine pair
+# families, dup-graph analytics, conversation-structure dedup, semdedup,
+# bbit, ivf/lsh/pq ANN, training prep) all carry green CORRECTNESS_r0{1..4}
+# rows and remain pinned by the local 252-query sweep + pytest.  After this
+# rotation 92 of the 129 previously never-checked queries remain for future
+# windows.
 
 
 def _flagship_first(qs: dict) -> dict:

@@ -3,8 +3,13 @@ reference's E3 surface (``ndd/server_ndd.py:271-315`` Flask routes +
 ``client_flask.py`` JSON client) with ONLY the stdlib ``http.server``; no new
 dependencies, no network beyond localhost.
 
-Routes (JSON in/out):
+Routes (JSON in/out, plus one HTML demo page):
 
+    GET  /                  -> HTML demo page (reference parity: the
+                               ``client_flask.py`` upload form + results
+                               table, re-expressed as a text probe — the
+                               page calls POST /query via fetch and renders
+                               conv_id/jaccard/containment/rank rows)
     GET  /health            -> {"ok": true, "size": N}
     GET  /size              -> {"size": N}
     POST /query             -> {"results": [...]}; body {"text": str | null,
@@ -34,6 +39,50 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .config import NDDConfig
 from .pipelines.query import NearDupIndex
+
+# Demo page (reference E3 parity: ``ndd/client_flask.py:37-55`` builds an
+# HTML results table for an uploaded image; here the probe is text).  All
+# result rendering uses DOM textContent — no server-side interpolation of
+# user content, so the page is injection-safe by construction.
+_DEMO_HTML = b"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8"><title>near-dup search</title>
+<style>
+ body{font-family:sans-serif;max-width:56rem;margin:2rem auto;padding:0 1rem}
+ textarea{width:100%;height:8rem} table{border-collapse:collapse;margin-top:1rem}
+ td,th{border:1px solid #999;padding:.3rem .6rem;text-align:left}
+ .err{color:#b00}
+</style></head><body>
+<h1>Near-duplicate search</h1>
+<p>Paste a conversation (or a snippet of one) and rank its near-duplicates
+in the indexed corpus.</p>
+<textarea id="text" placeholder="probe text"></textarea>
+<p><label>top-k <input id="k" type="number" value="30" min="1" max="500"
+style="width:5rem"></label>
+<button id="go">search</button> <span id="status"></span></p>
+<table id="results" hidden><thead><tr><th>rank</th><th>conv_id</th>
+<th>jaccard</th><th>containment</th></tr></thead><tbody></tbody></table>
+<script>
+const $=id=>document.getElementById(id);
+$("go").onclick=async()=>{
+  $("status").textContent="searching\\u2026";$("status").className="";
+  try{
+    const r=await fetch("/query",{method:"POST",
+      headers:{"Content-Type":"application/json"},
+      body:JSON.stringify({text:$("text").value,k:+$("k").value||30})});
+    const data=await r.json();
+    if(!r.ok)throw new Error(data.error||r.status);
+    const tb=$("results").querySelector("tbody");tb.replaceChildren();
+    for(const row of data.results){
+      const tr=document.createElement("tr");
+      for(const v of [row.rank,row.conv_id,row.jaccard.toFixed(4),
+                      row.containment.toFixed(4)]){
+        const td=document.createElement("td");td.textContent=v;tr.append(td);}
+      tb.append(tr);}
+    $("results").hidden=false;
+    $("status").textContent=data.results.length+" hit(s)";
+  }catch(e){$("status").textContent=e.message;$("status").className="err";}
+};
+</script></body></html>"""
 
 
 class NddHttpServer:
@@ -99,6 +148,13 @@ class NddHttpServer:
                 self.wfile.write(body)
 
             def do_GET(self):  # noqa: N802
+                if self.path in ("/", "/index.html"):
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(_DEMO_HTML)))
+                    self.end_headers()
+                    self.wfile.write(_DEMO_HTML)
+                    return
                 n = server.index.size()
                 if self.path == "/health":
                     self._reply(200, {"ok": True, "size": n})

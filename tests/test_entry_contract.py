@@ -80,16 +80,17 @@ def test_flagship_family_inside_gate_window():
     )
     first50 = list(e.queries())[:50]
     assert first50 == e._GATE_WINDOW_FIRST
-    # round-4 rotation: the curation/decontamination entries and the
-    # round-3 conversation additions rotated out with green r03 rows; the
-    # pinned core is the flagship near-dup family plus this round's
-    # graduations and rotation leads
+    # round-5 rotation: the pair-similarity / graph-analytics / semdedup
+    # entries rotated out with green r0{1..4} rows; the pinned core is the
+    # flagship near-dup family plus every query whose code path changed in
+    # round 5 (assemble vectorization, shared md5 kernels, Arrow star/rep,
+    # frontier k-core, checkpointed incremental base, NSW graduation)
     for name in (
         "ndd_dup_pairs", "ndd_clusters", "ndd_conversations",
-        "near_dup_pairs_docs", "exact_dedup_docs", "ngram_jaccard_pairs",
-        "ngram_containment_pairs", "near_dup_pairs_bbit",
-        "qa_pair_dups", "semdedup_docs",
-        "event_value_quantiles_sketch", "dedup_best_docs",
+        "near_dup_pairs_docs", "dup_pair_recall", "exact_dedup_docs",
+        "dup_components_docs", "dup_kcore", "dup_pair_turn_overlap",
+        "incremental_clusters", "ann_nsw_topk", "winnow_overlap_pairs",
+        "source_report",
     ):
         assert name in first50, f"{name} fell outside the 50-query gate window"
 

@@ -151,6 +151,16 @@ def test_sharded_http_server(ray_session, tmp_path_factory, server):
         s2.shutdown()
 
 
+def test_demo_page(server):
+    """GET / serves the HTML demo page (reference client_flask.py parity)."""
+    base, _, _, _ = server
+    with urllib.request.urlopen(base + "/", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        body = r.read().decode("utf-8")
+    assert "Near-duplicate search" in body and "/query" in body
+
+
 def test_error_paths(server):
     base, _, _, _ = server
     st, body = _post(base + "/query", {"k": 3})
