@@ -198,21 +198,24 @@ def winnow_fingerprints(hashes, window: int) -> list[int]:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     slide a window of ``window`` consecutive k-gram hashes, keep each window's
     minimum (rightmost on ties) — guarantees shared fingerprints for any
-    sufficiently long shared substring.  Input: iterable of ints."""
-    hs = list(hashes)
-    n = len(hs)
+    sufficiently long shared substring.  Input: iterable of ints.
+
+    Vectorized (round 5): ``sliding_window_view`` + per-window argmin on the
+    REVERSED window axis (NumPy argmin takes the first minimum, so reversing
+    yields the rightmost) and a shifted-compare dedup of consecutive equal
+    pick positions — bit-identical to the scalar scan (pinned by the
+    winnowing SQL oracles and property tests)."""
+    import numpy as np
+
+    hs = np.asarray(list(hashes), dtype=np.uint64)
+    n = hs.size
     if n == 0:
         return []
     if n <= window:
-        return [min(hs)]
-    out: list[int] = []
-    last = -1
-    for i in range(n - window + 1):
-        w = hs[i : i + window]
-        m = min(w)
-        # rightmost minimal position in this window
-        j = i + max(idx for idx, v in enumerate(w) if v == m)
-        if j != last:
-            out.append(m)
-            last = j
-    return out
+        return [int(hs.min())]
+    win = np.lib.stride_tricks.sliding_window_view(hs, window)
+    m = win.min(axis=1)
+    # rightmost minimal position within each window, as a GLOBAL index
+    j = np.arange(n - window + 1) + (window - 1) - np.argmin(win[:, ::-1], axis=1)
+    keep = np.r_[True, j[1:] != j[:-1]]
+    return [int(v) for v in m[keep]]

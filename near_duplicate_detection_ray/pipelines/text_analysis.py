@@ -237,11 +237,25 @@ def doc_fingerprints(sf_dir: str, window: int = 4):
 
     class Fingerprinter:
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.hashing import md5_low64_column
+            from ..functions.text import normalize_column
+
+            norms = normalize_column(batch["text"]).to_pylist()
+            all_sh: list = []
+            counts: list = []
+            for text in norms:
+                sh = shingle_tokens(tokenize(text), DEFAULT_CONFIG.shingle_w)
+                all_sh.extend(sh)
+                counts.append(len(sh))
+            hs_all = (
+                md5_low64_column(pa.array(all_sh, pa.string()))
+                if all_sh else np.empty(0, np.uint64)
+            )
             n_fps, min_fps = [], []
-            for text in batch["text"].to_pylist():
-                sh = shingle_tokens(tokenize(normalize_text(text)), DEFAULT_CONFIG.shingle_w)
-                hs = [md5_low64(s) for s in sh]
-                fps = winnow_fingerprints(hs, window)
+            pos = 0
+            for c in counts:
+                fps = winnow_fingerprints(hs_all[pos : pos + c], window)
+                pos += c
                 n_fps.append(len(fps))
                 min_fps.append(min(fps) if fps else 0)
             return pa.table(
