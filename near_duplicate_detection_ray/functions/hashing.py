@@ -101,15 +101,30 @@ def md5_shingle_sets(texts: list[str], w: int) -> list[np.ndarray]:
     boundary rules).  The SQL-parity twin of the fast blake2b/polynomial
     pipeline in ``shingle_hashes`` — same set semantics, reproducible with
     ``md5_number_lower(shingle)`` in DuckDB."""
+    import pyarrow as pa
+
     from .text import shingle_tokens, tokenize
 
-    sets: list[np.ndarray] = []
+    # ONE buffer-sliced md5 kernel call over the batch's entire shingle
+    # list, then per-doc slices (round 5 — replaces the per-shingle
+    # md5_low64 Python loop that dominated the n-gram family's signing)
+    all_sh: list[str] = []
+    counts: list[int] = []
     for t in texts:
         sh = shingle_tokens(tokenize(t), w)
-        if not sh:
-            sets.append(np.empty(0, dtype=np.uint64))
-            continue
-        sets.append(np.unique(np.array([md5_low64(s) for s in sh], dtype=np.uint64)))
+        all_sh.extend(sh)
+        counts.append(len(sh))
+    hs_all = (
+        md5_low64_column(pa.array(all_sh, pa.string()))
+        if all_sh else np.empty(0, np.uint64)
+    )
+    sets: list[np.ndarray] = []
+    pos = 0
+    for c in counts:
+        sets.append(
+            np.unique(hs_all[pos : pos + c]) if c else np.empty(0, dtype=np.uint64)
+        )
+        pos += c
     return sets
 
 
