@@ -36,7 +36,10 @@ def md5_hex_column(arr) -> "pa.Array":
     Arrow utf-8 data buffer (memoryview slices; no per-row ``str``/``bytes``
     materialization).  md5 itself is inherently per-row — this strips
     everything else.  Shared by the documents adapter, the flagship assemble
-    stage, and turn-level hashing (round-4 verdict items #1/#3)."""
+    stage, and turn-level hashing (round-4 verdict items #1/#3).
+
+    NULL rows propagate as NULL (DuckDB ``md5(NULL)`` parity) — never the
+    empty-string digest (review finding)."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -50,6 +53,16 @@ def md5_hex_column(arr) -> "pa.Array":
     offsets = np.frombuffer(bufs[1], dtype=odt)[off : off + n + 1]
     mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
     md5 = hashlib.md5
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        return pa.array(
+            [
+                md5(mv[offsets[i] : offsets[i + 1]]).hexdigest()
+                if valid[i] else None
+                for i in range(n)
+            ],
+            pa.string(),
+        )
     return pa.array(
         [md5(mv[offsets[i] : offsets[i + 1]]).hexdigest() for i in range(n)],
         pa.string(),
@@ -59,7 +72,9 @@ def md5_hex_column(arr) -> "pa.Array":
 def md5_low64_column(arr) -> np.ndarray:
     """``md5_low64`` per row of a string Arrow array via buffer slices —
     the uint64 twin of :func:`md5_hex_column` (same DuckDB
-    ``md5_number_lower`` parity as :func:`md5_low64`)."""
+    ``md5_number_lower`` parity as :func:`md5_low64`).  Rejects NULL rows
+    loudly (a uint64 array cannot carry null, and hashing null as '' would
+    silently conflate NULL text with empty text — review finding)."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -67,6 +82,11 @@ def md5_low64_column(arr) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
+    if arr.null_count:
+        raise ValueError(
+            f"md5_low64_column: input has {arr.null_count} null row(s); "
+            "filter or fill nulls before hashing"
+        )
     off = arr.offset
     bufs = arr.buffers()
     odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
@@ -82,6 +102,34 @@ def md5_low64_column(arr) -> np.ndarray:
         dtype=np.uint64,
         count=n,
     )
+
+
+def md5_shingle_hashes(texts, w: int) -> tuple[np.ndarray, list[int]]:
+    """Batched ``md5_low64`` over the w-token shingles of ALREADY-normalized
+    texts: returns ``(hs_all, counts)`` — one flat uint64 array of per-
+    shingle hashes in document order plus each document's shingle count
+    (slice ``hs_all`` by the running count to recover per-doc hashes).
+
+    The shared accumulate/hash/slice step behind :func:`md5_shingle_sets`,
+    the winnowing exploders, and the fingerprint stages (review finding:
+    the pattern was triplicated).  Uses ``large_string`` so a batch whose
+    cumulative shingle bytes exceed 2 GiB (shingles amplify text ~w-fold)
+    never hits Arrow's 32-bit offset capacity."""
+    import pyarrow as pa
+
+    from .text import shingle_tokens, tokenize
+
+    all_sh: list[str] = []
+    counts: list[int] = []
+    for t in texts:
+        sh = shingle_tokens(tokenize(t), w)
+        all_sh.extend(sh)
+        counts.append(len(sh))
+    hs_all = (
+        md5_low64_column(pa.array(all_sh, pa.large_string()))
+        if all_sh else np.empty(0, np.uint64)
+    )
+    return hs_all, counts
 
 
 def md5_low64(data: bytes | str) -> int:
@@ -101,23 +149,10 @@ def md5_shingle_sets(texts: list[str], w: int) -> list[np.ndarray]:
     boundary rules).  The SQL-parity twin of the fast blake2b/polynomial
     pipeline in ``shingle_hashes`` — same set semantics, reproducible with
     ``md5_number_lower(shingle)`` in DuckDB."""
-    import pyarrow as pa
-
-    from .text import shingle_tokens, tokenize
-
     # ONE buffer-sliced md5 kernel call over the batch's entire shingle
     # list, then per-doc slices (round 5 — replaces the per-shingle
     # md5_low64 Python loop that dominated the n-gram family's signing)
-    all_sh: list[str] = []
-    counts: list[int] = []
-    for t in texts:
-        sh = shingle_tokens(tokenize(t), w)
-        all_sh.extend(sh)
-        counts.append(len(sh))
-    hs_all = (
-        md5_low64_column(pa.array(all_sh, pa.string()))
-        if all_sh else np.empty(0, np.uint64)
-    )
+    hs_all, counts = md5_shingle_hashes(texts, w)
     sets: list[np.ndarray] = []
     pos = 0
     for c in counts:

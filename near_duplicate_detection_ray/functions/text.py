@@ -88,9 +88,13 @@ def normalize_column(arr):
         ),
         characters=" ",
     )
-    ascii_mask = pc.equal(pc.utf8_length(arr), pc.binary_length(arr))
+    # null rows ride the Arrow kernels (null in -> null out) and must NOT
+    # enter the scalar fallback: fill the mask's nulls as True
+    ascii_mask = pc.fill_null(
+        pc.equal(pc.utf8_length(arr), pc.binary_length(arr)), True
+    )
     if not pc.all(ascii_mask).as_py():
-        am = ascii_mask.to_numpy(zero_copy_only=False)
+        am = ascii_mask.to_numpy(zero_copy_only=False).astype(bool)
         raw = arr.to_pylist()
         out = norm.to_pylist()
         for i in np.flatnonzero(~am):
@@ -207,7 +211,11 @@ def winnow_fingerprints(hashes, window: int) -> list[int]:
     winnowing SQL oracles and property tests)."""
     import numpy as np
 
-    hs = np.asarray(list(hashes), dtype=np.uint64)
+    hs = (
+        hashes.astype(np.uint64, copy=False)
+        if isinstance(hashes, np.ndarray)
+        else np.array(list(hashes), dtype=np.uint64)
+    )
     n = hs.size
     if n == 0:
         return []

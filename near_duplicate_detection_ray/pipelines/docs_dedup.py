@@ -3081,8 +3081,15 @@ def incremental_clusters(sf_dir: str, n: int = 3, tau: float = 0.7,
         return ngram_jaccard_join(base_sigs, tau=tau)
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    # per-user root (review finding: a shared /tmp dir fails with
+    # PermissionError for a second user); NDD_INCR_CKPT_DIR overrides for
+    # real deployments that retain the base on durable storage
+    root = os.environ.get("NDD_INCR_CKPT_DIR") or os.path.join(
+        tempfile.gettempdir(),
+        f"ndd_incremental_clusters_ckpt_{os.getuid()}",
+    )
     cp = StageCheckpointer(
-        os.path.join(tempfile.gettempdir(), "ndd_incremental_clusters_ckpt"),
+        root,
         input_token=(
             f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
             f":n={n}:tau={tau}:mod={delta_mod}"
@@ -3218,20 +3225,12 @@ def winnow_overlap_pairs(sf_dir: str, window: int = 4, min_shared: int = 2):
         # one md5 kernel call over the batch's ENTIRE shingle list (buffer
         # sliced), then per-doc slices feed the vectorized winnowing —
         # round 5, replaces the per-shingle md5_low64 Python loop
-        from ..functions.hashing import md5_low64_column
+        from ..functions.hashing import md5_shingle_hashes
         from ..functions.text import normalize_column
 
         ids = batch["doc_id"].to_pylist()
-        norms = normalize_column(batch["text"]).to_pylist()
-        all_sh: list = []
-        counts: list = []
-        for text in norms:
-            sh = shingle_tokens(tokenize(text), w)
-            all_sh.extend(sh)
-            counts.append(len(sh))
-        hs_all = (
-            md5_low64_column(pa.array(all_sh, pa.string()))
-            if all_sh else np.empty(0, np.uint64)
+        hs_all, counts = md5_shingle_hashes(
+            normalize_column(batch["text"]).to_pylist(), w
         )
         out_fp: list = []
         out_doc: list = []

@@ -234,16 +234,23 @@ class IndexActor:
         return len(self.index.shingles)
 
 
-def shard_mask(conv_ids, shard_id: int, n_shards: int):
-    """Boolean Arrow mask: rows whose ``md5_low64(conv_id) % n_shards`` is
-    ``shard_id`` — deterministic across processes (never Python ``hash``)."""
+def shard_ids(conv_ids, n_shards: int) -> "np.ndarray":
+    """Shard id per row: ``md5_low64(conv_id) % n_shards`` — deterministic
+    across processes (never Python ``hash``)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from ..functions.hashing import md5_low64_column
 
     h = md5_low64_column(pc.cast(conv_ids, pa.string()))
-    return pa.array((h % np.uint64(n_shards)) == np.uint64(shard_id))
+    return (h % np.uint64(n_shards)).astype(np.int64)
+
+
+def shard_mask(conv_ids, shard_id: int, n_shards: int):
+    """Boolean Arrow mask selecting one shard's rows."""
+    import pyarrow as pa
+
+    return pa.array(shard_ids(conv_ids, n_shards) == shard_id)
 
 
 @ray.remote
@@ -343,13 +350,18 @@ class ShardedNearDupIndex:
 
     def ingest(self, signatures) -> int:
         """Split each Arrow batch by shard and ship the slices — accepts a
-        Dataset (the ``serve.py`` /update contract)."""
+        Dataset (the ``serve.py`` /update contract).  The shard hash runs
+        ONCE per batch (review finding: per-shard shard_mask calls re-ran
+        the md5 kernel n_shards times)."""
+        import pyarrow as pa
+
         futs = []
         for batch in signatures.select_columns(
             ["conv_id", "minhash", "shingles", "is_degenerate"]
         ).iter_batches(batch_size=8192, batch_format="pyarrow"):
+            sid = shard_ids(batch["conv_id"], self.n_shards)
             for i, a in enumerate(self.actors):
-                part = batch.filter(shard_mask(batch["conv_id"], i, self.n_shards))
+                part = batch.filter(pa.array(sid == i))
                 if part.num_rows:
                     futs.append(a.ingest_table.remote(part))
         return int(sum(ray.get(futs))) if futs else 0

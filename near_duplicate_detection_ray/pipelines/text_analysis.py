@@ -237,19 +237,12 @@ def doc_fingerprints(sf_dir: str, window: int = 4):
 
     class Fingerprinter:
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..functions.hashing import md5_low64_column
+            from ..functions.hashing import md5_shingle_hashes
             from ..functions.text import normalize_column
 
-            norms = normalize_column(batch["text"]).to_pylist()
-            all_sh: list = []
-            counts: list = []
-            for text in norms:
-                sh = shingle_tokens(tokenize(text), DEFAULT_CONFIG.shingle_w)
-                all_sh.extend(sh)
-                counts.append(len(sh))
-            hs_all = (
-                md5_low64_column(pa.array(all_sh, pa.string()))
-                if all_sh else np.empty(0, np.uint64)
+            hs_all, counts = md5_shingle_hashes(
+                normalize_column(batch["text"]).to_pylist(),
+                DEFAULT_CONFIG.shingle_w,
             )
             n_fps, min_fps = [], []
             pos = 0

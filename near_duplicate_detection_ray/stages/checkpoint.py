@@ -200,8 +200,18 @@ class StageCheckpointer:
         ds = build()
         stage_dir = os.path.join(self.root, name)
         data_dir = os.path.join(vdir, "data")
-        tmp_dir = data_dir + ".tmp"
+        # per-process staging dir: two processes computing the SAME lineage
+        # concurrently must not interleave writes into one tmp dir (review
+        # finding — the shared-root incremental checkpoint made this real)
+        tmp_dir = f"{data_dir}.tmp.{os.getpid()}"
+        # clear THIS process's stale staging plus any crash-orphaned tmp
+        # from earlier runs (legacy "data.tmp" included); live tmp dirs of
+        # other processes keep their pid suffix and are left alone
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        if os.path.isdir(vdir):
+            for d in os.listdir(vdir):
+                if d == "data.tmp":
+                    shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
         os.makedirs(os.path.dirname(tmp_dir), exist_ok=True)
         # a stale legacy real `data` dir must yield to the symlink swap below
         legacy = self._data_dir(name)
@@ -226,7 +236,15 @@ class StageCheckpointer:
             _pq.write_table(
                 arrow_schema.empty_table(), os.path.join(tmp_dir, "empty_0.parquet")
             )
-        os.rename(tmp_dir, data_dir)
+        try:
+            os.rename(tmp_dir, data_dir)
+        except OSError:
+            if os.path.isdir(data_dir):
+                # a concurrent run with the same lineage won the rename —
+                # its snapshot is byte-equivalent (same hash); use it
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+            else:
+                raise
 
         # per-partition lineage + metrics
         import pyarrow.parquet as pq
