@@ -936,8 +936,10 @@ def _conv_fingerprint_rows(df: "pd.DataFrame", k: int | None,
     ``full_fp`` is always the whole-conversation fingerprint, so the caller
     can count distinct continuations/user-sides per group.  Joins ride the
     C-backed groupby-agg (the assemble-stage idiom), never a per-group
-    Python loop."""
-    import hashlib
+    Python loop; the fingerprints ride the buffer-sliced md5 kernel
+    (round 5 — large_string so a giant partition can't overflow 32-bit
+    offsets)."""
+    from ..functions.hashing import md5_hex_column
 
     df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     g = df.groupby("conv_id", sort=True)
@@ -950,8 +952,8 @@ def _conv_fingerprint_rows(df: "pd.DataFrame", k: int | None,
         key = df.loc[df["role"] == "assistant"] \
                 .groupby("conv_id", sort=True)["text"].agg(_SEP.join)
     full = full[key.index]
-    keys = [hashlib.md5(s.encode()).hexdigest() for s in key.to_numpy()]
-    fulls = [hashlib.md5(s.encode()).hexdigest() for s in full.to_numpy()]
+    keys = md5_hex_column(pa.array(key.to_numpy(), pa.large_string())).to_pylist()
+    fulls = md5_hex_column(pa.array(full.to_numpy(), pa.large_string())).to_pylist()
     return keys, fulls, key.index.tolist()
 
 
@@ -1037,7 +1039,7 @@ def tool_sequence_dups(transcripts, num_partitions: int | None = None):
                         ("conv_id", pa.string())])
 
     def per_conv(df) -> pa.Table:
-        import hashlib
+        from ..functions.hashing import md5_hex_column
 
         if df.empty:
             return pa.Table.from_pylist([], schema=schema)
@@ -1047,9 +1049,8 @@ def tool_sequence_dups(transcripts, num_partitions: int | None = None):
         full = df.groupby("conv_id", sort=True)["text"].agg(_SEP.join)[seq.index]
         return pa.table(
             {"tool_seq": pa.array(seq.to_numpy(), pa.string()),
-             "full_fp": pa.array(
-                 [hashlib.md5(s.encode()).hexdigest() for s in full.to_numpy()],
-                 pa.string()),
+             "full_fp": md5_hex_column(
+                 pa.array(full.to_numpy(), pa.large_string())),
              "conv_id": pa.array(seq.index.to_numpy(), pa.string())},
             schema=schema,
         )
@@ -1325,6 +1326,8 @@ def shuffled_dup_convs(transcripts, num_partitions: int | None = None):
     )
 
     def per_conv(df) -> pa.Table:
+        from ..functions.hashing import md5_hex_column
+
         if df.empty:
             return pa.Table.from_pylist([], schema=fp_schema)
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
@@ -1332,12 +1335,10 @@ def shuffled_dup_convs(transcripts, num_partitions: int | None = None):
         ordered = g.agg(_SEP.join)
         mset = g.agg(lambda s: _SEP.join(sorted(s.tolist())))
         return pa.table(
-            {"mfp": pa.array(
-                 [hashlib.md5(s.encode()).hexdigest() for s in mset.to_numpy()],
-                 pa.string()),
-             "ofp": pa.array(
-                 [hashlib.md5(s.encode()).hexdigest() for s in ordered.to_numpy()],
-                 pa.string()),
+            {"mfp": md5_hex_column(
+                 pa.array(mset.to_numpy(), pa.large_string())),
+             "ofp": md5_hex_column(
+                 pa.array(ordered.to_numpy(), pa.large_string())),
              "conv_id": pa.array(ordered.index.to_numpy(), pa.string())},
             schema=fp_schema,
         )
