@@ -1069,11 +1069,10 @@ def _dedup_components(sf_dir: str, cfg: NDDConfig | None = None):
         # dup-graph sweep family (keep/best/curate/pagerank/bfs/kcore) was
         # re-executing the flagship stages once per downstream query
         def to_conv_ids(batch: pa.Table) -> pa.Table:
-            a = [f"{d:012d}" for d in batch["a"].to_pylist()]
-            b = [f"{d:012d}" for d in batch["b"].to_pylist()]
-            return pa.table(
-                {"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())}
+            pad = lambda c: pc.utf8_lpad(
+                pc.cast(c, pa.string()), width=12, padding="0"
             )
+            return pa.table({"a": pad(batch["a"]), "b": pad(batch["b"])})
 
         dup = near_dup_pairs_docs(sf_dir).map_batches(
             to_conv_ids, batch_format="pyarrow"
@@ -1219,8 +1218,8 @@ def dedup_report_docs(sf_dir: str, cfg: NDDConfig | None = None):
         import ray
 
         kept = ray.get(kept_ref)
-        ids = pa.array(
-            [f"{d:012d}" for d in t["doc_id"].to_pylist()], pa.string()
+        ids = pc.utf8_lpad(
+            pc.cast(t["doc_id"], pa.string()), width=12, padding="0"
         )
         mask = pc.is_in(ids, value_set=kept)
         chars = pc.cast(t["n_chars"], pa.int64())
@@ -2174,8 +2173,8 @@ def dup_components_docs(sf_dir: str, cfg: NDDConfig | None = None,
     def to_str(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "a": pa.array([f"{v:012d}" for v in t["a"].to_pylist()], pa.string()),
-                "b": pa.array([f"{v:012d}" for v in t["b"].to_pylist()], pa.string()),
+                "a": pc.utf8_lpad(pc.cast(t["a"], pa.string()), width=12, padding="0"),
+                "b": pc.utf8_lpad(pc.cast(t["b"], pa.string()), width=12, padding="0"),
             }
         )
 
@@ -2184,8 +2183,8 @@ def dup_components_docs(sf_dir: str, cfg: NDDConfig | None = None,
     def ids(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "conv_id": pa.array(
-                    [f"{v:012d}" for v in t["doc_id"].to_pylist()], pa.string()
+                "conv_id": pc.utf8_lpad(
+                    pc.cast(t["doc_id"], pa.string()), width=12, padding="0"
                 )
             }
         )

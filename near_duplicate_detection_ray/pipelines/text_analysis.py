@@ -3378,12 +3378,10 @@ def heaps_vocab_growth(sf_dir: str):
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def tok_counts(t: pa.Table) -> pa.Table:
-        from ..functions.text import normalize_text
+        from ..functions.text import normalize_column
 
         ids = pc.cast(t["doc_id"], pa.int64())
-        norm = pa.array(
-            [normalize_text(x) for x in t["text"].to_pylist()], pa.string()
-        )
+        norm = normalize_column(t["text"])
         toks = pc.utf8_split_whitespace(norm)
         n = pc.list_value_length(toks)
         blank = pc.equal(pc.utf8_length(norm), 0)
