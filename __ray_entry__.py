@@ -638,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_pagerank": docs_dedup.dup_pagerank,               # SQL-checked (5-iteration power method)
         "dup_components_docs": docs_dedup.dup_components_docs,  # SQL-checked (recursive-CTE closure oracle)
         "dup_loss_weights": docs_dedup.dup_loss_weights,       # SQL-checked (1/cluster-size soft dedup)
+        "leakage_safe_split": docs_dedup.leakage_safe_split,   # SQL-checked (cluster-level train/eval split, md5 replay)
         "dedup_rate_by_source": docs_dedup.dedup_rate_by_source,  # SQL-checked (per-source dup census)
         "prefix_dup_docs": docs_dedup.prefix_dup_docs,          # SQL-checked (template detection)
         "cross_source_dup_pairs": docs_dedup.cross_source_dup_pairs,  # SQL-checked (provenance leakage)
@@ -4690,6 +4691,56 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT doc_id, cluster_id,
                    round(1e0 / count(*) OVER (PARTITION BY cluster_id), 8)
                        AS weight
+            FROM comp
+        """,
+        # leakage-safe split: the components oracle + the md5_number_lower
+        # cluster-hash split decision replayed exactly
+        "leakage_safe_split": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'
+                       ) AS t
+                FROM documents
+                WHERE trim(text) <> ''
+            ), sh AS (
+                SELECT DISTINCT doc_id, s
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                    END
+                ) AS u(s)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+            ), e AS (
+                SELECT a AS src, b AS dst FROM p
+                UNION ALL
+                SELECT b AS src, a AS dst FROM p
+            ), reach AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+            ), lab AS (
+                SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                FROM reach GROUP BY src
+            ), comp AS (
+                SELECT d.doc_id,
+                       COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN md5_number_lower(CAST(cluster_id AS VARCHAR))
+                             % 100 < 10
+                        THEN 'eval' ELSE 'train' END AS split
             FROM comp
         """,
         # PageRank over the symmetrized near-dup graph: the same brute-force

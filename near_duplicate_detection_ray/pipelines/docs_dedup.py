@@ -2207,6 +2207,41 @@ def dup_components_docs(sf_dir: str, cfg: NDDConfig | None = None,
     return labeled.map_batches(finish, batch_format="pyarrow")
 
 
+def leakage_safe_split(sf_dir: str, cfg: NDDConfig | None = None,
+                       eval_pct: int = 10):
+    """LEAKAGE-SAFE train/eval split — the post-dedup step a real training
+    pipeline needs: assign every document to 'train' or 'eval' AT THE DUP-
+    CLUSTER level, so two near-duplicate documents can never straddle the
+    split (a naive per-doc split leaks eval content into train through its
+    near-copies).  Built on the SQL-checked :func:`dup_components_docs`
+    labels; the split decision is a pure hash of the cluster id
+    (``md5_low64(cast(cluster_id)) % 100 < eval_pct`` -> 'eval'), so it is
+    deterministic, engine-independent, and replayed exactly in the DuckDB
+    oracle via ``md5_number_lower``.
+
+    Output: ``doc_id, cluster_id, split`` (int64, int64, string).
+
+    Reference analogue: the grouped first-hit-per-family dedup of the query
+    path (``ndd/server_ndd.py:127-142``) — treat a dup family as one unit —
+    applied to corpus curation rather than result ranking."""
+    comp = dup_components_docs(sf_dir, cfg)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_low64_column
+
+        h = md5_low64_column(pc.cast(t["cluster_id"], pa.string()))
+        split = pc.if_else(
+            pa.array((h % np.uint64(100)) < np.uint64(eval_pct)),
+            pa.scalar("eval"), pa.scalar("train"),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "cluster_id": t["cluster_id"],
+             "split": split}
+        )
+
+    return comp.map_batches(assign, batch_format="pyarrow")
+
+
 def dup_loss_weights(sf_dir: str, cfg: NDDConfig | None = None):
     """SOFT-DEDUP TRAINING WEIGHTS — instead of dropping near-duplicates,
     weight every document by ``1 / |its dup component|`` so each content
