@@ -1810,12 +1810,9 @@ def dedup_rate_by_source(sf_dir: str):
     from ..functions.groupagg import highcard_groupagg, lowcard_groupagg
 
     def fp(batch: pa.Table) -> pa.Table:
-        fps = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
         return pa.table(
-            {"source": batch["source"], "fingerprint": pa.array(fps, pa.string())}
+            {"source": batch["source"],
+             "fingerprint": _md5_hex_column(pc.cast(batch["text"], pa.string()))}
         )
 
     distinct = highcard_groupagg(
