@@ -253,12 +253,17 @@ def shard_mask(conv_ids, shard_id: int, n_shards: int):
     return pa.array(shard_ids(conv_ids, n_shards) == shard_id)
 
 
-@ray.remote
+@ray.remote(max_restarts=-1, max_task_retries=-1)
 class IndexShardActor:
     """One shard of a :class:`ShardedNearDupIndex`: a NearDupIndex over ONLY
     the conversations hashing to this shard (memory ~1/n_shards).  Loads
-    from the same signatures checkpoint path as ``IndexActor`` — restarts
-    re-load and re-filter from Parquet."""
+    from the same signatures checkpoint path as ``IndexActor``, so a
+    restarted actor rebuilds identical state from Parquet — Ray restarts
+    it automatically on worker death (``max_restarts=-1``) and retries the
+    in-flight probe (``max_task_retries=-1``); post-build ``ingest``ed
+    deltas are lost on restart and must be re-synced by the router (the
+    reference server has the same reload-from-disk recovery,
+    ``server_ndd.py:77-95``)."""
 
     def __init__(self, signatures_path: str, shard_id: int, n_shards: int,
                  cfg_kwargs: dict | None = None,

@@ -131,6 +131,23 @@ def test_sharded_index_matches_single(server):
     )
 
 
+def test_sharded_index_survives_actor_death(server):
+    """A killed shard actor restarts from its checkpoint path and answers
+    the same probe identically (serving fault tolerance)."""
+    import ray
+
+    from near_duplicate_detection_ray.pipelines.query import ShardedNearDupIndex
+
+    base, srv, transcripts, sig_path = server
+    rep_path = sig_path[: -len("sigs")] + "reps"
+    sharded = ShardedNearDupIndex(sig_path, 3, CFG, rep_path)
+    docs = corpus_docs(transcripts)
+    before = sharded.query_text(docs["x00000"], k=5)
+    ray.kill(sharded.actors[0], no_restart=False)
+    after = sharded.query_text(docs["x00000"], k=5)
+    assert after == before and after == srv.index.query_text(docs["x00000"], k=5)
+
+
 def test_sharded_http_server(ray_session, tmp_path_factory, server):
     """serve.py drops the sharded index in unchanged (n_shards>1)."""
     from near_duplicate_detection_ray.serve import NddHttpServer
