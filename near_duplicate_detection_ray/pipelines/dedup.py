@@ -926,35 +926,67 @@ _SEP = "\x1f"  # turn separator inside per-conversation fingerprint keys;
 # holds even if a pathological token contained it)
 
 
-def _conv_fingerprint_rows(df: "pd.DataFrame", k: int | None,
-                           asst_only: bool) -> tuple[list, list, list]:
-    """Per-conversation (key_fp, full_fp, conv_id) triples from one conv-keyed
-    hash partition: sort by (conv_id, turn_idx), md5 the SEP-joined turn texts.
+def _conv_fingerprint_table(t: pa.Table, k: int | None,
+                            asst_only: bool) -> tuple:
+    """Per-conversation (key_fp, full_fp, conv_id) Arrow arrays from one
+    conv-keyed hash partition: sort by (conv_id, turn_idx), md5 the
+    SEP-joined turn texts.
 
     ``k``: fingerprint only the first k turns (convs shorter than k drop);
-    ``asst_only``: fingerprint only assistant turns (convs with none drop).
-    ``full_fp`` is always the whole-conversation fingerprint, so the caller
-    can count distinct continuations/user-sides per group.  Joins ride the
-    C-backed groupby-agg (the assemble-stage idiom), never a per-group
-    Python loop; the fingerprints ride the buffer-sliced md5 kernel
-    (round 5 — large_string so a giant partition can't overflow 32-bit
-    offsets)."""
-    from ..functions.hashing import md5_hex_column
+    ``asst_only`` (k=None): fingerprint only assistant turns (convs with
+    none drop).  ``full_fp`` is always the whole-conversation fingerprint,
+    so the caller can count distinct continuations/user-sides per group.
+    Fully Arrow-native (round 5 — the assemble-stage idiom): zero-copy
+    LargeListArray wraps + ONE binary_join kernel per fingerprint basis,
+    buffer-sliced md5; large offsets so a giant partition can't overflow."""
+    import numpy as np
 
-    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    g = df.groupby("conv_id", sort=True)
-    full = g["text"].agg(_SEP.join)
+    from ..functions.hashing import md5_hex_column
+    from ..stages.assemble import group_offsets
+
+    t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv = t["conv_id"].combine_chunks()
+    text = pc.cast(t["text"].combine_chunks(), pa.large_string())
+    offsets = group_offsets(conv)
+    starts, counts = offsets[:-1], np.diff(offsets)
+    sep = pa.scalar(_SEP, pa.large_string())
+    full = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), text), sep
+    )
+    cids = conv.take(pa.array(starts, pa.int64()))
     if k is not None:
-        keep = g.size() >= k
-        key = df.groupby("conv_id", sort=True).head(k) \
-                .groupby("conv_id", sort=True)["text"].agg(_SEP.join)[keep]
+        keep = counts >= k
+        ks = starts[keep]
+        idx = (ks[:, None] + np.arange(k)[None, :]).reshape(-1)
+        key = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(np.arange(len(ks) + 1, dtype=np.int64) * k, pa.int64()),
+                text.take(pa.array(idx, pa.int64())),
+            ),
+            sep,
+        )
+        full = full.filter(pa.array(keep))
+        cids = cids.filter(pa.array(keep))
     else:
-        key = df.loc[df["role"] == "assistant"] \
-                .groupby("conv_id", sort=True)["text"].agg(_SEP.join)
-    full = full[key.index]
-    keys = md5_hex_column(pa.array(key.to_numpy(), pa.large_string())).to_pylist()
-    fulls = md5_hex_column(pa.array(full.to_numpy(), pa.large_string())).to_pylist()
-    return keys, fulls, key.index.tolist()
+        sub = t.filter(pc.equal(t["role"], "assistant"))  # keeps the sort
+        sconv = sub["conv_id"].combine_chunks()
+        stext = pc.cast(sub["text"].combine_chunks(), pa.large_string())
+        soff = group_offsets(sconv)
+        key = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(soff, pa.int64()), stext),
+            sep,
+        )
+        skeys = sconv.take(pa.array(soff[:-1], pa.int64()))
+        # align full/cids to the convs that HAVE assistant turns: both key
+        # arrays are ascending (sorted partition), so one searchsorted maps
+        # each assistant-conv to its full-fingerprint row
+        pos = np.searchsorted(
+            cids.to_numpy(zero_copy_only=False),
+            skeys.to_numpy(zero_copy_only=False),
+        )
+        full = full.take(pa.array(pos, pa.int64()))
+        cids = skeys
+    return md5_hex_column(key), md5_hex_column(full), cids
 
 
 _GROUP_SCHEMA_COLS = [("n_convs", pa.int64()), ("n_variants", pa.int64()),
@@ -1006,19 +1038,17 @@ def conv_branch_groups(transcripts, k: int = 3,
     schema = pa.schema([("prefix_fp", pa.string()), ("full_fp", pa.string()),
                         ("conv_id", pa.string())])
 
-    def per_conv(df) -> pa.Table:
-        if df.empty:
+    def per_conv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=schema)
-        keys, fulls, cids = _conv_fingerprint_rows(df, k, False)
+        keys, fulls, cids = _conv_fingerprint_table(t, k, False)
         return pa.table(
-            {"prefix_fp": pa.array(keys, pa.string()),
-             "full_fp": pa.array(fulls, pa.string()),
-             "conv_id": pa.array(cids, pa.string())},
+            {"prefix_fp": keys, "full_fp": fulls, "conv_id": cids},
             schema=schema,
         )
 
     pairs = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
-        per_conv, batch_format="pandas", batch_size=None
+        per_conv, batch_format="pyarrow", batch_size=None
     )
     return _group_census(pairs, "prefix_fp", num_partitions)
 
@@ -1128,19 +1158,17 @@ def assistant_dup_convs(transcripts, num_partitions: int | None = None):
     schema = pa.schema([("asst_fp", pa.string()), ("full_fp", pa.string()),
                         ("conv_id", pa.string())])
 
-    def per_conv(df) -> pa.Table:
-        if df.empty:
+    def per_conv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=schema)
-        keys, fulls, cids = _conv_fingerprint_rows(df, None, True)
+        keys, fulls, cids = _conv_fingerprint_table(t, None, True)
         return pa.table(
-            {"asst_fp": pa.array(keys, pa.string()),
-             "full_fp": pa.array(fulls, pa.string()),
-             "conv_id": pa.array(cids, pa.string())},
+            {"asst_fp": keys, "full_fp": fulls, "conv_id": cids},
             schema=schema,
         )
 
     pairs = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
-        per_conv, batch_format="pandas", batch_size=None
+        per_conv, batch_format="pyarrow", batch_size=None
     )
     return _group_census(pairs, "asst_fp", num_partitions)
 
