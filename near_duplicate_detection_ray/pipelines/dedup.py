@@ -1068,25 +1068,45 @@ def tool_sequence_dups(transcripts, num_partitions: int | None = None):
     schema = pa.schema([("tool_seq", pa.string()), ("full_fp", pa.string()),
                         ("conv_id", pa.string())])
 
-    def per_conv(df) -> pa.Table:
-        from ..functions.hashing import md5_hex_column
+    def per_conv(t: pa.Table) -> pa.Table:
+        import numpy as np
 
-        if df.empty:
+        from ..functions.hashing import md5_hex_column
+        from ..stages.assemble import group_offsets
+
+        if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=schema)
-        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        seq = df.loc[df["role"] == "assistant"] \
-                .groupby("conv_id", sort=True)["tool"].agg(">".join)
-        full = df.groupby("conv_id", sort=True)["text"].agg(_SEP.join)[seq.index]
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = t["conv_id"].combine_chunks()
+        text = pc.cast(t["text"].combine_chunks(), pa.large_string())
+        off = group_offsets(conv)
+        full = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), text),
+            pa.scalar(_SEP, pa.large_string()),
+        )
+        cids = conv.take(pa.array(off[:-1], pa.int64()))
+        sub = t.filter(pc.equal(t["role"], "assistant"))
+        sconv = sub["conv_id"].combine_chunks()
+        stool = pc.cast(sub["tool"].combine_chunks(), pa.large_string())
+        soff = group_offsets(sconv)
+        seq = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(soff, pa.int64()), stool),
+            pa.scalar(">", pa.large_string()),
+        )
+        skeys = sconv.take(pa.array(soff[:-1], pa.int64()))
+        pos = np.searchsorted(
+            cids.to_numpy(zero_copy_only=False),
+            skeys.to_numpy(zero_copy_only=False),
+        )
         return pa.table(
-            {"tool_seq": pa.array(seq.to_numpy(), pa.string()),
-             "full_fp": md5_hex_column(
-                 pa.array(full.to_numpy(), pa.large_string())),
-             "conv_id": pa.array(seq.index.to_numpy(), pa.string())},
+            {"tool_seq": pc.cast(seq, pa.string()),
+             "full_fp": md5_hex_column(full.take(pa.array(pos, pa.int64()))),
+             "conv_id": skeys},
             schema=schema,
         )
 
     pairs = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
-        per_conv, batch_format="pandas", batch_size=None
+        per_conv, batch_format="pyarrow", batch_size=None
     )
     return _group_census(pairs, "tool_seq", num_partitions)
 
