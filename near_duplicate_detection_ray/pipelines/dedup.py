@@ -1373,26 +1373,43 @@ def shuffled_dup_convs(transcripts, num_partitions: int | None = None):
         [("mfp", pa.string()), ("ofp", pa.string()), ("conv_id", pa.string())]
     )
 
-    def per_conv(df) -> pa.Table:
+    def per_conv(t: pa.Table) -> pa.Table:
+        # two sorts of the same block — (conv, turn_idx) for the ordered
+        # basis, (conv, text) for the multiset basis (Arrow's bytewise
+        # string sort equals Python's codepoint sort under UTF-8) — then
+        # the shared group-offset + binary_join + buffer-md5 idiom
         from ..functions.hashing import md5_hex_column
+        from ..stages.assemble import group_offsets
 
-        if df.empty:
+        if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=fp_schema)
-        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        g = df.groupby("conv_id", sort=True)["text"]
-        ordered = g.agg(_SEP.join)
-        mset = g.agg(lambda s: _SEP.join(sorted(s.tolist())))
+        sep = pa.scalar(_SEP, pa.large_string())
+
+        def joined(tbl: pa.Table):
+            conv = tbl["conv_id"].combine_chunks()
+            text = pc.cast(tbl["text"].combine_chunks(), pa.large_string())
+            off = group_offsets(conv)
+            j = pc.binary_join(
+                pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), text),
+                sep,
+            )
+            return j, conv.take(pa.array(off[:-1], pa.int64()))
+
+        ordered, cids = joined(
+            t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        )
+        mset, _ = joined(
+            t.sort_by([("conv_id", "ascending"), ("text", "ascending")])
+        )
         return pa.table(
-            {"mfp": md5_hex_column(
-                 pa.array(mset.to_numpy(), pa.large_string())),
-             "ofp": md5_hex_column(
-                 pa.array(ordered.to_numpy(), pa.large_string())),
-             "conv_id": pa.array(ordered.index.to_numpy(), pa.string())},
+            {"mfp": md5_hex_column(mset),
+             "ofp": md5_hex_column(ordered),
+             "conv_id": cids},
             schema=fp_schema,
         )
 
     fps = key_partitioned(ds, ["conv_id"], num_partitions).map_batches(
-        per_conv, batch_format="pandas", batch_size=None
+        per_conv, batch_format="pyarrow", batch_size=None
     )
     out_schema = pa.schema(
         [("rep_id", pa.string()), ("n_convs", pa.int64()),
