@@ -1446,38 +1446,37 @@ def dup_spans_docs(sf_dir: str, w: int = 8):
 
     from ..state.partitioning import key_partitioned
 
-    def islands(df: pd.DataFrame) -> pa.Table:
+    def islands(t: pa.Table) -> pa.Table:
         schema = pa.schema(
             [("doc_id", pa.int64()), ("start_tok", pa.int64()),
              ("end_tok", pa.int64()), ("n_tokens", pa.int64())]
         )
-        if df.empty:
+        if t.num_rows == 0 or t.num_columns == 0:
             return pa.Table.from_pylist([], schema=schema)
-        df = df.sort_values(["doc_id", "pos"], kind="mergesort").reset_index(drop=True)
-        doc = df["doc_id"].to_numpy()
-        pos = df["pos"].to_numpy()
-        brk = np.ones(len(df), dtype=np.int64)
+        t = t.sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        n = len(doc)
+        brk = np.ones(n, dtype=bool)
         same_doc = doc[1:] == doc[:-1]
         brk[1:] = ~(same_doc & (pos[1:] - pos[:-1] <= w))
-        df["island"] = np.cumsum(brk)
-        g = df.groupby("island", sort=False).agg(
-            doc_id=("doc_id", "first"), start_tok=("pos", "min"), end_tok=("pos", "max")
-        )
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        # rows are pos-sorted within doc, so each island's min/max pos are
+        # its first/last rows — pure slicing, no per-island aggregation
         return pa.table(
             {
-                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
-                "start_tok": pa.array(g["start_tok"].to_numpy(), pa.int64()),
-                "end_tok": pa.array(g["end_tok"].to_numpy() + (w - 1), pa.int64()),
-                "n_tokens": pa.array(
-                    g["end_tok"].to_numpy() + w - g["start_tok"].to_numpy(), pa.int64()
-                ),
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "start_tok": pa.array(pos[starts], pa.int64()),
+                "end_tok": pa.array(pos[ends] + (w - 1), pa.int64()),
+                "n_tokens": pa.array(pos[ends] + w - pos[starts], pa.int64()),
             },
             schema=schema,
         )
 
     hits = _dup_gram_hits(sf_dir, w)
     return key_partitioned(hits, ["doc_id"]).map_batches(
-        islands, batch_format="pandas", batch_size=None
+        islands, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -1514,17 +1513,24 @@ def _dup_gram_hits(sf_dir: str, w: int):
             }
         )
 
-    def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df[["doc_id", "pos"]]
-        keep = df.groupby("g", sort=False)["g"].transform("size") >= 2
-        return df.loc[keep, ["doc_id", "pos"]]
+    def dup_hits(t: pa.Table) -> pa.Table:
+        from ..stages.assemble import group_offsets
+
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        t = t.sort_by([("g", "ascending")])
+        counts = np.diff(group_offsets(t["g"].combine_chunks()))
+        keep = np.repeat(counts >= 2, counts)
+        return t.select(["doc_id", "pos"]).filter(pa.array(keep))
 
     gram_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         grams, batch_format="pyarrow"
     )
     return key_partitioned(gram_ds, ["g"]).map_batches(
-        dup_hits, batch_format="pandas", batch_size=None
+        dup_hits, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -1570,12 +1576,12 @@ def cut_spans_docs(sf_dir: str, w: int = 8):
          ("n_removed", pa.int64())]
     )
 
-    def rebuild(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def rebuild(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
             return pa.Table.from_pylist([], schema=out_schema)
-        docs = df[df["pos"] < 0].sort_values("doc_id", kind="mergesort")
-        hitrows = df[df["pos"] > 0]
-        text = pa.array(docs["text"].tolist(), pa.string())
+        docs = t.filter(pc.less(t["pos"], 0)).sort_by([("doc_id", "ascending")])
+        hitrows = t.filter(pc.greater(t["pos"], 0))
+        text = pc.cast(docs["text"].combine_chunks(), pa.string())
         toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), pattern=r"\s+")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
         # trim+split of '' yields [''] — treat as zero tokens
@@ -1586,11 +1592,12 @@ def cut_spans_docs(sf_dir: str, w: int = 8):
         offsets = np.concatenate(([0], np.cumsum(lens)))
         total = int(offsets[-1])
 
-        row_of = pd.Series(
-            np.arange(len(docs), dtype=np.int64), index=docs["doc_id"].to_numpy()
+        doc_ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # docs are doc_id-sorted and unique: searchsorted IS the row lookup
+        hrow = np.searchsorted(
+            doc_ids, hitrows["doc_id"].to_numpy(zero_copy_only=False)
         )
-        hrow = row_of.loc[hitrows["doc_id"].to_numpy()].to_numpy()
-        hpos = hitrows["pos"].to_numpy() - 1  # 0-based token index
+        hpos = hitrows["pos"].to_numpy(zero_copy_only=False) - 1  # 0-based token index
         starts = offsets[hrow] + hpos
         ends = offsets[hrow] + np.minimum(hpos + w, lens[hrow])
         delta = np.zeros(total + 1, dtype=np.int64)
@@ -1613,7 +1620,7 @@ def cut_spans_docs(sf_dir: str, w: int = 8):
         kept_text = pc.binary_join(kept_lists, pa.scalar(" "))
         return pa.table(
             {
-                "doc_id": pa.array(docs["doc_id"].to_numpy(), pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
                 "kept_text": kept_text,
                 "n_removed": pa.array(lens - kept_per_doc, pa.int64()),
             },
@@ -1621,7 +1628,7 @@ def cut_spans_docs(sf_dir: str, w: int = 8):
         )
 
     return key_partitioned(merged, ["doc_id"]).map_batches(
-        rebuild, batch_format="pandas", batch_size=None
+        rebuild, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -2259,22 +2266,29 @@ def dup_loss_weights(sf_dir: str, cfg: NDDConfig | None = None):
     else:
         comp_ds = comp
 
-    def weigh(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "cluster_id": pd.Series([], dtype=np.int64),
-                    "weight": pd.Series([], dtype=np.float64),
-                }
-            )
-        size = df.groupby("cluster_id", sort=False)["doc_id"].transform("size")
-        df = df.copy()
-        df["weight"] = np.round(1.0 / size.to_numpy(dtype=np.float64), 8)
-        return df[["doc_id", "cluster_id", "weight"]]
+    weigh_schema = pa.schema(
+        [("doc_id", pa.int64()), ("cluster_id", pa.int64()),
+         ("weight", pa.float64())]
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        from ..stages.assemble import group_offsets
+
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_pylist([], schema=weigh_schema)
+        t = t.sort_by([("cluster_id", "ascending")])
+        cl = pc.cast(t["cluster_id"], pa.int64()).combine_chunks()
+        counts = np.diff(group_offsets(cl))
+        sizes = np.repeat(counts, counts).astype(np.float64)
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+             "cluster_id": cl,
+             "weight": pa.array(np.round(1.0 / sizes, 8), pa.float64())},
+            schema=weigh_schema,
+        )
 
     return key_partitioned(comp_ds, ["cluster_id"]).map_batches(
-        weigh, batch_format="pandas", batch_size=None
+        weigh, batch_format="pyarrow", batch_size=None
     )
 
 
